@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship query; ``queries()`` /
+``oracle_sql()`` list every implemented operator from SURVEY.md §2 with
+its DuckDB oracle. Column names are aliased identically on both sides
+(the driver sorts columns by name before hashing).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = Path(__file__).resolve().parent
+if str(_REPO) not in sys.path:
+    sys.path.insert(0, str(_REPO))
+
+from northwind_warehouse_spark.plans import analytics  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (TPC-H Q1 pricing summary) on /root/testdata/sf0.001."""
+    return analytics.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": analytics.q1_pricing_summary,
+        "q3_shipping_priority": analytics.q3_shipping_priority,
+        "q5_local_revenue": analytics.q5_local_revenue,
+        "q6_forecast_revenue": analytics.q6_forecast_revenue,
+        "q10_returned_items": analytics.q10_returned_items,
+        "top_customers_per_nation": analytics.top_customers_per_nation,
+        "rollup_sales": analytics.rollup_sales,
+        "events_pivot": analytics.events_pivot,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": analytics.oracle_q1(),
+        "q3_shipping_priority": analytics.oracle_q3(),
+        "q5_local_revenue": analytics.oracle_q5(),
+        "q6_forecast_revenue": analytics.oracle_q6(),
+        "q10_returned_items": analytics.oracle_q10(),
+        "top_customers_per_nation": analytics.oracle_top_customers_per_nation(),
+        "rollup_sales": analytics.oracle_rollup_sales(),
+        "events_pivot": analytics.oracle_events_pivot(),
+    }

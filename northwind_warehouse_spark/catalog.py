@@ -1,0 +1,51 @@
+"""Table loaders for a scale-factor directory of parquet files.
+
+Mirrors the reference's ``models/source.yml`` source registry
+(reference: models/source.yml) — one named loader per raw table, reading
+the driver-generated testdata layout ``{sf_dir}/{table}.parquet``.
+
+Loaders return plain DataFrames so Catalyst sees the parquet scan
+directly: filters and column pruning push all the way down.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table not in TABLES:
+        raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{table}.parquet")
+    if table == "events":
+        # ts is TIMESTAMP(NANOS) in the file → surfaced as long nanos;
+        # floor-convert to microsecond timestamp (matches DuckDB's
+        # ns→datetime truncation).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}

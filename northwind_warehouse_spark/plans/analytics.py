@@ -1,0 +1,307 @@
+"""Analytics query plans (SURVEY.md §2B) — the bench headliners.
+
+All queries are declarative DataFrame plans: filters first (pushed to the
+parquet scan), early projection, broadcast hints on the dimension side of
+every fact⋈dim join, aggregation expressed so Catalyst emits partial
+(map-side) aggregates before the shuffle.
+
+Determinism contract with the DuckDB oracle: every floating aggregate is
+rounded (2dp) and every top-N has a total ordering (rounded measure +
+business-key tiebreaks), so results are stable across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from northwind_warehouse_spark.catalog import load
+
+_R2 = lambda c: F.round(c, 2)  # noqa: E731
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary over lineitem.
+
+    One scan, one shuffle; partial aggregation happens map-side because
+    the plan is a plain groupBy over built-in aggregates.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _R2(F.sum("l_quantity")).alias("sum_qty"),
+            _R2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _R2(F.sum(disc_price)).alias("sum_disc_price"),
+            _R2(F.sum(charge)).alias("sum_charge"),
+            _R2(F.avg("l_quantity")).alias("avg_qty"),
+            _R2(F.avg("l_extendedprice")).alias("avg_price"),
+            _R2(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def oracle_q1() -> str:
+    return """
+    SELECT l_returnflag, l_linestatus,
+        round(sum(l_quantity), 2)                                            AS sum_qty,
+        round(sum(l_extendedprice), 2)                                       AS sum_base_price,
+        round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
+        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
+        round(avg(l_quantity), 2)                                            AS avg_qty,
+        round(avg(l_extendedprice), 2)                                       AS avg_price,
+        round(avg(l_discount), 2)                                            AS avg_disc,
+        count(*)                                                             AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 unshipped BUILDING-segment orders by revenue (TPC-H Q3-ish)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_R2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def oracle_q3() -> str:
+    return """
+    SELECT l_orderkey, o_orderdate, o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """
+
+
+def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation where the supplier is local to the customer.
+
+    nation/region/supplier are broadcast — the only shuffle is the final
+    per-nation aggregation.
+    """
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(_R2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy("r_name", "n_name")
+    )
+
+
+def oracle_q5() -> str:
+    return """
+    SELECT r_name, n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    ORDER BY r_name, n_name
+    """
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: highly-selective filter + single scalar aggregate.
+
+    The whole predicate set pushes down to the parquet scan.
+    """
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(_R2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+    )
+
+
+def oracle_q6() -> str:
+    return """
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 customers by returned-item revenue."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-07-01"))
+    ).select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", _R2(F.col("c_acctbal")).alias("c_acctbal"))
+        .agg(_R2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def oracle_q10() -> str:
+    return """
+    SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name, round(c_acctbal, 2)
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """
+
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by lifetime order value within each nation.
+
+    Single shuffle for the per-customer agg; the rank window reuses the
+    aggregated (already small) relation.
+    """
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per_cust = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "c_custkey", "c_name")
+        .agg(_R2(F.sum("o_totalprice")).alias("total_spend"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), F.col("c_custkey"))
+    return (
+        per_cust.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .orderBy("n_name", "rank_in_nation")
+    )
+
+
+def oracle_top_customers_per_nation() -> str:
+    return """
+    WITH per_cust AS (
+        SELECT n_name, c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, c_custkey, c_name
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY n_name ORDER BY total_spend DESC, c_custkey) AS rank_in_nation
+        FROM per_cust
+    )
+    SELECT n_name, c_custkey, c_name, total_spend, rank_in_nation
+    FROM ranked WHERE rank_in_nation <= 3
+    ORDER BY n_name, rank_in_nation
+    """
+
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(nation, order-year) revenue — subtotal + grand-total rows."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("order_year"), "o_totalprice")
+    )
+    return (
+        base.rollup("n_name", "order_year")
+        .agg(_R2(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("n_name").asc_nulls_first(), F.col("order_year").asc_nulls_first())
+    )
+
+
+def oracle_rollup_sales() -> str:
+    return """
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
+           round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, CAST(year(o_orderdate) AS INT))
+    ORDER BY n_name ASC NULLS FIRST, order_year ASC NULLS FIRST
+    """
+
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type profile via conditional aggregation (one shuffle)."""
+    e = load(spark, sf_dir, "events")
+
+    def cnt(t: str):
+        return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
+
+    return (
+        e.groupBy("user_id")
+        .agg(
+            cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
+            _R2(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))).alias("purchase_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def oracle_events_pivot() -> str:
+    return """
+    SELECT user_id,
+        sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
+        sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
+        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
+        sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
+        round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+    FROM events GROUP BY user_id ORDER BY user_id
+    """
