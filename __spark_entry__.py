@@ -18,7 +18,7 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-from northwind_warehouse_spark.plans import analytics  # noqa: E402
+from northwind_warehouse_spark.plans import analytics, medallion  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,6 +28,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "stg_customer": medallion.stg_customer,
+        "stg_orders": medallion.stg_orders,
+        "stg_lineitem": medallion.stg_lineitem,
+        "dim_date": medallion.dim_date,
+        "dim_customer": medallion.dim_customer,
+        "dim_part": medallion.dim_part,
+        "dim_supplier": medallion.dim_supplier,
+        "scd2_users": medallion.scd2_users,
+        "snapshot_users": medallion.snapshot_users,
+        "fact_orders": medallion.fact_orders,
+        "fact_lineitem": medallion.fact_lineitem,
+        "asof_events": medallion.asof_events,
+        "incremental_hwm": medallion.incremental_hwm,
+        "missing_dates": medallion.missing_dates,
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_local_revenue": analytics.q5_local_revenue,
@@ -41,6 +55,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "stg_customer": medallion.oracle_stg_customer(),
+        "stg_orders": medallion.oracle_stg_orders(),
+        "stg_lineitem": medallion.oracle_stg_lineitem(),
+        "dim_date": medallion.oracle_dim_date(),
+        "dim_customer": medallion.oracle_dim_customer(),
+        "dim_part": medallion.oracle_dim_part(),
+        "dim_supplier": medallion.oracle_dim_supplier(),
+        "scd2_users": medallion.oracle_scd2_users(),
+        "snapshot_users": medallion.oracle_snapshot_users(),
+        "fact_orders": medallion.oracle_fact_orders(),
+        "fact_lineitem": medallion.oracle_fact_lineitem(),
+        "asof_events": medallion.oracle_asof_events(),
+        "incremental_hwm": medallion.oracle_incremental_hwm(),
+        "missing_dates": medallion.oracle_missing_dates(),
         "q1_pricing_summary": analytics.oracle_q1(),
         "q3_shipping_priority": analytics.oracle_q3(),
         "q5_local_revenue": analytics.oracle_q5(),

@@ -1,0 +1,71 @@
+"""As-of (temporal) join without a range cross-join.
+
+Re-expresses the reference's temporal SK resolution
+(``fact.date BETWEEN dim.effective_date AND dim.expiry_date``,
+reference: models/dwh/fact_order.sql:38-44) as the scalable Spark shape:
+UNION the two streams, then one ``last(..., ignorenulls)`` window over a
+single ``partitionBy(key) orderBy(time)`` sort. One shuffle, no
+key×interval blow-up, skew handled by AQE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    payload_prefix: str = "asof_",
+    right_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """For each left row, attach the payload of the latest right row with
+    ``right.ts <= left.ts`` and matching key (inclusive backward as-of).
+
+    Left columns are preserved; payload columns come back as
+    ``{payload_prefix}{col}`` (null when no prior right row exists).
+    """
+    lcols = left.columns
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+    )
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    # right rows sort before left rows at equal time → "<=" semantics;
+    # explicit tiebreaks make equal-time right rows deterministic.
+    order = [F.col("_t"), F.col("_side")] + [F.col(f"_p_{c}") for c in right_tiebreak]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l.unionByName(r)
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"{payload_prefix}{c}")
+            for c in payload_cols
+        ],
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"{payload_prefix}{c}") for c in payload_cols],
+    )

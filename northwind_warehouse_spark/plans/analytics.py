@@ -5,9 +5,9 @@ parquet scan), early projection, broadcast hints on the dimension side of
 every fact⋈dim join, aggregation expressed so Catalyst emits partial
 (map-side) aggregates before the shuffle.
 
-Determinism contract with the DuckDB oracle: every floating aggregate is
-rounded (2dp) and every top-N has a total ordering (rounded measure +
-business-key tiebreaks), so results are stable across engines.
+Determinism contract with the DuckDB oracle: every money aggregate is
+computed in exact DECIMAL (functions/money.py) so both engines produce
+bit-identical results, and every top-N has a total ordering.
 """
 
 from __future__ import annotations
@@ -16,8 +16,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from northwind_warehouse_spark.catalog import load
-
-_R2 = lambda c: F.round(c, 2)  # noqa: E731
+from northwind_warehouse_spark.functions.money import (
+    charge,
+    davg2,
+    dec2,
+    disc_price,
+    dsum2,
+    o_charge,
+    o_davg2,
+    o_dec2,
+    o_disc_price,
+    o_dsum2,
+)
 
 
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -27,19 +37,17 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan is a plain groupBy over built-in aggregates.
     """
     l = load(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            _R2(F.sum("l_quantity")).alias("sum_qty"),
-            _R2(F.sum("l_extendedprice")).alias("sum_base_price"),
-            _R2(F.sum(disc_price)).alias("sum_disc_price"),
-            _R2(F.sum(charge)).alias("sum_charge"),
-            _R2(F.avg("l_quantity")).alias("avg_qty"),
-            _R2(F.avg("l_extendedprice")).alias("avg_price"),
-            _R2(F.avg("l_discount")).alias("avg_disc"),
+            dsum2(dec2("l_quantity"), "sum_qty"),
+            dsum2(dec2("l_extendedprice"), "sum_base_price"),
+            dsum2(disc_price(), "sum_disc_price"),
+            dsum2(charge(), "sum_charge"),
+            davg2(dec2("l_quantity"), "avg_qty"),
+            davg2(dec2("l_extendedprice"), "avg_price"),
+            davg2(dec2("l_discount"), "avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -47,16 +55,16 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_q1() -> str:
-    return """
+    return f"""
     SELECT l_returnflag, l_linestatus,
-        round(sum(l_quantity), 2)                                            AS sum_qty,
-        round(sum(l_extendedprice), 2)                                       AS sum_base_price,
-        round(sum(l_extendedprice * (1 - l_discount)), 2)                    AS sum_disc_price,
-        round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)      AS sum_charge,
-        round(avg(l_quantity), 2)                                            AS avg_qty,
-        round(avg(l_extendedprice), 2)                                       AS avg_price,
-        round(avg(l_discount), 2)                                            AS avg_disc,
-        count(*)                                                             AS count_order
+        {o_dsum2(o_dec2('l_quantity'), 'sum_qty')},
+        {o_dsum2(o_dec2('l_extendedprice'), 'sum_base_price')},
+        {o_dsum2(o_disc_price(), 'sum_disc_price')},
+        {o_dsum2(o_charge(), 'sum_charge')},
+        {o_davg2(o_dec2('l_quantity'), 'avg_qty')},
+        {o_davg2(o_dec2('l_extendedprice'), 'avg_price')},
+        {o_davg2(o_dec2('l_discount'), 'avg_disc')},
+        count(*) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
     GROUP BY l_returnflag, l_linestatus
@@ -73,16 +81,16 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(_R2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum2(disc_price(), "revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
         .limit(10)
     )
 
 
 def oracle_q3() -> str:
-    return """
+    return f"""
     SELECT l_orderkey, o_orderdate, o_orderpriority,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           {o_dsum2(o_disc_price(), 'revenue')}
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -116,15 +124,14 @@ def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
-        .agg(_R2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .agg(dsum2(disc_price(), "revenue"))
         .orderBy("r_name", "n_name")
     )
 
 
 def oracle_q5() -> str:
-    return """
-    SELECT r_name, n_name,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    return f"""
+    SELECT r_name, n_name, {o_dsum2(o_disc_price(), 'revenue')}
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -152,13 +159,13 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_discount") <= 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(_R2(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias("revenue"))
+        .agg(dsum2(dec2("l_extendedprice") * dec2("l_discount"), "revenue"))
     )
 
 
 def oracle_q6() -> str:
-    return """
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    return f"""
+    SELECT {o_dsum2(o_dec2('l_extendedprice') + ' * ' + o_dec2('l_discount'), 'revenue')}
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -181,17 +188,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .groupBy("c_custkey", "c_name", "n_name", _R2(F.col("c_acctbal")).alias("c_acctbal"))
-        .agg(_R2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("revenue"))
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(dsum2(disc_price(), "revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
 
 
 def oracle_q10() -> str:
-    return """
-    SELECT c_custkey, c_name, n_name, round(c_acctbal, 2) AS c_acctbal,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    return f"""
+    SELECT c_custkey, c_name, n_name, c_acctbal,
+           {o_dsum2(o_disc_price(), 'revenue')}
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -199,7 +206,7 @@ def oracle_q10() -> str:
     WHERE l_returnflag = 'R'
       AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
-    GROUP BY c_custkey, c_name, n_name, round(c_acctbal, 2)
+    GROUP BY c_custkey, c_name, n_name, c_acctbal
     ORDER BY revenue DESC, c_custkey
     LIMIT 20
     """
@@ -220,7 +227,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_custkey", "c_name")
-        .agg(_R2(F.sum("o_totalprice")).alias("total_spend"))
+        .agg(dsum2(dec2("o_totalprice"), "total_spend"))
     )
     w = Window.partitionBy("n_name").orderBy(F.desc("total_spend"), F.col("c_custkey"))
     return (
@@ -231,9 +238,9 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_top_customers_per_nation() -> str:
-    return """
+    return f"""
     WITH per_cust AS (
-        SELECT n_name, c_custkey, c_name, round(sum(o_totalprice), 2) AS total_spend
+        SELECT n_name, c_custkey, c_name, {o_dsum2(o_dec2('o_totalprice'), 'total_spend')}
         FROM orders
         JOIN customer ON o_custkey = c_custkey
         JOIN nation   ON c_nationkey = n_nationkey
@@ -260,15 +267,15 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         base.rollup("n_name", "order_year")
-        .agg(_R2(F.sum("o_totalprice")).alias("revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(dsum2(dec2("o_totalprice"), "revenue"), F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.col("n_name").asc_nulls_first(), F.col("order_year").asc_nulls_first())
     )
 
 
 def oracle_rollup_sales() -> str:
-    return """
+    return f"""
     SELECT n_name, CAST(year(o_orderdate) AS INT) AS order_year,
-           round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+           {o_dsum2(o_dec2('o_totalprice'), 'revenue')}, count(*) AS n_orders
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -284,11 +291,14 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     def cnt(t: str):
         return F.sum(F.when(F.col("event_type") == t, 1).otherwise(0)).alias(f"n_{t}")
 
+    zero = F.lit(0).cast("decimal(12,2)")
     return (
         e.groupBy("user_id")
         .agg(
             cnt("click"), cnt("view"), cnt("purchase"), cnt("signup"), cnt("error"),
-            _R2(F.sum(F.when(F.col("event_type") == "purchase", F.col("value")).otherwise(0.0))).alias("purchase_value"),
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", dec2("value")).otherwise(zero)), 2
+            ).cast("double").alias("purchase_value"),
         )
         .orderBy("user_id")
     )
@@ -297,11 +307,11 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_events_pivot() -> str:
     return """
     SELECT user_id,
-        sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS n_click,
-        sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS n_view,
-        sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS n_signup,
-        sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS n_error,
-        round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END), 2) AS purchase_value
+        CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+        cast(round(sum(CASE WHEN event_type = 'purchase' THEN cast(value as decimal(12,2)) ELSE cast(0 as decimal(12,2)) END), 2) as double) AS purchase_value
     FROM events GROUP BY user_id ORDER BY user_id
     """
