@@ -18,7 +18,7 @@ _REPO = Path(__file__).resolve().parent
 if str(_REPO) not in sys.path:
     sys.path.insert(0, str(_REPO))
 
-from northwind_warehouse_spark.plans import analytics, medallion  # noqa: E402
+from northwind_warehouse_spark.plans import analytics, llm, medallion  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -50,6 +50,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers_per_nation": analytics.top_customers_per_nation,
         "rollup_sales": analytics.rollup_sales,
         "events_pivot": analytics.events_pivot,
+        "events_sessionize": analytics.events_sessionize,
+        "dedup_exact": llm.dedup_exact,
+        "dedup_minhash_lsh": llm.dedup_minhash_lsh,
+        "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
+        "dedup_simhash": llm.dedup_simhash,
+        "text_quality": llm.text_quality,
+        "lang_id": llm.lang_id,
+        "token_count": llm.token_count,
+        "doc_fingerprint": llm.doc_fingerprint,
+        "ann_cosine_topk": llm.ann_cosine_topk,
+        "ann_lsh": llm.ann_lsh,
+        "embedding_stats": llm.embedding_stats,
+        "multimodal_extract": llm.multimodal_extract,
     }
 
 
@@ -77,4 +90,17 @@ def oracle_sql() -> dict[str, str]:
         "top_customers_per_nation": analytics.oracle_top_customers_per_nation(),
         "rollup_sales": analytics.oracle_rollup_sales(),
         "events_pivot": analytics.oracle_events_pivot(),
+        "events_sessionize": analytics.oracle_events_sessionize(),
+        "dedup_exact": llm.oracle_dedup_exact(),
+        "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
+        "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),
+        # dedup_simhash: rows-only (bit-level SQL not portable to DuckDB 1.0)
+        "text_quality": llm.oracle_text_quality(),
+        "lang_id": llm.oracle_lang_id(),
+        "token_count": llm.oracle_token_count(),
+        "doc_fingerprint": llm.oracle_doc_fingerprint(),
+        "ann_cosine_topk": llm.oracle_ann_cosine_topk(),
+        "ann_lsh": llm.oracle_ann_lsh(),
+        "embedding_stats": llm.oracle_embedding_stats(),
+        # multimodal_extract: rows-only (mapInPandas decode stub)
     }

@@ -1,0 +1,67 @@
+"""Multimodal (binary) column pipelines.
+
+Treats media as opaque ``binary`` columns + typed metadata, processed
+with Arrow-batched ``mapInPandas`` — the idiomatic Spark shape for
+decode / feature-extract / resize / frame-sample stages at scale
+(each batch stays columnar; partition count controls parallelism).
+
+The actual media decode is STUBBED (this container has no image/audio
+libraries): ``_decode_stub`` derives a small deterministic feature
+vector from the bytes' md5. The Spark-side plumbing — schema,
+partitioning, batch iteration, UDF signature — is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType, BinaryType, FloatType, LongType, StringType, StructField, StructType,
+)
+
+FEATURE_DIM = 4
+
+EXTRACT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("content_md5", StringType()),
+    StructField("features", ArrayType(FloatType())),
+])
+
+
+def _decode_stub(blob: bytes) -> list[float]:
+    """Deterministic fake 'decode → feature' stage.
+
+    A real deployment would replace this with e.g. PIL/torchvision decode;
+    the surrounding mapInPandas machinery is unchanged.
+    """
+    digest = hashlib.md5(blob).digest()
+    return [b / 255.0 for b in digest[:FEATURE_DIM]]
+
+
+def extract_features(binary_df: DataFrame, id_col: str = "doc_id", blob_col: str = "content") -> DataFrame:
+    """mapInPandas feature extraction over a binary column."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_bytes": blobs.map(len).astype("int64"),
+                "content_md5": blobs.map(lambda b: hashlib.md5(b).hexdigest()),
+                "features": blobs.map(_decode_stub),
+            })
+
+    return binary_df.mapInPandas(run, EXTRACT_SCHEMA)
+
+
+def documents_as_binary(documents: DataFrame) -> DataFrame:
+    """Adapter: expose the documents table as a binary-content corpus
+    (stands in for an image/audio table in the testdata)."""
+    return documents.select(
+        "doc_id", F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("content")
+    )

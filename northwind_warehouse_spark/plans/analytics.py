@@ -304,6 +304,53 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions (30-min) per user, then per-session rollup.
+
+    Sessionization + aggregation share the same user_id partitioning —
+    Catalyst reuses one exchange for the window and the groupBy.
+    """
+    from northwind_warehouse_spark.operators.sessionize import sessionize
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800, tiebreak_cols=("event_id",))
+    return (
+        s.groupBy("user_id", "session_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+        )
+        .orderBy("user_id", "session_idx")
+    )
+
+
+def oracle_events_sessionize() -> str:
+    return """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, value,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                        OR (epoch_us(ts) - epoch_us(prev_ts)) > 1800 * 1000000
+                   THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ), sessions AS (
+        SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM flagged
+    )
+    SELECT user_id, session_idx, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           cast(round(sum(cast(value as decimal(12,2))), 2) as double) AS total_value
+    FROM sessions
+    GROUP BY user_id, session_idx
+    ORDER BY user_id, session_idx
+    """
+
+
 def oracle_events_pivot() -> str:
     return """
     SELECT user_id,

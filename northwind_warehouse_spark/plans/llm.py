@@ -1,0 +1,374 @@
+"""LLM-training-data pipeline plans (SURVEY.md §2C).
+
+Dedup family, text analysis, similarity search, multimodal — each with a
+DuckDB oracle unless the op is marked rows-only in SURVEY.md.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from northwind_warehouse_spark.catalog import load
+from northwind_warehouse_spark.functions.text import (
+    STOPWORDS,
+    n_tokens,
+    o_n_tokens,
+    o_ratio_4dp,
+    o_stopword_count,
+    ratio_4dp,
+    stopword_count,
+)
+from northwind_warehouse_spark.operators import similarity as sim
+from northwind_warehouse_spark.operators.multimodal import documents_as_binary, extract_features
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5(text) fingerprint → keep min doc_id, count copies."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5("text").alias("fingerprint"), "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_doc_id")
+    )
+
+
+def oracle_dedup_exact() -> str:
+    return """
+    SELECT md5(text) AS fingerprint, min(doc_id) AS keep_doc_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text) ORDER BY keep_doc_id
+    """
+
+
+_SHINGLE_CTE = """
+    toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks),
+    sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle FROM idx)
+"""
+
+_SIG_CTE = _SHINGLE_CTE + """,
+    sig AS (
+        SELECT doc_id,
+""" + ",\n".join(
+    f"            min(md5(concat_ws('|', '{s}', shingle))) AS mh{s}" for s in range(sim.N_SEEDS)
+) + """
+        FROM sh GROUP BY doc_id
+    ),
+    bands AS (
+""" + "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {b} AS band, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS bkey FROM sig"
+    for b in range(sim.N_BANDS)
+) + """
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id
+    )
+"""
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8 seeds) → 4 bands → bucket-join candidate pairs."""
+    d = load(spark, sf_dir, "documents")
+    sh = sim.shingles(d)
+    sig = sim.minhash_signatures(sh)
+    return sim.lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
+
+
+def oracle_dedup_minhash_lsh() -> str:
+    return f"WITH {_SIG_CTE} SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard on the LSH candidate pairs."""
+    d = load(spark, sf_dir, "documents")
+    sh = sim.shingles(d)
+    sig = sim.minhash_signatures(sh)
+    pairs = sim.lsh_candidate_pairs(sig)
+    return sim.pair_jaccard(sh, pairs).orderBy("doc_a", "doc_b")
+
+
+def oracle_dedup_ngram_jaccard() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b,
+           CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(za.n_sh + zb.n_sh - i.n_inter AS BIGINT) AS n_union,
+           CAST(CAST((10000 * i.n_inter) // (za.n_sh + zb.n_sh - i.n_inter) AS BIGINT) AS DOUBLE) / 10000.0 AS jaccard_4dp
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    ORDER BY i.doc_a, i.doc_b
+    """
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (rows-only check: bit-level SQL is not
+    portably expressible in DuckDB 1.0)."""
+    d = load(spark, sf_dir, "documents")
+    return sim.simhash32(d).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (all exact-integer derived)."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens().alias("n_tokens"),
+        stopword_count().alias("n_stopwords"),
+    )
+    return base.select(
+        "*",
+        ratio_4dp("n_stopwords", "n_tokens").alias("stopword_ratio"),
+        ratio_4dp("n_chars", "n_tokens").alias("chars_per_token"),
+    ).orderBy("doc_id")
+
+
+def oracle_text_quality() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {o_n_tokens()} AS n_tokens,
+               {o_stopword_count()} AS n_stopwords
+        FROM documents
+    )
+    SELECT *, {o_ratio_4dp('n_stopwords', 'n_tokens')} AS stopword_ratio,
+              {o_ratio_4dp('n_chars', 'n_tokens')} AS chars_per_token
+    FROM base ORDER BY doc_id
+    """
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-ratio language heuristic vs the labeled lang column."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", n_tokens().alias("n_tok"), stopword_count().alias("n_stop")
+    ).withColumn("stop_ratio", ratio_4dp("n_stop", "n_tok"))
+    return base.select(
+        "doc_id",
+        "lang",
+        F.when(F.col("stop_ratio") >= 0.05, F.lit("en")).otherwise(F.lit("unk")).alias("lang_pred"),
+        (F.when(F.col("stop_ratio") >= 0.05, F.lit("en")).otherwise(F.lit("unk")) == F.col("lang")).alias("is_match"),
+    ).orderBy("doc_id")
+
+
+def oracle_lang_id() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, {o_n_tokens()} AS n_tok, {o_stopword_count()} AS n_stop
+        FROM documents
+    ), scored AS (
+        SELECT doc_id, lang, {o_ratio_4dp('n_stop', 'n_tok')} AS stop_ratio FROM base
+    )
+    SELECT doc_id, lang,
+           CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END AS lang_pred,
+           (CASE WHEN stop_ratio >= 0.05 THEN 'en' ELSE 'unk' END) = lang AS is_match
+    FROM scored ORDER BY doc_id
+    """
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per source."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("source", n_tokens().alias("n_tok"), F.length("text").cast("bigint").alias("n_chars"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .withColumn("tokens_per_doc", ratio_4dp("total_tokens", "n_docs"))
+        .orderBy("source")
+    )
+
+
+def oracle_token_count() -> str:
+    return f"""
+    WITH per AS (
+        SELECT source, {o_n_tokens()} AS n_tok, CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    ), agg AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM per GROUP BY source
+    )
+    SELECT source, n_docs, total_tokens, total_chars,
+           {o_ratio_4dp('total_tokens', 'n_docs')} AS tokens_per_doc
+    FROM agg ORDER BY source
+    """
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed document fingerprint: min shingle hash ⊕ length."""
+    d = load(spark, sf_dir, "documents")
+    sh = sim.shingles(d)
+    min_h = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("min_shingle_hash"))
+    lens = d.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+    return (
+        min_h.join(lens, "doc_id")
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws("|", "min_shingle_hash", F.col("n_chars").cast("string"))).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_doc_fingerprint() -> str:
+    return f"""
+    WITH {_SHINGLE_CTE},
+    min_h AS (SELECT doc_id, min(md5(shingle)) AS min_shingle_hash FROM sh GROUP BY doc_id)
+    SELECT m.doc_id,
+           md5(concat_ws('|', m.min_shingle_hash, CAST(CAST(length(d.text) AS BIGINT) AS VARCHAR))) AS fingerprint
+    FROM min_h m JOIN documents d ON d.doc_id = m.doc_id
+    ORDER BY m.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 10 vectors (exact baseline)."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.ann_bruteforce_topk(e, n_queries=10, k=5)
+
+
+def oracle_ann_cosine_topk() -> str:
+    return """
+    WITH el AS (
+        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    n2 AS (
+        SELECT vec_id, sum(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS n2
+        FROM el GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               sum(CAST(a.x AS DECIMAL(18,9)) * CAST(b.x AS DECIMAL(18,9))) AS dot
+        FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM dots
+        JOIN n2 na ON na.vec_id = query_id
+        JOIN n2 nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nn_rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, nn_rank
+    FROM ranked WHERE nn_rank <= 5 ORDER BY query_id, nn_rank
+    """
+
+
+def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket histogram (the ANN scale path)."""
+    e = load(spark, sf_dir, "embeddings")
+    buckets = sim.lsh_buckets(e)
+    return (
+        buckets.groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n_vecs"), F.min("vec_id").alias("min_vec_id"))
+        .orderBy("bucket_id")
+    )
+
+
+def oracle_ann_lsh() -> str:
+    planes = sim.oracle_plane_weights_sql()
+    proj_terms = ",\n".join(
+        f"            (SELECT sum(CAST(e.x AS DECIMAL(18,9)) * w.wt) FROM "
+        f"(SELECT unnest(embedding) AS x, generate_subscripts(embedding,1) AS i) e "
+        f"JOIN (SELECT unnest({p}) AS wt, generate_subscripts({p},1) AS i) w ON e.i = w.i) AS proj{n}"
+        for n, p in enumerate(planes)
+    )
+    bucket_expr = " + ".join(f"CASE WHEN proj{n} > 0 THEN {2**n} ELSE 0 END" for n in range(len(planes)))
+    return f"""
+    WITH projs AS (
+        SELECT vec_id,
+{proj_terms}
+        FROM embeddings
+    ),
+    b AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket_id FROM projs)
+    SELECT bucket_id, count(*) AS n_vecs, min(vec_id) AS min_vec_id
+    FROM b GROUP BY bucket_id ORDER BY bucket_id
+    """
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label corpus stats (exact-decimal norms → deterministic avg)."""
+    from northwind_warehouse_spark.functions.vectors import norm2_dec
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("label", F.size("embedding").alias("dim"), norm2_dec("embedding").alias("n2"))
+    return (
+        base.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.max("dim").alias("dim"),
+            (F.sum("n2").cast("double") / F.count(F.lit(1))).alias("avg_norm2"),
+        )
+        .orderBy("label")
+    )
+
+
+def oracle_embedding_stats() -> str:
+    return """
+    WITH el AS (
+        SELECT vec_id, label, len(embedding) AS dim, unnest(embedding) AS x
+        FROM embeddings
+    ),
+    n2 AS (
+        SELECT vec_id, label, max(dim) AS dim,
+               sum(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS n2
+        FROM el GROUP BY vec_id, label
+    )
+    SELECT label, count(*) AS n_vecs, CAST(max(dim) AS INT) AS dim,
+           CAST(sum(n2) AS DOUBLE) / count(*) AS avg_norm2
+    FROM n2 GROUP BY label ORDER BY label
+    """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal (rows-only; decode stubbed — see operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode/feature pipeline over mapInPandas."""
+    d = load(spark, sf_dir, "documents")
+    return extract_features(documents_as_binary(d)).orderBy("doc_id")
