@@ -1,13 +1,18 @@
-"""Vector math over ``array<float>`` columns — exact-decimal, JVM-side.
+"""Vector math over ``array<float>`` columns — quantized-integer, JVM-side.
 
-Float summation is order-sensitive, so cross-engine comparison of double
-dot products is flaky. Instead each element is cast to DECIMAL(18,9)
-(exact, deterministic per float value) and summed in decimal — both
-engines produce the identical exact sum, after which sqrt/divide on the
-resulting doubles are IEEE-deterministic.
+Cross-engine determinism is achieved by quantizing each element to
+``floor(x · 10⁶)`` as BIGINT:
 
-All higher-order functions (zip_with / aggregate) — no UDFs, no
-serialization off the JVM.
+- float→double widening is exact; the ×10⁶ multiply is one IEEE-rounded
+  op on identical doubles; ``floor`` has no rounding-mode ambiguity —
+  so both engines derive identical integers (unlike float→DECIMAL casts,
+  which engines implement differently).
+- dot products / norms then live in exact int64 (|x|≤2 ⇒ per-vector sums
+  < 2.7e14 ≪ 2^53), and int64→double is a single correctly-rounded IEEE
+  conversion everywhere.
+
+The 1e-6 quantization is far below embedding noise and irrelevant to
+neighbor ranking. All higher-order functions — no UDFs.
 """
 
 from __future__ import annotations
@@ -15,30 +20,33 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-DEC = "decimal(18,9)"
-# bounded accumulator types keep Spark's decimal-addition rule exact
-# (at the 38-digit cap Spark silently drops a scale digit); |element| < 1e3
-# and ≤ 4096 dims keep every intermediate well inside these bounds.
-PROD = "decimal(24,18)"
-ACC = "decimal(28,18)"
+SCALE = 1_000_000
+Q = f"(x, y) -> CAST(FLOOR(CAST(x AS DOUBLE) * {SCALE}.0) AS BIGINT) * CAST(FLOOR(CAST(y AS DOUBLE) * {SCALE}.0) AS BIGINT)"
 
 
-def dot_dec(a: str, b: str) -> Column:
-    """Exact decimal dot product of two array<float> columns."""
+def dot_q(a: str, b: str) -> Column:
+    """Exact quantized dot product (int64 units of 10⁻¹²)."""
     return F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> CAST(CAST(x AS {DEC}) * CAST(y AS {DEC}) AS {PROD})), "
-        f"CAST(0 AS {ACC}), (acc, v) -> CAST(acc + v AS {ACC}))"
+        f"aggregate(zip_with({a}, {b}, {Q}), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
     )
 
 
-def norm2_dec(a: str) -> Column:
-    """Exact decimal squared L2 norm."""
-    return dot_dec(a, a)
+def norm2_q(a: str) -> Column:
+    """Exact quantized squared L2 norm (int64 units of 10⁻¹²)."""
+    return dot_q(a, a)
 
 
 def cosine_from_parts(dot_col: str, n2a_col: str, n2b_col: str) -> Column:
-    """cosine = dot / sqrt(n2a * n2b), evaluated on exact-decimal inputs
-    cast to double (bit-identical across engines)."""
+    """cosine = dot / sqrt(n2a·n2b); quantization scale cancels.
+
+    Inputs are exact int64 < 2^53 → identical doubles → IEEE-identical
+    sqrt/divide in every engine."""
     return F.col(dot_col).cast("double") / F.sqrt(
         F.col(n2a_col).cast("double") * F.col(n2b_col).cast("double")
     )
+
+
+# --- DuckDB oracle renderings ------------------------------------------------
+
+def o_quant(x: str) -> str:
+    return f"CAST(floor(CAST({x} AS DOUBLE) * {SCALE}.0) AS BIGINT)"

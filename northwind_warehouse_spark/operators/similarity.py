@@ -143,8 +143,9 @@ def lsh_buckets(embeddings: DataFrame, id_col: str = "vec_id", vec_col: str = "e
     for p, w in enumerate(planes):
         arr = "array(" + ",".join(str(x) for x in w) + ")"
         proj = F.expr(
-            f"aggregate(zip_with({vec_col}, {arr}, (x, wt) -> CAST(CAST(x AS decimal(18,9)) * wt AS decimal(24,9))), "
-            f"CAST(0 AS decimal(28,9)), (acc, v) -> CAST(acc + v AS decimal(28,9)))"
+            f"aggregate(zip_with({vec_col}, {arr}, "
+            f"(x, wt) -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) * wt), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
         proj_cols.append(F.when(proj > 0, F.lit(2 ** p)).otherwise(F.lit(0)))
     bucket = sum(proj_cols[1:], proj_cols[0])
@@ -169,10 +170,10 @@ def ann_bruteforce_topk(
     corpus — one pass, no shuffle until the tiny top-k window. The
     LSH-bucket variant (lsh_buckets) is the 100 TB path.
     """
-    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_dec, norm2_dec
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q, norm2_q
 
     base = embeddings.select(
-        F.col(id_col), F.col(vec_col), norm2_dec(vec_col).alias("n2")
+        F.col(id_col), F.col(vec_col), norm2_q(vec_col).alias("n2")
     )
     q = base.filter(F.col(id_col) < n_queries).select(
         F.col(id_col).alias("query_id"),
@@ -183,7 +184,7 @@ def ann_bruteforce_topk(
     scored = pairs.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        dot_dec("qvec", vec_col).alias("dot"),
+        dot_q("qvec", vec_col).alias("dot"),
         F.col("qn2").alias("n2a"),
         F.col("n2").alias("n2b"),
     ).withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))

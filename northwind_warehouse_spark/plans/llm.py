@@ -270,14 +270,17 @@ def oracle_ann_cosine_topk() -> str:
         SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
         FROM embeddings
     ),
+    q AS (
+        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM el
+    ),
     n2 AS (
-        SELECT vec_id, sum(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS n2
-        FROM el GROUP BY vec_id
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
     ),
     dots AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-               sum(CAST(a.x AS DECIMAL(18,9)) * CAST(b.x AS DECIMAL(18,9))) AS dot
-        FROM el a JOIN el b ON a.i = b.i AND b.vec_id <> a.vec_id
+               CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+        FROM q a JOIN q b ON a.i = b.i AND b.vec_id <> a.vec_id
         WHERE a.vec_id < 10
         GROUP BY a.vec_id, b.vec_id
     ),
@@ -311,7 +314,7 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_ann_lsh() -> str:
     planes = sim.oracle_plane_weights_sql()
     proj_terms = ",\n".join(
-        f"            (SELECT sum(CAST(e.x AS DECIMAL(18,9)) * w.wt) FROM "
+        f"            (SELECT sum(CAST(floor(CAST(e.x AS DOUBLE) * 1000000.0) AS BIGINT) * w.wt) FROM "
         f"(SELECT unnest(embedding) AS x, generate_subscripts(embedding,1) AS i) e "
         f"JOIN (SELECT unnest({p}) AS wt, generate_subscripts({p},1) AS i) w ON e.i = w.i) AS proj{n}"
         for n, p in enumerate(planes)
@@ -331,16 +334,18 @@ def oracle_ann_lsh() -> str:
 
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label corpus stats (exact-decimal norms → deterministic avg)."""
-    from northwind_warehouse_spark.functions.vectors import norm2_dec
+    from northwind_warehouse_spark.functions.vectors import norm2_q
 
     e = load(spark, sf_dir, "embeddings")
-    base = e.select("label", F.size("embedding").alias("dim"), norm2_dec("embedding").alias("n2"))
+    base = e.select("label", F.size("embedding").alias("dim"), norm2_q("embedding").alias("n2"))
     return (
         base.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
             F.max("dim").alias("dim"),
-            (F.sum("n2").cast("double") / F.count(F.lit(1))).alias("avg_norm2"),
+            (
+                F.sum("n2").cast("double") / F.count(F.lit(1)) / F.lit(1_000_000_000_000.0)
+            ).alias("avg_norm2"),
         )
         .orderBy("label")
     )
@@ -354,11 +359,12 @@ def oracle_embedding_stats() -> str:
     ),
     n2 AS (
         SELECT vec_id, label, max(dim) AS dim,
-               sum(CAST(x AS DECIMAL(18,9)) * CAST(x AS DECIMAL(18,9))) AS n2
+               CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)
+                        * CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)) AS BIGINT) AS n2
         FROM el GROUP BY vec_id, label
     )
     SELECT label, count(*) AS n_vecs, CAST(max(dim) AS INT) AS dim,
-           CAST(sum(n2) AS DOUBLE) / count(*) AS avg_norm2
+           CAST(CAST(sum(n2) AS BIGINT) AS DOUBLE) / count(*) / 1000000000000.0 AS avg_norm2
     FROM n2 GROUP BY label ORDER BY label
     """
 
