@@ -1,0 +1,129 @@
+"""Structured Streaming variants of the engine's event pipelines.
+
+The batch operators (sessionize, windowed aggregation, incremental HWM)
+re-expressed as streams: file/parquet sources → watermarked event-time
+transforms → sinks. The reference's audit-driven incremental loop
+(reference: macros/audit_management/*) is subsumed by checkpointing +
+watermarks — Spark tracks the high watermark per query natively.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType, TimestampType,
+)
+
+EVENTS_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("ts", TimestampType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("value", DoubleType()),
+    StructField("props", StringType()),
+])
+
+
+def stream_events(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-streaming source over a directory of events parquet files."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+
+
+def windowed_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window event counts with late-data handling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+SESSION_STATE_SCHEMA = StructType([
+    StructField("last_ts", TimestampType()),
+    StructField("session_start", TimestampType()),
+    StructField("n_events", LongType()),
+])
+
+SESSION_OUT_SCHEMA = StructType([
+    StructField("user_id", LongType()),
+    StructField("session_start", TimestampType()),
+    StructField("session_end", TimestampType()),
+    StructField("n_events", LongType()),
+])
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful sessionization with applyInPandasWithState.
+
+    Emits a session row when the gap rule closes it (or on state timeout).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap = timedelta(seconds=gap_seconds)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        if state.hasTimedOut:
+            if state.exists:
+                last_ts, session_start, n = state.get
+                state.remove()
+                yield pd.DataFrame([{
+                    "user_id": user_id, "session_start": session_start,
+                    "session_end": last_ts, "n_events": n,
+                }])
+            return
+        if state.exists:
+            last_ts, session_start, n = state.get
+        else:
+            last_ts = session_start = None
+            n = 0
+        out = []
+        for ts in rows["ts"]:
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last_ts is not None and (ts - last_ts) > gap:
+                out.append({
+                    "user_id": user_id, "session_start": session_start,
+                    "session_end": last_ts, "n_events": n,
+                })
+                session_start, n = ts, 0
+            if session_start is None:
+                session_start = ts
+            last_ts = ts
+            n += 1
+        state.update((last_ts, session_start, n))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if out:
+            yield pd.DataFrame(out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def run_to_memory(stream_df: DataFrame, query_name: str, checkpoint_dir: str):
+    """Drain an availableNow stream into an in-memory table (for tests)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update" if stream_df.isStreaming else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

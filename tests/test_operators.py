@@ -1,0 +1,146 @@
+"""Operator semantic invariants (SURVEY.md §5)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+def test_scd2_intervals_are_wellformed(spark):
+    """Per key: contiguous, non-overlapping intervals; exactly one active
+    version; version numbers dense from 1."""
+    from northwind_warehouse_spark.plans.medallion import scd2_users
+
+    rows = scd2_users(spark, SF_SMOKE).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    assert by_key
+    for _user, versions in by_key.items():
+        versions.sort(key=lambda r: r.version_no)
+        assert [v.version_no for v in versions] == list(range(1, len(versions) + 1))
+        actives = [v for v in versions if v.is_active == "Y"]
+        assert len(actives) == 1 and actives[-1] is versions[-1]
+        assert versions[0].effective_date.year == 1900
+        assert versions[-1].expiry_date.year == 3001
+        for a, b in zip(versions, versions[1:]):
+            assert a.expiry_date == b.updated_at  # contiguous
+            assert a.row_hash != b.row_hash  # real change between versions
+
+
+def test_asof_join_matches_bruteforce(spark):
+    """asof_join_backward ≡ max-ts-≤ brute force (cross-join reference)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.medallion import asof_events
+
+    got = {
+        r.purchase_event_id: r.click_event_id
+        for r in asof_events(spark, SF_SMOKE).collect()
+    }
+
+    e = load(spark, SF_SMOKE, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("cid"), F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    brute = (
+        p.join(c, (p.pu == c.cu) & (c.cts <= p.pts), "left")
+        .groupBy("pid")
+        .agg(F.max(F.struct("cts", "cid")).alias("m"))
+        .select("pid", F.col("m.cid").alias("cid"))
+    )
+    want = {r.pid: r.cid for r in brute.collect()}
+    assert got == want
+
+
+def test_exact_dedup_idempotent(spark):
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.dedup import exact_dedup
+
+    d = load(spark, SF_SMOKE, "documents")
+    doubled = d.unionByName(d)  # force duplicates
+    out = exact_dedup(doubled, F.md5("text"), [F.col("doc_id")])
+    assert out.count() == d.select("text").distinct().count()
+    again = exact_dedup(out.drop("fingerprint"), F.md5("text"), [F.col("doc_id")])
+    assert again.count() == out.count()
+
+
+def test_minhash_candidates_have_high_jaccard_recall(spark):
+    """Crafted near-dups must be found; identical docs always collide."""
+    from northwind_warehouse_spark.operators.similarity import (
+        lsh_candidate_pairs, minhash_signatures, shingles,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
+    docs = [
+        (1, base),
+        (2, base),  # identical → must be a candidate
+        (3, base.replace("lazy", "sleepy")),  # near-dup → likely candidate
+        (4, "completely different words about spark shuffles and parquet files here"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sh = shingles(df)
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(minhash_signatures(sh)).collect()}
+    assert (1, 2) in pairs
+    assert not any(4 in p for p in pairs)
+
+
+def test_sessionize_gap_rule(spark):
+    from northwind_warehouse_spark.operators.sessionize import sessionize
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:10:00"),   # same session (10 min)
+        (1, "2024-01-01 01:10:00"),   # new session (60 min gap)
+        (2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts_s string").select(
+        "user_id", F.col("ts_s").cast("timestamp").alias("ts")
+    )
+    out = sessionize(df, "user_id", "ts", gap_seconds=1800)
+    got = {(r.user_id, str(r.ts)): r.session_idx for r in out.collect()}
+    assert got[(1, "2024-01-01 00:00:00")] == 1
+    assert got[(1, "2024-01-01 00:10:00")] == 1
+    assert got[(1, "2024-01-01 01:10:00")] == 2
+    assert got[(2, "2024-01-01 00:00:00")] == 1
+
+
+def test_incremental_merge_by_key(spark):
+    from northwind_warehouse_spark.operators.incremental import incremental_merge_by_key
+
+    existing = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    incoming = spark.createDataFrame([(2, "B"), (3, "c")], "k long, v string")
+    out = {r.k: r.v for r in incremental_merge_by_key(existing, incoming, ["k"]).collect()}
+    assert out == {1: "a", 2: "B", 3: "c"}
+
+
+def test_audit_control_roundtrip(spark, tmp_path):
+    from datetime import datetime
+
+    from northwind_warehouse_spark.operators.incremental import AuditControl
+
+    ac = AuditControl(spark, str(tmp_path / "audit_control"))
+    ac.initialize("dim_users", "events", "user_id")
+    ac.initialize("dim_users", "events", "user_id")  # idempotent
+    entry = ac.get("dim_users")
+    assert entry.is_initialized and not entry.is_processed
+    assert entry.hwm_date == datetime(1900, 1, 1)
+
+    ac.update("dim_users", datetime(2024, 1, 15, 12, 0, 0))
+    entry = ac.get("dim_users")
+    assert entry.is_processed
+    assert entry.hwm_date == datetime(2024, 1, 15, 12, 0, 0)
+
+
+def test_multimodal_extract_schema_and_determinism(spark):
+    from northwind_warehouse_spark.plans.llm import multimodal_extract
+
+    out = multimodal_extract(spark, SF_SMOKE)
+    rows = out.limit(5).collect()
+    assert out.columns == ["doc_id", "n_bytes", "content_md5", "features"]
+    assert all(len(r.features) == 4 for r in rows)
+    rows2 = multimodal_extract(spark, SF_SMOKE).limit(5).collect()
+    assert [r.content_md5 for r in rows] == [r.content_md5 for r in rows2]

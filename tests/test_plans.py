@@ -1,0 +1,67 @@
+"""Plan-shape assertions (SURVEY.md §4): broadcastable joins broadcast,
+filters pushed to the scan, no Python row-UDFs in the §2 hot paths."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMOKE
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _explain_formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_q5_broadcasts_dims(spark):
+    from northwind_warehouse_spark.plans.analytics import q5_local_revenue
+
+    plan = _plan(q5_local_revenue(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # nothing should fall back at this SF
+
+
+def test_q6_filters_push_down(spark):
+    from northwind_warehouse_spark.plans.analytics import q6_forecast_revenue
+
+    plan = _explain_formatted(q6_forecast_revenue(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:400]
+
+
+def test_q1_reads_only_needed_columns(spark):
+    from northwind_warehouse_spark.plans.analytics import q1_pricing_summary
+
+    plan = _explain_formatted(q1_pricing_summary(spark, SF_SMOKE))
+    read_schema = plan.split("ReadSchema")[1][:600]
+    assert "l_comment" not in read_schema  # no such col, but guard anyway
+    for col in ("l_orderkey", "l_partkey", "l_suppkey"):
+        assert col not in read_schema, f"{col} read but unused"
+
+
+def test_no_python_udfs_in_oracled_plans(spark):
+    import __spark_entry__ as e
+
+    for name, fn in e.queries().items():
+        if name == "multimodal_extract":  # the one intentional Pandas path
+            continue
+        plan = _plan(fn(spark, SF_SMOKE))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-at-a-time Python UDF"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a Pandas UDF"
+
+
+def test_incremental_hwm_pushes_predicate(spark):
+    from northwind_warehouse_spark.plans.medallion import incremental_hwm
+
+    plan = _explain_formatted(incremental_hwm(spark, SF_SMOKE))
+    assert "PushedFilters" in plan
+
+
+def test_whole_stage_codegen_in_q1(spark):
+    from northwind_warehouse_spark.plans.analytics import q1_pricing_summary
+
+    df = q1_pricing_summary(spark, SF_SMOKE)
+    df.collect()  # finalize the adaptive plan
+    plan = _plan(df)
+    assert "*(" in plan  # WholeStageCodegen spans present

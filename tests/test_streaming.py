@@ -1,0 +1,71 @@
+"""Structured-streaming jobs on a file source (SURVEY.md §2D)."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Events re-written (nanos → micros) into a streaming-source dir."""
+    path = tmp_path_factory.mktemp("events_stream")
+    yield str(path)
+    shutil.rmtree(str(path), ignore_errors=True)
+
+
+def _prepare(spark, events_dir: str):
+    from northwind_warehouse_spark.catalog import load
+
+    load(spark, SF_SMOKE, "events").coalesce(1).write.mode("overwrite").parquet(events_dir)
+
+
+def test_windowed_counts_matches_batch(spark, events_dir, tmp_path):
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.streaming.jobs import (
+        run_to_memory, stream_events, windowed_counts,
+    )
+
+    _prepare(spark, events_dir)
+    stream = windowed_counts(stream_events(spark, events_dir))
+    run_to_memory(stream, "wc", str(tmp_path / "ckpt_wc"))
+    got = {
+        (r.window_start, r.event_type): r.n_events
+        for r in spark.table("wc").collect()
+    }
+
+    batch = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    want = {(r.window_start, r.event_type): r.n_events for r in batch.collect()}
+    assert got == want
+    assert sum(got.values()) == load(spark, SF_SMOKE, "events").count()
+
+
+def test_sessionize_stream_runs(spark, events_dir, tmp_path):
+    from northwind_warehouse_spark.streaming.jobs import sessionize_stream, stream_events
+
+    _prepare(spark, events_dir)
+    stream = sessionize_stream(stream_events(spark, events_dir).select("user_id", "ts"))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.table("sess").collect()
+    # closed sessions only (the final open session per user stays in state);
+    # every emitted session must be well-formed
+    for r in rows:
+        assert r.session_start <= r.session_end
+        assert r.n_events >= 1
