@@ -51,6 +51,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_sales": analytics.rollup_sales,
         "events_pivot": analytics.events_pivot,
         "events_sessionize": analytics.events_sessionize,
+        "q4_order_priority": analytics.q4_order_priority,
+        "q14_promo_revenue": analytics.q14_promo_revenue,
+        "q16_parts_supplier_count": analytics.q16_parts_supplier_count,
+        "q18_large_orders": analytics.q18_large_orders,
+        "q22_idle_customers": analytics.q22_idle_customers,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -91,6 +96,11 @@ def oracle_sql() -> dict[str, str]:
         "rollup_sales": analytics.oracle_rollup_sales(),
         "events_pivot": analytics.oracle_events_pivot(),
         "events_sessionize": analytics.oracle_events_sessionize(),
+        "q4_order_priority": analytics.oracle_q4(),
+        "q14_promo_revenue": analytics.oracle_q14(),
+        "q16_parts_supplier_count": analytics.oracle_q16(),
+        "q18_large_orders": analytics.oracle_q18(),
+        "q22_idle_customers": analytics.oracle_q22(),
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),

@@ -304,6 +304,175 @@ def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4: orders with at least one late lineitem, by priority.
+
+    The EXISTS becomes a left-semi join — Spark's native semi-join keeps
+    the probe side unduplicated, no distinct needed."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-10-01"))
+    )
+    late = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        o.join(late, o.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def oracle_q4() -> str:
+    return """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: promo revenue share — conditional agg over a broadcast
+    part join; share derived from two exact decimal sums via an
+    integer-division (portable) ratio."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01")) & (F.col("l_shipdate") < F.lit("1997-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("promo"),
+        F.sum(disc_price()).alias("total"),
+    )
+    return agg.select(
+        F.round(F.col("promo"), 2).cast("double").alias("promo_revenue"),
+        F.round(F.col("total"), 2).cast("double").alias("total_revenue"),
+        F.expr(
+            "CAST((1000000 * CAST(promo * 10000 AS BIGINT)) div CAST(total * 10000 AS BIGINT) AS DOUBLE) / 10000.0"
+        ).alias("promo_share_pct"),
+    )
+
+
+def oracle_q14() -> str:
+    dp = o_disc_price()
+    return f"""
+    WITH agg AS (
+        SELECT
+            sum(CASE WHEN p_type = 'PROMO' THEN {dp} ELSE cast(0 as decimal(18,4)) END) AS promo,
+            sum({dp}) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    )
+    SELECT cast(round(promo, 2) as double) AS promo_revenue,
+           cast(round(total, 2) as double) AS total_revenue,
+           CAST((1000000 * CAST(promo * 10000 AS BIGINT)) // CAST(total * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS promo_share_pct
+    FROM agg
+    """
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold
+    (groupBy-HAVING gating a second join)."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.round(F.sum(dec2("l_quantity")), 2).cast("double").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+        .limit(20)
+    )
+
+
+def oracle_q18() -> str:
+    return """
+    WITH big AS (
+        SELECT l_orderkey, cast(round(sum(cast(l_quantity as decimal(12,2))), 2) as double) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING cast(round(sum(cast(l_quantity as decimal(12,2))), 2) as double) > 150
+    )
+    SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+    FROM big
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """
+
+
+def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16-ish: distinct supplier count per (brand, type, size)
+    bucket for mid-size parts."""
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 20)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def oracle_q16() -> str:
+    return """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size BETWEEN 10 AND 20
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """
+
+
+def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-ish: above-average-balance customers with no orders
+    (scalar subquery + anti-join)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(dec2("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("a")
+    )
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rich = c.join(F.broadcast(avg_bal), F.col("c_acctbal") > F.col("a")).drop("a")
+    idle = rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(n), idle.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(dec2("c_acctbal")), 2).cast("double").alias("total_balance"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def oracle_q22() -> str:
+    return """
+    WITH avg_bal AS (
+        SELECT CAST(sum(cast(c_acctbal as decimal(12,2))) AS DOUBLE) / count(*) AS a
+        FROM customer WHERE c_acctbal > 0
+    )
+    SELECT n_name, count(*) AS n_customers,
+           cast(round(sum(cast(c_acctbal as decimal(12,2))), 2) as double) AS total_balance
+    FROM customer, avg_bal
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_acctbal > a
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY n_name
+    ORDER BY n_name
+    """
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30-min) per user, then per-session rollup.
 
