@@ -1,0 +1,59 @@
+"""End-to-end incremental pipeline: incremental run ≡ one-shot rebuild."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMOKE
+
+SPLIT_TS = "2024-01-15 00:00:00"
+
+
+def _dim_rows(df):
+    return sorted(
+        (r.user_id, r.version_no, str(r.effective_date), str(r.expiry_date), r.is_active, r.row_hash)
+        for r in df.collect()
+    )
+
+
+def test_incremental_scd2_equals_full_rebuild(spark, tmp_path):
+    """Build the dim from the first half of events, merge the second half
+    incrementally, and compare against a single full build."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.functions.hashing import num_str, surrogate_key
+    from northwind_warehouse_spark.operators.scd2 import scd2_from_change_stream, scd2_merge
+
+    e = load(spark, SF_SMOKE, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    first = e.filter(F.col("ts") <= SPLIT_TS)
+    second = e.filter(F.col("ts") > SPLIT_TS)
+    kwargs = dict(
+        key_cols=["user_id"], ts_col="ts",
+        hash_col=surrogate_key("event_type", num_str("value")),
+        attr_cols=["event_type", "value"], tiebreak_cols=["event_id"], sk_name="user_sk",
+    )
+    full = scd2_from_change_stream(e, **kwargs)
+    incremental = scd2_merge(scd2_from_change_stream(first, **kwargs), second, **kwargs)
+    assert _dim_rows(incremental) == _dim_rows(full)
+
+
+def test_pipeline_runs_and_is_idempotent(spark, tmp_path):
+    from northwind_warehouse_spark.plans.pipeline import WarehousePipeline
+
+    p = WarehousePipeline(spark, str(tmp_path / "lake"))
+    p.run(SF_SMOKE)
+
+    dim1 = _dim_rows(p.table(p.DIM_USERS))
+    fact1 = p.table(p.FACT_ORDERS).count()
+    assert dim1 and fact1 > 0
+    assert p.audit.get(p.DIM_USERS).is_processed
+
+    # second run with no new data: nothing changes
+    p.run(SF_SMOKE)
+    assert _dim_rows(p.table(p.DIM_USERS)) == dim1
+    assert p.table(p.FACT_ORDERS).count() == fact1
+
+    # facts are partitioned for pruning
+    import os
+
+    years = [d for d in os.listdir(str(tmp_path / "lake" / p.FACT_ORDERS)) if d.startswith("order_year=")]
+    assert len(years) >= 5
