@@ -28,27 +28,47 @@ N_SEEDS = 8
 N_BANDS = 4  # 2 rows per band
 
 
-def shingles(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Distinct K-word shingles per document (explode, set semantics)."""
+def shingle_arrays(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Distinct K-word shingles per document as an array column.
+
+    Map-only — no explode, no shuffle. The shingle set of one document
+    always fits in memory (bounded by doc length), so array ops beat an
+    exploded relation at any scale."""
     toks = documents.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("w")
     ).filter(F.size("w") >= SHINGLE_K)
     return toks.select(
         id_col,
-        F.explode(
-            F.expr("transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")
-        ).alias("shingle"),
-    ).distinct()
+        F.expr(
+            "array_distinct(transform(sequence(0, size(w)-3), i -> concat_ws(' ', w[i], w[i+1], w[i+2])))"
+        ).alias("sh"),
+    )
 
 
-def minhash_signatures(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """One min() per seed over md5('seed|shingle') — partial-aggregates
-    map-side, single shuffle on doc_id."""
-    aggs = [
-        F.min(F.md5(F.concat_ws("|", F.lit(str(s)), F.col("shingle")))).alias(f"mh{s}")
-        for s in range(N_SEEDS)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+def shingles(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exploded (doc_id, shingle) relation — for ops that genuinely need
+    the flat form (e.g. inverted-index style joins)."""
+    return shingle_arrays(documents, text_col, id_col).select(
+        id_col, F.explode("sh").alias("shingle")
+    )
+
+
+def minhash_signatures(sh_arr: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """MinHash signature per doc from its shingle array — map-only
+    (array_min over hash slices), zero shuffles.
+
+    Cost trick: instead of one md5 per (seed, shingle), the 8 seed hashes
+    are the 8 independent 32-bit slices of md5(s) and md5('x'||s) — 2 md5
+    calls per shingle for the whole signature (4× cheaper, identical
+    collision behavior for LSH purposes)."""
+    cols = []
+    for s in range(N_SEEDS):
+        if s < 4:
+            expr = f"array_min(transform(sh, s -> substring(md5(s), {1 + 8 * s}, 8)))"
+        else:
+            expr = f"array_min(transform(sh, s -> substring(md5(concat('x', s)), {1 + 8 * (s - 4)}, 8)))"
+        cols.append(F.expr(expr).alias(f"mh{s}"))
+    return sh_arr.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -64,6 +84,9 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     exploded = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
+    # self-join reads this twice; persist so signatures are computed once
+    # (at warehouse scale you'd checkpoint signatures to the lake instead)
+    exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -74,25 +97,23 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
-def pair_jaccard(sh: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Exact shingle-set Jaccard for candidate pairs.
+def pair_jaccard(sh_arr: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs via array_intersect —
+    two hash-joins on doc ids, intersection computed per-row in the JVM
+    (no exploded shingle⋈shingle shuffle).
 
     The ratio is published at exact 4dp via integer division — portable.
     """
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a_sh = sh.select(F.col(id_col).alias("doc_a"), "shingle")
-    b_sh = sh.select(F.col(id_col).alias("doc_b"), F.col("shingle").alias("shingle_b"))
-    inter = (
-        pairs.join(a_sh, "doc_a")
-        .join(b_sh, (pairs.doc_b == b_sh.doc_b) & (F.col("shingle") == F.col("shingle_b")))
-        .groupBy("doc_a", pairs.doc_b.alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    a = sh_arr.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_arr.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
     out = (
-        inter.join(sizes.withColumnRenamed(id_col, "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-        .join(sizes.withColumnRenamed(id_col, "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
-        .withColumn("n_union", (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("bigint"))
-        .withColumn("n_inter", F.col("n_inter").cast("bigint"))
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint"))
+        .withColumn(
+            "n_union",
+            (F.size("sh_a").cast("bigint") + F.size("sh_b") - F.col("n_inter")).cast("bigint"),
+        )
         .withColumn(
             "jaccard_4dp",
             F.expr("CAST((10000 * n_inter) div n_union AS DOUBLE) / 10000.0"),

@@ -50,17 +50,26 @@ _SHINGLE_CTE = """
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
         WHERE len(string_split(text, ' ')) >= 3
     ),
-    idx AS (SELECT doc_id, w, unnest(generate_series(1, len(w)-2)) AS i FROM toks),
-    sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS shingle FROM idx)
+    sharr AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(w)-2),
+                   i -> concat_ws(' ', w[i], w[i+1], w[i+2]))) AS sh
+        FROM toks
+    )
 """
 
 _SIG_CTE = _SHINGLE_CTE + """,
     sig AS (
         SELECT doc_id,
 """ + ",\n".join(
-    f"            min(md5(concat_ws('|', '{s}', shingle))) AS mh{s}" for s in range(sim.N_SEEDS)
+    (
+        f"            list_min(list_transform(sh, s -> substr(md5(s), {1 + 8 * s}, 8))) AS mh{s}"
+        if s < 4
+        else f"            list_min(list_transform(sh, s -> substr(md5(concat('x', s)), {1 + 8 * (s - 4)}, 8))) AS mh{s}"
+    )
+    for s in range(sim.N_SEEDS)
 ) + """
-        FROM sh GROUP BY doc_id
+        FROM sharr
     ),
     bands AS (
 """ + "\n        UNION ALL\n".join(
@@ -79,8 +88,7 @@ _SIG_CTE = _SHINGLE_CTE + """,
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 seeds) → 4 bands → bucket-join candidate pairs."""
     d = load(spark, sf_dir, "documents")
-    sh = sim.shingles(d)
-    sig = sim.minhash_signatures(sh)
+    sig = sim.minhash_signatures(sim.shingle_arrays(d))
     return sim.lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
 
@@ -91,31 +99,26 @@ def oracle_dedup_minhash_lsh() -> str:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard on the LSH candidate pairs."""
     d = load(spark, sf_dir, "documents")
-    sh = sim.shingles(d)
-    sig = sim.minhash_signatures(sh)
-    pairs = sim.lsh_candidate_pairs(sig)
-    return sim.pair_jaccard(sh, pairs).orderBy("doc_a", "doc_b")
+    sh_arr = sim.shingle_arrays(d)
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sh_arr))
+    return sim.pair_jaccard(sh_arr, pairs).orderBy("doc_a", "doc_b")
 
 
 def oracle_dedup_ngram_jaccard() -> str:
     return f"""
     WITH {_SIG_CTE},
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
-        SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+               CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_union
         FROM cand c
-        JOIN sh sa ON sa.doc_id = c.doc_a
-        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-        GROUP BY c.doc_a, c.doc_b
+        JOIN sharr sa ON sa.doc_id = c.doc_a
+        JOIN sharr sb ON sb.doc_id = c.doc_b
     )
-    SELECT i.doc_a, i.doc_b,
-           CAST(i.n_inter AS BIGINT) AS n_inter,
-           CAST(za.n_sh + zb.n_sh - i.n_inter AS BIGINT) AS n_union,
-           CAST(CAST((10000 * i.n_inter) // (za.n_sh + zb.n_sh - i.n_inter) AS BIGINT) AS DOUBLE) / 10000.0 AS jaccard_4dp
-    FROM inter i
-    JOIN sizes za ON za.doc_id = i.doc_a
-    JOIN sizes zb ON zb.doc_id = i.doc_b
-    ORDER BY i.doc_a, i.doc_b
+    SELECT doc_a, doc_b, n_inter, n_union,
+           CAST(CAST((10000 * n_inter) // n_union AS BIGINT) AS DOUBLE) / 10000.0 AS jaccard_4dp
+    FROM inter
+    ORDER BY doc_a, doc_b
     """
 
 
@@ -229,14 +232,19 @@ def oracle_token_count() -> str:
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowed document fingerprint: min shingle hash ⊕ length."""
     d = load(spark, sf_dir, "documents")
-    sh = sim.shingles(d)
-    min_h = sh.groupBy("doc_id").agg(F.min(F.md5("shingle")).alias("min_shingle_hash"))
-    lens = d.select("doc_id", F.length("text").cast("bigint").alias("n_chars"))
+    # map-only: min hash from the per-doc shingle array, no shuffle at all
     return (
-        min_h.join(lens, "doc_id")
+        sim.shingle_arrays(d)
+        .join(d.select("doc_id", F.length("text").cast("bigint").alias("n_chars")), "doc_id")
         .select(
             "doc_id",
-            F.md5(F.concat_ws("|", "min_shingle_hash", F.col("n_chars").cast("string"))).alias("fingerprint"),
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.expr("array_min(transform(sh, s -> md5(s)))"),
+                    F.col("n_chars").cast("string"),
+                )
+            ).alias("fingerprint"),
         )
         .orderBy("doc_id")
     )
@@ -244,12 +252,12 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_doc_fingerprint() -> str:
     return f"""
-    WITH {_SHINGLE_CTE},
-    min_h AS (SELECT doc_id, min(md5(shingle)) AS min_shingle_hash FROM sh GROUP BY doc_id)
-    SELECT m.doc_id,
-           md5(concat_ws('|', m.min_shingle_hash, CAST(CAST(length(d.text) AS BIGINT) AS VARCHAR))) AS fingerprint
-    FROM min_h m JOIN documents d ON d.doc_id = m.doc_id
-    ORDER BY m.doc_id
+    WITH {_SHINGLE_CTE}
+    SELECT s.doc_id,
+           md5(concat_ws('|', list_min(list_transform(s.sh, x -> md5(x))),
+                         CAST(CAST(length(d.text) AS BIGINT) AS VARCHAR))) AS fingerprint
+    FROM sharr s JOIN documents d ON d.doc_id = s.doc_id
+    ORDER BY s.doc_id
     """
 
 

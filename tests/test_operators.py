@@ -71,7 +71,7 @@ def test_exact_dedup_idempotent(spark):
 def test_minhash_candidates_have_high_jaccard_recall(spark):
     """Crafted near-dups must be found; identical docs always collide."""
     from northwind_warehouse_spark.operators.similarity import (
-        lsh_candidate_pairs, minhash_signatures, shingles,
+        lsh_candidate_pairs, minhash_signatures, shingle_arrays,
     )
 
     base = "the quick brown fox jumps over the lazy dog and runs far away tonight"
@@ -82,7 +82,7 @@ def test_minhash_candidates_have_high_jaccard_recall(spark):
         (4, "completely different words about spark shuffles and parquet files here"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    sh = shingles(df)
+    sh = shingle_arrays(df)
     pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(minhash_signatures(sh)).collect()}
     assert (1, 2) in pairs
     assert not any(4 in p for p in pairs)
