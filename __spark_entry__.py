@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_parts_supplier_count": analytics.q16_parts_supplier_count,
         "q18_large_orders": analytics.q18_large_orders,
         "q22_idle_customers": analytics.q22_idle_customers,
+        "events_props_extract": analytics.events_props_extract,
+        "median_order_value": analytics.median_order_value,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -101,6 +103,8 @@ def oracle_sql() -> dict[str, str]:
         "q16_parts_supplier_count": analytics.oracle_q16(),
         "q18_large_orders": analytics.oracle_q18(),
         "q22_idle_customers": analytics.oracle_q22(),
+        "events_props_extract": analytics.oracle_events_props_extract(),
+        "median_order_value": analytics.oracle_median_order_value(),
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),

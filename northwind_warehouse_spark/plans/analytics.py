@@ -473,6 +473,75 @@ def oracle_q22() -> str:
     """
 
 
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column handling: JSON props → typed field, then
+    aggregate (get_json_object stays JVM-side; no UDF)."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("total_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+        .withColumn(
+            "avg_k_4dp",
+            F.expr("CAST((10000 * total_k) div n_events AS DOUBLE) / 10000.0"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def oracle_events_props_extract() -> str:
+    return """
+    WITH k AS (
+        SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ), agg AS (
+        SELECT event_type, count(*) AS n_events, CAST(sum(k) AS BIGINT) AS total_k,
+               min(k) AS min_k, max(k) AS max_k
+        FROM k GROUP BY event_type
+    )
+    SELECT event_type, n_events, total_k, min_k, max_k,
+           CAST((10000 * total_k) // n_events AS DOUBLE) / 10000.0 AS avg_k_4dp
+    FROM agg ORDER BY event_type
+    """
+
+
+def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median order value per nation.
+
+    Portability: the median interpolates between two cent-integers —
+    exact in double for both engines' formulas (no rounding anywhere)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = (dec2("o_totalprice") * 100).cast("bigint")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", cents.alias("cents"))
+        .groupBy("n_name")
+        .agg((F.expr("percentile(cents, 0.5)") / 100.0).alias("median_order_value"))
+        .orderBy("n_name")
+    )
+
+
+def oracle_median_order_value() -> str:
+    return """
+    SELECT n_name,
+           quantile_cont(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT), 0.5) / 100.0
+               AS median_order_value
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30-min) per user, then per-session rollup.
 

@@ -135,6 +135,23 @@ def test_audit_control_roundtrip(spark, tmp_path):
     assert entry.hwm_date == datetime(2024, 1, 15, 12, 0, 0)
 
 
+def test_salted_join_equals_plain_join(spark):
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.skew import salted_count_by_key, salted_join
+
+    o = load(spark, SF_SMOKE, "orders").select("o_custkey", "o_orderkey")
+    c = load(spark, SF_SMOKE, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    plain = o.join(c, "o_custkey").count()
+    salted = salted_join(o, c, key="o_custkey", salt_src="o_orderkey").count()
+    assert plain == salted
+
+    counts = {r.o_custkey: r.n for r in salted_count_by_key(o, "o_custkey", "o_orderkey").collect()}
+    want = {r.o_custkey: r["count"] for r in o.groupBy("o_custkey").count().collect()}
+    assert counts == want
+
+
 def test_multimodal_extract_schema_and_determinism(spark):
     from northwind_warehouse_spark.plans.llm import multimodal_extract
 
