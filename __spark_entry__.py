@@ -68,6 +68,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": llm.doc_fingerprint,
         "ann_cosine_topk": llm.ann_cosine_topk,
         "ann_lsh": llm.ann_lsh,
+        "ann_lsh_topk": llm.ann_lsh_topk,
+        "dedup_embedding_cosine": llm.dedup_embedding_cosine,
         "embedding_stats": llm.embedding_stats,
         "multimodal_extract": llm.multimodal_extract,
     }
@@ -115,6 +117,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": llm.oracle_doc_fingerprint(),
         "ann_cosine_topk": llm.oracle_ann_cosine_topk(),
         "ann_lsh": llm.oracle_ann_lsh(),
+        "ann_lsh_topk": llm.oracle_ann_lsh_topk(),
+        "dedup_embedding_cosine": llm.oracle_dedup_embedding_cosine(),
         "embedding_stats": llm.oracle_embedding_stats(),
         # multimodal_extract: rows-only (mapInPandas decode stub)
     }

@@ -199,12 +199,22 @@ def oracle_lang_id() -> str:
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus token accounting per source."""
     d = load(spark, sf_dir, "documents")
+    # whitespace tokens + a BPE-ish regex segmentation (letter runs /
+    # digit runs / single other chars) — both JVM-side regex engines
+    # agree on this simple class-based pattern
+    bpe_ish = F.expr(r"CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)")
     return (
-        d.select("source", n_tokens().alias("n_tok"), F.length("text").cast("bigint").alias("n_chars"))
+        d.select(
+            "source",
+            n_tokens().alias("n_tok"),
+            bpe_ish.alias("n_bpe"),
+            F.length("text").cast("bigint").alias("n_chars"),
+        )
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_bpe").alias("total_bpe_tokens"),
             F.sum("n_chars").alias("total_chars"),
         )
         .withColumn("tokens_per_doc", ratio_4dp("total_tokens", "n_docs"))
@@ -215,15 +225,18 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_token_count() -> str:
     return f"""
     WITH per AS (
-        SELECT source, {o_n_tokens()} AS n_tok, CAST(length(text) AS BIGINT) AS n_chars
+        SELECT source, {o_n_tokens()} AS n_tok,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+               CAST(length(text) AS BIGINT) AS n_chars
         FROM documents
     ), agg AS (
         SELECT source, count(*) AS n_docs,
                CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
                CAST(sum(n_chars) AS BIGINT) AS total_chars
         FROM per GROUP BY source
     )
-    SELECT source, n_docs, total_tokens, total_chars,
+    SELECT source, n_docs, total_tokens, total_bpe_tokens, total_chars,
            {o_ratio_4dp('total_tokens', 'n_docs')} AS tokens_per_doc
     FROM agg ORDER BY source
     """
@@ -308,6 +321,33 @@ def oracle_ann_cosine_topk() -> str:
     """
 
 
+def _oracle_bucket_cte() -> str:
+    """DuckDB CTE computing (vec_id, bucket_id, n2) per embedding with the
+    same literal hyperplanes and integer quantization as the Spark side."""
+    planes = sim.oracle_plane_weights_sql()
+    proj_terms = ",\n".join(
+        f"            (SELECT sum(CAST(floor(CAST(e.x AS DOUBLE) * 1000000.0) AS BIGINT) * w.wt) FROM "
+        f"(SELECT unnest(embedding) AS x, generate_subscripts(embedding,1) AS i) e "
+        f"JOIN (SELECT unnest({p}) AS wt, generate_subscripts({p},1) AS i) w ON e.i = w.i) AS proj{n}"
+        for n, p in enumerate(planes)
+    )
+    bucket_expr = " + ".join(f"CASE WHEN proj{n} > 0 THEN {2**n} ELSE 0 END" for n in range(len(planes)))
+    return f"""
+    projs AS (
+        SELECT vec_id,
+{proj_terms}
+        FROM embeddings
+    ),
+    b AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket_id FROM projs),
+    el AS (
+        SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    n2 AS (SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM el GROUP BY vec_id)
+    """
+
+
 def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Random-hyperplane LSH bucket histogram (the ANN scale path)."""
     e = load(spark, sf_dir, "embeddings")
@@ -320,23 +360,130 @@ def ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_ann_lsh() -> str:
-    planes = sim.oracle_plane_weights_sql()
-    proj_terms = ",\n".join(
-        f"            (SELECT sum(CAST(floor(CAST(e.x AS DOUBLE) * 1000000.0) AS BIGINT) * w.wt) FROM "
-        f"(SELECT unnest(embedding) AS x, generate_subscripts(embedding,1) AS i) e "
-        f"JOIN (SELECT unnest({p}) AS wt, generate_subscripts({p},1) AS i) w ON e.i = w.i) AS proj{n}"
-        for n, p in enumerate(planes)
-    )
-    bucket_expr = " + ".join(f"CASE WHEN proj{n} > 0 THEN {2**n} ELSE 0 END" for n in range(len(planes)))
     return f"""
-    WITH projs AS (
-        SELECT vec_id,
-{proj_terms}
-        FROM embeddings
-    ),
-    b AS (SELECT vec_id, CAST({bucket_expr} AS BIGINT) AS bucket_id FROM projs)
+    WITH {_oracle_bucket_cte()}
     SELECT bucket_id, count(*) AS n_vecs, min(vec_id) AS min_vec_id
     FROM b GROUP BY bucket_id ORDER BY bucket_id
+    """
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed ANN: neighbors searched only within the query's LSH
+    bucket — the candidate set shrinks ~2^planes-fold, which is what
+    makes similarity search tractable at corpus scale. Approximate
+    (bucket boundaries lose some true neighbors) but orders faster."""
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q, norm2_q
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.join(sim.lsh_buckets(e), "vec_id").select(
+        "vec_id", "embedding", "bucket_id", norm2_q("embedding").alias("n2")
+    )
+    q = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket_id").alias("qbucket"),
+        F.col("n2").alias("qn2"),
+    )
+    cand = base.join(
+        F.broadcast(q),
+        (F.col("bucket_id") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot_q("qvec", "embedding").alias("dot"),
+        F.col("qn2").alias("n2a"),
+        F.col("n2").alias("n2b"),
+    ).withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "nn_rank")
+        .orderBy("query_id", "nn_rank")
+    )
+
+
+def oracle_ann_lsh_topk() -> str:
+    return f"""
+    WITH {_oracle_bucket_cte()},
+    dots AS (
+        SELECT a.vec_id AS query_id, b2.vec_id AS neighbor_id,
+               CAST(sum(a.xq * b2.xq) AS BIGINT) AS dot
+        FROM el a
+        JOIN b qb ON qb.vec_id = a.vec_id
+        JOIN b nb ON nb.bucket_id = qb.bucket_id AND nb.vec_id <> a.vec_id
+        JOIN el b2 ON b2.vec_id = nb.vec_id AND b2.i = a.i
+        WHERE a.vec_id < 10
+        GROUP BY a.vec_id, b2.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM dots
+        JOIN n2 na ON na.vec_id = query_id
+        JOIN n2 nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nn_rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, nn_rank
+    FROM ranked WHERE nn_rank <= 5 ORDER BY query_id, nn_rank
+    """
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket candidates, exact
+    cosine on each, keep pairs above threshold. The bucket equi-join is
+    the scale move — never the full O(n²) pair space."""
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q, norm2_q
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.join(sim.lsh_buckets(e), "vec_id").select(
+        "vec_id", "embedding", "bucket_id", norm2_q("embedding").alias("n2")
+    )
+    a = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+        F.col("bucket_id").alias("b_a"), F.col("n2").alias("n2a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+        F.col("bucket_id").alias("b_b"), F.col("n2").alias("n2b"),
+    )
+    pairs = a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("vec_a") < F.col("vec_b")))
+    scored = pairs.select(
+        "vec_a", "vec_b", dot_q("emb_a", "emb_b").alias("dot"), "n2a", "n2b"
+    ).withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
+    return scored.filter(F.col("cosine") > 0.5).select(
+        "vec_a", "vec_b", "cosine"
+    ).orderBy("vec_a", "vec_b")
+
+
+def oracle_dedup_embedding_cosine() -> str:
+    return f"""
+    WITH {_oracle_bucket_cte()},
+    pairs AS (
+        SELECT pa.vec_id AS vec_a, pb.vec_id AS vec_b
+        FROM b pa JOIN b pb ON pa.bucket_id = pb.bucket_id AND pa.vec_id < pb.vec_id
+    ),
+    dots AS (
+        SELECT p.vec_a, p.vec_b, CAST(sum(ea.xq * eb.xq) AS BIGINT) AS dot
+        FROM pairs p
+        JOIN el ea ON ea.vec_id = p.vec_a
+        JOIN el eb ON eb.vec_id = p.vec_b AND eb.i = ea.i
+        GROUP BY p.vec_a, p.vec_b
+    ),
+    scored AS (
+        SELECT vec_a, vec_b,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM dots
+        JOIN n2 na ON na.vec_id = vec_a
+        JOIN n2 nb ON nb.vec_id = vec_b
+    )
+    SELECT vec_a, vec_b, cosine FROM scored WHERE cosine > 0.5 ORDER BY vec_a, vec_b
     """
 
 

@@ -110,10 +110,44 @@ class WarehousePipeline:
         )
         self.audit.update(entity, datetime.now())
 
+    def refresh_failed_lookups(self, sf_dir: str) -> int:
+        """Re-resolve fact rows stuck on the dummy customer SK
+        (reference: macros/fact_order_fail_lookup.sql) — e.g. after a
+        late-arriving dimension load. Returns the number of repaired rows."""
+        entity = self.FACT_ORDERS
+        if not self._exists(entity):
+            return 0
+        fact = read_table(self.spark, self._path(entity))
+        dummy_sk = surrogate_key(F.lit(0))
+        failed = fact.filter(F.col("customer_sk") == dummy_sk)
+        n_failed = failed.count()
+        if n_failed == 0:
+            return 0
+        ok = fact.filter(F.col("customer_sk") != dummy_sk)
+        dim = medallion.dim_customer(self.spark, sf_dir).select(
+            F.col("customer_id").alias("_cid"), F.col("customer_sk").alias("_sk"),
+            F.col("nation_name").alias("_nn"), F.col("region_name").alias("_rn"),
+        )
+        repaired = (
+            failed.join(F.broadcast(dim), failed.customer_id == F.col("_cid"), "left")
+            .withColumn("customer_sk", F.coalesce("_sk", dummy_sk))
+            .withColumn("nation_name", F.coalesce("_nn", F.lit("Not Found")))
+            .withColumn("region_name", F.coalesce("_rn", F.lit("Not Found")))
+            .drop("_cid", "_sk", "_nn", "_rn")
+        )
+        merged = ok.unionByName(repaired)
+        tmp = self._path(entity + "__tmp")
+        write_table(merged, tmp, partition_by=("order_year",))
+        write_table(
+            read_table(self.spark, tmp), self._path(entity), partition_by=("order_year",)
+        )
+        return n_failed
+
     def run(self, sf_dir: str) -> None:
         self.run_staging(sf_dir)
         self.run_dim_users(sf_dir)
         self.run_fact_orders(sf_dir)
+        self.refresh_failed_lookups(sf_dir)
 
     # -- reads -------------------------------------------------------------
 
