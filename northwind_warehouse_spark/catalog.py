@@ -34,6 +34,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # all engine timestamp semantics are UTC; pin it so results don't
+    # depend on the host JVM's default zone
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{table}.parquet")
     if table == "events":
         # ts is TIMESTAMP(NANOS) in the file → surfaced as long nanos;
