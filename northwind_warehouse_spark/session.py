@@ -33,5 +33,8 @@ def get_spark(app_name: str = "northwind_warehouse_spark",
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # managed (bucketed) tables live outside the repo
+        .config("spark.sql.warehouse.dir",
+                os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/nws_spark_warehouse"))
     )
     return builder.getOrCreate()

@@ -1,0 +1,130 @@
+"""Property-based invariants over randomized change streams (hypothesis).
+
+Mirrors the depth the reference gets from dbt's schema tests — but
+generative: SCD2 and sessionization invariants must hold for *any*
+event stream, not just the fixtures.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+EVENT = st.tuples(
+    st.integers(min_value=1, max_value=4),          # user_id
+    st.integers(min_value=0, max_value=100_000),    # seconds offset
+    st.sampled_from(["a", "b", "c"]),               # attr
+    st.integers(min_value=0, max_value=3),          # value (small domain → hash collisions)
+)
+STREAMS = st.lists(EVENT, min_size=1, max_size=40)
+
+BASE = datetime(2024, 1, 1)
+
+
+def _df(spark, events):
+    rows = [
+        (i, u, BASE + timedelta(seconds=s), a, float(v))
+        for i, (u, s, a, v) in enumerate(events)
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+
+
+def _build(spark, events):
+    from northwind_warehouse_spark.functions.hashing import num_str, surrogate_key
+    from northwind_warehouse_spark.operators.scd2 import scd2_from_change_stream
+
+    return scd2_from_change_stream(
+        _df(spark, events),
+        key_cols=["user_id"], ts_col="ts",
+        hash_col=surrogate_key("event_type", num_str("value")),
+        attr_cols=["event_type", "value"], tiebreak_cols=["event_id"], sk_name="sk",
+    )
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(STREAMS)
+def test_scd2_invariants_hold_for_any_stream(spark, events):
+    rows = _build(spark, events).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.user_id, []).append(r)
+    for versions in by_key.values():
+        versions.sort(key=lambda r: r.version_no)
+        # dense versions, exactly one active, sentinel boundaries
+        assert [v.version_no for v in versions] == list(range(1, len(versions) + 1))
+        assert sum(v.is_active == "Y" for v in versions) == 1
+        assert versions[0].effective_date.year == 1900
+        assert versions[-1].expiry_date.year == 3001
+        # no adjacent duplicate hashes, contiguous intervals
+        for a, b in zip(versions, versions[1:]):
+            assert a.row_hash != b.row_hash
+            assert a.expiry_date == b.updated_at
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(STREAMS, STREAMS)
+def test_scd2_merge_equals_rebuild_for_any_split(spark, first, second):
+    from northwind_warehouse_spark.functions.hashing import num_str, surrogate_key
+    from northwind_warehouse_spark.operators.scd2 import scd2_merge
+
+    # renumber ids so the two halves never collide and 'second' is later
+    off = max((s for (_, s, _, _) in first), default=0) + 1
+    second = [(u, off + s, a, v) for (u, s, a, v) in second]
+    all_events = first + second
+
+    kwargs = dict(
+        key_cols=["user_id"], ts_col="ts",
+        hash_col=surrogate_key("event_type", num_str("value")),
+        attr_cols=["event_type", "value"], tiebreak_cols=["event_id"], sk_name="sk",
+    )
+    full = _build(spark, all_events)
+
+    from northwind_warehouse_spark.operators.scd2 import scd2_from_change_stream
+
+    base = scd2_from_change_stream(_df(spark, first), **kwargs)
+    # event ids must stay globally unique across the split
+    n1 = len(first)
+    rows2 = [
+        (n1 + i, u, BASE + timedelta(seconds=s), a, float(v))
+        for i, (u, s, a, v) in enumerate(second)
+    ]
+    changes = spark.createDataFrame(
+        rows2, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    merged = scd2_merge(base, changes, **kwargs)
+
+    def key(df):
+        return sorted(
+            (r.user_id, r.version_no, str(r.effective_date), str(r.expiry_date), r.is_active, r.row_hash)
+            for r in df.collect()
+        )
+
+    assert key(merged) == key(full)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(STREAMS)
+def test_sessionize_partitions_events_exactly(spark, events):
+    from northwind_warehouse_spark.operators.sessionize import sessionize
+
+    df = _df(spark, events)
+    out = sessionize(df, "user_id", "ts", gap_seconds=600, tiebreak_cols=("event_id",))
+    # bijection: every event appears exactly once with a session id
+    assert out.count() == df.count()
+    rows = sorted(out.collect(), key=lambda r: (r.user_id, r.ts, r.event_id))
+    last: dict[int, object] = {}
+    sess: dict[int, int] = {}
+    for r in rows:
+        if r.user_id in last:
+            gap = (r.ts - last[r.user_id]).total_seconds()
+            expect = sess[r.user_id] + 1 if gap > 600 else sess[r.user_id]
+        else:
+            expect = 1
+        assert r.session_idx == expect, (r, expect)
+        last[r.user_id] = r.ts
+        sess[r.user_id] = expect
