@@ -115,6 +115,33 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def ingest_events_to_lake(
+    events: DataFrame,
+    lake_path: str,
+    checkpoint_dir: str,
+):
+    """Streaming medallion ingest: append micro-batches of raw events to
+    a bronze lake table partitioned by event date.
+
+    Checkpointing gives exactly-once file-sink semantics — the streaming
+    counterpart of the reference's audit high-watermark loop. Downstream
+    (SCD2 merge, facts) runs on the landed partitions via
+    plans/pipeline.py.
+    """
+    q = (
+        events.withColumn("event_date", F.to_date("ts"))
+        .writeStream.format("parquet")
+        .option("path", lake_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .partitionBy("event_date")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return q
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, checkpoint_dir: str):
     """Drain an availableNow stream into an in-memory table (for tests)."""
     q = (

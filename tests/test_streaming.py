@@ -49,6 +49,30 @@ def test_windowed_counts_matches_batch(spark, events_dir, tmp_path):
     assert sum(got.values()) == load(spark, SF_SMOKE, "events").count()
 
 
+def test_ingest_events_to_lake(spark, events_dir, tmp_path):
+    """Bronze ingest: all rows land, partitioned by day, exactly-once on rerun."""
+    import os
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.streaming.jobs import ingest_events_to_lake, stream_events
+
+    _prepare(spark, events_dir)
+    lake = str(tmp_path / "bronze_events")
+    ckpt = str(tmp_path / "ckpt_ingest")
+    ingest_events_to_lake(stream_events(spark, events_dir), lake, ckpt)
+
+    want = load(spark, SF_SMOKE, "events").count()
+    got = spark.read.parquet(lake).count()
+    assert got == want
+
+    days = [d for d in os.listdir(lake) if d.startswith("event_date=")]
+    assert len(days) >= 25  # January's days
+
+    # re-running against the same checkpoint must not duplicate rows
+    ingest_events_to_lake(stream_events(spark, events_dir), lake, ckpt)
+    assert spark.read.parquet(lake).count() == want
+
+
 def test_sessionize_stream_runs(spark, events_dir, tmp_path):
     from northwind_warehouse_spark.streaming.jobs import sessionize_stream, stream_events
 
