@@ -47,14 +47,16 @@ def scd2_from_change_stream(
     """
     keys = [F.col(k) for k in key_cols]
     order = [F.col(ts_col)] + [F.col(c) for c in tiebreak_cols]
-    w_dedup = Window.partitionBy(*keys, F.col(ts_col)).orderBy(*order)
     w_seq = Window.partitionBy(*keys).orderBy(*order)
 
+    # dedup exact-duplicate (key, ts) rows via lag on the SAME window
+    # partitioning as every later step — the whole build shares one
+    # exchange (a (key, ts)-partitioned row_number would add a second)
     deduped = (
         changes.withColumn("_row_hash", hash_col)
-        .withColumn("_rn", F.row_number().over(w_dedup))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+        .withColumn("_prev_ts", F.lag(F.col(ts_col)).over(w_seq))
+        .filter(F.col("_prev_ts").isNull() | (F.col("_prev_ts") != F.col(ts_col)))
+        .drop("_prev_ts")
     )
     changed = (
         deduped.withColumn("_prev_hash", F.lag("_row_hash").over(w_seq))
