@@ -42,6 +42,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_events": medallion.asof_events,
         "incremental_hwm": medallion.incremental_hwm,
         "missing_dates": medallion.missing_dates,
+        "dq_checks": medallion.dq_checks,
+        "events_unpivot": analytics.events_unpivot,
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
         "q5_local_revenue": analytics.q5_local_revenue,
@@ -91,6 +93,8 @@ def oracle_sql() -> dict[str, str]:
         "asof_events": medallion.oracle_asof_events(),
         "incremental_hwm": medallion.oracle_incremental_hwm(),
         "missing_dates": medallion.oracle_missing_dates(),
+        "dq_checks": medallion.oracle_dq_checks(),
+        "events_unpivot": analytics.oracle_events_unpivot(),
         "q1_pricing_summary": analytics.oracle_q1(),
         "q3_shipping_priority": analytics.oracle_q3(),
         "q5_local_revenue": analytics.oracle_q5(),

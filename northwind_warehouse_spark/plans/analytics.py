@@ -542,6 +542,40 @@ def oracle_median_order_value() -> str:
     """
 
 
+def events_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshaping: the per-user event-type pivot melted back to
+    (user_id, event_type, n) via stack — Spark's unpivot primitive."""
+    wide = events_pivot(spark, sf_dir).select(
+        "user_id", "n_click", "n_view", "n_purchase", "n_signup", "n_error"
+    )
+    stacked = wide.select(
+        "user_id",
+        F.expr(
+            "stack(5, 'click', n_click, 'view', n_view, 'purchase', n_purchase, "
+            "'signup', n_signup, 'error', n_error) AS (event_type, n)"
+        ),
+    )
+    return stacked.select("user_id", "event_type", F.col("n").cast("bigint").alias("n")).orderBy(
+        "user_id", "event_type"
+    )
+
+
+def oracle_events_unpivot() -> str:
+    return """
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+    UNION ALL
+    -- zero rows for types a user never produced (stack emits them)
+    SELECT u.user_id, t.event_type, 0 AS n
+    FROM (SELECT DISTINCT user_id FROM events) u
+    CROSS JOIN (VALUES ('click'),('view'),('purchase'),('signup'),('error')) t(event_type)
+    WHERE NOT EXISTS (
+        SELECT 1 FROM events e WHERE e.user_id = u.user_id AND e.event_type = t.event_type
+    )
+    ORDER BY user_id, event_type
+    """
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessions (30-min) per user, then per-session rollup.
 

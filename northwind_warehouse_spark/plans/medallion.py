@@ -625,6 +625,69 @@ def oracle_incremental_hwm() -> str:
     """
 
 
+def dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality check suite — parity with dbt's schema tests
+    (unique / not_null / relationships / accepted_values) that the
+    reference project relies on (reference: dbt test machinery).
+
+    Returns one row per check with its violation count; all-zero means
+    the contract holds.
+    """
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    l = load(spark, sf_dir, "lineitem")
+
+    unique_viol = (
+        o.groupBy("o_orderkey").count().filter(F.col("count") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    notnull_viol = o.filter(F.col("o_custkey").isNull()).agg(F.count(F.lit(1)).alias("n"))
+    fk_viol = (
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    accepted_viol = (
+        o.filter(~F.col("o_orderstatus").isin("O", "F", "P"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    li_fk_viol = (
+        l.select("l_orderkey").join(o.select("o_orderkey"), l.l_orderkey == o.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def tag(df: DataFrame, name: str) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"), F.col("n").cast("bigint").alias("n_violations"))
+
+    return (
+        tag(unique_viol, "orders_orderkey_unique")
+        .unionByName(tag(notnull_viol, "orders_custkey_not_null"))
+        .unionByName(tag(fk_viol, "orders_custkey_fk_customer"))
+        .unionByName(tag(accepted_viol, "orders_status_accepted_values"))
+        .unionByName(tag(li_fk_viol, "lineitem_orderkey_fk_orders"))
+        .orderBy("check_name")
+    )
+
+
+def oracle_dq_checks() -> str:
+    return """
+    SELECT 'orders_orderkey_unique' AS check_name,
+           CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'orders_custkey_not_null',
+           CAST((SELECT count(*) FROM orders WHERE o_custkey IS NULL) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_custkey_fk_customer',
+           CAST((SELECT count(*) FROM orders WHERE NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders_status_accepted_values',
+           CAST((SELECT count(*) FROM orders WHERE o_orderstatus NOT IN ('O','F','P')) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk_orders',
+           CAST((SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT)
+    ORDER BY check_name
+    """
+
+
 def missing_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date-spine anti-join: days in the order range with no orders.
 
