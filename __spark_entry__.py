@@ -60,6 +60,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_idle_customers": analytics.q22_idle_customers,
         "events_props_extract": analytics.events_props_extract,
         "median_order_value": analytics.median_order_value,
+        "q7_nation_volume": analytics.q7_nation_volume,
+        "cube_sales": analytics.cube_sales,
+        "monthly_revenue_running": analytics.monthly_revenue_running,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -111,6 +114,9 @@ def oracle_sql() -> dict[str, str]:
         "q22_idle_customers": analytics.oracle_q22(),
         "events_props_extract": analytics.oracle_events_props_extract(),
         "median_order_value": analytics.oracle_median_order_value(),
+        "q7_nation_volume": analytics.oracle_q7(),
+        "cube_sales": analytics.oracle_cube_sales(),
+        "monthly_revenue_running": analytics.oracle_monthly_revenue_running(),
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),

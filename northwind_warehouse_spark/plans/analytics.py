@@ -473,6 +473,131 @@ def oracle_q22() -> str:
     """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style: shipping volume between customer-nation and
+    supplier-nation pairs — the same broadcast dim joined twice under
+    different roles (alias discipline)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", F.year("l_shipdate").alias("ship_year"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation")
+    cust_nation = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation"))
+    supp_nation = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy("cust_nation", "supp_nation", "ship_year")
+        .agg(dsum2(disc_price(), "volume"))
+        .filter(F.col("cust_nation") < F.col("supp_nation"))
+        .orderBy("cust_nation", "supp_nation", "ship_year")
+    )
+
+
+def oracle_q7() -> str:
+    return f"""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(year(l_shipdate) AS INT) AS ship_year,
+           {o_dsum2(o_disc_price(), 'volume')}
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation cn ON c_nationkey = cn.n_nationkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND c_nationkey <> s_nationkey
+      AND cn.n_name < sn.n_name
+    GROUP BY cn.n_name, sn.n_name, CAST(year(l_shipdate) AS INT)
+    ORDER BY cust_nation, supp_nation, ship_year
+    """
+
+
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(region, mktsegment): all 4 grouping combinations in one pass."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    base = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("r_name", "c_mktsegment", "o_totalprice")
+    )
+    return (
+        base.cube("r_name", "c_mktsegment")
+        .agg(dsum2(dec2("o_totalprice"), "revenue"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("c_mktsegment").asc_nulls_first())
+    )
+
+
+def oracle_cube_sales() -> str:
+    return f"""
+    SELECT r_name, c_mktsegment,
+           {o_dsum2(o_dec2('o_totalprice'), 'revenue')}, count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, c_mktsegment)
+    ORDER BY r_name ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST
+    """
+
+
+def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation monthly revenue + running cumulative total (window
+    frame over an aggregated relation — agg and window share nothing,
+    the window runs on the tiny monthly rollup)."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("int").alias("ym"),
+        )
+        .agg(F.sum(dec2("o_totalprice")).alias("rev_dec"))
+    )
+    w = Window.partitionBy("n_name").orderBy("ym").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.select(
+        "n_name",
+        "ym",
+        F.round(F.col("rev_dec"), 2).cast("double").alias("monthly_revenue"),
+        F.round(F.sum("rev_dec").over(w), 2).cast("double").alias("running_revenue"),
+    ).orderBy("n_name", "ym")
+
+
+def oracle_monthly_revenue_running() -> str:
+    return """
+    WITH monthly AS (
+        SELECT n_name,
+               CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+               sum(cast(o_totalprice as decimal(12,2))) AS rev_dec
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT)
+    )
+    SELECT n_name, ym,
+           cast(round(rev_dec, 2) as double) AS monthly_revenue,
+           cast(round(sum(rev_dec) OVER (PARTITION BY n_name ORDER BY ym
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) as double) AS running_revenue
+    FROM monthly ORDER BY n_name, ym
+    """
+
+
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: JSON props → typed field, then
     aggregate (get_json_object stays JVM-side; no UDF)."""
