@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
         "dedup_simhash": llm.dedup_simhash,
         "text_quality": llm.text_quality,
+        "quality_filter": llm.quality_filter,
         "lang_id": llm.lang_id,
         "token_count": llm.token_count,
         "doc_fingerprint": llm.doc_fingerprint,
@@ -122,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),
         # dedup_simhash: rows-only (bit-level SQL not portable to DuckDB 1.0)
         "text_quality": llm.oracle_text_quality(),
+        "quality_filter": llm.oracle_quality_filter(),
         "lang_id": llm.oracle_lang_id(),
         "token_count": llm.oracle_token_count(),
         "doc_fingerprint": llm.oracle_doc_fingerprint(),

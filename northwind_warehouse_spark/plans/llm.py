@@ -167,6 +167,41 @@ def oracle_text_quality() -> str:
     """
 
 
+def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus gating: documents passing composite quality thresholds —
+    the filtering stage of a training-data pipeline. All predicates are
+    exact-integer so the surviving set is engine-identical."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "lang", "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens().alias("n_tokens"),
+        stopword_count().alias("n_stopwords"),
+    )
+    kept = base.filter(
+        (F.col("n_tokens") >= 15)
+        & (F.col("n_chars") >= 60)
+        & (F.col("n_stopwords") * 100 >= F.col("n_tokens") * 2)  # stopword ratio ≥ 2%
+    )
+    return kept.select("doc_id", "lang", "source", "n_tokens", "n_chars").orderBy("doc_id")
+
+
+def oracle_quality_filter() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id, lang, source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {o_n_tokens()} AS n_tokens,
+               {o_stopword_count()} AS n_stopwords
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_tokens, n_chars
+    FROM base
+    WHERE n_tokens >= 15 AND n_chars >= 60 AND n_stopwords * 100 >= n_tokens * 2
+    ORDER BY doc_id
+    """
+
+
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-ratio language heuristic vs the labeled lang column."""
     d = load(spark, sf_dir, "documents")
