@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_nation_volume": analytics.q7_nation_volume,
         "cube_sales": analytics.cube_sales,
         "monthly_revenue_running": analytics.monthly_revenue_running,
+        "repeat_buyers": analytics.repeat_buyers,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -118,6 +119,7 @@ def oracle_sql() -> dict[str, str]:
         "q7_nation_volume": analytics.oracle_q7(),
         "cube_sales": analytics.oracle_cube_sales(),
         "monthly_revenue_running": analytics.oracle_monthly_revenue_running(),
+        "repeat_buyers": analytics.oracle_repeat_buyers(),
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),

@@ -598,6 +598,40 @@ def oracle_monthly_revenue_running() -> str:
     """
 
 
+def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation: customers who bought in BOTH 1996 and 1997
+    (INTERSECT — Spark rewrites to a distinct semi-join)."""
+    o = load(spark, sf_dir, "orders")
+    y96 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_custkey")
+    y97 = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_custkey")
+    both = y96.intersect(y97)
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    return (
+        both.join(F.broadcast(c), both.o_custkey == c.c_custkey)
+        .select(F.col("o_custkey").alias("customer_id"), "c_name", "c_mktsegment")
+        .orderBy("customer_id")
+    )
+
+
+def oracle_repeat_buyers() -> str:
+    return """
+    WITH both_years AS (
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    )
+    SELECT o_custkey AS customer_id, c_name, c_mktsegment
+    FROM both_years JOIN customer ON o_custkey = c_custkey
+    ORDER BY customer_id
+    """
+
+
 def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured column handling: JSON props → typed field, then
     aggregate (get_json_object stays JVM-side; no UDF)."""

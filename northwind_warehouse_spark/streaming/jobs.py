@@ -142,6 +142,16 @@ def ingest_events_to_lake(
     return q
 
 
+def enrich_stream_with_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (batch)
+    dimension snapshot — Spark broadcasts the static side per
+    micro-batch, no state store involved."""
+    return events.join(F.broadcast(user_dim), "user_id", "left").select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        F.coalesce("last_event_type", F.lit("Not Found")).alias("profile_event_type"),
+    )
+
+
 def run_to_memory(stream_df: DataFrame, query_name: str, checkpoint_dir: str):
     """Drain an availableNow stream into an in-memory table (for tests)."""
     q = (

@@ -73,6 +73,32 @@ def test_ingest_events_to_lake(spark, events_dir, tmp_path):
     assert spark.read.parquet(lake).count() == want
 
 
+def test_stream_static_enrichment(spark, events_dir, tmp_path):
+    from northwind_warehouse_spark.plans.medallion import snapshot_users
+    from northwind_warehouse_spark.streaming.jobs import (
+        enrich_stream_with_dim, stream_events,
+    )
+
+    _prepare(spark, events_dir)
+    dim = snapshot_users(spark, SF_SMOKE).select("user_id", "last_event_type")
+    enriched = enrich_stream_with_dim(stream_events(spark, events_dir), dim)
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("enriched")
+    from northwind_warehouse_spark.catalog import load
+
+    assert out.count() == load(spark, SF_SMOKE, "events").count()
+    # every user in the dim must carry a non-default profile
+    assert out.filter(F.col("profile_event_type") == "Not Found").count() == 0
+
+
 def test_sessionize_stream_runs(spark, events_dir, tmp_path):
     from northwind_warehouse_spark.streaming.jobs import sessionize_stream, stream_events
 
