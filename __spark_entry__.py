@@ -73,6 +73,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": llm.lang_id,
         "token_count": llm.token_count,
         "doc_fingerprint": llm.doc_fingerprint,
+        "doc_chunking": llm.doc_chunking,
+        "train_val_split": llm.train_val_split,
         "ann_cosine_topk": llm.ann_cosine_topk,
         "ann_lsh": llm.ann_lsh,
         "ann_lsh_topk": llm.ann_lsh_topk,
@@ -129,6 +131,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": llm.oracle_lang_id(),
         "token_count": llm.oracle_token_count(),
         "doc_fingerprint": llm.oracle_doc_fingerprint(),
+        "doc_chunking": llm.oracle_doc_chunking(),
+        "train_val_split": llm.oracle_train_val_split(),
         "ann_cosine_topk": llm.oracle_ann_cosine_topk(),
         "ann_lsh": llm.oracle_ann_lsh(),
         "ann_lsh_topk": llm.oracle_ann_lsh_topk(),

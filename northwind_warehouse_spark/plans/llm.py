@@ -309,6 +309,76 @@ def oracle_doc_fingerprint() -> str:
     """
 
 
+CHUNK_SIZE, CHUNK_STRIDE = 20, 10
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (20-token windows, stride 10) —
+    the context-window prep stage of a training pipeline. Map-only:
+    tokenize → generate starts → slice, all array ops, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("w")).withColumn(
+        "n", F.size("w").cast("bigint")
+    )
+    starts = F.expr(f"transform(sequence(0, (n - 1) div {CHUNK_STRIDE}), i -> i * {CHUNK_STRIDE} + 1)")
+    exploded = toks.select("doc_id", "w", "n", F.posexplode(starts).alias("chunk_idx", "start"))
+    return exploded.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.concat_ws(" ", F.expr(f"slice(w, start, {CHUNK_SIZE})")).alias("chunk_text"),
+        F.least(F.lit(CHUNK_SIZE).cast("bigint"), F.col("n") - F.col("start") + 1).alias("chunk_n_tokens"),
+    ).orderBy("doc_id", "chunk_idx")
+
+
+def oracle_doc_chunking() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, w, n,
+               unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS i
+        FROM toks
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           array_to_string(w[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_SIZE})], ' ') AS chunk_text,
+           least({CHUNK_SIZE}, n - (i * {CHUNK_STRIDE} + 1) + 1) AS chunk_n_tokens
+    FROM starts
+    ORDER BY doc_id, chunk_idx
+    """
+
+
+def train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-bucket train/val assignment (90/10) — stable
+    under corpus growth because the bucket is a pure function of the
+    document id, never of position or sampling state."""
+    d = load(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return (
+        d.select("doc_id", "lang", "source", bucket.alias("bucket"))
+        .withColumn("split", F.when(F.col("bucket") < 90, F.lit("train")).otherwise(F.lit("val")))
+        .orderBy("doc_id")
+    )
+
+
+def oracle_train_val_split() -> str:
+    return """
+    WITH b AS (
+        SELECT doc_id, lang, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+        FROM documents
+    )
+    SELECT doc_id, lang, source, bucket,
+           CASE WHEN bucket < 90 THEN 'train' ELSE 'val' END AS split
+    FROM b ORDER BY doc_id
+    """
+
+
 # ---------------------------------------------------------------------------
 # Similarity search over embeddings
 # ---------------------------------------------------------------------------
