@@ -24,10 +24,14 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_revenue",
+    "q7_nation_volume",
     "q10_returned_items",
+    "fact_lineitem",
     "scd2_users",
     "events_sessionize",
     "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "doc_chunking",
     "ann_cosine_topk",
 ]
 

@@ -142,6 +142,13 @@ def ingest_events_to_lake(
     return q
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id with bounded state: the
+    watermark lets Spark expire seen-ids older than the horizon, so
+    state stays O(events within the watermark) at any corpus size."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
 def enrich_stream_with_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:
     """Stream-static join: enrich the event stream with a (batch)
     dimension snapshot — Spark broadcasts the static side per

@@ -73,6 +73,29 @@ def test_ingest_events_to_lake(spark, events_dir, tmp_path):
     assert spark.read.parquet(lake).count() == want
 
 
+def test_dedup_stream_drops_replayed_batch(spark, events_dir, tmp_path):
+    """Events written twice into the source dir must come out once."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.streaming.jobs import dedup_stream, stream_events
+
+    path = str(tmp_path / "dup_src")
+    e = load(spark, SF_SMOKE, "events")
+    e.coalesce(1).write.mode("overwrite").parquet(path)
+    e.coalesce(1).write.mode("append").parquet(path)  # replay → duplicates
+
+    stream = dedup_stream(stream_events(spark, path))
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dd"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("dedup_out").count() == e.count()
+
+
 def test_stream_static_enrichment(spark, events_dir, tmp_path):
     from northwind_warehouse_spark.plans.medallion import snapshot_users
     from northwind_warehouse_spark.streaming.jobs import (
