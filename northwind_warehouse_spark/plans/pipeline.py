@@ -153,3 +153,55 @@ class WarehousePipeline:
 
     def table(self, name: str) -> DataFrame:
         return read_table(self.spark, self._path(name))
+
+
+class CorpusPipeline:
+    """End-to-end training-data corpus build (SURVEY.md §2C composed):
+
+    raw documents → quality gate → exact dedup (keep min doc_id per
+    fingerprint) → sliding-window chunking → deterministic train/val
+    split → lake, partitioned by split so a trainer reads
+    ``chunks/split=train/`` without touching validation data.
+
+    Every stage is one of the §2C operators — the pipeline is plain
+    composition, no new semantics.
+    """
+
+    CHUNKS = "corpus_chunks"
+
+    def __init__(self, spark: SparkSession, lake_dir: str):
+        self.spark = spark
+        self.lake = lake_dir.rstrip("/")
+
+    def run(self, sf_dir: str) -> DataFrame:
+        from northwind_warehouse_spark.plans import llm
+
+        kept = llm.quality_filter(self.spark, sf_dir).select("doc_id")
+        docs = load(self.spark, sf_dir, "documents").join(kept, "doc_id", "left_semi")
+
+        fingerprint = F.md5("text")
+        from northwind_warehouse_spark.operators.dedup import exact_dedup
+
+        unique_docs = exact_dedup(docs, fingerprint, [F.col("doc_id")]).drop("fingerprint")
+
+        # chunk + split on the surviving docs
+        toks = unique_docs.select("doc_id", F.split("text", " ").alias("w")).withColumn(
+            "n", F.size("w").cast("bigint")
+        )
+        starts = F.expr("transform(sequence(0, (n - 1) div 10), i -> i * 10 + 1)")
+        chunks = toks.select(
+            "doc_id", F.posexplode(starts).alias("chunk_idx", "start"), "w"
+        ).select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.concat_ws(" ", F.expr("slice(w, start, 20)")).alias("chunk_text"),
+        )
+        bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ) % 100
+        out = chunks.withColumn(
+            "split", F.when(bucket < 90, F.lit("train")).otherwise(F.lit("val"))
+        )
+        path = f"{self.lake}/{self.CHUNKS}"
+        write_table(out, path, partition_by=("split",))
+        return read_table(self.spark, path)

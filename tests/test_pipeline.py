@@ -36,6 +36,32 @@ def test_incremental_scd2_equals_full_rebuild(spark, tmp_path):
     assert _dim_rows(incremental) == _dim_rows(full)
 
 
+def test_corpus_pipeline_end_to_end(spark, tmp_path):
+    """Quality gate → dedup → chunk → split, partitioned by split."""
+    import os
+
+    from northwind_warehouse_spark.plans.llm import quality_filter
+    from northwind_warehouse_spark.plans.pipeline import CorpusPipeline
+
+    p = CorpusPipeline(spark, str(tmp_path / "corpus"))
+    out = p.run(SF_SMOKE)
+
+    n_kept_docs = quality_filter(spark, SF_SMOKE).count()
+    assert out.select("doc_id").distinct().count() <= n_kept_docs
+    assert out.count() > n_kept_docs  # chunking multiplies rows
+
+    splits = {r.split for r in out.select("split").distinct().collect()}
+    assert splits == {"train", "val"}
+    dirs = os.listdir(str(tmp_path / "corpus" / CorpusPipeline.CHUNKS))
+    assert "split=train" in dirs and "split=val" in dirs
+
+    # every chunk is ≤ 20 tokens and non-empty
+    bad = out.filter(
+        (F.size(F.split("chunk_text", " ")) > 20) | (F.length("chunk_text") == 0)
+    ).count()
+    assert bad == 0
+
+
 def test_pipeline_runs_and_is_idempotent(spark, tmp_path):
     from northwind_warehouse_spark.plans.pipeline import WarehousePipeline
 
