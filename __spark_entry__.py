@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cube_sales": analytics.cube_sales,
         "monthly_revenue_running": analytics.monthly_revenue_running,
         "repeat_buyers": analytics.repeat_buyers,
+        "sketch_distinct_users": analytics.sketch_distinct_users,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -126,6 +127,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),
         # dedup_simhash: rows-only (bit-level SQL not portable to DuckDB 1.0)
+        # sketch_distinct_users: rows-only (HLL estimates are engine-specific;
+        #   accuracy vs exact asserted in tests/test_operators.py)
         "text_quality": llm.oracle_text_quality(),
         "quality_filter": llm.oracle_quality_filter(),
         "lang_id": llm.oracle_lang_id(),

@@ -598,6 +598,21 @@ def oracle_monthly_revenue_running() -> str:
     """
 
 
+def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL approximate distinct users per event type (rows-only check:
+    sketch estimates are engine-specific by construction; accuracy vs
+    the exact count is asserted in tests/test_operators.py)."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operation: customers who bought in BOTH 1996 and 1997
     (INTERSECT — Spark rewrites to a distinct semi-join)."""

@@ -152,6 +152,36 @@ def test_salted_join_equals_plain_join(spark):
     assert counts == want
 
 
+def test_sketch_distinct_within_tolerance(spark):
+    """HLL estimate must land within 5% of the exact distinct count."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.analytics import sketch_distinct_users
+
+    approx = {r.event_type: r.approx_users for r in sketch_distinct_users(spark, SF_SMOKE).collect()}
+    e = load(spark, SF_SMOKE, "events")
+    exact = {
+        r.event_type: r.n
+        for r in e.groupBy("event_type").agg(F.count_distinct("user_id").alias("n")).collect()
+    }
+    for t, n in exact.items():
+        assert abs(approx[t] - n) <= max(1, 0.05 * n), (t, approx[t], n)
+
+
+def test_q5_correct_without_broadcast(spark):
+    """Correctness must not depend on the broadcast hints: with
+    broadcasting disabled the same plan runs as SMJ and matches."""
+    from northwind_warehouse_spark.plans.analytics import q5_local_revenue
+
+    baseline = sorted(map(tuple, q5_local_revenue(spark, SF_SMOKE).collect()))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        no_bcast = sorted(map(tuple, q5_local_revenue(spark, SF_SMOKE).collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert baseline == no_bcast
+
+
 def test_multimodal_extract_schema_and_determinism(spark):
     from northwind_warehouse_spark.plans.llm import multimodal_extract
 
