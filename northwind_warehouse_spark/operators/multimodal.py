@@ -59,6 +59,72 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id", blob_col: str
     return binary_df.mapInPandas(run, EXTRACT_SCHEMA)
 
 
+RESIZE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("width", LongType()),
+    StructField("height", LongType()),
+    StructField("resized", BinaryType()),
+])
+
+
+def resize_images(binary_df: DataFrame, width: int = 64, height: int = 64,
+                  id_col: str = "doc_id", blob_col: str = "content") -> DataFrame:
+    """mapInPandas image-resize stage.
+
+    Decode/resample is STUBBED (no image libs in this container): the
+    'resized' payload is a deterministic digest-derived byte block of
+    exactly width*height bytes, standing in for the resampled pixel
+    buffer. Batch iteration, schema, and partition behavior are real —
+    swapping in PIL touches only the inner function.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n = width * height
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "width": width,
+                "height": height,
+                "resized": blobs.map(
+                    lambda b: (hashlib.md5(b).digest() * (n // 16 + 1))[:n]
+                ),
+            })
+
+    return binary_df.mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("frame", BinaryType()),
+])
+
+
+def sample_frames(binary_df: DataFrame, n_frames: int = 4,
+                  id_col: str = "doc_id", blob_col: str = "content") -> DataFrame:
+    """mapInPandas video frame-sampling stage (1→N fan-out inside the
+    batch — the shape that matters for a real decoder).
+
+    Frame extraction is STUBBED: each 'frame' is a deterministic slice
+    digest of the source bytes at evenly spaced offsets.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame": []}
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                step = max(1, len(blob) // n_frames)
+                for i in range(n_frames):
+                    chunk = blob[i * step:(i + 1) * step] or blob[-step:]
+                    out["doc_id"].append(int(doc_id))
+                    out["frame_idx"].append(i)
+                    out["frame"].append(hashlib.md5(chunk).digest())
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, FRAME_SCHEMA)
+
+
 def documents_as_binary(documents: DataFrame) -> DataFrame:
     """Adapter: expose the documents table as a binary-content corpus
     (stands in for an image/audio table in the testdata)."""

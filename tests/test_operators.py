@@ -191,3 +191,24 @@ def test_multimodal_extract_schema_and_determinism(spark):
     assert all(len(r.features) == 4 for r in rows)
     rows2 = multimodal_extract(spark, SF_SMOKE).limit(5).collect()
     assert [r.content_md5 for r in rows] == [r.content_md5 for r in rows2]
+
+
+def test_multimodal_resize_and_frame_sample(spark):
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.multimodal import (
+        documents_as_binary, resize_images, sample_frames,
+    )
+
+    corpus = documents_as_binary(load(spark, SF_SMOKE, "documents"))
+    n_docs = corpus.count()
+
+    resized = resize_images(corpus, width=8, height=8)
+    rows = resized.limit(3).collect()
+    assert resized.count() == n_docs
+    assert all(len(r.resized) == 64 for r in rows)
+
+    frames = sample_frames(corpus, n_frames=4)
+    assert frames.count() == n_docs * 4
+    one = frames.filter(F.col("doc_id") == rows[0].doc_id).collect()
+    assert sorted(r.frame_idx for r in one) == [0, 1, 2, 3]
+    assert all(len(r.frame) == 16 for r in one)
