@@ -1,0 +1,95 @@
+"""Versioned lake tables — time travel for reproducible pipelines.
+
+The reference's intermediate models query Snowflake time travel
+(``AT (TIMESTAMP => ...)``, reference: models/intermediate/
+stg_dim_customer.sql:72) to reprocess historical states. The lake-native
+equivalent: every write creates an immutable version directory plus a
+manifest entry; reads resolve a version id or an as-of timestamp to its
+directory. This also gives training jobs snapshot isolation — a run
+pinned to version N sees identical bytes forever, regardless of later
+writes.
+
+Layout:
+    <root>/<table>/_manifest.json        # [{version, committed_at, path}]
+    <root>/<table>/v=<n>/ ... parquet ...
+
+Write amplification is per-version (full snapshots, like the reference's
+materialized tables) — incremental formats (Delta/Iceberg) swap in
+cleanly, the read API is unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class VersionedTable:
+    def __init__(self, spark: SparkSession, root: str, table: str):
+        self.spark = spark
+        self.dir = os.path.join(root, table)
+        self.manifest_path = os.path.join(self.dir, "_manifest.json")
+
+    # -- manifest ----------------------------------------------------------
+
+    def _manifest(self) -> list[dict]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as f:
+            return json.load(f)
+
+    def versions(self) -> list[dict]:
+        return self._manifest()
+
+    # -- write -------------------------------------------------------------
+
+    def write(self, df: DataFrame, committed_at: datetime | None = None) -> int:
+        """Commit a new immutable version; returns its id."""
+        manifest = self._manifest()
+        version = (manifest[-1]["version"] + 1) if manifest else 0
+        path = os.path.join(self.dir, f"v={version}")
+        df.write.mode("errorifexists").parquet(path)
+        committed = committed_at or datetime.now(timezone.utc)
+        manifest.append({
+            "version": version,
+            "committed_at": committed.isoformat(),
+            "path": path,
+        })
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.replace(tmp, self.manifest_path)  # atomic manifest swap
+        return version
+
+    # -- read --------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        """Latest version, or a pinned version id."""
+        manifest = self._manifest()
+        if not manifest:
+            raise FileNotFoundError(f"no versions in {self.dir}")
+        if version is None:
+            entry = manifest[-1]
+        else:
+            matches = [m for m in manifest if m["version"] == version]
+            if not matches:
+                raise KeyError(f"version {version} not found in {self.dir}")
+            entry = matches[0]
+        return self.spark.read.parquet(entry["path"])
+
+    def read_asof(self, ts: datetime) -> DataFrame:
+        """The newest version committed at or before ``ts`` — the
+        ``AT (TIMESTAMP => ...)`` semantics of the reference."""
+        if ts.tzinfo is None:
+            ts = ts.replace(tzinfo=timezone.utc)
+        eligible = [
+            m for m in self._manifest()
+            if datetime.fromisoformat(m["committed_at"]) <= ts
+        ]
+        if not eligible:
+            raise KeyError(f"no version of {self.dir} existed at {ts.isoformat()}")
+        return self.spark.read.parquet(eligible[-1]["path"])
