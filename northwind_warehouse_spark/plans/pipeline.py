@@ -17,7 +17,6 @@ materialization semantics.
 
 from __future__ import annotations
 
-import os
 from datetime import datetime
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,8 +46,13 @@ class WarehousePipeline:
     def _path(self, name: str) -> str:
         return f"{self.lake}/{name}"
 
+    def _vt(self, name: str) -> "VersionedTable":
+        from northwind_warehouse_spark.sources.versioned import VersionedTable
+
+        return VersionedTable(self.spark, self.lake, name)
+
     def _exists(self, name: str) -> bool:
-        return os.path.exists(self._path(name))
+        return bool(self._vt(name).versions())
 
     # -- stages ------------------------------------------------------------
 
@@ -77,15 +81,14 @@ class WarehousePipeline:
             attr_cols=["event_type", "value"], tiebreak_cols=["event_id"],
             sk_name="user_sk",
         )
+        vt = self._vt(entity)
         if self._exists(entity):
-            existing = read_table(self.spark, self._path(entity))
-            dim = scd2_merge(existing, changes, **kwargs)
+            dim = scd2_merge(vt.read(), changes, **kwargs)
         else:
             dim = scd2_from_change_stream(changes, **kwargs)
-        # write via temp: the plan reads the same path it overwrites
-        tmp = self._path(entity + "__tmp")
-        write_table(dim, tmp)
-        write_table(read_table(self.spark, tmp), self._path(entity))
+        # each run commits an immutable version — no read/overwrite
+        # conflict, and past runs stay reproducible (time travel)
+        vt.write(dim)
         new_hwm = changes.agg(F.max("ts")).collect()[0][0]
         if new_hwm is not None:
             self.audit.update(entity, new_hwm)
@@ -96,18 +99,14 @@ class WarehousePipeline:
         fact = medallion.fact_orders(self.spark, sf_dir).withColumn(
             "order_year", F.year("order_date")
         )
+        vt = self._vt(entity)
         if self._exists(entity):
-            existing = read_table(self.spark, self._path(entity))
-            merged = existing.join(
+            merged = vt.read().join(
                 fact.select("order_id").distinct(), ["order_id"], "left_anti"
             ).unionByName(fact)
         else:
             merged = fact
-        tmp = self._path(entity + "__tmp")
-        write_table(merged, tmp, partition_by=("order_year",))
-        write_table(
-            read_table(self.spark, tmp), self._path(entity), partition_by=("order_year",)
-        )
+        vt.write(merged, partition_by=("order_year",))
         self.audit.update(entity, datetime.now())
 
     def refresh_failed_lookups(self, sf_dir: str) -> int:
@@ -117,7 +116,8 @@ class WarehousePipeline:
         entity = self.FACT_ORDERS
         if not self._exists(entity):
             return 0
-        fact = read_table(self.spark, self._path(entity))
+        vt = self._vt(entity)
+        fact = vt.read()
         dummy_sk = surrogate_key(F.lit(0))
         failed = fact.filter(F.col("customer_sk") == dummy_sk)
         n_failed = failed.count()
@@ -135,12 +135,7 @@ class WarehousePipeline:
             .withColumn("region_name", F.coalesce("_rn", F.lit("Not Found")))
             .drop("_cid", "_sk", "_nn", "_rn")
         )
-        merged = ok.unionByName(repaired)
-        tmp = self._path(entity + "__tmp")
-        write_table(merged, tmp, partition_by=("order_year",))
-        write_table(
-            read_table(self.spark, tmp), self._path(entity), partition_by=("order_year",)
-        )
+        vt.write(ok.unionByName(repaired), partition_by=("order_year",))
         return n_failed
 
     def run(self, sf_dir: str) -> None:
@@ -151,8 +146,8 @@ class WarehousePipeline:
 
     # -- reads -------------------------------------------------------------
 
-    def table(self, name: str) -> DataFrame:
-        return read_table(self.spark, self._path(name))
+    def table(self, name: str, version: int | None = None) -> DataFrame:
+        return self._vt(name).read(version=version)
 
 
 class CorpusPipeline:

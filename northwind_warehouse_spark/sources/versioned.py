@@ -46,12 +46,20 @@ class VersionedTable:
 
     # -- write -------------------------------------------------------------
 
-    def write(self, df: DataFrame, committed_at: datetime | None = None) -> int:
+    def write(
+        self,
+        df: DataFrame,
+        committed_at: datetime | None = None,
+        partition_by: tuple[str, ...] = (),
+    ) -> int:
         """Commit a new immutable version; returns its id."""
         manifest = self._manifest()
         version = (manifest[-1]["version"] + 1) if manifest else 0
         path = os.path.join(self.dir, f"v={version}")
-        df.write.mode("errorifexists").parquet(path)
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
         committed = committed_at or datetime.now(timezone.utc)
         manifest.append({
             "version": version,

@@ -78,8 +78,14 @@ def test_pipeline_runs_and_is_idempotent(spark, tmp_path):
     assert _dim_rows(p.table(p.DIM_USERS)) == dim1
     assert p.table(p.FACT_ORDERS).count() == fact1
 
-    # facts are partitioned for pruning
+    # facts are partitioned for pruning (inside the latest version dir)
     import os
 
-    years = [d for d in os.listdir(str(tmp_path / "lake" / p.FACT_ORDERS)) if d.startswith("order_year=")]
+    versions = p._vt(p.FACT_ORDERS).versions()
+    assert len(versions) >= 2  # one commit per run
+    latest = versions[-1]["path"]
+    years = [d for d in os.listdir(latest) if d.startswith("order_year=")]
     assert len(years) >= 5
+
+    # time travel: the first run's fact version is still readable
+    assert p.table(p.FACT_ORDERS, version=versions[0]["version"]).count() == fact1
