@@ -115,9 +115,15 @@ def scd2_merge(
     dbt incremental materialization on unique_key).
 
     Invariant: ``merge(build(old), new) == build(old ∪ new)`` — tested in
-    tests/test_operators.py. Only partitions of *affected* keys are
-    recomputed: untouched keys pass through without a shuffle-the-world
-    rebuild, which is what makes this viable on a 100 TB dimension.
+    tests/test_operators.py (hypothesis, arbitrary splits). Only
+    partitions of *affected* keys are recomputed: untouched keys pass
+    through without a shuffle-the-world rebuild, which is what makes
+    this viable on a 100 TB dimension.
+
+    Discipline: incoming changes must carry timestamps at-or-after the
+    stored history's watermark (standard CDC ordering). A replayed
+    change at a timestamp *equal* to a stored version resolves in favor
+    of the stored version (its replay sorts first via null tiebreak).
     """
     affected = changes.select(*key_cols).distinct()
     untouched = existing.join(affected, list(key_cols), "left_anti")

@@ -9,7 +9,7 @@ watermarks — Spark tracks the high watermark per query natively.
 
 from __future__ import annotations
 
-from datetime import datetime, timedelta
+from datetime import timedelta
 from typing import Iterator
 
 import pandas as pd
