@@ -122,6 +122,51 @@ def test_stream_static_enrichment(spark, events_dir, tmp_path):
     assert out.filter(F.col("profile_event_type") == "Not Found").count() == 0
 
 
+def test_scd2_streaming_merge_equals_batch_build(spark, tmp_path):
+    """Events split into 4 source files (≈4 micro-batches) folded by the
+    streaming SCD2 job must equal the one-shot batch build."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.medallion import scd2_users
+    from northwind_warehouse_spark.sources.versioned import VersionedTable
+    from northwind_warehouse_spark.streaming.jobs import scd2_streaming_merge
+
+    # micro-batches must respect event-time order for the merge
+    # discipline, so split by time quartile into separate files
+    e = load(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "scd2_src")
+    bounds = ["2024-01-08", "2024-01-16", "2024-01-24"]
+    slices = [
+        e.filter(F.col("ts") < bounds[0]),
+        e.filter((F.col("ts") >= bounds[0]) & (F.col("ts") < bounds[1])),
+        e.filter((F.col("ts") >= bounds[1]) & (F.col("ts") < bounds[2])),
+        e.filter(F.col("ts") >= bounds[2]),
+    ]
+    import time
+
+    for s in slices:
+        s.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # distinct mod-times → file source preserves batch order
+
+    lake = str(tmp_path / "lake")
+    events = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per slice
+        .parquet(src)
+    )
+    scd2_streaming_merge(events, lake, "dim_users", str(tmp_path / "ckpt"))
+
+    vt = VersionedTable(spark, lake, "dim_users")
+    got = sorted(
+        (r.user_id, r.version_no, str(r.effective_date), str(r.expiry_date), r.is_active, r.row_hash)
+        for r in vt.read().collect()
+    )
+    want = sorted(
+        (r.user_id, r.version_no, str(r.effective_date), str(r.expiry_date), r.is_active, r.row_hash)
+        for r in scd2_users(spark, SF_SMOKE).collect()
+    )
+    assert got == want
+
+
 def test_sessionize_stream_runs(spark, events_dir, tmp_path):
     from northwind_warehouse_spark.streaming.jobs import sessionize_stream, stream_events
 
