@@ -65,6 +65,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "monthly_revenue_running": analytics.monthly_revenue_running,
         "repeat_buyers": analytics.repeat_buyers,
         "sketch_distinct_users": analytics.sketch_distinct_users,
+        "customer_spend_deciles": analytics.customer_spend_deciles,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -123,6 +124,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_sales": analytics.oracle_cube_sales(),
         "monthly_revenue_running": analytics.oracle_monthly_revenue_running(),
         "repeat_buyers": analytics.oracle_repeat_buyers(),
+        "customer_spend_deciles": analytics.oracle_customer_spend_deciles(),
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),

@@ -598,6 +598,45 @@ def oracle_monthly_revenue_running() -> str:
     """
 
 
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles (ntile) with per-decile rollup —
+    the segmentation pattern; total ordering makes tiles deterministic."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_spend")
+    )
+    w = Window.orderBy(F.desc("total_spend"), F.col("o_custkey"))
+    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum(F.col("total_spend").cast("decimal(18,2)")), 2).cast("double").alias("decile_spend"),
+            F.min("total_spend").alias("min_spend"),
+            F.max("total_spend").alias("max_spend"),
+        )
+        .orderBy("decile")
+    )
+
+
+def oracle_customer_spend_deciles() -> str:
+    return """
+    WITH per_cust AS (
+        SELECT o_custkey, cast(round(sum(cast(o_totalprice as decimal(12,2))), 2) as double) AS total_spend
+        FROM orders GROUP BY o_custkey
+    ), tiled AS (
+        SELECT *, ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile
+        FROM per_cust
+    )
+    SELECT decile, count(*) AS n_customers,
+           cast(round(sum(cast(total_spend as decimal(18,2))), 2) as double) AS decile_spend,
+           min(total_spend) AS min_spend, max(total_spend) AS max_spend
+    FROM tiled GROUP BY decile ORDER BY decile
+    """
+
+
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL approximate distinct users per event type (rows-only check:
     sketch estimates are engine-specific by construction; accuracy vs
