@@ -66,6 +66,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repeat_buyers": analytics.repeat_buyers,
         "sketch_distinct_users": analytics.sketch_distinct_users,
         "customer_spend_deciles": analytics.customer_spend_deciles,
+        "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
+        "q8_market_share": analytics.q8_market_share,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -125,6 +127,8 @@ def oracle_sql() -> dict[str, str]:
         "monthly_revenue_running": analytics.oracle_monthly_revenue_running(),
         "repeat_buyers": analytics.oracle_repeat_buyers(),
         "customer_spend_deciles": analytics.oracle_customer_spend_deciles(),
+        "q19_disjunctive_revenue": analytics.oracle_q19(),
+        "q8_market_share": analytics.oracle_q8(),
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),

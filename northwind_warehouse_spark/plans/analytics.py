@@ -598,6 +598,84 @@ def oracle_monthly_revenue_running() -> str:
     """
 
 
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive brand/size/quantity predicates —
+    exercises OR-of-ANDs pushdown and a broadcast part join."""
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#20") & (F.col("p_size") <= 45) & (F.col("l_quantity") >= 30))
+    )
+    return joined.filter(cond).agg(
+        dsum2(disc_price(), "revenue"), F.count(F.lit(1)).alias("n_lines")
+    )
+
+
+def oracle_q19() -> str:
+    return f"""
+    SELECT {o_dsum2(o_disc_price(), 'revenue')}, count(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1'  AND p_size <= 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#11' AND p_size <= 30 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#20' AND p_size <= 45 AND l_quantity >= 30)
+    """
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style: EUROPE-supplier share of total revenue per order
+    year. The share ratio is exact (cent-integers + integer division)."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("order_year"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    dp = disc_price()
+    zero = F.lit(0).cast("decimal(18,4)")
+    agg = joined.groupBy("order_year").agg(
+        F.sum(F.when(F.col("r_name") == "EUROPE", dp).otherwise(zero)).alias("europe_dec"),
+        F.sum(dp).alias("total_dec"),
+    )
+    return agg.select(
+        "order_year",
+        F.round(F.col("europe_dec"), 2).cast("double").alias("europe_revenue"),
+        F.round(F.col("total_dec"), 2).cast("double").alias("total_revenue"),
+        F.expr(
+            "CAST((10000 * CAST(europe_dec * 100 AS BIGINT)) div CAST(total_dec * 100 AS BIGINT) AS DOUBLE) / 10000.0"
+        ).alias("europe_share"),
+    ).orderBy("order_year")
+
+
+def oracle_q8() -> str:
+    dp = o_disc_price()
+    return f"""
+    WITH agg AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+               sum(CASE WHEN r_name = 'EUROPE' THEN {dp} ELSE cast(0 as decimal(18,4)) END) AS europe_dec,
+               sum({dp}) AS total_dec
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY CAST(year(o_orderdate) AS INT)
+    )
+    SELECT order_year,
+           cast(round(europe_dec, 2) as double) AS europe_revenue,
+           cast(round(total_dec, 2) as double) AS total_revenue,
+           CAST((10000 * CAST(europe_dec * 100 AS BIGINT)) // CAST(total_dec * 100 AS BIGINT) AS DOUBLE) / 10000.0 AS europe_share
+    FROM agg ORDER BY order_year
+    """
+
+
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer lifetime-value deciles (ntile) with per-decile rollup —
     the segmentation pattern; total ordering makes tiles deterministic."""
