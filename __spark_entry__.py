@@ -68,6 +68,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_spend_deciles": analytics.customer_spend_deciles,
         "q19_disjunctive_revenue": analytics.q19_disjunctive_revenue,
         "q8_market_share": analytics.q8_market_share,
+        "q2_min_cost_supplier": analytics.q2_min_cost_supplier,
+        "q9_product_profit": analytics.q9_product_profit,
+        "q11_important_parts": analytics.q11_important_parts,
+        "q12_priority_shipping": analytics.q12_priority_shipping,
+        "q13_order_distribution": analytics.q13_order_distribution,
+        "q15_top_supplier": analytics.q15_top_supplier,
+        "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
+        "q20_excess_suppliers": analytics.q20_excess_suppliers,
+        "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -129,6 +138,15 @@ def oracle_sql() -> dict[str, str]:
         "customer_spend_deciles": analytics.oracle_customer_spend_deciles(),
         "q19_disjunctive_revenue": analytics.oracle_q19(),
         "q8_market_share": analytics.oracle_q8(),
+        "q2_min_cost_supplier": analytics.oracle_q2(),
+        "q9_product_profit": analytics.oracle_q9(),
+        "q11_important_parts": analytics.oracle_q11(),
+        "q12_priority_shipping": analytics.oracle_q12(),
+        "q13_order_distribution": analytics.oracle_q13(),
+        "q15_top_supplier": analytics.oracle_q15(),
+        "q17_small_quantity_revenue": analytics.oracle_q17(),
+        "q20_excess_suppliers": analytics.oracle_q20(),
+        "q21_waiting_suppliers": analytics.oracle_q21(),
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),

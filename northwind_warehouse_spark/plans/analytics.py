@@ -925,3 +925,413 @@ def oracle_events_pivot() -> str:
         cast(round(sum(CASE WHEN event_type = 'purchase' THEN cast(value as decimal(12,2)) ELSE cast(0 as decimal(12,2)) END), 2) as double) AS purchase_value
     FROM events GROUP BY user_id ORDER BY user_id
     """
+
+
+# --- TPC-H remainder (q2 q9 q11 q12 q13 q15 q17 q20 q21 patterns) ------------
+# The testdata has no partsupp / l_shipmode / l_commitdate, so each query
+# keeps its defining PLAN PATTERN (correlated-min subquery, profit join,
+# scalar-subquery threshold, outer-join histogram, max-subquery winner,
+# avg-subquery gate, nested semi/anti self-joins) re-targeted at columns
+# that exist. Derived "supply offers" come from lineitem history.
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 pattern: cheapest EUROPE supplier per part (correlated min).
+
+    Supply offers are derived from lineitem history: per (part, supplier)
+    the best unit price ever charged, as an exact integer (micro-cents via
+    integer division — portable, no float division). The correlated min
+    subquery becomes a groupBy-min + equality join back, which Spark
+    executes as one shuffle on partkey; supplier⋈nation⋈region and part
+    are broadcast.
+    """
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        "l_suppkey",
+        (dec2("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    offers = (
+        l.withColumn("unit_microcents", F.expr("(cents * 10000) div qty"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("unit_microcents").alias("unit_microcents"))
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_acctbal", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select("r_regionkey")
+    s_eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers_eu = offers.join(F.broadcast(s_eu), offers.l_suppkey == s_eu.s_suppkey)
+    best = offers_eu.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
+        F.min("unit_microcents").alias("best_unit")
+    )
+    p = load(spark, sf_dir, "part").filter(
+        (F.col("p_size") >= 10) & (F.col("p_size") <= 20) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey", "p_brand")
+    return (
+        offers_eu.join(
+            best,
+            (offers_eu.l_partkey == best.b_partkey)
+            & (offers_eu.unit_microcents == best.best_unit),
+        )
+        .join(F.broadcast(p), offers_eu.l_partkey == p.p_partkey)
+        .select(
+            "p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name",
+            "unit_microcents",
+        )
+        .orderBy(F.desc("s_acctbal"), "p_partkey", "s_suppkey")
+        .limit(100)
+    )
+
+
+def oracle_q2() -> str:
+    return """
+    WITH offers AS (
+        SELECT l_partkey, l_suppkey,
+               min((CAST(cast(l_extendedprice as decimal(12,2)) * 100 AS BIGINT) * 10000)
+                   // CAST(l_quantity AS BIGINT)) AS unit_microcents
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), offers_eu AS (
+        SELECT o.*, s_name, s_acctbal, n_name
+        FROM offers o
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT p_partkey, p_brand, l_suppkey AS s_suppkey, s_name, s_acctbal, n_name,
+           unit_microcents
+    FROM offers_eu o1
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD'
+      AND unit_microcents = (SELECT min(unit_microcents) FROM offers_eu o2
+                             WHERE o2.l_partkey = o1.l_partkey)
+    ORDER BY s_acctbal DESC, p_partkey, s_suppkey
+    LIMIT 100
+    """
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 pattern: profit by supplier nation and year over a 5-way
+    join. Supply cost proxy = 60% of part retail price (no partsupp in the
+    testdata); all money stays exact DECIMAL end-to-end.
+    """
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("profit_year")
+    )
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("%g%")).select(
+        "p_partkey",
+        (dec2("p_retailprice") * F.lit(0.60).cast("decimal(4,2)")).cast("decimal(16,4)").alias("cost_pu"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = (disc_price() - (F.col("cost_pu") * dec2("l_quantity")).cast("decimal(18,4)")).cast(
+        "decimal(18,4)"
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name", "profit_year")
+        .agg(dsum2(amount, "sum_profit"))
+        .orderBy("n_name", F.desc("profit_year"))
+    )
+
+
+def oracle_q9() -> str:
+    amount = (
+        f"cast({o_disc_price()} - cast("
+        "cast(cast(p_retailprice as decimal(12,2)) * cast(0.60 as decimal(4,2)) as decimal(16,4))"
+        " * cast(l_quantity as decimal(12,2)) as decimal(18,4)) as decimal(18,4))"
+    )
+    return f"""
+    SELECT n_name, CAST(year(o_orderdate) AS INT) AS profit_year,
+           {o_dsum2(amount, 'sum_profit')}
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%g%'
+    GROUP BY n_name, CAST(year(o_orderdate) AS INT)
+    ORDER BY n_name, profit_year DESC
+    """
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 pattern: parts whose inventory value exceeds a scalar-
+    subquery threshold (here 110% of the mean part value — the testdata's
+    uniform value distribution makes a global-fraction cut degenerate).
+    Comparison runs on exact cent-integers; threshold relation is a
+    broadcast cross join.
+    """
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice", "l_discount")
+    vals = l.groupBy("l_partkey").agg(
+        F.sum(disc_price()).alias("val_dec")
+    ).select(
+        "l_partkey",
+        "val_dec",
+        (F.col("val_dec") * 100).cast("bigint").alias("val_cents"),
+    )
+    thresh = vals.agg(
+        (F.sum("val_cents")).alias("tot_cents"), F.count(F.lit(1)).alias("n_parts")
+    )
+    return (
+        vals.join(F.broadcast(thresh))
+        .filter(F.col("val_cents") * 100 * F.col("n_parts") > F.lit(110) * F.col("tot_cents"))
+        .select(
+            F.col("l_partkey").alias("part_key"),
+            F.round(F.col("val_dec"), 2).cast("double").alias("part_value"),
+        )
+        .orderBy(F.desc("part_value"), "part_key")
+    )
+
+
+def oracle_q11() -> str:
+    dp = o_disc_price()
+    return f"""
+    WITH vals AS (
+        SELECT l_partkey, sum({dp}) AS val_dec,
+               CAST(sum({dp}) * 100 AS BIGINT) AS val_cents
+        FROM lineitem GROUP BY l_partkey
+    ), thresh AS (
+        SELECT CAST(sum(val_cents) AS BIGINT) AS tot_cents, count(*) AS n_parts FROM vals
+    )
+    SELECT l_partkey AS part_key, cast(round(val_dec, 2) as double) AS part_value
+    FROM vals, thresh
+    WHERE val_cents * 100 * n_parts > 110 * tot_cents
+    ORDER BY part_value DESC, part_key
+    """
+
+
+def q12_priority_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 pattern: priority-class conditional counts per shipping
+    class (l_linestatus stands in for the missing l_shipmode)."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def oracle_q12() -> str:
+    return """
+    SELECT l_linestatus,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """
+
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: customer order-count histogram via LEFT OUTER join +
+    two-level aggregation (customers with zero orders land in bucket 0)."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def oracle_q13() -> str:
+    return """
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer
+        LEFT OUTER JOIN orders ON c_custkey = o_custkey
+            AND o_orderpriority <> '4-NOT SPECIFIED'
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM per_cust GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: the supplier(s) achieving max quarterly revenue — the
+    max() scalar subquery becomes a broadcast single-row join; equality is
+    on exact decimal sums so ties are engine-identical."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = l.groupBy("l_suppkey").agg(F.sum(disc_price()).alias("rev_dec"))
+    mx = rev.agg(F.max("rev_dec").alias("max_dec"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.rev_dec == mx.max_dec)
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("rev_dec"), 2).cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def oracle_q15() -> str:
+    dp = o_disc_price()
+    return f"""
+    WITH rev AS (
+        SELECT l_suppkey, sum({dp}) AS rev_dec
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, cast(round(rev_dec, 2) as double) AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE rev_dec = (SELECT max(rev_dec) FROM rev)
+    ORDER BY s_suppkey
+    """
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: revenue from lineitems below 20% of their part's
+    average quantity. The avg subquery is exact: qty < 0.2*avg becomes the
+    integer predicate 5*qty*cnt < sum_qty (quantities are integral)."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    stats = l.groupBy(F.col("l_partkey").alias("s_partkey")).agg(
+        F.sum("qty").alias("sum_qty"), F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        l.join(stats, l.l_partkey == stats.s_partkey)
+        .filter(F.lit(5) * F.col("qty") * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            dsum2(dec2("l_extendedprice"), "total_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+def oracle_q17() -> str:
+    return f"""
+    WITH stats AS (
+        SELECT l_partkey AS s_partkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {o_dsum2(o_dec2('l_extendedprice'), 'total_revenue')}, count(*) AS n_lines
+    FROM lineitem JOIN stats ON l_partkey = s_partkey
+    WHERE 5 * CAST(l_quantity AS BIGINT) * cnt < sum_qty
+    """
+
+
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 pattern: suppliers who shipped >50 units of any 'small%'
+    part in 1997 — nested semi-join (HAVING-gated inner aggregate →
+    left-semi into supplier)."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_name").like("small%")).select("p_partkey")
+    l = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    heavy = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 50)
+        .select("l_suppkey")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def oracle_q20() -> str:
+    return """
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+        SELECT l_suppkey
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey, l_partkey
+        HAVING sum(CAST(l_quantity AS BIGINT)) > 50
+    )
+    ORDER BY s_suppkey
+    """
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 pattern: suppliers solely responsible for returned lines
+    in finished multi-supplier orders — EXISTS → left-semi self-join,
+    NOT EXISTS → left-anti self-join, both shuffling once on orderkey."""
+    l = load(spark, sf_dir, "lineitem")
+    l1 = l.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_suppkey")
+    l2 = l.select(F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2"))
+    l3 = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    fo = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    blamed = (
+        l1.join(fo, l1.l_orderkey == fo.o_orderkey, "left_semi")
+        .join(l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")), "left_semi")
+        .join(l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti")
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(20)
+    )
+
+
+def oracle_q21() -> str:
+    return """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN supplier ON l1.l_suppkey = s_suppkey
+    WHERE l1.l_returnflag = 'R'
+      AND EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l1.l_orderkey AND o_orderstatus = 'F')
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """
