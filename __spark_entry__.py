@@ -93,6 +93,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": llm.ann_lsh_topk,
         "dedup_embedding_cosine": llm.dedup_embedding_cosine,
         "embedding_stats": llm.embedding_stats,
+        "vocab_top_terms": llm.vocab_top_terms,
+        "repetition_quality": llm.repetition_quality,
+        "contamination_check": llm.contamination_check,
+        "dedup_cross_corpus": llm.dedup_cross_corpus,
+        "dedup_clusters": llm.dedup_clusters,
         "multimodal_extract": llm.multimodal_extract,
     }
 
@@ -165,5 +170,10 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": llm.oracle_ann_lsh_topk(),
         "dedup_embedding_cosine": llm.oracle_dedup_embedding_cosine(),
         "embedding_stats": llm.oracle_embedding_stats(),
+        "vocab_top_terms": llm.oracle_vocab_top_terms(),
+        "repetition_quality": llm.oracle_repetition_quality(),
+        "contamination_check": llm.oracle_contamination_check(),
+        "dedup_cross_corpus": llm.oracle_dedup_cross_corpus(),
+        "dedup_clusters": llm.oracle_dedup_clusters(),
         # multimodal_extract: rows-only (mapInPandas decode stub)
     }

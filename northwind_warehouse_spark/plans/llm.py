@@ -638,3 +638,252 @@ def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode/feature pipeline over mapInPandas."""
     d = load(spark, sf_dir, "documents")
     return extract_features(documents_as_binary(d)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics, contamination, cluster resolution
+# ---------------------------------------------------------------------------
+
+_INCOMING_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 terms by occurrence with document
+    frequency — the vocab/BPE-training prep stage. One explode + one
+    groupBy(term) shuffle with map-side partial counts; ties broken by
+    term for a total ordering."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    return (
+        t.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.count_distinct("doc_id").alias("doc_freq"),
+        )
+        .orderBy(F.desc("n_occurrences"), "term")
+        .limit(50)
+    )
+
+
+def oracle_vocab_top_terms() -> str:
+    return """
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+    SELECT term, count(*) AS n_occurrences, count(DISTINCT doc_id) AS doc_freq
+    FROM t GROUP BY term
+    ORDER BY n_occurrences DESC, term
+    LIMIT 50
+    """
+
+
+def repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: distinct-token ratio
+    and most-frequent-token share. Map-only — the mode frequency comes
+    from higher-order array functions over the token array (bounded by
+    doc length), so the whole op is a single scan with zero shuffles."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+    ).select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("w")).cast("bigint").alias("n_distinct"),
+        F.expr(
+            "CAST(array_max(transform(array_distinct(w), t -> size(filter(w, x -> x = t)))) AS BIGINT)"
+        ).alias("top_tok_count"),
+    )
+    return base.select(
+        "*",
+        ratio_4dp("n_distinct", "n_tokens").alias("distinct_ratio"),
+        ratio_4dp("top_tok_count", "n_tokens").alias("top_tok_ratio"),
+        (F.col("top_tok_count") * 10 > F.col("n_tokens")).alias("is_repetitive"),
+    ).orderBy("doc_id")
+
+
+def oracle_repetition_quality() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+               CAST(list_max(list_transform(list_distinct(w),
+                    t -> len(list_filter(w, x -> x = t)))) AS BIGINT) AS top_tok_count
+        FROM base
+    )
+    SELECT *, {o_ratio_4dp('n_distinct', 'n_tokens')} AS distinct_ratio,
+              {o_ratio_4dp('top_tok_count', 'n_tokens')} AS top_tok_ratio,
+              top_tok_count * 10 > n_tokens AS is_repetitive
+    FROM m ORDER BY doc_id
+    """
+
+
+def _split_bucket():
+    """The train_val_split hash bucket as a column expression."""
+    return F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 100
+
+
+_ORACLE_BUCKET = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100"
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination scan: for each VAL document (train_val_split
+    buckets), how many of its 3-gram shingles appear anywhere in the TRAIN
+    split. Inverted-index style: the train shingle set is dedup'd then
+    joined on md5(shingle) — one shuffle keyed on the shingle hash, never
+    a doc×doc product. At 100 TB the train side is the big relation; the
+    join key is a fixed-width hash so AQE can split skewed boilerplate
+    shingles."""
+    from northwind_warehouse_spark.operators import similarity as s
+
+    d = load(spark, sf_dir, "documents")
+    sh_arr = s.shingle_arrays(d).withColumn("bucket", _split_bucket())
+    val = sh_arr.filter(F.col("bucket") >= 90)
+    train_sh = (
+        sh_arr.filter(F.col("bucket") < 90)
+        .select(F.explode("sh").alias("shingle"))
+        .select(F.md5("shingle").alias("h"))
+        .distinct()
+    )
+    val_ex = val.select("doc_id", F.explode("sh").alias("shingle")).select(
+        "doc_id", F.md5("shingle").alias("h")
+    )
+    shared = val_ex.join(train_sh, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    out = (
+        val.select("doc_id", F.size("sh").cast("bigint").alias("n_shingles"))
+        .join(shared, "doc_id", "left")
+        .withColumn("n_shared", F.coalesce("n_shared", F.lit(0)).cast("bigint"))
+    )
+    return out.select(
+        "doc_id", "n_shingles", "n_shared",
+        ratio_4dp("n_shared", "n_shingles").alias("contamination_ratio"),
+    ).orderBy("doc_id")
+
+
+def oracle_contamination_check() -> str:
+    from northwind_warehouse_spark.operators.similarity import SHINGLE_K  # noqa: F401
+
+    return f"""
+    WITH {_SHINGLE_CTE},
+    b AS (
+        SELECT doc_id, sh, {_ORACLE_BUCKET} AS bucket FROM sharr
+    ),
+    val AS (SELECT doc_id, sh FROM b WHERE bucket >= 90),
+    train_sh AS (
+        SELECT DISTINCT md5(x) AS h
+        FROM (SELECT unnest(sh) AS x FROM b WHERE bucket < 90)
+    ),
+    valx AS (
+        SELECT doc_id, md5(x) AS h
+        FROM (SELECT doc_id, unnest(sh) AS x FROM val)
+    ),
+    shared AS (
+        SELECT doc_id, count(*) AS n_shared FROM valx JOIN train_sh USING (h) GROUP BY doc_id
+    )
+    SELECT v.doc_id, CAST(len(v.sh) AS BIGINT) AS n_shingles,
+           CAST(coalesce(s.n_shared, 0) AS BIGINT) AS n_shared,
+           {o_ratio_4dp('coalesce(s.n_shared, 0)', 'len(v.sh)')} AS contamination_ratio
+    FROM val v LEFT JOIN shared s ON v.doc_id = s.doc_id
+    ORDER BY v.doc_id
+    """
+
+
+def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus decontamination: keep INCOMING documents (sources
+    src0-src4) that are not LSH near-duplicates of any REFERENCE document
+    (the existing training set, all other sources). The candidate set
+    comes from the same band-bucket join as dedup_minhash_lsh — never a
+    cross product — and the final filter is a left-anti join."""
+    from northwind_warehouse_spark.operators import similarity as s
+
+    d = load(spark, sf_dir, "documents")
+    pairs = s.lsh_candidate_pairs(s.minhash_signatures(s.shingle_arrays(d)))
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
+    tagged = pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    in_a = F.col("source_a").isin(*_INCOMING_SOURCES)
+    in_b = F.col("source_b").isin(*_INCOMING_SOURCES)
+    contaminated = (
+        tagged.filter(in_a & ~in_b).select(F.col("doc_a").alias("doc_id"))
+        .union(tagged.filter(in_b & ~in_a).select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    incoming = d.filter(F.col("source").isin(*_INCOMING_SOURCES)).select("doc_id", "source")
+    return incoming.join(contaminated, "doc_id", "left_anti").orderBy("doc_id")
+
+
+def oracle_dedup_cross_corpus() -> str:
+    srcs = ", ".join(f"'{s}'" for s in _INCOMING_SOURCES)
+    return f"""
+    WITH {_SIG_CTE},
+    tagged AS (
+        SELECT doc_a, doc_b, da.source AS source_a, db.source AS source_b
+        FROM cand
+        JOIN documents da ON da.doc_id = doc_a
+        JOIN documents db ON db.doc_id = doc_b
+    ),
+    contaminated AS (
+        SELECT doc_a AS doc_id FROM tagged
+        WHERE source_a IN ({srcs}) AND source_b NOT IN ({srcs})
+        UNION
+        SELECT doc_b FROM tagged
+        WHERE source_b IN ({srcs}) AND source_a NOT IN ({srcs})
+    )
+    SELECT doc_id, source FROM documents
+    WHERE source IN ({srcs})
+      AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY doc_id
+    """
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group resolution: connected components over the LSH
+    candidate-pair graph (a~b, b~c ⇒ one {a,b,c} cluster), canonical doc
+    = min doc_id per component. Pregel-style min-label propagation —
+    see operators/components.py for the scale story."""
+    from northwind_warehouse_spark.operators import similarity as s
+    from northwind_warehouse_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = s.lsh_candidate_pairs(s.minhash_signatures(s.shingle_arrays(d)))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    out = (
+        d.select("doc_id")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select("doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster_id"))
+    )
+    return out.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    ).orderBy("doc_id")
+
+
+def oracle_dedup_clusters() -> str:
+    return f"""
+    WITH RECURSIVE {_SIG_CTE},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND e.v <> r.u
+    ),
+    comp AS (
+        SELECT u AS node, min(v) AS comp
+        FROM (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+        GROUP BY u
+    )
+    SELECT d.doc_id,
+           coalesce(c.comp, d.doc_id) AS cluster_id,
+           d.doc_id = coalesce(c.comp, d.doc_id) AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ORDER BY d.doc_id
+    """

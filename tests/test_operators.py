@@ -212,3 +212,24 @@ def test_multimodal_resize_and_frame_sample(spark):
     one = frames.filter(F.col("doc_id") == rows[0].doc_id).collect()
     assert sorted(r.frame_idx for r in one) == [0, 1, 2, 3]
     assert all(len(r.frame) == 16 for r in one)
+
+
+def test_connected_components_transitivity(spark):
+    from northwind_warehouse_spark.operators.components import connected_components
+
+    # chain 1-2-3 + pair 10-11 + triangle 20-21-22 (21-22 redundant edge)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (20, 22), (21, 22)],
+        ["src", "dst"],
+    )
+    comp = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_connected_components_long_chain(spark):
+    from northwind_warehouse_spark.operators.components import connected_components
+
+    # diameter > 1: label must propagate across the whole chain
+    edges = spark.createDataFrame([(i, i + 1) for i in range(8)], ["src", "dst"])
+    comp = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
