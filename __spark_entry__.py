@@ -77,6 +77,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity_revenue": analytics.q17_small_quantity_revenue,
         "q20_excess_suppliers": analytics.q20_excess_suppliers,
         "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
+        "events_resample": analytics.events_resample,
+        "grouping_sets_sales": analytics.grouping_sets_sales,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -98,6 +100,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": llm.contamination_check,
         "dedup_cross_corpus": llm.dedup_cross_corpus,
         "dedup_clusters": llm.dedup_clusters,
+        "corpus_sample": llm.corpus_sample,
+        "domain_mixture": llm.domain_mixture,
+        "dedup_chunks": llm.dedup_chunks,
+        "ann_ivf_topk": llm.ann_ivf_topk,
         "multimodal_extract": llm.multimodal_extract,
     }
 
@@ -152,6 +158,8 @@ def oracle_sql() -> dict[str, str]:
         "q17_small_quantity_revenue": analytics.oracle_q17(),
         "q20_excess_suppliers": analytics.oracle_q20(),
         "q21_waiting_suppliers": analytics.oracle_q21(),
+        "events_resample": analytics.oracle_events_resample(),
+        "grouping_sets_sales": analytics.oracle_grouping_sets_sales(),
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),
@@ -175,5 +183,9 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": llm.oracle_contamination_check(),
         "dedup_cross_corpus": llm.oracle_dedup_cross_corpus(),
         "dedup_clusters": llm.oracle_dedup_clusters(),
+        "corpus_sample": llm.oracle_corpus_sample(),
+        "domain_mixture": llm.oracle_domain_mixture(),
+        "dedup_chunks": llm.oracle_dedup_chunks(),
+        "ann_ivf_topk": llm.oracle_ann_ivf_topk(),
         # multimodal_extract: rows-only (mapInPandas decode stub)
     }

@@ -216,3 +216,55 @@ def ann_bruteforce_topk(
         .select("query_id", "neighbor_id", "cosine", "nn_rank")
         .orderBy("query_id", "nn_rank")
     )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest (max-cosine) centroid cell.
+
+    IVF coarse quantization: centroids here are a deterministic sample
+    (the first ``n_centroids`` vectors) — a real k-means refinement is
+    just iterations of this same assign step plus a per-cell mean, same
+    join shape. The assignment itself is MAP-ONLY: the centroid set is
+    collapsed to one array row, broadcast, and each corpus row computes
+    its argmax with higher-order functions — zero shuffle over the
+    corpus, which is what lets the index build scan 100 TB once.
+    Ties break to the lowest centroid id (max over (cosine, -cent_id)).
+    """
+    from northwind_warehouse_spark.functions.vectors import Q, norm2_q
+
+    base = embeddings.select(F.col(id_col), F.col(vec_col), norm2_q(vec_col).alias("n2"))
+    cents = (
+        base.filter(F.col(id_col) < n_centroids)
+        .select(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("cent_id"),
+                        F.col(vec_col).alias("cvec"),
+                        F.col("n2").alias("cn2"),
+                    )
+                )
+            ).alias("cents")
+        )
+    )
+    scored = base.crossJoin(F.broadcast(cents)).withColumn(
+        "best",
+        F.expr(
+            f"""array_max(transform(cents, c -> struct(
+                CAST(aggregate(zip_with({vec_col}, c.cvec, {Q}),
+                               CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+                  / sqrt(CAST(n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos,
+                -c.cent_id AS neg)))"""
+        ),
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "n2",
+        (-F.col("best.neg")).cast("bigint").alias("cell_id"),
+    )

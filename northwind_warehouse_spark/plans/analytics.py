@@ -1335,3 +1335,111 @@ def oracle_q21() -> str:
     ORDER BY numwait DESC, s_name
     LIMIT 20
     """
+
+
+def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample: events → hourly bins per event_type with a
+    gap-filled spine (bins with zero events still appear). The spine is
+    sequence(min_hour, max_hour) from a 1-row aggregate cross-joined
+    against the distinct type set — both tiny, both broadcast — so the
+    corpus itself is touched once by the binned aggregation (one
+    shuffle on (event_type, hour)). At 100 TB the hour predicate prunes
+    date-partitioned input and the spine stays O(hours × types)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "value"
+    )
+    agg = e.groupBy("event_type", "hour_ts").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(dec2("value")), 2).cast("double").alias("total_value"),
+    )
+    bounds = e.agg(F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts")
+    )
+    types = e.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    return (
+        grid.join(F.broadcast(agg), ["event_type", "hour_ts"], "left")
+        .select(
+            "event_type",
+            "hour_ts",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+        )
+        .orderBy("event_type", "hour_ts")
+    )
+
+
+def oracle_events_resample() -> str:
+    return f"""
+    WITH e AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts, value FROM events
+    ),
+    agg AS (
+        SELECT event_type, hour_ts, count(*) AS n_events,
+               cast(round(sum({o_dec2('value')}), 2) as double) AS total_value
+        FROM e GROUP BY event_type, hour_ts
+    ),
+    spine AS (
+        SELECT unnest(generate_series(min(hour_ts), max(hour_ts), INTERVAL 1 HOUR)) AS hour_ts
+        FROM e
+    ),
+    grid AS (
+        SELECT t.event_type, s.hour_ts
+        FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM e) t
+    )
+    SELECT g.event_type, g.hour_ts,
+           CAST(coalesce(a.n_events, 0) AS BIGINT) AS n_events,
+           coalesce(a.total_value, 0.0) AS total_value
+    FROM grid g LEFT JOIN agg a ON a.event_type = g.event_type AND a.hour_ts = g.hour_ts
+    ORDER BY g.event_type, g.hour_ts
+    """
+
+
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue over explicit GROUPING SETS ((nation, priority), (nation),
+    (priority), ()) with per-column grouping flags — the general form of
+    the rollup/cube family, one shuffle for all four granularities
+    (Catalyst's Expand feeds a single hash aggregate)."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "o_orderpriority", "o_totalprice")
+    )
+    return (
+        j.groupingSets(
+            [["n_name", "o_orderpriority"], ["n_name"], ["o_orderpriority"], []],
+            "n_name",
+            "o_orderpriority",
+        )
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum2(dec2("o_totalprice"), "total_sales"),
+        )
+        .orderBy(
+            F.col("g_nation"),
+            F.col("g_priority"),
+            F.col("n_name").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def oracle_grouping_sets_sales() -> str:
+    return f"""
+    SELECT n_name, o_orderpriority,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           count(*) AS n_orders,
+           {o_dsum2(o_dec2('o_totalprice'), 'total_sales')}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())
+    ORDER BY g_nation, g_priority, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+    """

@@ -312,11 +312,10 @@ def oracle_doc_fingerprint() -> str:
 CHUNK_SIZE, CHUNK_STRIDE = 20, 10
 
 
-def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window document chunking (20-token windows, stride 10) —
-    the context-window prep stage of a training pipeline. Map-only:
-    tokenize → generate starts → slice, all array ops, no shuffle."""
-    d = load(spark, sf_dir, "documents")
+def chunk_documents(d: DataFrame) -> DataFrame:
+    """Sliding-window chunks (unordered): doc_id, chunk_idx, chunk_text,
+    chunk_n_tokens. Map-only: tokenize → generate starts → slice, all
+    array ops, no shuffle."""
     toks = d.select("doc_id", F.split("text", " ").alias("w")).withColumn(
         "n", F.size("w").cast("bigint")
     )
@@ -327,7 +326,32 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
         F.concat_ws(" ", F.expr(f"slice(w, start, {CHUNK_SIZE})")).alias("chunk_text"),
         F.least(F.lit(CHUNK_SIZE).cast("bigint"), F.col("n") - F.col("start") + 1).alias("chunk_n_tokens"),
-    ).orderBy("doc_id", "chunk_idx")
+    )
+
+
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (20-token windows, stride 10) —
+    the context-window prep stage of a training pipeline."""
+    return chunk_documents(load(spark, sf_dir, "documents")).orderBy("doc_id", "chunk_idx")
+
+
+_CHUNK_CTE = f"""toks AS (
+        SELECT doc_id, string_split(text, ' ') AS w,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, w, n,
+               unnest(generate_series(0, (n - 1) // {CHUNK_STRIDE})) AS i
+        FROM toks
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_idx,
+               array_to_string(w[(i * {CHUNK_STRIDE} + 1):(i * {CHUNK_STRIDE} + {CHUNK_SIZE})], ' ') AS chunk_text,
+               least({CHUNK_SIZE}, n - (i * {CHUNK_STRIDE} + 1) + 1) AS chunk_n_tokens
+        FROM starts
+    )"""
 
 
 def oracle_doc_chunking() -> str:
@@ -886,4 +910,234 @@ def oracle_dedup_clusters() -> str:
            d.doc_id = coalesce(c.comp, d.doc_id) AS is_canonical
     FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
     ORDER BY d.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# Corpus sampling, mixture weighting, chunk-grain dedup, IVF ANN
+# ---------------------------------------------------------------------------
+
+_SAMPLE_BOOSTED = ("src0", "src1")  # high-value domains kept at 50%
+_SAMPLE_BOOST_PCT, _SAMPLE_BASE_PCT = 50, 10
+
+
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus sampling: per-source keep rates
+    (50% for boosted domains, 10% elsewhere) applied via an md5 hash
+    bucket of the doc id. Map-only — the keep decision is a pure
+    function of (doc_id, source), so the sample is reproducible, stable
+    under corpus growth, and pushes down to a scan filter at 100 TB
+    (no shuffle, no sampling state)."""
+    d = load(spark, sf_dir, "documents")
+    rate = F.when(
+        F.col("source").isin(*_SAMPLE_BOOSTED), F.lit(_SAMPLE_BOOST_PCT)
+    ).otherwise(F.lit(_SAMPLE_BASE_PCT))
+    return (
+        d.select("doc_id", "source", "lang", _split_bucket().alias("bucket"))
+        .filter(F.col("bucket") < rate)
+        .orderBy("doc_id")
+    )
+
+
+def oracle_corpus_sample() -> str:
+    boosted = ", ".join(f"'{s}'" for s in _SAMPLE_BOOSTED)
+    return f"""
+    WITH b AS (
+        SELECT doc_id, source, lang, {_ORACLE_BUCKET} AS bucket FROM documents
+    )
+    SELECT doc_id, source, lang, bucket FROM b
+    WHERE bucket < CASE WHEN source IN ({boosted})
+                        THEN {_SAMPLE_BOOST_PCT} ELSE {_SAMPLE_BASE_PCT} END
+    ORDER BY doc_id
+    """
+
+
+def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture accounting for training-data curation: per-source
+    doc/token totals, the source's share of the corpus, and the
+    up/down-sampling factor that would equalize token share across
+    sources. All ratios in exact integer ppm (no cross-engine float).
+    One groupBy(source) shuffle; the grand totals are a window over the
+    tiny per-source aggregate, not a second pass over the corpus."""
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens("text")).cast("bigint").alias("src_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per_src.withColumn("total_tokens", F.sum("src_tokens").over(w).cast("bigint"))
+        .withColumn("n_sources", F.count(F.lit(1)).over(w).cast("bigint"))
+        .select(
+            "source",
+            "n_docs",
+            "src_tokens",
+            (F.col("src_tokens") * 1000000 / F.col("total_tokens")).cast("bigint").alias("share_ppm"),
+            ((F.col("total_tokens") / F.col("n_sources")).cast("bigint") * 1000000 / F.col("src_tokens"))
+            .cast("bigint")
+            .alias("uniform_weight_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_domain_mixture() -> str:
+    return f"""
+    WITH per_src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum({o_n_tokens('text')}) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source
+    ),
+    tot AS (
+        SELECT *, CAST(sum(src_tokens) OVER () AS BIGINT) AS total_tokens,
+               CAST(count(*) OVER () AS BIGINT) AS n_sources
+        FROM per_src
+    )
+    SELECT source, n_docs, src_tokens,
+           src_tokens * 1000000 // total_tokens AS share_ppm,
+           (total_tokens // n_sources) * 1000000 // src_tokens AS uniform_weight_ppm
+    FROM tot ORDER BY source
+    """
+
+
+def dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-grain exact dedup — finer than whole-document dedup, this
+    catches shared boilerplate windows across otherwise-distinct docs.
+    One groupBy(md5(chunk_text)) shuffle with map-side partial min/count;
+    the keeper (lexicographically first (doc_id, chunk_idx)) is encoded
+    as a single int64 so min() needs no struct ordering."""
+    chunks = chunk_documents(load(spark, sf_dir, "documents"))
+    keyed = chunks.select(
+        F.md5("chunk_text").alias("chunk_md5"),
+        (F.col("doc_id") * 1000000 + F.col("chunk_idx")).alias("k"),
+    )
+    g = keyed.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("k").alias("mk")
+    )
+    return g.select(
+        "chunk_md5",
+        "n_copies",
+        (F.col("mk") / 1000000).cast("bigint").alias("keep_doc_id"),
+        (F.col("mk") % 1000000).cast("bigint").alias("keep_chunk_idx"),
+    ).orderBy("keep_doc_id", "keep_chunk_idx")
+
+
+def oracle_dedup_chunks() -> str:
+    return f"""
+    WITH {_CHUNK_CTE},
+    g AS (
+        SELECT md5(chunk_text) AS chunk_md5, count(*) AS n_copies,
+               min(doc_id * 1000000 + chunk_idx) AS mk
+        FROM chunks GROUP BY md5(chunk_text)
+    )
+    SELECT chunk_md5, n_copies, mk // 1000000 AS keep_doc_id, mk % 1000000 AS keep_chunk_idx
+    FROM g ORDER BY keep_doc_id, keep_chunk_idx
+    """
+
+
+IVF_N_CENTROIDS = 8
+_IVF_QUERY_LO, _IVF_QUERY_HI = 8, 18  # 10 query vectors, disjoint from centroids
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN top-3: vectors are coarse-quantized to their
+    nearest-centroid cell (operators/similarity.py::ivf_assign — a
+    MAP-ONLY argmax over a broadcast centroid array), then each query
+    searches only its own cell. At 100 TB the cell assignment is one
+    corpus scan and the candidate set per query shrinks ~n_centroids-fold;
+    nprobe>1 is the same plan with a top-p cells array explode."""
+    e = load(spark, sf_dir, "embeddings")
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
+
+    assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS)
+    q = assigned.filter(
+        (F.col("vec_id") >= _IVF_QUERY_LO) & (F.col("vec_id") < _IVF_QUERY_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("n2").alias("qn2"),
+        F.col("cell_id").alias("qcell"),
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("qcell").alias("cell_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        dot_q("qvec", "embedding").alias("dot"),
+        F.col("qn2").alias("n2a"),
+        F.col("n2").alias("n2b"),
+    ).withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 3)
+        .select("query_id", "cell_id", "neighbor_id", "cosine", "nn_rank")
+        .orderBy("query_id", "nn_rank")
+    )
+
+
+def oracle_ann_ivf_topk() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM el
+    ),
+    n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+    ),
+    cdot AS (
+        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
+        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {IVF_N_CENTROIDS}
+        GROUP BY a.vec_id, c.vec_id
+    ),
+    ccos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
+        FROM cdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN n2 nc ON nc.vec_id = d.cent_id
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+            FROM ccos
+        ) WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT qa.vec_id AS query_id, qa.cell_id, ca.vec_id AS neighbor_id
+        FROM assign qa JOIN assign ca
+          ON ca.cell_id = qa.cell_id AND ca.vec_id <> qa.vec_id
+        WHERE qa.vec_id >= {_IVF_QUERY_LO} AND qa.vec_id < {_IVF_QUERY_HI}
+    ),
+    dots AS (
+        SELECT p.query_id, p.cell_id, p.neighbor_id, CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+        FROM pairs p
+        JOIN q a ON a.vec_id = p.query_id
+        JOIN q b ON b.vec_id = p.neighbor_id AND b.i = a.i
+        GROUP BY p.query_id, p.cell_id, p.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, cell_id, neighbor_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM dots
+        JOIN n2 na ON na.vec_id = query_id
+        JOIN n2 nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nn_rank
+        FROM scored
+    )
+    SELECT query_id, cell_id, neighbor_id, cosine, nn_rank
+    FROM ranked WHERE nn_rank <= 3 ORDER BY query_id, nn_rank
     """

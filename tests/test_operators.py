@@ -233,3 +233,32 @@ def test_connected_components_long_chain(spark):
     edges = spark.createDataFrame([(i, i + 1) for i in range(8)], ["src", "dst"])
     comp = {r.node: r.comp for r in connected_components(edges).collect()}
     assert set(comp.values()) == {0}
+
+
+def test_ivf_assign_cells(spark):
+    from northwind_warehouse_spark.operators.similarity import ivf_assign
+    from northwind_warehouse_spark.catalog import load
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = ivf_assign(e, n_centroids=8)
+    rows = {r.vec_id: r.cell_id for r in a.collect()}
+    assert set(rows) == {r.vec_id for r in e.select("vec_id").collect()}
+    # every cell id is a centroid id; centroids assign to themselves (cos=1)
+    assert all(0 <= c < 8 for c in rows.values())
+    assert all(rows[i] == i for i in range(8))
+
+
+def test_events_resample_gap_fill(spark):
+    from northwind_warehouse_spark.plans.analytics import events_resample
+
+    df = events_resample(spark, "/root/testdata/sf0.001").collect()
+    by_type = {}
+    for r in df:
+        by_type.setdefault(r.event_type, []).append(r)
+    hours = {len(v) for v in by_type.values()}
+    assert len(hours) == 1  # every type has the identical, fully-dense spine
+    n = hours.pop()
+    for v in by_type.values():
+        ts = sorted(r.hour_ts for r in v)
+        assert all((b - a).total_seconds() == 3600 for a, b in zip(ts, ts[1:]))
+        assert n == (ts[-1] - ts[0]).total_seconds() / 3600 + 1
