@@ -79,6 +79,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": analytics.q21_waiting_suppliers,
         "events_resample": analytics.events_resample,
         "grouping_sets_sales": analytics.grouping_sets_sales,
+        "approx_order_quantiles": analytics.approx_order_quantiles,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -104,6 +105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_mixture": llm.domain_mixture,
         "dedup_chunks": llm.dedup_chunks,
         "ann_ivf_topk": llm.ann_ivf_topk,
+        "collapse_repeats": llm.collapse_repeats,
         "multimodal_extract": llm.multimodal_extract,
     }
 
@@ -160,6 +162,8 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": analytics.oracle_q21(),
         "events_resample": analytics.oracle_events_resample(),
         "grouping_sets_sales": analytics.oracle_grouping_sets_sales(),
+        # approx_order_quantiles: rows-only (GK-sketch estimates are
+        #   engine-specific; accuracy vs exact asserted in tests/test_operators.py)
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),
@@ -187,5 +191,6 @@ def oracle_sql() -> dict[str, str]:
         "domain_mixture": llm.oracle_domain_mixture(),
         "dedup_chunks": llm.oracle_dedup_chunks(),
         "ann_ivf_topk": llm.oracle_ann_ivf_topk(),
+        "collapse_repeats": llm.oracle_collapse_repeats(),
         # multimodal_extract: rows-only (mapInPandas decode stub)
     }

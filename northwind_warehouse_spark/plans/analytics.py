@@ -1443,3 +1443,27 @@ def oracle_grouping_sets_sales() -> str:
     GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name), (o_orderpriority), ())
     ORDER BY g_nation, g_priority, n_name ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
     """
+
+
+def approx_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate order-value quartiles per priority class via
+    percentile_approx (Greenwald-Khanna sketch). Rows-only: sketch
+    estimates are engine-specific; accuracy vs the exact percentiles is
+    asserted in tests/test_operators.py. The sketch is mergeable, so at
+    100 TB this is one map-side pass + a tiny merge — no global sort."""
+    o = load(spark, sf_dir, "orders")
+    qs = F.expr(
+        "percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
+    ).alias("qs")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), qs)
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("qs")[0].alias("p25"),
+            F.col("qs")[1].alias("p50"),
+            F.col("qs")[2].alias("p75"),
+        )
+        .orderBy("o_orderpriority")
+    )

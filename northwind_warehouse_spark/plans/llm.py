@@ -1141,3 +1141,44 @@ def oracle_ann_ivf_topk() -> str:
     SELECT query_id, cell_id, neighbor_id, cosine, nn_rank
     FROM ranked WHERE nn_rank <= 3 ORDER BY query_id, nn_rank
     """
+
+
+def collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization: collapse consecutive duplicate tokens (the
+    classic crawl-artifact cleanup, e.g. 'batch batch batch' → 'batch').
+    Map-only — an index-aware higher-order filter over the token array,
+    zero shuffles, scales with input bytes."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select("doc_id", F.split("text", " ").alias("w")).select(
+        "doc_id",
+        F.size("w").cast("bigint").alias("n_tokens_before"),
+        F.expr("filter(w, (x, i) -> i = 0 OR x != w[i-1])").alias("wn"),
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens_before",
+        F.size("wn").cast("bigint").alias("n_tokens_after"),
+        F.concat_ws(" ", "wn").alias("text_norm"),
+        (F.size("wn") < F.col("n_tokens_before")).alias("changed"),
+    ).orderBy("doc_id")
+
+
+def oracle_collapse_repeats() -> str:
+    # DuckDB lambdas/indexing are 1-based where Spark's are 0-based —
+    # i = 1 guards the first element, w[i-1] is the previous token.
+    return """
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    n AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens_before,
+               list_filter(w, (x, i) -> i = 1 OR x != w[i-1]) AS wn
+        FROM base
+    )
+    SELECT doc_id, n_tokens_before,
+           CAST(len(wn) AS BIGINT) AS n_tokens_after,
+           array_to_string(wn, ' ') AS text_norm,
+           len(wn) < n_tokens_before AS changed
+    FROM n ORDER BY doc_id
+    """

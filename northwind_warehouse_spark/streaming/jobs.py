@@ -212,15 +212,63 @@ def scd2_streaming_merge(
     return q
 
 
-def run_to_memory(stream_df: DataFrame, query_name: str, checkpoint_dir: str):
-    """Drain an availableNow stream into an in-memory table (for tests)."""
+def run_to_memory(stream_df: DataFrame, query_name: str, checkpoint_dir: str,
+                  output_mode: str | None = None):
+    """Drain an availableNow stream into an in-memory table (for tests).
+
+    ``output_mode`` defaults to update; stream-stream joins require
+    append (pass explicitly)."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
-        .outputMode("update" if stream_df.isStreaming else "append")
+        .outputMode(output_mode or ("update" if stream_df.isStreaming else "append"))
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(120)
     return q
+
+
+def join_clicks_to_purchases(events: DataFrame, max_gap_minutes: int = 30) -> DataFrame:
+    """Stream-stream interval join: each purchase matched to the same
+    user's clicks in the preceding ``max_gap_minutes`` (attribution).
+
+    Both sides carry event-time watermarks and the join predicate bounds
+    purchase_ts to a finite window after click_ts, so Spark can expire
+    buffered click state once the watermark passes click_ts + gap —
+    state stays O(events within the horizon), never O(stream). This is
+    the streaming form of the batch as-of/temporal join family
+    (operators/asof.py; reference: models/dwh/fact_order.sql:38-44's
+    BETWEEN-range lookup)."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    return clicks.join(
+        purchases,
+        F.expr(
+            f"""c_user = p_user
+                AND purchase_ts >= click_ts
+                AND purchase_ts <= click_ts + interval {max_gap_minutes} minutes"""
+        ),
+        "inner",
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value",
+    )

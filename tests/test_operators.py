@@ -262,3 +262,22 @@ def test_events_resample_gap_fill(spark):
         ts = sorted(r.hour_ts for r in v)
         assert all((b - a).total_seconds() == 3600 for a, b in zip(ts, ts[1:]))
         assert n == (ts[-1] - ts[0]).total_seconds() / 3600 + 1
+
+
+def test_approx_quantiles_accuracy(spark):
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.analytics import approx_order_quantiles
+
+    got = {r.o_orderpriority: (r.p25, r.p50, r.p75)
+           for r in approx_order_quantiles(spark, "/root/testdata/sf0.001").collect()}
+    exact = {
+        r.o_orderpriority: r.qs
+        for r in load(spark, "/root/testdata/sf0.001", "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").alias("qs"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, (p25, p50, p75) in got.items():
+        for est, ex in zip((p25, p50, p75), exact[k]):
+            assert abs(est - ex) <= 0.02 * max(abs(ex), 1.0)  # within 2%

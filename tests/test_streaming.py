@@ -187,3 +187,31 @@ def test_sessionize_stream_runs(spark, events_dir, tmp_path):
     for r in rows:
         assert r.session_start <= r.session_end
         assert r.n_events >= 1
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.streaming.jobs import (
+        join_clicks_to_purchases, run_to_memory, stream_events,
+    )
+
+    _prepare(spark, events_dir)
+    joined = join_clicks_to_purchases(stream_events(spark, events_dir))
+    run_to_memory(joined, "ssjoin", str(tmp_path / "ck"), output_mode="append")
+    stream_pairs = {(r.click_id, r.purchase_id) for r in spark.table("ssjoin").collect()}
+
+    e = load(spark, SF_SMOKE, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"))
+    batch = c.join(
+        p,
+        F.expr("c_user = p_user AND purchase_ts >= click_ts "
+               "AND purchase_ts <= click_ts + interval 30 minutes"),
+    )
+    batch_pairs = {(r.click_id, r.purchase_id) for r in batch.collect()}
+    assert len(batch_pairs) > 0
+    assert stream_pairs == batch_pairs
