@@ -39,3 +39,19 @@ def test_write_partitioned_prunes(spark, tmp_path):
     plan = back._sc._jvm.PythonSQLUtils.explainString(back._jdf.queryExecution(), "formatted")
     assert back.count() == o.filter(F.col("order_year") == 1997).count()
     assert "PartitionFilters: [isnotnull(order_year" in plan
+
+
+def test_orc_roundtrip_partitioned(spark, tmp_path):
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.sources.lake import read_orc, write_orc
+    from pyspark.sql import functions as F
+
+    o = load(spark, "/root/testdata/sf0.001", "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_orc(o, str(tmp_path / "orders_orc"), partition_by=("order_year",))
+    back = read_orc(spark, str(tmp_path / "orders_orc"))
+    assert back.count() == o.count()
+    want = {r.o_orderkey for r in o.select("o_orderkey").collect()}
+    got = {r.o_orderkey for r in back.select("o_orderkey").collect()}
+    assert got == want
