@@ -71,8 +71,18 @@ def minhash_signatures(sh_arr: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return sh_arr.select(F.col(id_col), *cols)
 
 
-def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Band-bucket self-join → candidate pairs (doc_a < doc_b)."""
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
+) -> DataFrame:
+    """Band-bucket self-join → candidate pairs (doc_a < doc_b).
+
+    ``max_bucket_size`` is the skew defuse for degenerate buckets
+    (boilerplate/empty docs collapsing to one signature): buckets larger
+    than the cap are dropped before the self-join, bounding any single
+    join key to cap² pair work instead of letting one hot bucket emit
+    O(n²). Off by default — the oracled queries run uncapped; turn it on
+    for production corpora (capped buckets are near-certain duplicates of
+    each other anyway and are better handled by exact dedup first)."""
     rows_per_band = N_SEEDS // N_BANDS
     bands = F.array(*[
         F.struct(
@@ -87,6 +97,15 @@ def lsh_candidate_pairs(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
     # self-join reads this twice; persist so signatures are computed once
     # (at warehouse scale you'd checkpoint signatures to the lake instead)
     exploded = exploded.persist()
+    if max_bucket_size is not None:
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("band", "bkey")
+        exploded = (
+            exploded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

@@ -281,3 +281,23 @@ def test_approx_quantiles_accuracy(spark):
     for k, (p25, p50, p75) in got.items():
         for est, ex in zip((p25, p50, p75), exact[k]):
             assert abs(est - ex) <= 0.02 * max(abs(ex), 1.0)  # within 2%
+
+
+def test_lsh_bucket_cap_defuses_degenerate_bucket(spark):
+    from northwind_warehouse_spark.operators.similarity import (
+        lsh_candidate_pairs, minhash_signatures, shingle_arrays,
+    )
+
+    # 20 identical boilerplate docs (one degenerate bucket) + 2 near-dups
+    boiler = "a b c d e f g h i j"
+    near1 = "x y z w v u t s r q"
+    near2 = "x y z w v u t s r p"
+    rows = [(i, boiler) for i in range(20)] + [(100, near1), (101, near2)]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = minhash_signatures(shingle_arrays(d))
+    uncapped = lsh_candidate_pairs(sig).collect()
+    capped = lsh_candidate_pairs(sig, max_bucket_size=5).collect()
+    # uncapped: 190 boilerplate pairs + the near-dup pair
+    assert len(uncapped) == 191
+    # capped: the degenerate bucket is dropped, the small bucket survives
+    assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}

@@ -128,3 +128,37 @@ def test_sessionize_partitions_events_exactly(spark, events):
         assert r.session_idx == expect, (r, expect)
         last[r.user_id] = r.ts
         sess[r.user_id] = expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_connected_components_matches_union_find(spark, edge_list):
+    from northwind_warehouse_spark.operators.components import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    want = {n: find(n) for n in parent}  # canonical min root per node
+
+    edges = spark.createDataFrame(edge_list, ["src", "dst"])
+    got = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert got == want
