@@ -80,6 +80,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_resample": analytics.events_resample,
         "grouping_sets_sales": analytics.grouping_sets_sales,
         "approx_order_quantiles": analytics.approx_order_quantiles,
+        "events_funnel": analytics.events_funnel,
+        "retention_cohorts": analytics.retention_cohorts,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -164,6 +166,8 @@ def oracle_sql() -> dict[str, str]:
         "grouping_sets_sales": analytics.oracle_grouping_sets_sales(),
         # approx_order_quantiles: rows-only (GK-sketch estimates are
         #   engine-specific; accuracy vs exact asserted in tests/test_operators.py)
+        "events_funnel": analytics.oracle_events_funnel(),
+        "retention_cohorts": analytics.oracle_retention_cohorts(),
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),

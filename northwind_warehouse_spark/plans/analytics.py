@@ -1467,3 +1467,124 @@ def approx_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: view → click → purchase, each step's timestamp
+    required at-or-after the previous step's first occurrence. Three
+    chained min-aggregates, all keyed on user_id — AQE reuses one hash
+    partitioning across the stage chain, so the corpus shuffles once
+    per step on the same key (no widening joins, no window over the
+    full stream)."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("n")).select(F.lit(1).alias("step"), F.lit("view").alias("step_name"), "n"),
+        s2.agg(F.count(F.lit(1)).alias("n")).select(F.lit(2).alias("step"), F.lit("click").alias("step_name"), "n"),
+        s3.agg(F.count(F.lit(1)).alias("n")).select(F.lit(3).alias("step"), F.lit("purchase").alias("step_name"), "n"),
+    ]
+    out = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("step")
+    return (
+        out.withColumn("n_users", F.col("n").cast("bigint"))
+        .withColumn(
+            "conv_from_prev_ppm",
+            F.when(
+                F.lag("n").over(w).isNotNull(),
+                (F.col("n") * 1000000 / F.lag("n").over(w)).cast("bigint"),
+            ).otherwise(F.lit(1000000).cast("bigint")),
+        )
+        .select("step", "step_name", "n_users", "conv_from_prev_ppm")
+        .orderBy("step")
+    )
+
+
+def oracle_events_funnel() -> str:
+    return """
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON s1.user_id = e.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON s2.user_id = e.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT 1 AS step, 'view' AS step_name, count(*) AS n FROM s1
+        UNION ALL SELECT 2, 'click', count(*) FROM s2
+        UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+    )
+    SELECT step, step_name, CAST(n AS BIGINT) AS n_users,
+           CAST(coalesce(n * 1000000 // lag(n) OVER (ORDER BY step), 1000000) AS BIGINT)
+               AS conv_from_prev_ppm
+    FROM c ORDER BY step
+    """
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by the week of their first
+    event, counted in each later week they return. Two shuffles total —
+    one groupBy(user) for the cohort assignment, one groupBy(cohort,
+    offset) after a user-keyed join that AQE co-locates with the first."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    # cast to date: DuckDB's date_trunc('week') yields DATE, Spark's TIMESTAMP
+    first = e.groupBy("user_id").agg(F.min("wk").cast("date").alias("cohort_week"))
+    act = (
+        e.join(first, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7).cast("bigint").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+def oracle_retention_cohorts() -> str:
+    return """
+    WITH e AS (
+        SELECT user_id, date_trunc('week', ts) AS wk FROM events
+    ),
+    first AS (
+        SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, e.wk) // 7 AS BIGINT) AS week_offset
+        FROM e JOIN first f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, week_offset, count(*) AS n_users
+    FROM act GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """
