@@ -108,6 +108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_chunks": llm.dedup_chunks,
         "ann_ivf_topk": llm.ann_ivf_topk,
         "collapse_repeats": llm.collapse_repeats,
+        "bpe_pair_stats": llm.bpe_pair_stats,
         "multimodal_extract": llm.multimodal_extract,
     }
 
@@ -196,5 +197,6 @@ def oracle_sql() -> dict[str, str]:
         "dedup_chunks": llm.oracle_dedup_chunks(),
         "ann_ivf_topk": llm.oracle_ann_ivf_topk(),
         "collapse_repeats": llm.oracle_collapse_repeats(),
+        "bpe_pair_stats": llm.oracle_bpe_pair_stats(),
         # multimodal_extract: rows-only (mapInPandas decode stub)
     }

@@ -1182,3 +1182,43 @@ def oracle_collapse_repeats() -> str:
            len(wn) < n_tokens_before AS changed
     FROM n ORDER BY doc_id
     """
+
+
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer-training prep: corpus-wide adjacent-token-pair
+    frequencies (the statistic each BPE merge round maximizes), top-50.
+    One map-side explode of (w[i], w[i+1]) pairs + one groupBy(pair)
+    shuffle with partial counts — at 100 TB this is the same shape as a
+    word count, the canonical linear-scale aggregation. A full BPE
+    trainer is this op iterated with a merge-apply map between rounds."""
+    d = load(spark, sf_dir, "documents")
+    pairs = d.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1),"
+                " i -> struct(split(text, ' ')[i-1] AS a, split(text, ' ')[i] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
+    return (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "tok_a", "tok_b")
+        .limit(50)
+    )
+
+
+def oracle_bpe_pair_stats() -> str:
+    return """
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+    ),
+    pairs AS (
+        SELECT w[i] AS tok_a, w[i+1] AS tok_b
+        FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i FROM toks)
+    )
+    SELECT tok_a, tok_b, count(*) AS n_pairs
+    FROM pairs GROUP BY tok_a, tok_b
+    ORDER BY n_pairs DESC, tok_a, tok_b
+    LIMIT 50
+    """
