@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cross_corpus": llm.dedup_cross_corpus,
         "dedup_clusters": llm.dedup_clusters,
         "corpus_sample": llm.corpus_sample,
+        "corpus_sample_per_source": llm.corpus_sample_per_source,
         "domain_mixture": llm.domain_mixture,
         "dedup_chunks": llm.dedup_chunks,
         "ann_ivf_topk": llm.ann_ivf_topk,
@@ -193,6 +194,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cross_corpus": llm.oracle_dedup_cross_corpus(),
         "dedup_clusters": llm.oracle_dedup_clusters(),
         "corpus_sample": llm.oracle_corpus_sample(),
+        "corpus_sample_per_source": llm.oracle_corpus_sample_per_source(),
         "domain_mixture": llm.oracle_domain_mixture(),
         "dedup_chunks": llm.oracle_dedup_chunks(),
         "ann_ivf_topk": llm.oracle_ann_ivf_topk(),

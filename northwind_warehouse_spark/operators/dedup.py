@@ -35,3 +35,41 @@ def exact_dedup(
     keeping the deterministic representative under ``keep_order``."""
     with_fp = df.withColumn(fingerprint_name, fingerprint)
     return latest_by_key(with_fp, [fingerprint_name], keep_order)
+
+
+def topk_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    k: int,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Exact smallest-k rows per group, two-phase (salted partial top-k,
+    then final top-k over ≤ salt_buckets·k survivors per group).
+
+    A plain `row_number() over (partition by group)` funnels each
+    group's ENTIRE row set through one task — with few large groups
+    (e.g. 20 sources over a 100 TB corpus) that is a single-reducer
+    bottleneck. Phase 1 splits each group across `salt_buckets` tasks
+    and keeps only k rows per (group, salt); phase 2's window then sees
+    at most salt_buckets·k rows per group. The salt hash never affects
+    the result — any partitioning of the rows yields the same final
+    top-k, so the engine-specific xxhash64 stays out of the output.
+    ``order_col`` must be a total order (unique) for determinism."""
+    from pyspark.sql.window import Window
+
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(*group_cols, "_salt").orderBy(order_col)
+    part = (
+        salted.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(order_col)
+    return (
+        part.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .drop("_salt")
+    )

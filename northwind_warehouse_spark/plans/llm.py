@@ -1222,3 +1222,37 @@ def oracle_bpe_pair_stats() -> str:
     ORDER BY n_pairs DESC, tok_a, tok_b
     LIMIT 50
     """
+
+
+def corpus_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-budget-per-domain sampling: exactly 5 docs per source,
+    chosen as the smallest md5(doc_id) — deterministic, stable under
+    corpus growth of OTHER sources. Runs on the two-phase
+    operators/dedup.py::topk_per_group so a 100 TB corpus with 20
+    sources never funnels a whole source through one task."""
+    from northwind_warehouse_spark.operators.dedup import topk_per_group
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.md5(F.col("doc_id").cast("string")).alias("h")
+    )
+    return (
+        topk_per_group(d, ["source"], "h", k=5)
+        .select("source", "doc_id", F.col("rk").cast("bigint").alias("sample_rank"))
+        .orderBy("source", "sample_rank")
+    )
+
+
+def oracle_corpus_sample_per_source() -> str:
+    return """
+    WITH h AS (
+        SELECT doc_id, source, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents
+    ),
+    r AS (
+        SELECT source, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS sample_rank
+        FROM h
+    )
+    SELECT source, doc_id, CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM r WHERE sample_rank <= 5
+    ORDER BY source, sample_rank
+    """

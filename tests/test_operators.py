@@ -301,3 +301,19 @@ def test_lsh_bucket_cap_defuses_degenerate_bucket(spark):
     assert len(uncapped) == 191
     # capped: the degenerate bucket is dropped, the small bucket survives
     assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
+
+
+def test_topk_per_group_equals_plain_window(spark):
+    from northwind_warehouse_spark.operators.dedup import topk_per_group
+    from pyspark.sql.window import Window
+
+    df = spark.range(0, 3000).select(
+        (F.col("id") % 7).alias("g"), F.md5(F.col("id").cast("string")).alias("h"), "id"
+    )
+    got = {(r.g, r.h, r.rk) for r in topk_per_group(df, ["g"], "h", k=4).collect()}
+    w = Window.partitionBy("g").orderBy("h")
+    want = {
+        (r.g, r.h, r.rk)
+        for r in df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 4).collect()
+    }
+    assert got == want and len(want) == 28
