@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_order_quantiles": analytics.approx_order_quantiles,
         "events_funnel": analytics.events_funnel,
         "retention_cohorts": analytics.retention_cohorts,
+        "customer_spend_distribution": analytics.customer_spend_distribution,
         "dedup_exact": llm.dedup_exact,
         "dedup_minhash_lsh": llm.dedup_minhash_lsh,
         "dedup_ngram_jaccard": llm.dedup_ngram_jaccard,
@@ -103,6 +104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_check": llm.contamination_check,
         "dedup_cross_corpus": llm.dedup_cross_corpus,
         "dedup_clusters": llm.dedup_clusters,
+        "dedup_semantic_clusters": llm.dedup_semantic_clusters,
         "corpus_sample": llm.corpus_sample,
         "corpus_sample_per_source": llm.corpus_sample_per_source,
         "domain_mixture": llm.domain_mixture,
@@ -170,6 +172,7 @@ def oracle_sql() -> dict[str, str]:
         #   engine-specific; accuracy vs exact asserted in tests/test_operators.py)
         "events_funnel": analytics.oracle_events_funnel(),
         "retention_cohorts": analytics.oracle_retention_cohorts(),
+        "customer_spend_distribution": analytics.oracle_customer_spend_distribution(),
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),
@@ -193,6 +196,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_check": llm.oracle_contamination_check(),
         "dedup_cross_corpus": llm.oracle_dedup_cross_corpus(),
         "dedup_clusters": llm.oracle_dedup_clusters(),
+        "dedup_semantic_clusters": llm.oracle_dedup_semantic_clusters(),
         "corpus_sample": llm.oracle_corpus_sample(),
         "corpus_sample_per_source": llm.oracle_corpus_sample_per_source(),
         "domain_mixture": llm.oracle_domain_mixture(),

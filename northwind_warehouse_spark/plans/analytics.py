@@ -1588,3 +1588,44 @@ def oracle_retention_cohorts() -> str:
     FROM act GROUP BY cohort_week, week_offset
     ORDER BY cohort_week, week_offset
     """
+
+
+def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer lifetime spend with distribution position inside the
+    nation: percent_rank and cume_dist over exact spend cents (ranks on
+    an exact integer key, so ties — and therefore the rank-derived
+    doubles — are engine-identical). One groupBy(customer) shuffle plus
+    one nation-partitioned window."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    spend = (
+        o.groupBy("o_custkey")
+        .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("spend_cents"))
+    )
+    j = spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey).select(
+        F.col("o_custkey").alias("customer_id"), "c_nationkey", "spend_cents"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("c_nationkey").orderBy("spend_cents")
+    return (
+        j.withColumn("pct_rank", F.percent_rank().over(w))
+        .withColumn("cume_dist", F.cume_dist().over(w))
+        .select("customer_id", F.col("c_nationkey").alias("nation_key"),
+                "spend_cents", "pct_rank", "cume_dist")
+        .orderBy("customer_id")
+    )
+
+
+def oracle_customer_spend_distribution() -> str:
+    return f"""
+    WITH spend AS (
+        SELECT o_custkey, CAST(sum({o_dec2('o_totalprice')}) * 100 AS BIGINT) AS spend_cents
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS customer_id, c_nationkey AS nation_key, spend_cents,
+           percent_rank() OVER (PARTITION BY c_nationkey ORDER BY spend_cents) AS pct_rank,
+           cume_dist()    OVER (PARTITION BY c_nationkey ORDER BY spend_cents) AS cume_dist
+    FROM spend JOIN customer ON o_custkey = c_custkey
+    ORDER BY customer_id
+    """

@@ -1256,3 +1256,67 @@ def oracle_corpus_sample_per_source() -> str:
     FROM r WHERE sample_rank <= 5
     ORDER BY source, sample_rank
     """
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup groups: connected components over the embedding
+    near-dup pair graph (cosine > 0.5 on LSH-bucket candidates), one
+    canonical vector per cluster — the embedding-space analogue of
+    dedup_clusters. Same min-label propagation operator; the pair graph
+    is already bucket-bounded so components stay tiny."""
+    from northwind_warehouse_spark.operators.components import connected_components
+
+    pairs = dedup_embedding_cosine(spark, sf_dir).select("vec_a", "vec_b")
+    comp = connected_components(pairs, src="vec_a", dst="vec_b")
+    e = load(spark, sf_dir, "embeddings").select("vec_id")
+    out = (
+        e.join(comp, e.vec_id == comp.node, "left")
+        .select("vec_id", F.coalesce("comp", F.col("vec_id")).alias("cluster_id"))
+    )
+    return out.withColumn(
+        "is_canonical", F.col("vec_id") == F.col("cluster_id")
+    ).orderBy("vec_id")
+
+
+def oracle_dedup_semantic_clusters() -> str:
+    return f"""
+    WITH RECURSIVE {_oracle_bucket_cte()},
+    pairs AS (
+        SELECT pa.vec_id AS vec_a, pb.vec_id AS vec_b
+        FROM b pa JOIN b pb ON pa.bucket_id = pb.bucket_id AND pa.vec_id < pb.vec_id
+    ),
+    dots AS (
+        SELECT p.vec_a, p.vec_b, CAST(sum(ea.xq * eb.xq) AS BIGINT) AS dot
+        FROM pairs p
+        JOIN el ea ON ea.vec_id = p.vec_a
+        JOIN el eb ON eb.vec_id = p.vec_b AND eb.i = ea.i
+        GROUP BY p.vec_a, p.vec_b
+    ),
+    scored AS (
+        SELECT vec_a, vec_b,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM dots
+        JOIN n2 na ON na.vec_id = vec_a
+        JOIN n2 nb ON nb.vec_id = vec_b
+    ),
+    edges AS (
+        SELECT vec_a AS u, vec_b AS v FROM scored WHERE cosine > 0.5
+        UNION
+        SELECT vec_b, vec_a FROM scored WHERE cosine > 0.5
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND e.v <> r.u
+    ),
+    comp AS (
+        SELECT u AS node, min(v) AS comp
+        FROM (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+        GROUP BY u
+    )
+    SELECT emb.vec_id,
+           coalesce(c.comp, emb.vec_id) AS cluster_id,
+           emb.vec_id = coalesce(c.comp, emb.vec_id) AS is_canonical
+    FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
+    ORDER BY emb.vec_id
+    """
