@@ -14,6 +14,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 from pyspark.sql.window import Window
 
 
@@ -33,39 +34,41 @@ def asof_join_backward(
 
     Left columns are preserved; payload columns come back as
     ``{payload_prefix}{col}`` (null when no prior right row exists).
+
+    The payload travels as ONE struct filled with a single
+    ``last(ignorenulls)`` — so every output payload column comes from the
+    same right row even when some of its payload values are genuinely
+    NULL (per-column fills would back-fill those from older rows).
     """
     lcols = left.columns
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
     l = left.select(
         F.col(left_key).alias("_k"),
         F.col(left_ts).cast("timestamp").alias("_t"),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(payload_type).alias("_p"),
     )
     r = right.select(
         F.col(right_key).alias("_k"),
         F.col(right_ts).cast("timestamp").alias("_t"),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_p"),
     )
     # right rows sort before left rows at equal time → "<=" semantics;
     # explicit tiebreaks make equal-time right rows deterministic.
-    order = [F.col("_t"), F.col("_side")] + [F.col(f"_p_{c}") for c in right_tiebreak]
+    order = [F.col("_t"), F.col("_side")] + [F.col("_p").getField(c) for c in right_tiebreak]
     w = (
         Window.partitionBy("_k")
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     unioned = l.unionByName(r)
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"{payload_prefix}{c}")
-            for c in payload_cols
-        ],
-    )
+    filled = unioned.withColumn("_pf", F.last(F.col("_p"), ignorenulls=True).over(w))
     return filled.filter(F.col("_side") == 1).select(
         *[F.col(c) for c in lcols],
-        *[F.col(f"{payload_prefix}{c}") for c in payload_cols],
+        *[F.col("_pf").getField(c).alias(f"{payload_prefix}{c}") for c in payload_cols],
     )

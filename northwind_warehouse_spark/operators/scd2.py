@@ -2,7 +2,7 @@
 
 Re-expresses the reference's incremental SCD2 dims
 (reference: models/dwh/dim_customer.sql — lag(row_hash) change detection,
-version_no, is_active, effective/expiry with 1900/3001 sentinels) as ONE
+version_no, is_active, effective/expiry with 1900/2200 sentinels) as ONE
 windowed pass over a change stream instead of dbt's per-minute Jinja
 time-travel loop (reference: models/intermediate/stg_dim_customer.sql).
 
@@ -22,7 +22,10 @@ from pyspark.sql.window import Window
 from northwind_warehouse_spark.functions.hashing import surrogate_key
 
 EPOCH_LOW = "1900-01-01 00:00:00"
-EPOCH_HIGH = "3001-01-01 00:00:00"
+# 2200-01-01 (not the reference's 3001-01-01): the open-end sentinel must
+# stay inside pandas' datetime64[ns] range (max 2262-04-11) so Arrow/pandas
+# consumers of the dimension can materialize expiry_date.
+EPOCH_HIGH = "2200-01-01 00:00:00"
 
 
 def scd2_from_change_stream(
@@ -41,7 +44,7 @@ def scd2_from_change_stream(
       2. drop rows whose hash equals the previous version's hash
          (lag(row_hash) change detection);
       3. number versions, derive effective/expiry intervals (first
-         version back-dated to 1900-01-01, open end 3001-01-01) and the
+         version back-dated to 1900-01-01, open end 2200-01-01) and the
          ``is_active`` flag;
       4. mint the surrogate key md5(key, effective_date).
     """

@@ -649,7 +649,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("europe_dec"), 2).cast("double").alias("europe_revenue"),
         F.round(F.col("total_dec"), 2).cast("double").alias("total_revenue"),
         F.expr(
-            "CAST((10000 * CAST(europe_dec * 100 AS BIGINT)) div CAST(total_dec * 100 AS BIGINT) AS DOUBLE) / 10000.0"
+            "CAST((10000 * CAST(europe_dec * 10000 AS BIGINT)) div CAST(total_dec * 10000 AS BIGINT) AS DOUBLE) / 10000.0"
         ).alias("europe_share"),
     ).orderBy("order_year")
 
@@ -671,7 +671,7 @@ def oracle_q8() -> str:
     SELECT order_year,
            cast(round(europe_dec, 2) as double) AS europe_revenue,
            cast(round(total_dec, 2) as double) AS total_revenue,
-           CAST((10000 * CAST(europe_dec * 100 AS BIGINT)) // CAST(total_dec * 100 AS BIGINT) AS DOUBLE) / 10000.0 AS europe_share
+           CAST((10000 * CAST(europe_dec * 10000 AS BIGINT)) // CAST(total_dec * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS europe_share
     FROM agg ORDER BY order_year
     """
 
@@ -1078,7 +1078,9 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_partkey",
         "val_dec",
-        (F.col("val_dec") * 100).cast("bigint").alias("val_cents"),
+        # *10000 = the full decimal(·,4) scale, so the BIGINT cast is exact
+        # in both engines (Spark truncates, DuckDB rounds on inexact casts)
+        (F.col("val_dec") * 10000).cast("bigint").alias("val_cents"),
     )
     thresh = vals.agg(
         (F.sum("val_cents")).alias("tot_cents"), F.count(F.lit(1)).alias("n_parts")
@@ -1099,7 +1101,7 @@ def oracle_q11() -> str:
     return f"""
     WITH vals AS (
         SELECT l_partkey, sum({dp}) AS val_dec,
-               CAST(sum({dp}) * 100 AS BIGINT) AS val_cents
+               CAST(sum({dp}) * 10000 AS BIGINT) AS val_cents
         FROM lineitem GROUP BY l_partkey
     ), thresh AS (
         SELECT CAST(sum(val_cents) AS BIGINT) AS tot_cents, count(*) AS n_parts FROM vals

@@ -368,7 +368,7 @@ def scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 user dimension from the events change stream.
 
     reference: models/dwh/dim_customer.sql (lag(row_hash) change detect,
-    version_no, is_active, 1900/3001 sentinels) — one windowed pass.
+    version_no, is_active, 1900/2200 sentinels) — one windowed pass.
     """
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
     return scd2_from_change_stream(
@@ -401,7 +401,7 @@ def oracle_scd2_users() -> str:
         SELECT user_id, event_type, value, _row_hash, ts,
             row_number() OVER w AS version_no,
             CASE WHEN row_number() OVER w = 1 THEN TIMESTAMP '1900-01-01 00:00:00' ELSE ts END AS effective_date,
-            coalesce(lead(ts) OVER w, TIMESTAMP '3001-01-01 00:00:00') AS expiry_date,
+            coalesce(lead(ts) OVER w, TIMESTAMP '2200-01-01 00:00:00') AS expiry_date,
             CASE WHEN lead(ts) OVER w IS NULL THEN 'Y' ELSE 'N' END AS is_active
         FROM f
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)

@@ -145,8 +145,14 @@ def ingest_events_to_lake(
 def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Streaming exact dedup on event_id with bounded state: the
     watermark lets Spark expire seen-ids older than the horizon, so
-    state stays O(events within the watermark) at any corpus size."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    state stays O(events within the watermark) at any corpus size.
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``) is
+    required for the bounded-state guarantee — with the event-time column
+    absent from the key subset, plain dropDuplicates never expires its
+    state.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
 def enrich_stream_with_dim(events: DataFrame, user_dim: DataFrame) -> DataFrame:

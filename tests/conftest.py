@@ -13,6 +13,10 @@ SF_SMOKE = "/root/testdata/sf0.001"
 SF_ORACLE = "/root/testdata/sf0.01"
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: larger-SF oracle passes (deselect with -m 'not slow')")
+
+
 @pytest.fixture(scope="session")
 def spark():
     from northwind_warehouse_spark.session import get_spark

@@ -31,7 +31,9 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.6f}"
+        # exact bit-level comparison — the driver hashes doubles exactly,
+        # so any formatting slack here would pass locally yet fail the gate
+        return repr(v)
     if isinstance(v, _dt.datetime):
         return v.replace(tzinfo=None).isoformat()
     if isinstance(v, _dt.date):

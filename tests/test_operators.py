@@ -23,7 +23,7 @@ def test_scd2_intervals_are_wellformed(spark):
         actives = [v for v in versions if v.is_active == "Y"]
         assert len(actives) == 1 and actives[-1] is versions[-1]
         assert versions[0].effective_date.year == 1900
-        assert versions[-1].expiry_date.year == 3001
+        assert versions[-1].expiry_date.year == 2200
         for a, b in zip(versions, versions[1:]):
             assert a.expiry_date == b.updated_at  # contiguous
             assert a.row_hash != b.row_hash  # real change between versions
@@ -54,6 +54,24 @@ def test_asof_join_matches_bruteforce(spark):
     )
     want = {r.pid: r.cid for r in brute.collect()}
     assert got == want
+
+
+def test_asof_null_payload_not_backfilled(spark):
+    """A matched right row with a NULL payload value must yield NULL —
+    not a back-filled value from an older right row (all payload columns
+    must come from the SAME matched row)."""
+    from northwind_warehouse_spark.operators.asof import asof_join_backward
+
+    right = spark.createDataFrame(
+        [(1, 10, "old", "keep"), (1, 20, None, "new")],
+        "k int, t int, a string, b string",
+    )
+    left = spark.createDataFrame([(1, 25)], "k int, t int")
+    row = asof_join_backward(
+        left, right, "k", "k", "t", "t", ["a", "b"]
+    ).collect()[0]
+    assert row.asof_b == "new"
+    assert row.asof_a is None  # NOT "old"
 
 
 def test_exact_dedup_idempotent(spark):

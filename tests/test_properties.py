@@ -59,7 +59,7 @@ def test_scd2_invariants_hold_for_any_stream(spark, events):
         assert [v.version_no for v in versions] == list(range(1, len(versions) + 1))
         assert sum(v.is_active == "Y" for v in versions) == 1
         assert versions[0].effective_date.year == 1900
-        assert versions[-1].expiry_date.year == 3001
+        assert versions[-1].expiry_date.year == 2200
         # no adjacent duplicate hashes, contiguous intervals
         for a, b in zip(versions, versions[1:]):
             assert a.row_hash != b.row_hash
