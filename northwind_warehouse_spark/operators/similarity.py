@@ -60,15 +60,22 @@ def minhash_signatures(sh_arr: DataFrame, id_col: str = "doc_id") -> DataFrame:
     Cost trick: instead of one md5 per (seed, shingle), the 8 seed hashes
     are the 8 independent 32-bit slices of md5(s) and md5('x'||s) — 2 md5
     calls per shingle for the whole signature (4× cheaper, identical
-    collision behavior for LSH purposes)."""
+    collision behavior for LSH purposes). The two hash arrays are
+    materialized in their own projection so each md5 pass runs ONCE —
+    codegen subexpression elimination does not reach inside higher-order
+    lambdas, so inlining md5 into all 8 array_min slices would recompute
+    it 8×."""
+    hashed = sh_arr.select(
+        F.col(id_col),
+        F.expr("transform(sh, s -> md5(s))").alias("_h1"),
+        F.expr("transform(sh, s -> md5(concat('x', s)))").alias("_h2"),
+    )
     cols = []
     for s in range(N_SEEDS):
-        if s < 4:
-            expr = f"array_min(transform(sh, s -> substring(md5(s), {1 + 8 * s}, 8)))"
-        else:
-            expr = f"array_min(transform(sh, s -> substring(md5(concat('x', s)), {1 + 8 * (s - 4)}, 8)))"
+        src = "_h1" if s < 4 else "_h2"
+        expr = f"array_min(transform({src}, h -> substring(h, {1 + 8 * (s % 4)}, 8)))"
         cols.append(F.expr(expr).alias(f"mh{s}"))
-    return sh_arr.select(F.col(id_col), *cols)
+    return hashed.select(F.col(id_col), *cols)
 
 
 def lsh_candidate_pairs(
