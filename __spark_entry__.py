@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_hwm": medallion.incremental_hwm,
         "missing_dates": medallion.missing_dates,
         "dq_checks": medallion.dq_checks,
+        "fact_resolve_failed": medallion.fact_resolve_failed,
         "events_unpivot": analytics.events_unpivot,
         "q1_pricing_summary": analytics.q1_pricing_summary,
         "q3_shipping_priority": analytics.q3_shipping_priority,
@@ -167,6 +168,7 @@ def oracle_sql() -> dict[str, str]:
         "incremental_hwm": medallion.oracle_incremental_hwm(),
         "missing_dates": medallion.oracle_missing_dates(),
         "dq_checks": medallion.oracle_dq_checks(),
+        "fact_resolve_failed": medallion.oracle_fact_resolve_failed(),
         "events_unpivot": analytics.oracle_events_unpivot(),
         "q1_pricing_summary": analytics.oracle_q1(),
         "q3_shipping_priority": analytics.oracle_q3(),

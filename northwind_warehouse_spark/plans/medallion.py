@@ -710,3 +710,84 @@ def oracle_missing_dates() -> str:
     SELECT check_date FROM spine LEFT JOIN existing ON check_date = d
     WHERE d IS NULL ORDER BY check_date
     """
+
+
+def fact_resolve_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Failed-lookup re-resolution (reference: macros/fact_order_fail_lookup.sql).
+
+    The reference's macro re-runs the dim lookup for fact rows whose SK
+    is the dummy member (a lookup that failed because the dim row hadn't
+    arrived yet) and updates them in place, leaving still-unmatched rows
+    on the dummy. Re-expressed Spark-first:
+
+      1. build the "stale" fact — orders SK-joined against a dim missing
+         every third customer (deterministic late-arriving-dimension
+         simulation), failures falling back to sk(0);
+      2. split on the macro's ``WHERE sk = dummy`` predicate (only the
+         failed slice is re-joined — at 100 TB that is a small fraction
+         of the fact, and the untouched slice streams through);
+      3. re-resolve the failed slice against the full dim (broadcast),
+         keeping the dummy where the lookup still fails.
+
+    Output carries ``was_failed``/``resolved`` audit flags in place of
+    the macro's ``updated_at`` (deterministic, so oracle-able).
+    """
+    o = load(spark, sf_dir, "orders")
+    full_dim = dim_customer(spark, sf_dir).select("customer_id", "customer_sk")
+    stale_dim = full_dim.filter(F.col("customer_id") % 3 != 0)
+    fallback = surrogate_key(F.lit(0))
+    stale = (
+        o.join(F.broadcast(stale_dim), o.o_custkey == stale_dim.customer_id, "left")
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.coalesce("customer_sk", fallback).alias("customer_sk"),
+            F.col("o_totalprice").alias("total_price"),
+            F.col("o_orderdate").cast("date").alias("order_date"),
+        )
+    )
+    ok = stale.filter(F.col("customer_sk") != fallback).select(
+        "*",
+        F.lit("N").alias("was_failed"),
+        F.lit("N").alias("resolved"),
+    )
+    failed = stale.filter(F.col("customer_sk") == fallback).drop("customer_sk")
+    rejoined = (
+        failed.join(F.broadcast(full_dim), "customer_id", "left")
+        .select(
+            "order_id",
+            "customer_id",
+            F.coalesce("customer_sk", fallback).alias("customer_sk"),
+            "total_price",
+            "order_date",
+            F.lit("Y").alias("was_failed"),
+            F.when(F.col("customer_sk").isNotNull(), F.lit("Y")).otherwise(F.lit("N")).alias("resolved"),
+        )
+    )
+    return ok.unionByName(rejoined)
+
+
+def oracle_fact_resolve_failed() -> str:
+    dim = oracle_dim_customer()
+    fb = oracle_surrogate_key("0")
+    return f"""
+    WITH full_dim AS (
+        SELECT customer_id, customer_sk FROM ({dim})
+    ), stale_dim AS (
+        SELECT * FROM full_dim WHERE customer_id % 3 != 0
+    ), stale AS (
+        SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+               coalesce(customer_sk, {fb}) AS customer_sk,
+               o_totalprice AS total_price, cast(o_orderdate as date) AS order_date
+        FROM orders LEFT JOIN stale_dim ON o_custkey = stale_dim.customer_id
+    )
+    SELECT order_id, customer_id, customer_sk, total_price, order_date,
+           'N' AS was_failed, 'N' AS resolved
+    FROM stale WHERE customer_sk != {fb}
+    UNION ALL
+    SELECT s.order_id, s.customer_id, coalesce(d.customer_sk, {fb}) AS customer_sk,
+           s.total_price, s.order_date, 'Y' AS was_failed,
+           CASE WHEN d.customer_sk IS NOT NULL THEN 'Y' ELSE 'N' END AS resolved
+    FROM stale s LEFT JOIN full_dim d ON s.customer_id = d.customer_id
+    WHERE s.customer_sk = {fb}
+    """
