@@ -148,6 +148,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collapse_repeats": llm.collapse_repeats,
         "bpe_pair_stats": llm.bpe_pair_stats,
         "multimodal_extract": llm.multimodal_extract,
+        "sequence_pack": llm.sequence_pack,
+        "tfidf_top_terms": llm.tfidf_top_terms,
+        "pii_redact": llm.pii_redact,
+        "bigram_lm_quality": llm.bigram_lm_quality,
     })
 
 
@@ -241,4 +245,8 @@ def oracle_sql() -> dict[str, str]:
         "collapse_repeats": llm.oracle_collapse_repeats(),
         "bpe_pair_stats": llm.oracle_bpe_pair_stats(),
         # multimodal_extract: rows-only (mapInPandas decode stub)
+        "sequence_pack": llm.oracle_sequence_pack(),
+        "tfidf_top_terms": llm.oracle_tfidf_top_terms(),
+        "pii_redact": llm.oracle_pii_redact(),
+        "bigram_lm_quality": llm.oracle_bigram_lm_quality(),
     }

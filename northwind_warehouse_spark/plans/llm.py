@@ -1320,3 +1320,278 @@ def oracle_dedup_semantic_clusters() -> str:
     FROM embeddings emb LEFT JOIN comp c ON c.node = emb.vec_id
     ORDER BY emb.vec_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing, TF-IDF, PII redaction, LM-based quality
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 64  # tokens per training sequence
+
+
+def sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence packing: concatenate each source's docs in
+    doc_id order and split the stream every PACK_BUDGET tokens
+    (concat-then-chunk packing — docs may straddle pack boundaries,
+    exactly like production pretraining packers).
+
+    One shuffle: the per-source running offset is a single window
+    cumsum; pack assignment is then pure arithmetic. At 100 TB the
+    partition key is the source/domain — hundreds of groups, each
+    processed independently."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("source", "doc_id", n_tokens().alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.withColumn(
+        "off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
+    )
+    return packed.select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.expr(f"off div {PACK_BUDGET}").alias("pack_id"),
+        (F.col("off") % PACK_BUDGET).alias("offset_in_pack"),
+    ).orderBy("source", "doc_id")
+
+
+def oracle_sequence_pack() -> str:
+    return f"""
+    WITH base AS (
+        SELECT source, doc_id, {o_n_tokens()} AS n_tok FROM documents
+    ), packed AS (
+        SELECT source, doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        FROM base
+    )
+    SELECT source, doc_id, n_tok,
+           off // {PACK_BUDGET} AS pack_id,
+           off % {PACK_BUDGET} AS offset_in_pack
+    FROM packed ORDER BY source, doc_id
+    """
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 terms by an exact-integer tf-idf ranking.
+
+    score_q = (tf * 10000 * n_docs) div df — monotone in tf·(N/df), so
+    the ranking matches log-idf tf-idf while staying in exact BIGINT
+    arithmetic (cross-engine hashable). The doc-frequency relation is
+    NOT broadcast: at 100 TB the vocabulary is itself large, so the
+    term join shuffles on term and AQE's skew splitting handles the
+    stopword-heavy keys."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfx, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn("score_q", F.expr("(tf * 10000 * n_docs) div df"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_q"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("doc_id", "term", "tf", "df", "score_q", "rk")
+        .orderBy("doc_id", "rk")
+    )
+
+
+def oracle_tfidf_top_terms() -> str:
+    return """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tfq AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY doc_id, term
+    ), dfx AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfq GROUP BY term
+    ), n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents
+    ), scored AS (
+        SELECT doc_id, tfq.term, tf, df,
+               CAST((tf * 10000 * n_docs) // df AS BIGINT) AS score_q
+        FROM tfq JOIN dfx ON tfq.term = dfx.term CROSS JOIN n
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score_q DESC, term) AS rk
+        FROM scored
+    )
+    SELECT doc_id, term, tf, df, score_q, rk FROM ranked WHERE rk <= 5
+    ORDER BY doc_id, rk
+    """
+
+
+_PII_EMAIL = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+_PII_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: regex redaction of emails / IPs / phone numbers.
+
+    The synthetic corpus carries no PII, so each doc is deterministically
+    augmented with one of each kind (same expression on the oracle side)
+    — the operator under test is the match-count + ordered-replacement
+    plumbing, which is what a real scrub pipeline runs per batch.
+    Map-only: zero shuffles at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.com from 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7 call 555-123-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    base = d.select("doc_id", aug.alias("aug"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    out = base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_IP), F.lit(0))).cast("bigint").alias("n_ips"),
+        F.size(F.regexp_extract_all("aug", F.lit(_PII_PHONE), F.lit(0))).cast("bigint").alias("n_phones"),
+        redacted.alias("redacted_text"),
+    )
+    return out.select(
+        "doc_id", "n_emails", "n_ips", "n_phones",
+        (F.col("n_emails") + F.col("n_ips") + F.col("n_phones")).alias("n_redactions"),
+        "redacted_text",
+    ).orderBy("doc_id")
+
+
+def oracle_pii_redact() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               concat(text, ' contact u', CAST(doc_id AS VARCHAR),
+                      '@mail.com from 10.0.', CAST(doc_id % 256 AS VARCHAR),
+                      '.7 call 555-123-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS aug
+        FROM documents
+    ), counted AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(aug, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(aug, '{_PII_IP}')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(aug, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(aug,
+                   '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                   '{_PII_IP}', '<IP>', 'g'),
+                   '{_PII_PHONE}', '<PHONE>', 'g') AS redacted_text
+        FROM base
+    )
+    SELECT doc_id, n_emails, n_ips, n_phones,
+           n_emails + n_ips + n_phones AS n_redactions, redacted_text
+    FROM counted ORDER BY doc_id
+    """
+
+
+def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality scoring: per-doc mean unigram frequency (ppm)
+    and bigram coverage — the cheap-LM filtering signal (documents made
+    of globally-rare tokens / unseen bigrams are low-quality or
+    out-of-distribution candidates).
+
+    All arithmetic is exact-integer (ppm via integer division). The
+    token→frequency join shuffles on term; hot stopword keys are the
+    classic skew case AQE's skew-join splitting handles."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total_tok"))
+    uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    uni_ppm = uni.crossJoin(F.broadcast(tot)).select(
+        "term", F.expr("(cnt * 1000000) div total_tok").alias("tok_ppm")
+    )
+    per_doc = (
+        tok.join(uni_ppm, "term")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("tok_ppm").alias("sum_ppm"))
+    )
+    warr = d.select("doc_id", F.split("text", " ").alias("w")).filter(F.size("w") >= 2)
+    bge = warr.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(0, size(w)-2), i -> concat_ws(' ', w[i], w[i+1]))")
+        ).alias("bg"),
+    )
+    bgc = bge.groupBy("bg").agg(F.count(F.lit(1)).alias("bcnt"))
+    cov = (
+        bge.join(bgc, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bg"),
+            F.sum(F.when(F.col("bcnt") >= 2, 1).otherwise(0)).cast("bigint").alias("n_common_bg"),
+        )
+    )
+    joined = per_doc.join(cov, "doc_id", "left").select(
+        "doc_id",
+        "n_tok",
+        F.expr("sum_ppm div n_tok").alias("mean_tok_ppm"),
+        F.coalesce("n_bg", F.lit(0)).cast("bigint").alias("n_bg"),
+        F.coalesce("n_common_bg", F.lit(0)).cast("bigint").alias("n_common_bg"),
+    )
+    return joined.select(
+        "doc_id", "n_tok", "mean_tok_ppm", "n_bg", "n_common_bg",
+        F.when(F.col("n_bg") > 0, ratio_4dp("n_common_bg", "n_bg"))
+        .otherwise(F.lit(0.0))
+        .alias("bigram_cov_4dp"),
+    ).orderBy("doc_id")
+
+
+def oracle_bigram_lm_quality() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS total_tok FROM tok
+    ), uni AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term
+    ), unip AS (
+        SELECT term, CAST((cnt * 1000000) // total_tok AS BIGINT) AS tok_ppm
+        FROM uni CROSS JOIN tot
+    ), per_doc AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(sum(tok_ppm) AS BIGINT) AS sum_ppm
+        FROM tok JOIN unip USING (term) GROUP BY doc_id
+    ), wt AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    ), bge AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, len(w)-1),
+                      i -> concat_ws(' ', w[i], w[i+1]))) AS bg
+        FROM wt
+    ), bgc AS (
+        SELECT bg, CAST(count(*) AS BIGINT) AS bcnt FROM bge GROUP BY bg
+    ), cov AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg,
+               CAST(sum(CASE WHEN bcnt >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_common_bg
+        FROM bge JOIN bgc USING (bg) GROUP BY doc_id
+    ), joined AS (
+        SELECT p.doc_id, p.n_tok,
+               CAST(sum_ppm // n_tok AS BIGINT) AS mean_tok_ppm,
+               CAST(coalesce(c.n_bg, 0) AS BIGINT) AS n_bg,
+               CAST(coalesce(c.n_common_bg, 0) AS BIGINT) AS n_common_bg
+        FROM per_doc p LEFT JOIN cov c ON p.doc_id = c.doc_id
+    )
+    SELECT doc_id, n_tok, mean_tok_ppm, n_bg, n_common_bg,
+           CASE WHEN n_bg > 0 THEN {o_ratio_4dp('n_common_bg', 'n_bg')} ELSE 0.0 END AS bigram_cov_4dp
+    FROM joined ORDER BY doc_id
+    """
