@@ -152,6 +152,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": llm.tfidf_top_terms,
         "pii_redact": llm.pii_redact,
         "bigram_lm_quality": llm.bigram_lm_quality,
+        "interval_join_attribution": analytics.interval_join_attribution,
+        "events_daily_active": analytics.events_daily_active,
+        "events_spike_detect": analytics.events_spike_detect,
+        "train_val_test_split": llm.train_val_test_split,
+        "mixture_resample": llm.mixture_resample,
     })
 
 
@@ -249,4 +254,9 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_top_terms": llm.oracle_tfidf_top_terms(),
         "pii_redact": llm.oracle_pii_redact(),
         "bigram_lm_quality": llm.oracle_bigram_lm_quality(),
+        "interval_join_attribution": analytics.oracle_interval_join_attribution(),
+        "events_daily_active": analytics.oracle_events_daily_active(),
+        "events_spike_detect": analytics.oracle_events_spike_detect(),
+        "train_val_test_split": llm.oracle_train_val_test_split(),
+        "mixture_resample": llm.oracle_mixture_resample(),
     }

@@ -1631,3 +1631,151 @@ def oracle_customer_spend_distribution() -> str:
     FROM spend JOIN customer ON o_custkey = c_custkey
     ORDER BY customer_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Interval join, daily-active rollup, volume anomaly
+# ---------------------------------------------------------------------------
+
+
+def interval_join_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded interval join: every click within the hour BEFORE each
+    purchase of the same user (batch analog of the stream-stream
+    watermarked interval join in streaming/jobs.py).
+
+    Spark-first shape: equi-join on user_id with the time bound as a
+    join-level range predicate — co-partitioned by user, never a
+    time-cross-join; AQE splits hot users. Contrast with asof_events,
+    which keeps only the LATEST preceding click; this keeps all in the
+    window (multi-touch attribution)."""
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    p, c = purchases.alias("p"), clicks.alias("c")
+    joined = p.join(
+        c,
+        (F.col("p.user_id") == F.col("c.user_id"))
+        & (F.unix_micros(F.col("c.click_ts")) <= F.unix_micros(F.col("p.purchase_ts")))
+        & (F.unix_micros(F.col("c.click_ts")) >= F.unix_micros(F.col("p.purchase_ts")) - 3600 * 1_000_000),
+    )
+    return joined.select(
+        "purchase_event_id",
+        F.col("p.user_id").alias("user_id"),
+        "purchase_ts",
+        "click_event_id",
+        "click_ts",
+        ((F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("click_ts"))) / F.lit(1_000_000))
+        .cast("bigint").alias("gap_floor_sec"),
+    ).orderBy("purchase_event_id", "click_event_id")
+
+
+def oracle_interval_join_attribution() -> str:
+    return """
+    WITH purchases AS (
+        SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT event_id AS click_event_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    )
+    SELECT purchase_event_id, p.user_id AS user_id, purchase_ts, click_event_id, click_ts,
+           CAST((epoch_us(purchase_ts) - epoch_us(click_ts)) // 1000000 AS BIGINT) AS gap_floor_sec
+    FROM purchases p JOIN clicks c
+      ON p.user_id = c.user_id
+     AND epoch_us(click_ts) <= epoch_us(purchase_ts)
+     AND epoch_us(click_ts) >= epoch_us(purchase_ts) - CAST(3600 AS BIGINT) * 1000000
+    ORDER BY purchase_event_id, click_event_id
+    """
+
+
+def events_daily_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + event volume: exact count-distinct per day.
+
+    Spark plans distinct aggregates as a two-phase expand + partial agg —
+    the (day, user) pre-aggregation happens map-side, so the shuffle
+    carries one row per (day, user), not per event."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(F.col("ts").cast("date").alias("event_date"), "user_id", "event_type")
+        .groupBy("event_date")
+        .agg(
+            F.countDistinct("user_id").alias("dau"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_event_types"),
+        )
+        .orderBy("event_date")
+    )
+
+
+def oracle_events_daily_active() -> str:
+    return """
+    SELECT cast(ts as date) AS event_date,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS dau,
+           count(*) AS n_events,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_event_types
+    FROM events GROUP BY cast(ts as date) ORDER BY event_date
+    """
+
+
+def events_spike_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly detection: flag hours whose event count exceeds 2×
+    the trailing-7-hour average, per event type.
+
+    Integer-exact spike test (cnt·7 > 2·trailing_sum — no float division)
+    so the flag hashes identically cross-engine. Partitioned by
+    event_type: each series windows independently, no global single
+    reducer."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.col("event_type"), F.date_trunc("hour", F.col("ts")).alias("hour_ts"))
+        .groupBy("event_type", "hour_ts")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_ts")
+        .rowsBetween(-7, -1)
+    )
+    trail = hourly.withColumn("trailing_sum", F.coalesce(F.sum("cnt").over(w), F.lit(0)).cast("bigint")) \
+                  .withColumn("n_trailing", F.count("cnt").over(w).cast("bigint"))
+    return trail.select(
+        "event_type",
+        "hour_ts",
+        "cnt",
+        "trailing_sum",
+        "n_trailing",
+        F.when(
+            (F.col("n_trailing") == 7) & (F.col("cnt") * 7 > F.col("trailing_sum") * 2),
+            F.lit("Y"),
+        ).otherwise(F.lit("N")).alias("is_spike"),
+    ).orderBy("event_type", "hour_ts")
+
+
+def oracle_events_spike_detect() -> str:
+    return """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts, count(*) AS cnt
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ), trail AS (
+        SELECT event_type, hour_ts, cnt,
+               CAST(coalesce(sum(cnt) OVER w, 0) AS BIGINT) AS trailing_sum,
+               CAST(count(cnt) OVER w AS BIGINT) AS n_trailing
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour_ts
+                     ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hour_ts, cnt, trailing_sum, n_trailing,
+           CASE WHEN n_trailing = 7 AND cnt * 7 > trailing_sum * 2
+                THEN 'Y' ELSE 'N' END AS is_spike
+    FROM trail ORDER BY event_type, hour_ts
+    """

@@ -974,10 +974,10 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "src_tokens",
-            (F.col("src_tokens") * 1000000 / F.col("total_tokens")).cast("bigint").alias("share_ppm"),
-            ((F.col("total_tokens") / F.col("n_sources")).cast("bigint") * 1000000 / F.col("src_tokens"))
-            .cast("bigint")
-            .alias("uniform_weight_ppm"),
+            # integer div end-to-end (double division + CAST truncation can
+            # diverge from the oracle's `//` on unlucky values)
+            F.expr("src_tokens * 1000000 div total_tokens").alias("share_ppm"),
+            F.expr("(total_tokens div n_sources) * 1000000 div src_tokens").alias("uniform_weight_ppm"),
         )
         .orderBy("source")
     )
@@ -1594,4 +1594,103 @@ def oracle_bigram_lm_quality() -> str:
     SELECT doc_id, n_tok, mean_tok_ppm, n_bg, n_common_bg,
            CASE WHEN n_bg > 0 THEN {o_ratio_4dp('n_common_bg', 'n_bg')} ELSE 0.0 END AS bigram_cov_4dp
     FROM joined ORDER BY doc_id
+    """
+
+
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way deterministic hash split (80/10/10) with per-(source, split)
+    accounting — the manifest a training run consumes. The bucket is a
+    pure function of doc_id (stable under corpus growth, repartitions,
+    and re-runs); the rollup is one groupBy shuffle over per-doc rows."""
+    d = load(spark, sf_dir, "documents")
+    split = (
+        F.when(_split_bucket() < 80, F.lit("train"))
+        .when(_split_bucket() < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("source", split.alias("split"), n_tokens("text").alias("n_tok"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").cast("bigint").alias("total_tokens"))
+        .orderBy("source", "split")
+    )
+
+
+def oracle_train_val_test_split() -> str:
+    return f"""
+    WITH b AS (
+        SELECT source,
+               CASE WHEN {_ORACLE_BUCKET} < 80 THEN 'train'
+                    WHEN {_ORACLE_BUCKET} < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               {o_n_tokens('text')} AS n_tok
+        FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM b GROUP BY source, split ORDER BY source, split
+    """
+
+
+def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the uniform-mixture weights at the document level: each
+    source gets a token budget of total/n_sources, downsampled via a
+    deterministic per-doc md5 lottery in exact ppm (keep when
+    doc_ppm < keep_ppm). Over-budget sources shrink; under-budget
+    sources keep everything (keep_ppm capped at 1e6 — upsampling is a
+    repeat factor at batch time, not row duplication here).
+
+    Two tiny shuffles (per-source agg + broadcast back); the doc-level
+    keep decision is map-only, so the pass over a 100 TB corpus is one
+    scan."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(F.sum(n_tokens("text")).cast("bigint").alias("src_tokens"))
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rates = (
+        per_src.withColumn("total_tokens", F.sum("src_tokens").over(w).cast("bigint"))
+        .withColumn("n_sources", F.count(F.lit(1)).over(w).cast("bigint"))
+        .select(
+            "source",
+            "src_tokens",
+            # integer div end-to-end — a double division truncated by CAST
+            # diverges from the oracle's exact `//` (see CLAUDE.md rules)
+            F.least(
+                F.lit(1000000).cast("bigint"),
+                F.expr("(total_tokens div n_sources) * 1000000 div src_tokens"),
+            ).alias("keep_ppm"),
+        )
+    )
+    doc_ppm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("mix|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 1000000
+    )
+    return (
+        d.select("doc_id", "source", n_tokens("text").alias("n_tok"), doc_ppm.alias("doc_ppm"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("doc_ppm") < F.col("keep_ppm"))
+        .select("doc_id", "source", "n_tok", "keep_ppm", "doc_ppm")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_mixture_resample() -> str:
+    return f"""
+    WITH per_src AS (
+        SELECT source, CAST(sum({o_n_tokens('text')}) AS BIGINT) AS src_tokens
+        FROM documents GROUP BY source
+    ), rates AS (
+        SELECT source, src_tokens,
+               least(1000000, CAST(sum(src_tokens) OVER () AS BIGINT) // CAST(count(*) OVER () AS BIGINT)
+                              * 1000000 // src_tokens) AS keep_ppm
+        FROM per_src
+    ), docs AS (
+        SELECT doc_id, source, {o_n_tokens('text')} AS n_tok,
+               CAST(('0x' || substr(md5(concat('mix|', CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 1000000 AS doc_ppm
+        FROM documents
+    )
+    SELECT doc_id, d.source AS source, n_tok, keep_ppm, doc_ppm
+    FROM docs d JOIN rates r ON d.source = r.source
+    WHERE doc_ppm < keep_ppm
+    ORDER BY doc_id
     """
