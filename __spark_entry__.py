@@ -157,6 +157,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_spike_detect": analytics.events_spike_detect,
         "train_val_test_split": llm.train_val_test_split,
         "mixture_resample": llm.mixture_resample,
+        "kmeans_iter": llm.kmeans_iter,
+        "knn_classify": llm.knn_classify,
+        "dedup_graph_degrees": llm.dedup_graph_degrees,
+        "corpus_dedup_apply": llm.corpus_dedup_apply,
     })
 
 
@@ -259,4 +263,8 @@ def oracle_sql() -> dict[str, str]:
         "events_spike_detect": analytics.oracle_events_spike_detect(),
         "train_val_test_split": llm.oracle_train_val_test_split(),
         "mixture_resample": llm.oracle_mixture_resample(),
+        "kmeans_iter": llm.oracle_kmeans_iter(),
+        "knn_classify": llm.oracle_knn_classify(),
+        "dedup_graph_degrees": llm.oracle_dedup_graph_degrees(),
+        "corpus_dedup_apply": llm.oracle_corpus_dedup_apply(),
     }

@@ -1694,3 +1694,288 @@ def oracle_mixture_resample() -> str:
     WHERE doc_ppm < keep_ppm
     ORDER BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Iterative / compositional: k-means step, kNN classify, dup-graph stats,
+# dedup'd-corpus materialization
+# ---------------------------------------------------------------------------
+
+
+def kmeans_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus: assign
+    every vector to its nearest centroid (map-only broadcast argmax —
+    operators/similarity.py::ivf_assign), then recompute each centroid as
+    the per-dimension mean of its members.
+
+    The mean is published in exact quantized units (sum of floor(x·10⁶)
+    div count) so the update hashes identically cross-engine. A full
+    k-means run is this same plan iterated — per iteration: one corpus
+    scan, one (cell_id, dim) shuffle whose cardinality is k·dim, not
+    corpus-sized (partial sums are map-side)."""
+    e = load(spark, sf_dir, "embeddings")
+    assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS)
+    exploded = assigned.select(
+        "cell_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+        ).alias("dim_idx", "xq"),
+    )
+    return (
+        exploded.groupBy("cell_id", "dim_idx")
+        .agg(F.count(F.lit(1)).alias("n_members"), F.sum("xq").alias("sum_q"))
+        .select(
+            "cell_id",
+            F.col("dim_idx").cast("bigint").alias("dim_idx"),
+            "n_members",
+            F.expr("sum_q div n_members").alias("mean_q"),
+        )
+        .orderBy("cell_id", "dim_idx")
+    )
+
+
+def oracle_kmeans_iter() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM el
+    ),
+    n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+    ),
+    cdot AS (
+        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
+        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {IVF_N_CENTROIDS}
+        GROUP BY a.vec_id, c.vec_id
+    ),
+    ccos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
+        FROM cdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN n2 nc ON nc.vec_id = d.cent_id
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+            FROM ccos
+        ) WHERE rk = 1
+    )
+    SELECT a.cell_id,
+           CAST(q.i - 1 AS BIGINT) AS dim_idx,
+           count(*) AS n_members,
+           CAST(sum(q.xq) // count(*) AS BIGINT) AS mean_q
+    FROM assign a JOIN q ON q.vec_id = a.vec_id
+    GROUP BY a.cell_id, q.i
+    ORDER BY cell_id, dim_idx
+    """
+
+
+_KNN_QUERY_LO, _KNN_QUERY_HI = 100, 120  # 20 query vectors
+_KNN_K = 5
+
+
+def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label prediction: majority label of the 5 exact-cosine nearest
+    neighbors (semantic classification / weak-label propagation over an
+    embedding corpus). Ties break to the smaller label. The query set is
+    broadcast; the corpus is scanned once — same scale shape as the
+    brute-force ANN baseline."""
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q, norm2_q
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select("vec_id", "embedding", "label", norm2_q("embedding").alias("n2"))
+    q = base.filter(
+        (F.col("vec_id") >= _KNN_QUERY_LO) & (F.col("vec_id") < _KNN_QUERY_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("true_label"),
+        F.col("n2").alias("qn2"),
+    )
+    scored = (
+        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "true_label",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("label").alias("neighbor_label"),
+            dot_q("qvec", "embedding").alias("dot"),
+            F.col("qn2").alias("n2a"),
+            F.col("n2").alias("n2b"),
+        )
+        .withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    topk = scored.withColumn("nn_rank", F.row_number().over(w)).filter(F.col("nn_rank") <= _KNN_K)
+    votes = topk.groupBy("query_id", "true_label", "neighbor_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.desc("n_votes"), F.col("neighbor_label"))
+    return (
+        votes.withColumn("vote_rank", F.row_number().over(wv))
+        .filter(F.col("vote_rank") == 1)
+        .select(
+            "query_id",
+            "true_label",
+            F.col("neighbor_label").alias("predicted_label"),
+            "n_votes",
+            F.when(F.col("neighbor_label") == F.col("true_label"), F.lit("Y"))
+            .otherwise(F.lit("N")).alias("is_correct"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def oracle_knn_classify() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM el
+    ),
+    n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+    ),
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+        FROM q a JOIN q b ON a.i = b.i AND b.vec_id <> a.vec_id
+        WHERE a.vec_id >= {_KNN_QUERY_LO} AND a.vec_id < {_KNN_QUERY_HI}
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM dots
+        JOIN n2 na ON na.vec_id = query_id
+        JOIN n2 nb ON nb.vec_id = neighbor_id
+    ),
+    topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nn_rank
+            FROM scored
+        ) WHERE nn_rank <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT t.query_id, eq.label AS true_label, en.label AS neighbor_label,
+               count(*) AS n_votes
+        FROM topk t
+        JOIN embeddings eq ON eq.vec_id = t.query_id
+        JOIN embeddings en ON en.vec_id = t.neighbor_id
+        GROUP BY t.query_id, eq.label, en.label
+    )
+    SELECT query_id, true_label, neighbor_label AS predicted_label, n_votes,
+           CASE WHEN neighbor_label = true_label THEN 'Y' ELSE 'N' END AS is_correct
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY n_votes DESC, neighbor_label) AS vote_rank
+        FROM votes
+    ) WHERE vote_rank = 1
+    ORDER BY query_id
+    """
+
+
+def dedup_graph_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup graph degree histogram: how many near-dup partners each
+    document has, rolled up to degree → n_docs (0-degree singletons
+    included). The shape audit that catches boilerplate explosions —
+    a fat tail here means LSH buckets are degenerating and the
+    max_bucket_size cap should engage."""
+    d = load(spark, sf_dir, "documents")
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sim.shingle_arrays(d)))
+    ends = pairs.select(F.col("doc_a").alias("doc_id")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc_id"))
+    )
+    deg = ends.groupBy("doc_id").agg(F.count(F.lit(1)).alias("degree"))
+    per_doc = (
+        d.select("doc_id")
+        .join(deg, "doc_id", "left")
+        .select(F.coalesce("degree", F.lit(0)).cast("bigint").alias("degree"))
+    )
+    return per_doc.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs")).orderBy("degree")
+
+
+def oracle_dedup_graph_degrees() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    ends AS (
+        SELECT doc_a AS doc_id FROM cand
+        UNION ALL
+        SELECT doc_b FROM cand
+    ),
+    deg AS (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY doc_id
+    ),
+    per_doc AS (
+        SELECT CAST(coalesce(g.degree, 0) AS BIGINT) AS degree
+        FROM documents d LEFT JOIN deg g ON d.doc_id = g.doc_id
+    )
+    SELECT degree, count(*) AS n_docs FROM per_doc GROUP BY degree ORDER BY degree
+    """
+
+
+def corpus_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end of the dedup pipeline: materialize the KEPT corpus —
+    one canonical document per near-dup cluster (min doc_id), with the
+    cluster size it absorbed. Composition of lsh_candidate_pairs →
+    connected_components → canonical filter; the anti-join shape a 100 TB
+    dedup job actually ships."""
+    from northwind_warehouse_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sim.shingle_arrays(d)))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    clustered = (
+        d.select("doc_id", "source", "lang")
+        .join(comp, d.doc_id == comp.node, "left")
+        .select("doc_id", "source", "lang", F.coalesce("comp", F.col("doc_id")).alias("cluster_id"))
+    )
+    sizes = clustered.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return (
+        clustered.filter(F.col("doc_id") == F.col("cluster_id"))
+        .join(sizes, "cluster_id")
+        .select("doc_id", "source", "lang", "n_members")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_corpus_dedup_apply() -> str:
+    return f"""
+    WITH RECURSIVE {_SIG_CTE},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND e.v <> r.u
+    ),
+    comp AS (
+        SELECT u AS node, min(v) AS comp
+        FROM (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+        GROUP BY u
+    ),
+    clustered AS (
+        SELECT d.doc_id, d.source, d.lang,
+               coalesce(c.comp, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    ),
+    sizes AS (
+        SELECT cluster_id, count(*) AS n_members FROM clustered GROUP BY cluster_id
+    )
+    SELECT doc_id, cl.source AS source, cl.lang AS lang, n_members
+    FROM clustered cl JOIN sizes s ON cl.cluster_id = s.cluster_id
+    WHERE doc_id = cl.cluster_id
+    ORDER BY doc_id
+    """
