@@ -33,24 +33,26 @@ def entry(spark: SparkSession) -> DataFrame:
 # evidence covers all of SURVEY §2's sections; the remainder keep full
 # local coverage via tests/test_oracle.py at sf0.001 AND sf0.01.
 _DRIVER_FIRST = (
-    # §C LLM-training-data ops (complete)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    # §C LLM-training-data ops
+    "dedup_exact", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_clusters", "corpus_dedup_apply", "dedup_graph_degrees",
+    "dedup_chunks", "dedup_embedding_cosine", "dedup_semantic_clusters",
+    "dedup_cross_corpus", "contamination_check",
     "text_quality", "quality_filter", "lang_id", "token_count",
-    "doc_fingerprint", "doc_chunking", "train_val_split",
-    "ann_cosine_topk", "ann_lsh", "ann_lsh_topk", "ann_ivf_topk",
-    "dedup_embedding_cosine", "embedding_stats", "vocab_top_terms",
-    "repetition_quality", "contamination_check", "dedup_cross_corpus",
-    "dedup_clusters", "dedup_semantic_clusters", "corpus_sample",
-    "corpus_sample_per_source", "domain_mixture", "dedup_chunks",
-    "collapse_repeats", "bpe_pair_stats", "multimodal_extract",
+    "doc_fingerprint", "doc_chunking", "sequence_pack",
+    "tfidf_top_terms", "pii_redact", "bigram_lm_quality",
+    "repetition_quality", "collapse_repeats", "bpe_pair_stats",
+    "vocab_top_terms",
+    "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
+    "kmeans_iter", "knn_classify", "embedding_stats",
+    "train_val_test_split", "mixture_resample",
+    "corpus_sample_per_source", "domain_mixture", "multimodal_extract",
     # §A medallion core
     "stg_customer", "stg_lineitem", "dim_date", "dim_customer",
-    "scd2_users", "snapshot_users", "fact_orders", "fact_lineitem",
-    "asof_events", "incremental_hwm", "missing_dates", "dq_checks",
+    "scd2_users", "fact_orders", "fact_lineitem", "fact_resolve_failed",
+    "asof_events", "incremental_hwm", "dq_checks",
     # §B headline analytics
-    "q1_pricing_summary", "q3_shipping_priority", "q8_market_share",
-    "q9_product_profit", "q18_large_orders", "q21_waiting_suppliers",
-    "events_sessionize", "retention_cohorts",
+    "q1_pricing_summary", "events_sessionize", "interval_join_attribution",
 )
 
 
