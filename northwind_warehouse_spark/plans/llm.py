@@ -134,9 +134,12 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document quality metrics (all exact-integer derived)."""
-    d = load(spark, sf_dir, "documents")
+def quality_metrics(d: DataFrame) -> DataFrame:
+    """Per-document quality metrics as a pure df→df transform — map-only,
+    so it runs UNCHANGED on a streaming DataFrame (see
+    streaming/jobs.py::score_documents_stream and the equality test in
+    tests/test_streaming.py). Every map-only §2C op shares this
+    batch/stream-unified property."""
     base = d.select(
         "doc_id",
         "lang",
@@ -149,7 +152,12 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         ratio_4dp("n_stopwords", "n_tokens").alias("stopword_ratio"),
         ratio_4dp("n_chars", "n_tokens").alias("chars_per_token"),
-    ).orderBy("doc_id")
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics (all exact-integer derived)."""
+    return quality_metrics(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def oracle_text_quality() -> str:

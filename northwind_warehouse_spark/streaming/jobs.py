@@ -278,3 +278,32 @@ def join_clicks_to_purchases(events: DataFrame, max_gap_minutes: int = 30) -> Da
         F.col("c_user").alias("user_id"),
         "click_id", "click_ts", "purchase_id", "purchase_ts", "purchase_value",
     )
+
+
+DOCUMENTS_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("text", StringType()),
+    StructField("lang", StringType()),
+    StructField("source", StringType()),
+    StructField("n_chars", LongType()),
+])
+
+
+def stream_documents(spark: SparkSession, docs_dir: str) -> DataFrame:
+    """File-streaming source over a directory of documents parquet files
+    — the ingest edge of a continuously-arriving training corpus."""
+    return spark.readStream.schema(DOCUMENTS_SCHEMA).parquet(docs_dir)
+
+
+def score_documents_stream(docs: DataFrame) -> DataFrame:
+    """Streaming document quality scoring: the BATCH transform
+    (plans/llm.py::quality_metrics) applied verbatim to the stream.
+
+    Map-only operators need no watermark, no state, and no code changes
+    to stream — one definition serves both execution modes, which is the
+    point: a quality/pii/lang-id gate deployed on the batch corpus and on
+    the live ingest stream provably computes the same function
+    (equality asserted in tests/test_streaming.py)."""
+    from northwind_warehouse_spark.plans.llm import quality_metrics
+
+    return quality_metrics(docs)

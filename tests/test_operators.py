@@ -335,3 +335,117 @@ def test_topk_per_group_equals_plain_window(spark):
         for r in df.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= 4).collect()
     }
     assert got == want and len(want) == 28
+
+
+def test_sequence_pack_invariants(spark):
+    """Pack offsets are contiguous per source (each doc starts where the
+    previous ended) and pack_id is nondecreasing in doc order."""
+    from northwind_warehouse_spark.plans.llm import PACK_BUDGET, sequence_pack
+    from tests.conftest import SF_SMOKE
+
+    rows = sequence_pack(spark, SF_SMOKE).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    assert by_src
+    for src, docs in by_src.items():
+        offset = 0
+        prev_pack = 0
+        for r in docs:  # already ordered by doc_id within source
+            assert r.pack_id == offset // PACK_BUDGET
+            assert r.offset_in_pack == offset % PACK_BUDGET
+            assert r.pack_id >= prev_pack
+            prev_pack = r.pack_id
+            offset += r.n_tok
+
+
+def test_kmeans_iter_means_bounded(spark):
+    """Every updated centroid component lies within the member min/max
+    for that (cell, dim) — the defining property of a mean."""
+    from northwind_warehouse_spark.operators.similarity import ivf_assign
+    from northwind_warehouse_spark.plans.llm import IVF_N_CENTROIDS, kmeans_iter
+    from northwind_warehouse_spark.catalog import load
+    from tests.conftest import SF_SMOKE
+
+    got = {(r.cell_id, r.dim_idx): r for r in kmeans_iter(spark, SF_SMOKE).collect()}
+    e = load(spark, SF_SMOKE, "embeddings")
+    assigned = ivf_assign(e, n_centroids=IVF_N_CENTROIDS)
+    bounds = (
+        assigned.select(
+            "cell_id",
+            F.posexplode(
+                F.expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))")
+            ).alias("dim_idx", "xq"),
+        )
+        .groupBy("cell_id", "dim_idx")
+        .agg(F.min("xq").alias("lo"), F.max("xq").alias("hi"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    assert got and len(bounds) == len(got)
+    for b in bounds:
+        r = got[(b.cell_id, b.dim_idx)]
+        assert b.lo <= r.mean_q <= b.hi
+        assert r.n_members == b.n
+
+
+def test_knn_classify_mechanics(spark):
+    """One prediction per query; the winning vote count is within [1, k];
+    is_correct is consistent with the labels. (The synthetic embeddings'
+    labels carry no geometric signal — accuracy ≈ chance — so the test
+    pins the voting mechanics, not accuracy.)"""
+    from northwind_warehouse_spark.plans.llm import _KNN_K, _KNN_QUERY_HI, _KNN_QUERY_LO, knn_classify
+    from tests.conftest import SF_SMOKE
+
+    rows = knn_classify(spark, SF_SMOKE).collect()
+    assert len(rows) == _KNN_QUERY_HI - _KNN_QUERY_LO
+    assert len({r.query_id for r in rows}) == len(rows)
+    for r in rows:
+        assert 1 <= r.n_votes <= _KNN_K
+        assert r.is_correct == ("Y" if r.predicted_label == r.true_label else "N")
+
+
+def test_pii_redact_scrubs_everything(spark):
+    """After redaction no email/ip/phone pattern survives, and counts
+    equal the synthetic augmentation (one of each per doc)."""
+    import re
+
+    from northwind_warehouse_spark.plans.llm import pii_redact
+    from tests.conftest import SF_SMOKE
+
+    rows = pii_redact(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_emails >= 1 and r.n_ips >= 1 and r.n_phones >= 1
+        assert r.n_redactions == r.n_emails + r.n_ips + r.n_phones
+        assert not re.search(r"[a-z0-9]+@[a-z0-9.]+[a-z]", r.redacted_text.replace("<EMAIL>", " "))
+        assert not re.search(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", r.redacted_text)
+        assert not re.search(r"[0-9]{3}-[0-9]{3}-[0-9]{4}", r.redacted_text)
+
+
+def test_mixture_resample_respects_budget(spark):
+    """Sources at/below the uniform budget keep every doc; over-budget
+    sources are downsampled to roughly keep_ppm (binomial tolerance)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import mixture_resample
+    from tests.conftest import SF_ORACLE
+
+    kept = mixture_resample(spark, SF_ORACLE)
+    per_src_kept = {
+        r.source: (r.n_kept, r.keep_ppm)
+        for r in kept.groupBy("source", "keep_ppm")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+        .collect()
+    }
+    totals = {
+        r.source: r.n
+        for r in load(spark, SF_ORACLE, "documents").groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per_src_kept
+    for src, (n_kept, keep_ppm) in per_src_kept.items():
+        n_total = totals[src]
+        if keep_ppm == 1_000_000:
+            assert n_kept == n_total
+        else:
+            expect = n_total * keep_ppm / 1_000_000
+            sd = (n_total * (keep_ppm / 1e6) * (1 - keep_ppm / 1e6)) ** 0.5
+            assert abs(n_kept - expect) <= 5 * sd + 2

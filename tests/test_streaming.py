@@ -215,3 +215,21 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     batch_pairs = {(r.click_id, r.purchase_id) for r in batch.collect()}
     assert len(batch_pairs) > 0
     assert stream_pairs == batch_pairs
+
+
+def test_stream_quality_scoring_matches_batch(spark, tmp_path):
+    """The map-only quality transform applied to a stream produces
+    exactly the batch text_quality result — batch/stream unification."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import quality_metrics
+    from northwind_warehouse_spark.streaming.jobs import (
+        run_to_memory, score_documents_stream, stream_documents,
+    )
+
+    docs_dir = str(tmp_path / "docs_stream")
+    load(spark, SF_SMOKE, "documents").coalesce(1).write.mode("overwrite").parquet(docs_dir)
+    stream = score_documents_stream(stream_documents(spark, docs_dir))
+    run_to_memory(stream, "doc_quality", str(tmp_path / "ckpt_dq"), output_mode="append")
+    got = {tuple(r) for r in spark.table("doc_quality").collect()}
+    want = {tuple(r) for r in quality_metrics(load(spark, SF_SMOKE, "documents")).collect()}
+    assert got == want and len(got) > 0
