@@ -101,3 +101,28 @@ def incremental_merge_by_key(
     business key. Expressed as anti-join + union (one shuffle each side).
     """
     return existing.join(incoming.select(*key_cols).distinct(), on=key_cols, how="left_anti").unionByName(incoming)
+
+
+def processing_date_range(
+    audit: "AuditControl", entity: str, target_date: datetime
+) -> dict:
+    """The reference's get_processing_date_range macro: derive the
+    incremental window for an entity from its audit state
+    (reference: macros/get_processing_date_range.sql).
+
+    Returns start/end dates, the current HWM, and whether processing is
+    needed — the driver loop feeds this straight into
+    high_watermark_filter."""
+    entry = audit.get(entity)
+    start = entry.last_processed_date if entry.last_processed_date > EPOCH_LOW else target_date
+    needs = start <= target_date
+    return {
+        "start_date": start,
+        "end_date": target_date,
+        "hwm_date": entry.hwm_date,
+        "is_processed": entry.is_processed,
+        "driver_table": entry.driver_table,
+        "business_key": entry.business_key,
+        "needs_processing": needs,
+        "total_days": (target_date - start).days + 1 if needs else 0,
+    }

