@@ -163,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_classify": llm.knn_classify,
         "dedup_graph_degrees": llm.dedup_graph_degrees,
         "corpus_dedup_apply": llm.corpus_dedup_apply,
+        "rfm_segments": analytics.rfm_segments,
+        "dedup_minhash_estimate": llm.dedup_minhash_estimate,
     })
 
 
@@ -269,4 +271,6 @@ def oracle_sql() -> dict[str, str]:
         "knn_classify": llm.oracle_knn_classify(),
         "dedup_graph_degrees": llm.oracle_dedup_graph_degrees(),
         "corpus_dedup_apply": llm.oracle_corpus_dedup_apply(),
+        "rfm_segments": analytics.oracle_rfm_segments(),
+        "dedup_minhash_estimate": llm.oracle_dedup_minhash_estimate(),
     }

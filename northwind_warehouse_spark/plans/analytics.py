@@ -1779,3 +1779,74 @@ def oracle_events_spike_detect() -> str:
                 THEN 'Y' ELSE 'N' END AS is_spike
     FROM trail ORDER BY event_type, hour_ts
     """
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order vs the
+    corpus max date), frequency (order count), monetary (exact cents);
+    quartile scores via ntile over deterministic total orders, and the
+    classic champion/loyal/at-risk/other segment labels.
+
+    One groupBy(customer) shuffle; the three ntile windows share the
+    same single-partition ordering of the (small) per-customer aggregate
+    — at 100 TB the per-customer relation is ~customers-sized, so the
+    window runs on the aggregated table, never the fact."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    per_cust = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+        F.count(F.lit(1)).alias("frequency"),
+        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("monetary_cents"),
+    )
+    wmax = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    base = per_cust.withColumn("max_date", F.max("last_order_date").over(wmax)).withColumn(
+        "recency_days", F.datediff("max_date", "last_order_date").cast("bigint")
+    )
+    # ntile needs a total order for cross-engine determinism → tiebreak on id
+    w_r = Window.orderBy(F.col("recency_days"), F.col("customer_id"))
+    w_f = Window.orderBy(F.desc("frequency"), F.col("customer_id"))
+    w_m = Window.orderBy(F.desc("monetary_cents"), F.col("customer_id"))
+    scored = (
+        base.withColumn("r_score", F.ntile(4).over(w_r).cast("bigint"))
+        .withColumn("f_score", F.ntile(4).over(w_f).cast("bigint"))
+        .withColumn("m_score", F.ntile(4).over(w_m).cast("bigint"))
+    )
+    seg = (
+        F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), F.lit("champion"))
+        .when(F.col("f_score") <= 2, F.lit("loyal"))
+        .when(F.col("r_score") == 4, F.lit("at_risk"))
+        .otherwise(F.lit("other"))
+    )
+    return scored.select(
+        "customer_id", "recency_days", "frequency", "monetary_cents",
+        "r_score", "f_score", "m_score", seg.alias("segment"),
+    ).orderBy("customer_id")
+
+
+def oracle_rfm_segments() -> str:
+    return f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS customer_id,
+               max(cast(o_orderdate as date)) AS last_order_date,
+               count(*) AS frequency,
+               CAST(sum({o_dec2('o_totalprice')}) * 100 AS BIGINT) AS monetary_cents
+        FROM orders GROUP BY o_custkey
+    ), base AS (
+        SELECT *, max(last_order_date) OVER () AS max_date FROM per_cust
+    ), scored AS (
+        SELECT customer_id, frequency, monetary_cents,
+               CAST(date_diff('day', last_order_date, max_date) AS BIGINT) AS recency_days,
+               CAST(ntile(4) OVER (ORDER BY date_diff('day', last_order_date, max_date), customer_id) AS BIGINT) AS r_score,
+               CAST(ntile(4) OVER (ORDER BY frequency DESC, customer_id) AS BIGINT) AS f_score,
+               CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, customer_id) AS BIGINT) AS m_score
+        FROM base
+    )
+    SELECT customer_id, recency_days, frequency, monetary_cents,
+           r_score, f_score, m_score,
+           CASE WHEN r_score = 1 AND f_score = 1 THEN 'champion'
+                WHEN f_score <= 2 THEN 'loyal'
+                WHEN r_score = 4 THEN 'at_risk'
+                ELSE 'other' END AS segment
+    FROM scored ORDER BY customer_id
+    """

@@ -1987,3 +1987,69 @@ def oracle_corpus_dedup_apply() -> str:
     WHERE doc_id = cl.cluster_id
     ORDER BY doc_id
     """
+
+
+def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit: for every LSH candidate pair, the MinHash
+    Jaccard ESTIMATE (matching seeds / 8, exact 4dp integer ratio) next
+    to the exact shingle Jaccard and the estimation error in 4dp units —
+    the calibration table you consult before trusting MinHash thresholds
+    on a 100 TB corpus where exact verification is unaffordable."""
+    d = load(spark, sf_dir, "documents")
+    sh_arr = sim.shingle_arrays(d)
+    sig = sim.minhash_signatures(sh_arr)
+    pairs = sim.lsh_candidate_pairs(sig)
+    a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(sim.N_SEEDS)])
+    b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(sim.N_SEEDS)])
+    matches = sum(
+        (F.when(F.col(f"a{s}") == F.col(f"b{s}"), 1).otherwise(0) for s in range(1, sim.N_SEEDS)),
+        F.when(F.col("a0") == F.col("b0"), 1).otherwise(0),
+    )
+    est = (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", matches.cast("bigint").alias("n_match"))
+        .withColumn("est_jaccard_4dp", F.expr(f"CAST((10000 * n_match) div {sim.N_SEEDS} AS DOUBLE) / 10000.0"))
+    )
+    exact = sim.pair_jaccard(sh_arr, pairs).select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_4dp")
+    # error stays in INTEGER 4dp units end-to-end — subtracting the
+    # published doubles and casting would hit the Spark-truncates /
+    # DuckDB-rounds divergence on inexact doubles
+    return (
+        est.join(exact, ["doc_a", "doc_b"])
+        .select(
+            "doc_a", "doc_b", "n_match", "est_jaccard_4dp", "jaccard_4dp",
+            F.expr(f"(10000 * n_match) div {sim.N_SEEDS} - (10000 * n_inter) div n_union")
+            .alias("err_4dp_units"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_dedup_minhash_estimate() -> str:
+    match_expr = " + ".join(
+        f"CASE WHEN sa.mh{s} = sb.mh{s} THEN 1 ELSE 0 END" for s in range(sim.N_SEEDS)
+    )
+    return f"""
+    WITH {_SIG_CTE},
+    est AS (
+        SELECT c.doc_a, c.doc_b, CAST({match_expr} AS BIGINT) AS n_match
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+    ),
+    exact AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(xa.sh, xb.sh)) AS BIGINT) AS n_inter,
+               CAST(len(xa.sh) + len(xb.sh) - len(list_intersect(xa.sh, xb.sh)) AS BIGINT) AS n_union
+        FROM cand c
+        JOIN sharr xa ON xa.doc_id = c.doc_a
+        JOIN sharr xb ON xb.doc_id = c.doc_b
+    )
+    SELECT e.doc_a, e.doc_b, n_match,
+           CAST(CAST((10000 * n_match) // {sim.N_SEEDS} AS BIGINT) AS DOUBLE) / 10000.0 AS est_jaccard_4dp,
+           CAST(CAST((10000 * n_inter) // n_union AS BIGINT) AS DOUBLE) / 10000.0 AS jaccard_4dp,
+           (10000 * n_match) // {sim.N_SEEDS} - (10000 * n_inter) // n_union AS err_4dp_units
+    FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    ORDER BY e.doc_a, e.doc_b
+    """
