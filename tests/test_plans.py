@@ -65,3 +65,40 @@ def test_whole_stage_codegen_in_q1(spark):
     df.collect()  # finalize the adaptive plan
     plan = _plan(df)
     assert "*(" in plan  # WholeStageCodegen spans present
+
+
+def test_sequence_pack_single_exchange(spark):
+    """The packing cumsum is ONE hash exchange on source (plus the
+    presentation sort) — the §4b 'one shuffle per logical stage' claim."""
+    from northwind_warehouse_spark.plans.llm import sequence_pack
+
+    plan = _plan(sequence_pack(spark, SF_SMOKE))
+    hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert hash_exchanges == 1, plan[:2000]
+
+
+def test_knn_broadcasts_queries(spark):
+    """kNN scans the corpus once with the query set broadcast — no
+    corpus-sized shuffle before the tiny top-k window."""
+    from northwind_warehouse_spark.plans.llm import knn_classify
+
+    plan = _plan(knn_classify(spark, SF_SMOKE))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_is_map_only(spark):
+    """Redaction is pure map work: no hash exchange anywhere (only the
+    final presentation range-sort)."""
+    from northwind_warehouse_spark.plans.llm import pii_redact
+
+    plan = _plan(pii_redact(spark, SF_SMOKE))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_interval_join_copartitions_on_user(spark):
+    """The time-bounded join is an equi-join on user_id (hash join with
+    the range bound as residual condition), never a cross product."""
+    from northwind_warehouse_spark.plans.analytics import interval_join_attribution
+
+    plan = _plan(interval_join_attribution(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
