@@ -1444,6 +1444,21 @@ _PII_IP = "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"
 _PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
 
 
+def redact_pii(col):
+    """The PII scrub as a reusable column expression (email → IP → phone,
+    in that fixed order) — shared by the oracled pii_redact query, the
+    CorpusPipeline scrub stage, and any streaming deployment."""
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(col, _PII_EMAIL, "<EMAIL>"),
+            _PII_IP,
+            "<IP>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+
+
 def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrubbing: regex redaction of emails / IPs / phone numbers.
 
@@ -1463,15 +1478,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
     )
     base = d.select("doc_id", aug.alias("aug"))
-    redacted = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(F.col("aug"), _PII_EMAIL, "<EMAIL>"),
-            _PII_IP,
-            "<IP>",
-        ),
-        _PII_PHONE,
-        "<PHONE>",
-    )
+    redacted = redact_pii(F.col("aug"))
     out = base.select(
         "doc_id",
         F.size(F.regexp_extract_all("aug", F.lit(_PII_EMAIL), F.lit(0))).cast("bigint").alias("n_emails"),

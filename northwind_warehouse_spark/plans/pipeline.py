@@ -154,15 +154,19 @@ class CorpusPipeline:
     """End-to-end training-data corpus build (SURVEY.md §2C composed):
 
     raw documents → quality gate → exact dedup (keep min doc_id per
-    fingerprint) → sliding-window chunking → deterministic train/val
-    split → lake, partitioned by split so a trainer reads
-    ``chunks/split=train/`` without touching validation data.
+    fingerprint) → PII scrub → sliding-window chunking → deterministic
+    train/val split → lake, partitioned by split so a trainer reads
+    ``chunks/split=train/`` without touching validation data; plus a
+    sequence-pack manifest (per-split concat-then-chunk pack ids) so the
+    trainer's data loader knows each chunk's pack and offset up front.
 
     Every stage is one of the §2C operators — the pipeline is plain
     composition, no new semantics.
     """
 
     CHUNKS = "corpus_chunks"
+    PACKS = "corpus_packs"
+    PACK_BUDGET = 64
 
     def __init__(self, spark: SparkSession, lake_dir: str):
         self.spark = spark
@@ -178,6 +182,10 @@ class CorpusPipeline:
         from northwind_warehouse_spark.operators.dedup import exact_dedup
 
         unique_docs = exact_dedup(docs, fingerprint, [F.col("doc_id")]).drop("fingerprint")
+
+        from northwind_warehouse_spark.plans.llm import redact_pii
+
+        unique_docs = unique_docs.withColumn("text", redact_pii(F.col("text")))
 
         # chunk + split on the surviving docs
         toks = unique_docs.select("doc_id", F.split("text", " ").alias("w")).withColumn(
@@ -199,4 +207,25 @@ class CorpusPipeline:
         )
         path = f"{self.lake}/{self.CHUNKS}"
         write_table(out, path, partition_by=("split",))
-        return read_table(self.spark, path)
+        chunks_tbl = read_table(self.spark, path)
+
+        # sequence-pack manifest: per split, concat chunks in
+        # (doc_id, chunk_idx) order and cut every PACK_BUDGET tokens
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy("split")
+            .orderBy("doc_id", "chunk_idx")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        manifest = (
+            chunks_tbl.withColumn("n_tok", F.size(F.split("chunk_text", " ")).cast("bigint"))
+            .withColumn("off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint"))
+            .select(
+                "split", "doc_id", "chunk_idx", "n_tok",
+                F.expr(f"off div {self.PACK_BUDGET}").alias("pack_id"),
+                (F.col("off") % self.PACK_BUDGET).alias("offset_in_pack"),
+            )
+        )
+        write_table(manifest, f"{self.lake}/{self.PACKS}", partition_by=("split",))
+        return chunks_tbl

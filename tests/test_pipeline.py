@@ -89,3 +89,23 @@ def test_pipeline_runs_and_is_idempotent(spark, tmp_path):
 
     # time travel: the first run's fact version is still readable
     assert p.table(p.FACT_ORDERS, version=versions[0]["version"]).count() == fact1
+
+
+def test_corpus_pipeline_pack_manifest(spark, tmp_path):
+    """The pack manifest covers every chunk, offsets are contiguous per
+    split, and pack cuts land every PACK_BUDGET tokens."""
+    from northwind_warehouse_spark.plans.pipeline import CorpusPipeline
+    from northwind_warehouse_spark.sources.lake import read_table
+
+    p = CorpusPipeline(spark, str(tmp_path / "corpus"))
+    chunks = p.run(SF_SMOKE)
+    manifest = read_table(spark, str(tmp_path / "corpus" / CorpusPipeline.PACKS))
+    assert manifest.count() == chunks.count()
+
+    rows = manifest.orderBy("split", "doc_id", "chunk_idx").collect()
+    offset = {}
+    for r in rows:
+        o = offset.get(r.split, 0)
+        assert r.pack_id == o // CorpusPipeline.PACK_BUDGET
+        assert r.offset_in_pack == o % CorpusPipeline.PACK_BUDGET
+        offset[r.split] = o + r.n_tok
