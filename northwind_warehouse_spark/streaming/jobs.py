@@ -307,3 +307,38 @@ def score_documents_stream(docs: DataFrame) -> DataFrame:
     from northwind_warehouse_spark.plans.llm import quality_metrics
 
     return quality_metrics(docs)
+
+
+def hourly_baseline(events: DataFrame) -> DataFrame:
+    """Batch-computed alerting baseline: per event type, the average
+    hourly event count over history (exact integer division). Small —
+    one row per event type — so the streaming join broadcasts it."""
+    hourly = events.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour_ts")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return hourly.groupBy("event_type").agg(
+        F.expr("sum(cnt) div count(*)").alias("avg_hourly_cnt")
+    )
+
+
+def spike_alerts_stream(events: DataFrame, baseline: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Live volume-anomaly alerting: watermarked tumbling-hour counts on
+    the stream, scored against the batch-built baseline via a
+    stream-static broadcast join — the standard 'stream + reference
+    data' deployment shape (state bounded by the watermark; the baseline
+    is a tiny static table refreshed by the batch pipeline)."""
+    wc = (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("hour_ts"), "event_type", "cnt")
+    )
+    return wc.join(F.broadcast(baseline), "event_type").select(
+        "event_type",
+        "hour_ts",
+        "cnt",
+        "avg_hourly_cnt",
+        F.when(F.col("cnt") > 2 * F.col("avg_hourly_cnt"), F.lit("Y"))
+        .otherwise(F.lit("N"))
+        .alias("is_spike"),
+    )

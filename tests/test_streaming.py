@@ -233,3 +233,39 @@ def test_stream_quality_scoring_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.table("doc_quality").collect()}
     want = {tuple(r) for r in quality_metrics(load(spark, SF_SMOKE, "documents")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_spike_alerts_stream_matches_batch(spark, events_dir, tmp_path):
+    """Streamed hourly spike flags equal the batch computation of the
+    same definition (stream-static join against the batch baseline)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.streaming.jobs import (
+        hourly_baseline, run_to_memory, spike_alerts_stream, stream_events,
+    )
+
+    _prepare(spark, events_dir)
+    batch_events = load(spark, SF_SMOKE, "events")
+    baseline = hourly_baseline(batch_events)
+
+    stream = spike_alerts_stream(stream_events(spark, events_dir), baseline)
+    run_to_memory(stream, "spikes", str(tmp_path / "ckpt_spikes"))
+    got = {
+        (r.event_type, r.hour_ts): (r.cnt, r.avg_hourly_cnt, r.is_spike)
+        for r in spark.table("spikes").collect()
+    }
+
+    want_df = (
+        batch_events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour_ts"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(baseline, "event_type")
+        .select(
+            "event_type", "hour_ts", "cnt", "avg_hourly_cnt",
+            F.when(F.col("cnt") > 2 * F.col("avg_hourly_cnt"), F.lit("Y")).otherwise(F.lit("N")).alias("is_spike"),
+        )
+    )
+    want = {
+        (r.event_type, r.hour_ts): (r.cnt, r.avg_hourly_cnt, r.is_spike)
+        for r in want_df.collect()
+    }
+    assert got == want and len(got) > 0
+    assert any(v[2] == "Y" for v in got.values()) or all(v[2] == "N" for v in got.values())
