@@ -45,13 +45,18 @@ def connected_components(
         .withColumn("comp", F.col("node"))
         .localCheckpoint()
     )
+    # Min-label propagation is monotone — comp values only ever decrease —
+    # so sum(comp) is a strictly-decreasing convergence witness: one cheap
+    # aggregate per round replaces a join-and-count against the previous
+    # labels (halves the per-iteration work).
+    prev_sum = labels.agg(F.sum("comp")).collect()[0][0]
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("comp").alias("nbr_comp"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr_min, labels.node == nbr_min.u, "left")
             .select(
                 "node",
@@ -59,13 +64,8 @@ def connected_components(
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("comp")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
