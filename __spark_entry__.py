@@ -231,7 +231,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": llm.oracle_dedup_exact(),
         "dedup_minhash_lsh": llm.oracle_dedup_minhash_lsh(),
         "dedup_ngram_jaccard": llm.oracle_dedup_ngram_jaccard(),
-        # dedup_simhash: rows-only (bit-level SQL not portable to DuckDB 1.0)
+        "dedup_simhash": llm.oracle_dedup_simhash(),
         # sketch_distinct_users: rows-only (HLL estimates are engine-specific;
         #   accuracy vs exact asserted in tests/test_operators.py)
         "text_quality": llm.oracle_text_quality(),

@@ -123,10 +123,30 @@ def oracle_dedup_ngram_jaccard() -> str:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (rows-only check: bit-level SQL is not
-    portably expressible in DuckDB 1.0)."""
+    """32-bit SimHash fingerprints: per-token md5→32-bit hash, per-bit
+    ±1 votes, sign → bit (operators/similarity.py::simhash32)."""
     d = load(spark, sf_dir, "documents")
     return sim.simhash32(d).orderBy("doc_id")
+
+
+def oracle_dedup_simhash() -> str:
+    votes = ",\n".join(
+        f"               CAST(sum(2 * ((h >> {b}) & 1) - 1) AS BIGINT) AS v{b}" for b in range(32)
+    )
+    fp = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(32))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+    ), votes AS (
+        SELECT doc_id,
+{votes}
+        FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash
+    FROM votes ORDER BY doc_id
+    """
 
 
 # ---------------------------------------------------------------------------
