@@ -167,6 +167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_estimate": llm.dedup_minhash_estimate,
         "events_transitions": analytics.events_transitions,
         "ship_latency_stats": analytics.ship_latency_stats,
+        "bpe_merge_step": llm.bpe_merge_step,
     })
 
 
@@ -277,4 +278,5 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_estimate": llm.oracle_dedup_minhash_estimate(),
         "events_transitions": analytics.oracle_events_transitions(),
         "ship_latency_stats": analytics.oracle_ship_latency_stats(),
+        "bpe_merge_step": llm.oracle_bpe_merge_step(),
     }

@@ -2080,3 +2080,116 @@ def oracle_dedup_minhash_estimate() -> str:
     FROM est e JOIN exact x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
     ORDER BY e.doc_a, e.doc_b
     """
+
+
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration over the corpus: count adjacent token
+    pairs, pick the top pair (count desc, lexicographic tie-break),
+    apply the merge LEFT-TO-RIGHT NON-OVERLAPPING in every document, and
+    emit the post-merge top-10 pair counts with the applied rule.
+
+    The only subtle part is greedy non-overlap for self-pairs ('x x x'
+    merges positions 0,2 — not 1): match positions are grouped into
+    consecutive-run islands (gaps-and-islands via i − running-match-
+    count) and even offsets within each island merge. Everything is
+    windows + groupBys — the full tokenizer training loop is this plan
+    iterated with the merge table growing by one rule per round.
+    """
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    wseq = Window.partitionBy("doc_id").orderBy("i")
+    pairs = toks.withColumn("nxt", F.lead("tok").over(wseq))
+    counts = (
+        pairs.filter(F.col("nxt").isNotNull())
+        .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.desc("c"), "a", "b").limit(1).select("a", "b")
+
+    m = pairs.crossJoin(F.broadcast(top)).withColumn(
+        "mm", (F.col("tok") == F.col("a")) & (F.col("nxt") == F.col("b"))
+    )
+    wrun = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    island = m.withColumn(
+        "island", F.col("i") - F.sum(F.col("mm").cast("int")).over(wrun)
+    )
+    wisland = Window.partitionBy("doc_id", "island", "mm").orderBy("i")
+    flagged = island.withColumn(
+        "head", F.col("mm") & (((F.row_number().over(wisland) - 1) % 2) == 0)
+    ).withColumn("consumed", F.coalesce(F.lag("head").over(wseq), F.lit(False)))
+
+    merged = flagged.filter(~F.col("consumed")).select(
+        "doc_id", "i", "a", "b",
+        F.when(F.col("head"), F.concat_ws("_", "a", "b")).otherwise(F.col("tok")).alias("new_tok"),
+    )
+    pairs2 = merged.withColumn("nxt", F.lead("new_tok").over(wseq)).filter(
+        F.col("nxt").isNotNull()
+    )
+    counts2 = pairs2.groupBy(
+        F.col("a").alias("merged_a"),
+        F.col("b").alias("merged_b"),
+        F.col("new_tok").alias("pair_a"),
+        F.col("nxt").alias("pair_b"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wrank = Window.orderBy(F.desc("cnt"), "pair_a", "pair_b")
+    return (
+        counts2.withColumn("rk", F.row_number().over(wrank).cast("bigint"))
+        .filter(F.col("rk") <= 10)
+        .select("merged_a", "merged_b", "pair_a", "pair_b", "cnt", "rk")
+        .orderBy("rk")
+    )
+
+
+def oracle_bpe_merge_step() -> str:
+    return """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ), pairs AS (
+        SELECT doc_id, i, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        FROM tok
+    ), cnt AS (
+        SELECT tok AS a, nxt AS b, count(*) AS c
+        FROM pairs WHERE nxt IS NOT NULL GROUP BY tok, nxt
+    ), top AS (
+        SELECT a, b FROM cnt ORDER BY c DESC, a, b LIMIT 1
+    ), m AS (
+        SELECT p.doc_id, p.i, p.tok, p.nxt, t.a, t.b,
+               (p.tok = t.a AND p.nxt = t.b) AS mm
+        FROM pairs p CROSS JOIN top t
+    ), island AS (
+        SELECT *, i - sum(CASE WHEN mm THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM m
+    ), flagged AS (
+        SELECT *, (mm AND (row_number() OVER (PARTITION BY doc_id, isl, mm ORDER BY i) - 1) % 2 = 0) AS head
+        FROM island
+    ), with_consumed AS (
+        SELECT *, coalesce(lag(head) OVER (PARTITION BY doc_id ORDER BY i), false) AS consumed
+        FROM flagged
+    ), merged AS (
+        SELECT doc_id, i, a, b,
+               CASE WHEN head THEN concat_ws('_', a, b) ELSE tok END AS new_tok
+        FROM with_consumed WHERE NOT consumed
+    ), pairs2 AS (
+        SELECT doc_id, a, b, new_tok,
+               lead(new_tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        FROM merged
+    ), counts2 AS (
+        SELECT a AS merged_a, b AS merged_b, new_tok AS pair_a, nxt AS pair_b, count(*) AS cnt
+        FROM pairs2 WHERE nxt IS NOT NULL
+        GROUP BY a, b, new_tok, nxt
+    )
+    SELECT merged_a, merged_b, pair_a, pair_b, cnt,
+           CAST(row_number() OVER (ORDER BY cnt DESC, pair_a, pair_b) AS BIGINT) AS rk
+    FROM counts2
+    QUALIFY rk <= 10
+    ORDER BY rk
+    """

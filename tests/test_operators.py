@@ -449,3 +449,24 @@ def test_mixture_resample_respects_budget(spark):
             expect = n_total * keep_ppm / 1_000_000
             sd = (n_total * (keep_ppm / 1e6) * (1 - keep_ppm / 1e6)) ** 0.5
             assert abs(n_kept - expect) <= 5 * sd + 2
+
+
+def test_bpe_merge_step_greedy_non_overlap(spark, tmp_path):
+    """Self-pair merges are left-to-right non-overlapping: 'x x x x x'
+    with top pair (x,x) becomes [x_x, x_x, x] — positions 0&2 merge,
+    never 1&3."""
+    from northwind_warehouse_spark.plans.llm import bpe_merge_step
+
+    docs = spark.createDataFrame(
+        [(1, "x x x x x", "en", "src0", 9), (2, "x x y", "en", "src0", 5)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    sf = str(tmp_path / "mini")
+    import os
+    os.makedirs(sf, exist_ok=True)
+    docs.write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = bpe_merge_step(spark, sf).collect()
+    assert rows[0].merged_a == "x" and rows[0].merged_b == "x"
+    got = {(r.pair_a, r.pair_b): r.cnt for r in rows}
+    # doc1 -> [x_x, x_x, x]: pairs (x_x,x_x), (x_x,x); doc2 -> [x_x, y]: (x_x,y)
+    assert got == {("x_x", "x_x"): 1, ("x_x", "x"): 1, ("x_x", "y"): 1}
