@@ -168,6 +168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_transitions": analytics.events_transitions,
         "ship_latency_stats": analytics.ship_latency_stats,
         "bpe_merge_step": llm.bpe_merge_step,
+        "model_score_filter": llm.model_score_filter,
     })
 
 
@@ -279,4 +280,5 @@ def oracle_sql() -> dict[str, str]:
         "events_transitions": analytics.oracle_events_transitions(),
         "ship_latency_stats": analytics.oracle_ship_latency_stats(),
         "bpe_merge_step": llm.oracle_bpe_merge_step(),
+        "model_score_filter": llm.oracle_model_score_filter(),
     }

@@ -131,3 +131,53 @@ def documents_as_binary(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.encode(F.col("text"), "utf-8").cast(BinaryType()).alias("content")
     )
+
+
+SCORE_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("model_version", StringType()),
+    StructField("score_q", LongType()),
+    StructField("keep", StringType()),
+])
+
+
+def model_score_documents(
+    docs: DataFrame,
+    model_version: str = "quality-clf-v0",
+    keep_threshold_q: int = 500_000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_hint: int | None = None,
+) -> DataFrame:
+    """Batch model-inference over the corpus — the ML-classifier
+    filtering stage of a curation pipeline (quality/toxicity/topic
+    models), shaped the way real inference runs on Spark: Arrow-batched
+    ``mapInPandas``, one model instance per task (load once per
+    partition, score every batch), score emitted as exact quantized
+    integer so downstream gating is engine-deterministic.
+
+    The model itself is STUBBED deterministically (md5-derived pseudo
+    score in [0, 1e6)); swapping in a real ONNX/torch classifier touches
+    only ``_score`` — the batching, schema, and partition behavior are
+    what this operator pins down.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # model load happens HERE, once per task — not per row/batch
+        def _score(text: str) -> int:
+            digest = hashlib.md5(("score|" + text).encode()).hexdigest()
+            return int(digest[:8], 16) % 1_000_000
+
+        for pdf in batches:
+            scores = pdf[text_col].map(_score)
+            yield pd.DataFrame({
+                "doc_id": pdf[id_col].astype("int64"),
+                "model_version": model_version,
+                "score_q": scores.astype("int64"),
+                "keep": (scores >= keep_threshold_q).map({True: "Y", False: "N"}),
+            })
+
+    out = docs.select(id_col, text_col)
+    if batch_hint:
+        out = out.repartition(batch_hint)
+    return out.mapInPandas(run, SCORE_SCHEMA)

@@ -2193,3 +2193,28 @@ def oracle_bpe_merge_step() -> str:
     QUALIFY rk <= 10
     ORDER BY rk
     """
+
+
+def model_score_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML-classifier corpus filtering via Arrow-batched mapInPandas
+    (operators/multimodal.py::model_score_documents). The deterministic
+    stub score is md5-derived, so even this PYTHON path is hash-verified
+    against the SQL oracle — evidence the batch-inference plumbing is
+    row-exact, not just 'runs'."""
+    from northwind_warehouse_spark.operators.multimodal import model_score_documents
+
+    d = load(spark, sf_dir, "documents")
+    return model_score_documents(d).orderBy("doc_id")
+
+
+def oracle_model_score_filter() -> str:
+    return """
+    WITH scored AS (
+        SELECT doc_id, 'quality-clf-v0' AS model_version,
+               CAST(('0x' || substr(md5('score|' || text), 1, 8)) AS BIGINT) % 1000000 AS score_q
+        FROM documents
+    )
+    SELECT doc_id, model_version, score_q,
+           CASE WHEN score_q >= 500000 THEN 'Y' ELSE 'N' END AS keep
+    FROM scored ORDER BY doc_id
+    """
