@@ -162,3 +162,42 @@ def test_connected_components_matches_union_find(spark, edge_list):
     edges = spark.createDataFrame(edge_list, ["src", "dst"])
     got = {r.node: r.comp for r in connected_components(edges).collect()}
     assert got == want
+
+
+@given(
+    st.lists(
+        # vocab {a,b} keeps distinct post-merge pair types ≤ 9, so the
+        # query's top-10 shows ALL pairs and absence proves count == 0
+        st.lists(st.sampled_from(["a", "b"]), min_size=1, max_size=8),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_bpe_merge_never_leaves_adjacent_top_pair(spark, docs):
+    """After applying the top merge greedily left-to-right, NO document
+    contains the merged pair adjacently — the defining BPE invariant,
+    for arbitrary corpora including self-pair runs."""
+    from northwind_warehouse_spark.plans.llm import bpe_merge_step
+
+    rows = [
+        (i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    # need at least one adjacent pair somewhere, else there is no top pair
+    if not any(len(t) >= 2 for t in docs):
+        return
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as sf:
+        df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+        out = bpe_merge_step(spark, sf).collect()
+        if not out:
+            return
+        a, b = out[0].merged_a, out[0].merged_b
+        # post-merge pair counts must not contain the merged raw pair
+        assert not any(r.pair_a == a and r.pair_b == b for r in out)

@@ -269,3 +269,19 @@ def test_spike_alerts_stream_matches_batch(spark, events_dir, tmp_path):
     }
     assert got == want and len(got) > 0
     assert any(v[2] == "Y" for v in got.values()) or all(v[2] == "N" for v in got.values())
+
+
+def test_stream_model_scoring_matches_batch(spark, tmp_path):
+    """Batch/stream unification holds for the mapInPandas inference
+    stage too: streamed model scores equal the batch run."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.multimodal import model_score_documents
+    from northwind_warehouse_spark.streaming.jobs import run_to_memory, stream_documents
+
+    docs_dir = str(tmp_path / "docs_stream_ms")
+    load(spark, SF_SMOKE, "documents").coalesce(1).write.mode("overwrite").parquet(docs_dir)
+    stream = model_score_documents(stream_documents(spark, docs_dir))
+    run_to_memory(stream, "ms", str(tmp_path / "ckpt_ms"), output_mode="append")
+    got = {tuple(r) for r in spark.table("ms").collect()}
+    want = {tuple(r) for r in model_score_documents(load(spark, SF_SMOKE, "documents")).collect()}
+    assert got == want and len(got) > 0
