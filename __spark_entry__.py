@@ -42,9 +42,9 @@ _DRIVER_FIRST = (
     "doc_fingerprint", "doc_chunking", "sequence_pack",
     "tfidf_top_terms", "pii_redact", "bigram_lm_quality",
     "repetition_quality", "collapse_repeats", "bpe_pair_stats",
-    "vocab_top_terms",
+    "bpe_merge_step",
     "ann_cosine_topk", "ann_lsh_topk", "ann_ivf_topk",
-    "kmeans_iter", "knn_classify", "embedding_stats",
+    "kmeans_iter", "knn_classify", "model_score_filter",
     "train_val_test_split", "mixture_resample",
     "corpus_sample_per_source", "domain_mixture", "multimodal_extract",
     # §A medallion core

@@ -41,3 +41,16 @@ def test_versioned_write_read_asof(spark, tmp_path):
     t.write(c.limit(1), committed_at=_utc(2024, 4, 1))
     after = sorted(r.c_custkey for r in t.read(version=0).collect())
     assert before == after
+
+
+def test_table_diff_classifies_changes(spark):
+    from northwind_warehouse_spark.sources.versioned import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k long, name string, v long"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "c", 99), (4, "d", 40)], "k long, name string, v long"
+    )
+    got = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {1: "deleted", 3: "updated", 4: "inserted"}
