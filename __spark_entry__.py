@@ -169,6 +169,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_latency_stats": analytics.ship_latency_stats,
         "bpe_merge_step": llm.bpe_merge_step,
         "model_score_filter": llm.model_score_filter,
+        "except_churned": analytics.except_churned,
+        "moving_avg_revenue": analytics.moving_avg_revenue,
+        "order_value_histogram": analytics.order_value_histogram,
+        "monthly_revenue_mom": analytics.monthly_revenue_mom,
+        "events_trigram_paths": analytics.events_trigram_paths,
     })
 
 
@@ -281,4 +286,9 @@ def oracle_sql() -> dict[str, str]:
         "ship_latency_stats": analytics.oracle_ship_latency_stats(),
         "bpe_merge_step": llm.oracle_bpe_merge_step(),
         "model_score_filter": llm.oracle_model_score_filter(),
+        "except_churned": analytics.oracle_except_churned(),
+        "moving_avg_revenue": analytics.oracle_moving_avg_revenue(),
+        "order_value_histogram": analytics.oracle_order_value_histogram(),
+        "monthly_revenue_mom": analytics.oracle_monthly_revenue_mom(),
+        "events_trigram_paths": analytics.oracle_events_trigram_paths(),
     }

@@ -1945,3 +1945,247 @@ def oracle_ship_latency_stats() -> str:
            CAST(sum(lag_days) AS BIGINT) // count(*) AS avg_days_floor
     FROM lag GROUP BY order_priority ORDER BY order_priority
     """
+
+
+def except_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT set operation: customers who ordered in 1997 but placed no
+    order in 1998 (churn candidates), enriched with their segment.
+
+    Spark `subtract` is EXCEPT DISTINCT — a hash(custkey) aggregate on
+    each year slice, then a left-anti between two already-small distinct
+    key sets; the year filters push to the orders scan so only two
+    year-partitions are ever read at 100 TB."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    active_97 = o.filter(F.col("yr") == 1997).select("o_custkey").distinct()
+    active_98 = o.filter(F.col("yr") == 1998).select("o_custkey").distinct()
+    churned = active_97.subtract(active_98)
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return (
+        churned.join(c, churned.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .orderBy("custkey")
+    )
+
+
+def oracle_except_churned() -> str:
+    return """
+    WITH churned AS (
+        SELECT o_custkey FROM orders WHERE year(cast(o_orderdate as date)) = 1997
+        EXCEPT
+        SELECT o_custkey FROM orders WHERE year(cast(o_orderdate as date)) = 1998
+    )
+    SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment
+    FROM churned JOIN customer ON o_custkey = c_custkey
+    ORDER BY custkey
+    """
+
+
+def moving_avg_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily order revenue via a value-RANGE
+    window frame (RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over an
+    integer day index) — gaps in the calendar shrink the frame, unlike a
+    ROWS frame.
+
+    Exact cents end-to-end: the windowed sum is BIGINT cents and the
+    average is integer division by the number of days present in the
+    frame. Daily rollup first (one shuffle), so the window runs over
+    ~|days| rows regardless of order volume."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    daily = o.groupBy("order_date").agg(F.sum("cents").alias("day_cents"))
+    daily = daily.withColumn(
+        "day_idx", F.datediff("order_date", F.lit("1995-01-01").cast("date"))
+    )
+    w = Window.orderBy("day_idx").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            "order_date",
+            "day_cents",
+            F.sum("day_cents").over(w).alias("ma7_cents_sum"),
+            F.count(F.lit(1)).over(w).alias("ma7_days"),
+        )
+        .withColumn("ma7_cents", F.expr("ma7_cents_sum div ma7_days"))
+        .select("order_date", "day_cents", "ma7_days", "ma7_cents")
+        .orderBy("order_date")
+    )
+
+
+def oracle_moving_avg_revenue() -> str:
+    return """
+    WITH daily AS (
+        SELECT cast(o_orderdate as date) AS order_date,
+               sum(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)) AS day_cents
+        FROM orders GROUP BY 1
+    ), idx AS (
+        SELECT order_date, day_cents,
+               date_diff('day', DATE '1995-01-01', order_date) AS day_idx
+        FROM daily
+    )
+    SELECT order_date, day_cents,
+           count(*) OVER w AS ma7_days,
+           CAST(sum(day_cents) OVER w AS BIGINT) // count(*) OVER w AS ma7_cents
+    FROM idx
+    WINDOW w AS (ORDER BY day_idx RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ORDER BY order_date
+    """
+
+
+def order_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order values: $500-wide buckets via exact
+    integer division of cents (width_bucket without the float hazard).
+
+    Map-only bucketing + one hash(bucket) aggregate; bucket cardinality
+    is bounded by max order value, not row count."""
+    o = load(spark, sf_dir, "orders").select(
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    return (
+        o.withColumn("bucket", F.expr("cents div 50000"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("min_cents"),
+            F.max("cents").alias("max_cents"),
+        )
+        .withColumn("bucket_lo_cents", F.expr("bucket * 50000"))
+        .select("bucket", "bucket_lo_cents", "n_orders", "min_cents", "max_cents")
+        .orderBy("bucket")
+    )
+
+
+def oracle_order_value_histogram() -> str:
+    return """
+    WITH c AS (
+        SELECT CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT cents // 50000 AS bucket,
+           (cents // 50000) * 50000 AS bucket_lo_cents,
+           count(*) AS n_orders, min(cents) AS min_cents, max(cents) AS max_cents
+    FROM c GROUP BY 1 ORDER BY bucket
+    """
+
+
+def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue growth in exact basis points: lag over
+    the monthly rollup, delta expressed as sign-split integer division
+    (both engines truncate non-negative dividends identically, so the
+    negative branch is computed on the flipped difference).
+
+    The fact reduces to |months| rows before the window — the lag runs
+    on a driver-trivial series even at 100 TB."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("ym"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    monthly = o.groupBy("ym").agg(F.sum("cents").alias("rev_cents"))
+    w = Window.orderBy("ym")
+    return (
+        monthly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+        .withColumn(
+            "mom_bp",
+            F.expr(
+                """CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+                        WHEN rev_cents >= prev_cents
+                          THEN ((rev_cents - prev_cents) * 10000) div prev_cents
+                        ELSE -(((prev_cents - rev_cents) * 10000) div prev_cents)
+                   END"""
+            ),
+        )
+        .select("ym", "rev_cents", "prev_cents", "mom_bp")
+        .orderBy("ym")
+    )
+
+
+def oracle_monthly_revenue_mom() -> str:
+    return """
+    WITH monthly AS (
+        SELECT strftime(cast(o_orderdate as date), '%Y-%m') AS ym,
+               sum(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)) AS rev_cents
+        FROM orders GROUP BY 1
+    ), lagged AS (
+        SELECT ym, rev_cents, lag(rev_cents) OVER (ORDER BY ym) AS prev_cents
+        FROM monthly
+    )
+    SELECT ym, rev_cents, prev_cents,
+           CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
+                WHEN rev_cents >= prev_cents
+                  THEN ((rev_cents - prev_cents) * 10000) // prev_cents
+                ELSE -(((prev_cents - rev_cents) * 10000) // prev_cents)
+           END AS mom_bp
+    FROM lagged ORDER BY ym
+    """
+
+
+def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence mining one step past transitions: top-20 event-type
+    trigram paths across each user's time-ordered stream, share in exact
+    ppm.
+
+    Both lags ride the same hash(user_id) exchange (one window spec
+    prefix); the trigram rollup is |types|³ rows at most."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select("user_id", "ts", "event_id", "event_type").select(
+        "event_type",
+        F.lag("event_type", 1).over(w).alias("t1"),
+        F.lag("event_type", 2).over(w).alias("t2"),
+    )
+    tri = (
+        seq.filter(F.col("t2").isNotNull())
+        .groupBy(
+            F.col("t2").alias("step1"),
+            F.col("t1").alias("step2"),
+            F.col("event_type").alias("step3"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+    )
+    from pyspark.sql.window import Window as W2
+
+    wtot = W2.rowsBetween(W2.unboundedPreceding, W2.unboundedFollowing)
+    return (
+        tri.withColumn("total", F.sum("n_paths").over(wtot).cast("bigint"))
+        .select(
+            "step1", "step2", "step3", "n_paths",
+            F.expr("n_paths * 1000000 div total").alias("share_ppm"),
+        )
+        .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
+        .limit(20)
+    )
+
+
+def oracle_events_trigram_paths() -> str:
+    return """
+    WITH seq AS (
+        SELECT event_type,
+               lag(event_type, 1) OVER w AS t1,
+               lag(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), tri AS (
+        SELECT t2 AS step1, t1 AS step2, event_type AS step3, count(*) AS n_paths
+        FROM seq WHERE t2 IS NOT NULL
+        GROUP BY 1, 2, 3
+    )
+    SELECT step1, step2, step3, n_paths,
+           n_paths * 1000000 // CAST(sum(n_paths) OVER () AS BIGINT) AS share_ppm
+    FROM tri
+    ORDER BY n_paths DESC, step1, step2, step3
+    LIMIT 20
+    """
