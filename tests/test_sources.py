@@ -154,3 +154,35 @@ def test_forget_keys_rewrites_only_affected_partitions(spark, tmp_path):
     assert after.filter(F.col("user_id") == victim).count() == 0
     assert after.count() == n_total - n_victim
     assert file_state(victim_days) == before  # untouched partitions untouched
+
+
+def test_cluster_table_disjoint_file_key_ranges(spark, tmp_path):
+    """cluster_table must leave files with narrow, pairwise-disjoint key
+    spans (footer stats only) while preserving the data — the property
+    that makes row-group pruning effective at scale."""
+    from northwind_warehouse_spark.sources.lake import cluster_table, file_key_spans
+
+    path = str(tmp_path / "tbl")
+    df = spark.range(0, 10_000).select(
+        (F.col("id") * 7919 % 10_000).alias("k"),  # ingest order != key order
+        F.col("id").alias("payload"),
+    )
+    df.repartition(8).write.parquet(path)
+
+    before = file_key_spans(path, "k")
+    # unclustered: every file spans ~the full key domain
+    assert all(hi - lo > 9_000 for lo, hi in before["spans"].values())
+
+    expected = sorted(r["payload"] for r in spark.read.parquet(path).collect())
+    audit = cluster_table(spark, path, cluster_by=("k",), max_records_per_file=2_000)
+
+    spans = sorted(audit["spans"].values())
+    assert audit["files"] >= 4
+    # narrow per-file spans…
+    assert all(hi - lo <= 3_000 for lo, hi in spans)
+    # …and pairwise disjoint (globally range-partitioned)
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+    # data preserved
+    got = sorted(r["payload"] for r in spark.read.parquet(path).collect())
+    assert got == expected
