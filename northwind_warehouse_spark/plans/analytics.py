@@ -2189,3 +2189,56 @@ def oracle_events_trigram_paths() -> str:
     ORDER BY n_paths DESC, step1, step2, step3
     LIMIT 20
     """
+
+
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew audit: per join key of the big fact, the share of
+    rows carried by the top-20 heaviest keys, in exact ppm — the number
+    you read before choosing broadcast vs salted vs AQE-skew join
+    (operators/skew.py is the fix; this is the detector).
+
+    One hash(key) aggregate per audited column; the top-20 cut is a
+    count-ordered limit with a total tie-break."""
+    l = load(spark, sf_dir, "lineitem")
+    out = None
+    for colname in ("l_partkey", "l_suppkey"):
+        counts = (
+            l.groupBy(F.col(colname).alias("key_value"))
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+            .withColumn("key_col", F.lit(colname))
+        )
+        from pyspark.sql.window import Window
+
+        wtot = Window.partitionBy("key_col").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        wrank = Window.partitionBy("key_col").orderBy(F.desc("n_rows"), "key_value")
+        top = (
+            counts.withColumn("total", F.sum("n_rows").over(wtot).cast("bigint"))
+            .withColumn("skew_rank", F.row_number().over(wrank))
+            .filter(F.col("skew_rank") <= 20)
+            .select(
+                "key_col", "skew_rank", "key_value", "n_rows",
+                F.expr("n_rows * 1000000 div total").alias("share_ppm"),
+            )
+        )
+        out = top if out is None else out.unionByName(top)
+    return out.orderBy("key_col", "skew_rank")
+
+
+def oracle_key_skew_audit() -> str:
+    def one(col: str) -> str:
+        return f"""
+        SELECT '{col}' AS key_col,
+               row_number() OVER (ORDER BY count(*) DESC, {col}) AS skew_rank,
+               {col} AS key_value, count(*) AS n_rows,
+               count(*) * 1000000 // CAST(sum(count(*)) OVER () AS BIGINT) AS share_ppm
+        FROM lineitem GROUP BY {col}
+        QUALIFY skew_rank <= 20
+        """
+    return f"""
+    SELECT * FROM ({one('l_partkey')})
+    UNION ALL
+    SELECT * FROM ({one('l_suppkey')})
+    ORDER BY key_col, skew_rank
+    """

@@ -2218,3 +2218,52 @@ def oracle_model_score_filter() -> str:
            CASE WHEN score_q >= 500000 THEN 'Y' ELSE 'N' END AS keep
     FROM scored ORDER BY doc_id
     """
+
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality evaluation: recall@5 of the LSH-bucketed search
+    against the brute-force ground truth, per query, in exact ppm — the
+    accept/reject gate you run before trusting an approximate index at
+    corpus scale.
+
+    Both sides reuse the production plans; the comparison is a
+    (query_id, neighbor_id) semi-join over two ~|queries|·k row sets, so
+    the evaluation costs what the searches cost, nothing more."""
+    truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_true.join(n_hit, "query_id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("bigint"))
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div n_true"))
+        .select("query_id", "n_true", "n_hits", "recall_ppm")
+        .orderBy("query_id")
+    )
+
+
+def oracle_ann_recall_eval() -> str:
+    truth = oracle_ann_cosine_topk()
+    approx = oracle_ann_lsh_topk()
+    return f"""
+    WITH truth AS ({truth}),
+    approx AS ({approx}),
+    n_true_t AS (
+        SELECT query_id, count(*) AS n_true FROM truth GROUP BY query_id
+    ),
+    n_hit_t AS (
+        SELECT t.query_id, count(*) AS n_hits
+        FROM truth t
+        WHERE EXISTS (
+            SELECT 1 FROM approx a
+            WHERE a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        )
+        GROUP BY t.query_id
+    )
+    SELECT n_true_t.query_id AS query_id, n_true,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(n_hits, 0) AS BIGINT) * 1000000 // n_true AS recall_ppm
+    FROM n_true_t LEFT JOIN n_hit_t ON n_true_t.query_id = n_hit_t.query_id
+    ORDER BY 1
+    """

@@ -791,3 +791,83 @@ def oracle_fact_resolve_failed() -> str:
     FROM stale s LEFT JOIN full_dim d ON s.customer_id = d.customer_id
     WHERE s.customer_sk = {fb}
     """
+
+
+def scd2_asof_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup: the user dimension exactly as it stood
+    at 2024-06-15 (reference: models/dwh/fact_order.sql:38-44 — the
+    ``BETWEEN effective_date AND expiry_date`` SK resolution, here as a
+    standalone time-travel query).
+
+    The as-of predicate is a pair of pushdown-able filters over the
+    already-built dimension; on a materialized SCD2 table partitioned by
+    expiry year it prunes to the open slice plus one year."""
+    d = scd2_users(spark, sf_dir)
+    asof = F.lit("2024-06-15 00:00:00").cast("timestamp")
+    return (
+        d.filter((F.col("effective_date") <= asof) & (F.col("expiry_date") > asof))
+        .select(
+            "user_id", "event_type", "value", "version_no",
+            "effective_date", "expiry_date", "is_active", "user_sk",
+        )
+        .orderBy("user_id")
+    )
+
+
+def oracle_scd2_asof_users() -> str:
+    scd2 = oracle_scd2_users()
+    return f"""
+    WITH scd2 AS ({scd2})
+    SELECT user_id, event_type, value, version_no,
+           effective_date, expiry_date, is_active, user_sk
+    FROM scd2
+    WHERE effective_date <= TIMESTAMP '2024-06-15 00:00:00'
+      AND expiry_date   >  TIMESTAMP '2024-06-15 00:00:00'
+    ORDER BY user_id
+    """
+
+
+def cdc_apply_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply with delete handling: fold an I/U/D change feed into
+    current state — latest change per key wins, and keys whose latest
+    change is a delete vanish (reference: the staging models' ``op``
+    CDC flag, models/staging/*.sql, applied rather than just carried).
+
+    The events stream stands in as the feed: view→I, click→U,
+    purchase→D. One hash(user_id) exchange for the latest-change window;
+    the delete filter is a post-window predicate, so the whole apply is
+    a single shuffle at any feed size."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    feed = e.withColumn(
+        "op",
+        F.when(F.col("event_type") == "view", F.lit("I"))
+        .when(F.col("event_type") == "click", F.lit("U"))
+        .otherwise(F.lit("D")),
+    )
+    latest = latest_by_key(feed, ["user_id"], [F.desc("ts"), F.desc("event_id")])
+    return (
+        latest.filter(F.col("op") != "D")
+        .select(
+            "user_id",
+            F.col("op").alias("last_op"),
+            F.col("value").alias("current_value"),
+            F.col("ts").alias("updated_at"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def oracle_cdc_apply_latest() -> str:
+    return """
+    WITH feed AS (
+        SELECT event_id, user_id, ts, value,
+               CASE event_type WHEN 'view' THEN 'I' WHEN 'click' THEN 'U' ELSE 'D' END AS op
+        FROM events
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS _rn
+        FROM feed
+    )
+    SELECT user_id, op AS last_op, value AS current_value, ts AS updated_at
+    FROM ranked WHERE _rn = 1 AND op <> 'D'
+    ORDER BY user_id
+    """
