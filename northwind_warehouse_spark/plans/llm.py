@@ -2267,3 +2267,118 @@ def oracle_ann_recall_eval() -> str:
     FROM n_true_t LEFT JOIN n_hit_t ON n_true_t.query_id = n_hit_t.query_id
     ORDER BY 1
     """
+
+
+BPE_ENCODE_ROUNDS = 3
+
+
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application at corpus scale: run BPE_ENCODE_ROUNDS
+    training rounds (learn the top adjacent pair, apply it greedily
+    left-to-right non-overlapping, re-number positions) and report each
+    document's token count before and after — the compression the
+    learned merges buy, hash-verified end-to-end.
+
+    Each round is the proven bpe_merge_step machinery (islands trick for
+    self-pairs) plus a row_number re-index so the next round's
+    gaps-and-islands arithmetic stays valid. The learned pair never
+    leaves the cluster: it's a 1-row broadcast, not a collect. Rounds
+    are sequential by nature (each merge depends on the last), but every
+    round is a fixed number of hash(doc_id) windows — O(rounds · corpus)
+    total, the real tokenizer-training loop shape."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
+    )
+    n_before = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens_before"))
+
+    wseq = Window.partitionBy("doc_id").orderBy("i")
+    wrun = wseq.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for _ in range(BPE_ENCODE_ROUNDS):
+        pairs = toks.withColumn("nxt", F.lead("tok").over(wseq))
+        top = (
+            pairs.filter(F.col("nxt").isNotNull())
+            .groupBy(F.col("tok").alias("a"), F.col("nxt").alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .select("a", "b")
+        )
+        m = pairs.crossJoin(F.broadcast(top)).withColumn(
+            "mm", (F.col("tok") == F.col("a")) & (F.col("nxt") == F.col("b"))
+        )
+        island = m.withColumn(
+            "island", F.col("i") - F.sum(F.col("mm").cast("int")).over(wrun)
+        )
+        wisland = Window.partitionBy("doc_id", "island", "mm").orderBy("i")
+        flagged = island.withColumn(
+            "head", F.col("mm") & (((F.row_number().over(wisland) - 1) % 2) == 0)
+        ).withColumn("consumed", F.coalesce(F.lag("head").over(wseq), F.lit(False)))
+        toks = (
+            flagged.filter(~F.col("consumed"))
+            .select(
+                "doc_id",
+                F.row_number().over(wseq).alias("i"),
+                F.when(F.col("head"), F.concat_ws("_", "a", "b"))
+                .otherwise(F.col("tok"))
+                .alias("tok"),
+            )
+        )
+
+    n_after = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tokens_after"))
+    return (
+        n_before.join(n_after, "doc_id")
+        .withColumn("n_saved", F.col("n_tokens_before") - F.col("n_tokens_after"))
+        .select("doc_id", "n_tokens_before", "n_tokens_after", "n_saved")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_bpe_encode() -> str:
+    rounds = []
+    for r in range(BPE_ENCODE_ROUNDS):
+        rounds.append(f"""
+    pairs{r} AS (
+        SELECT doc_id, i, tok,
+               lead(tok) OVER (PARTITION BY doc_id ORDER BY i) AS nxt
+        FROM tok{r}
+    ), top{r} AS (
+        SELECT tok AS a, nxt AS b FROM pairs{r} WHERE nxt IS NOT NULL
+        GROUP BY tok, nxt ORDER BY count(*) DESC, a, b LIMIT 1
+    ), island{r} AS (
+        SELECT p.doc_id, p.i, p.tok, t.a, t.b,
+               (p.tok = t.a AND p.nxt = t.b) AS mm,
+               p.i - sum(CASE WHEN p.tok = t.a AND p.nxt = t.b THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY p.doc_id ORDER BY p.i
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM pairs{r} p CROSS JOIN top{r} t
+    ), flagged{r} AS (
+        SELECT *, (mm AND (row_number() OVER (PARTITION BY doc_id, isl, mm ORDER BY i) - 1) % 2 = 0) AS head
+        FROM island{r}
+    ), cons{r} AS (
+        SELECT *, coalesce(lag(head) OVER (PARTITION BY doc_id ORDER BY i), false) AS consumed
+        FROM flagged{r}
+    ), tok{r + 1} AS (
+        SELECT doc_id,
+               row_number() OVER (PARTITION BY doc_id ORDER BY i) AS i,
+               CASE WHEN head THEN concat_ws('_', a, b) ELSE tok END AS tok
+        FROM cons{r} WHERE NOT consumed
+    )""")
+    chain = ",".join(rounds)
+    last = BPE_ENCODE_ROUNDS
+    return f"""
+    WITH tok0 AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+               generate_subscripts(string_split(text, ' '), 1) AS i
+        FROM documents
+    ),{chain}
+    SELECT b.doc_id AS doc_id,
+           b.n AS n_tokens_before, a.n AS n_tokens_after,
+           b.n - a.n AS n_saved
+    FROM (SELECT doc_id, count(*) AS n FROM tok0 GROUP BY doc_id) b
+    JOIN (SELECT doc_id, count(*) AS n FROM tok{last} GROUP BY doc_id) a
+      ON b.doc_id = a.doc_id
+    ORDER BY 1
+    """
