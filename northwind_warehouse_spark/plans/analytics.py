@@ -2242,3 +2242,112 @@ def oracle_key_skew_audit() -> str:
     SELECT * FROM ({one('l_suppkey')})
     ORDER BY key_col, skew_rank
     """
+
+
+def events_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the rolling-distinct
+    aggregate window functions can't express (DISTINCT inside a moving
+    frame). The scale trick: each (user, active-day) pair fans out to
+    the ≤7 days whose trailing window it covers, turning the rolling
+    distinct into a plain groupBy-distinct — O(7·|user-days|), never
+    |days|·|events|, and the fanout is map-side (no join)."""
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    observed = ud.select("d").distinct()
+    covered = ud.select(
+        "user_id",
+        F.explode(F.expr("transform(sequence(0, 6), i -> date_add(d, i))")).alias("day"),
+    )
+    wau = (
+        covered.join(observed.withColumnRenamed("d", "day"), "day")
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    dau = ud.groupBy(F.col("d").alias("day")).agg(F.count_distinct("user_id").alias("dau"))
+    return (
+        wau.join(dau, "day")
+        .select("day", "dau", "wau")
+        .orderBy("day")
+    )
+
+
+def oracle_events_weekly_active() -> str:
+    return """
+    WITH ud AS (
+        SELECT DISTINCT user_id, cast(ts as date) AS d FROM events
+    ), observed AS (
+        SELECT DISTINCT d FROM ud
+    ), covered AS (
+        SELECT user_id, d + CAST(i AS INTEGER) AS day
+        FROM ud, (SELECT unnest(generate_series(0, 6)) AS i)
+    ), wau AS (
+        SELECT c.day AS day, count(DISTINCT c.user_id) AS wau
+        FROM covered c JOIN observed o ON c.day = o.d
+        GROUP BY c.day
+    ), dau AS (
+        SELECT d AS day, count(DISTINCT user_id) AS dau FROM ud GROUP BY d
+    )
+    SELECT wau.day AS day, dau, wau
+    FROM wau JOIN dau ON wau.day = dau.day
+    ORDER BY 1
+    """
+
+
+def nation_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First and last order per nation via first_value/last_value over
+    the full window frame (ROWS UNBOUNDED PRECEDING→FOLLOWING) with a
+    total (date, orderkey) ordering — the window-frame forms not yet
+    exercised by the running/rank queries.
+
+    One hash(nation) exchange; the distinct collapses the per-row window
+    output to |nations| rows."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "o_orderkey", "od")
+    )
+    w = (
+        Window.partitionBy("nation")
+        .orderBy("od", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        j.select(
+            "nation",
+            F.count(F.lit(1)).over(w).alias("n_orders"),
+            F.first_value(F.col("o_orderkey")).over(w).alias("first_orderkey"),
+            F.first_value(F.col("od")).over(w).alias("first_order_date"),
+            F.last_value(F.col("o_orderkey")).over(w).alias("last_orderkey"),
+            F.last_value(F.col("od")).over(w).alias("last_order_date"),
+        )
+        .distinct()
+        .orderBy("nation")
+    )
+
+
+def oracle_nation_order_extremes() -> str:
+    return """
+    WITH j AS (
+        SELECT n_name AS nation, o_orderkey, cast(o_orderdate as date) AS od
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    )
+    SELECT DISTINCT nation,
+           count(*) OVER w AS n_orders,
+           first_value(o_orderkey) OVER w AS first_orderkey,
+           first_value(od) OVER w AS first_order_date,
+           last_value(o_orderkey) OVER w AS last_orderkey,
+           last_value(od) OVER w AS last_order_date
+    FROM j
+    WINDOW w AS (PARTITION BY nation ORDER BY od, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY nation
+    """

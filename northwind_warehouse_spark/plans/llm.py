@@ -2382,3 +2382,71 @@ def oracle_bpe_encode() -> str:
       ON b.doc_id = a.doc_id
     ORDER BY 1
     """
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 vector quantization audit: per embedding, the symmetric
+    scale (max |component| in quantized units) and exact integer
+    summaries of the int8 codes — the 4×-memory compression an ANN
+    index applies before it ever holds 100 TB of vectors.
+
+    codes are sign-split integer division so truncation is identical
+    cross-engine; the whole plan is map-only higher-order functions
+    (zero shuffles before the final sort)."""
+    q = "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+    e = load(spark, sf_dir, "embeddings")
+    xq = e.select(
+        "vec_id", "label",
+        F.expr(f"transform(embedding, x -> {q})").alias("xq"),
+    )
+    scaled = xq.select(
+        "vec_id", "label",
+        F.size("xq").alias("n_dims"),
+        F.expr("aggregate(xq, CAST(0 AS BIGINT), (m, v) -> greatest(m, abs(v)))").alias("scale_q"),
+        F.col("xq"),
+    )
+    codes = scaled.withColumn(
+        "codes",
+        F.expr(
+            """CASE WHEN scale_q = 0 THEN transform(xq, v -> CAST(0 AS BIGINT))
+                    ELSE transform(xq, v -> CASE WHEN v >= 0 THEN (v * 127) div scale_q
+                                                 ELSE -((-v * 127) div scale_q) END)
+               END"""
+        ),
+    )
+    return (
+        codes.select(
+            "vec_id", "label", "n_dims", "scale_q",
+            F.expr("aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + v)").alias("sum_codes"),
+            F.expr("aggregate(codes, CAST(0 AS BIGINT), (acc, v) -> acc + abs(v))").alias("sum_abs_codes"),
+            F.expr("aggregate(codes, CAST(0 AS BIGINT), (m, v) -> greatest(m, abs(v)))").alias("max_abs_code"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def oracle_embedding_quantize_int8() -> str:
+    return """
+    WITH el AS (
+        SELECT vec_id, label,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, label, count(*) AS n_dims,
+               CAST(max(abs(xq)) AS BIGINT) AS scale_q
+        FROM el GROUP BY vec_id, label
+    ), coded AS (
+        SELECT el.vec_id, el.label,
+               CASE WHEN s.scale_q = 0 THEN CAST(0 AS BIGINT)
+                    WHEN el.xq >= 0 THEN (el.xq * 127) // s.scale_q
+                    ELSE -(((-el.xq) * 127) // s.scale_q) END AS code
+        FROM el JOIN scaled s ON el.vec_id = s.vec_id
+    )
+    SELECT s.vec_id AS vec_id, s.label AS label, s.n_dims, s.scale_q,
+           CAST(sum(c.code) AS BIGINT) AS sum_codes,
+           CAST(sum(abs(c.code)) AS BIGINT) AS sum_abs_codes,
+           CAST(max(abs(c.code)) AS BIGINT) AS max_abs_code
+    FROM scaled s JOIN coded c ON s.vec_id = c.vec_id
+    GROUP BY s.vec_id, s.label, s.n_dims, s.scale_q
+    ORDER BY 1
+    """
