@@ -23,6 +23,7 @@ from northwind_warehouse_spark.functions.hashing import (
     surrogate_key,
 )
 from northwind_warehouse_spark.functions.money import (
+    dec2,
     disc_price,
     dround2,
     o_disc_price,
@@ -871,3 +872,101 @@ def oracle_cdc_apply_latest() -> str:
     FROM ranked WHERE _rn = 1 AND op <> 'D'
     ORDER BY user_id
     """
+
+
+def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-path expectations (operators/expectations.py): orders that
+    violate the ingest contract, tagged with the FIRST failing rule —
+    the quarantine table an ingest job writes next to the lake instead
+    of silently dropping or poisoning (read-side counterpart:
+    ``dq_checks``).
+
+    The FK probe is a broadcast left join (flag, not filter) so the
+    row keeps flowing to quarantine with its reason; everything else is
+    pushdown-friendly predicates over one scan."""
+    from northwind_warehouse_spark.operators.expectations import apply_expectations
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("_fk_custkey")
+    )
+    flagged = o.join(
+        F.broadcast(c), o.o_custkey == F.col("_fk_custkey"), "left"
+    )
+    rules = [
+        ("custkey_not_null", F.col("o_custkey").isNotNull()),
+        ("custkey_fk_customer", F.col("_fk_custkey").isNotNull()),
+        ("priority_accepted", F.col("o_orderpriority").isin("1-URGENT", "2-HIGH", "3-MEDIUM")),
+        ("totalprice_under_cap", (dec2("o_totalprice") * 100).cast("bigint") <= 30_000_000),
+    ]
+    _kept, quarantined = apply_expectations(flagged, rules)
+    return quarantined.select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_orderpriority").alias("priority"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("total_cents"),
+        "dq_reason",
+    ).orderBy("orderkey")
+
+
+def oracle_quarantine_orders() -> str:
+    return """
+    WITH flagged AS (
+        SELECT o.*, c.c_custkey AS fk_custkey
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    ), tagged AS (
+        SELECT o_orderkey, o_orderpriority,
+               CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS total_cents,
+               CASE
+                 WHEN NOT coalesce(o_custkey IS NOT NULL, false) THEN 'custkey_not_null'
+                 WHEN NOT coalesce(fk_custkey IS NOT NULL, false) THEN 'custkey_fk_customer'
+                 WHEN NOT coalesce(o_orderpriority IN ('1-URGENT','2-HIGH','3-MEDIUM'), false) THEN 'priority_accepted'
+                 WHEN NOT coalesce(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) <= 30000000, false) THEN 'totalprice_under_cap'
+                 ELSE NULL
+               END AS dq_reason
+        FROM flagged
+    )
+    SELECT o_orderkey AS orderkey, o_orderpriority AS priority, total_cents, dq_reason
+    FROM tagged WHERE dq_reason IS NOT NULL
+    ORDER BY orderkey
+    """
+
+
+def table_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-parity column statistics for the orders table: rows,
+    nulls, exact distinct count per profiled column — the numbers a
+    cost-based planner (or a human picking broadcast vs shuffle joins)
+    reads before planning; at 100 TB you run this once per partition
+    load, not per query.
+
+    One pass: Spark's expand-based multi-distinct aggregate computes all
+    columns' NDVs in a single job, then the wide row unpivots to the
+    catalog's long shape."""
+    o = load(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs.append(F.sum(F.col(c).isNull().cast("bigint")).alias(f"nulls_{c}"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"ndv_{c}"))
+    wide = o.agg(*aggs)
+    stack_expr = ", ".join(f"'{c}', nulls_{c}, ndv_{c}" for c in cols)
+    return (
+        wide.select(
+            F.expr(
+                f"stack({len(cols)}, {stack_expr}) AS (column_name, n_nulls, n_distinct)"
+            ),
+            "n_rows",
+        )
+        .select("column_name", "n_rows", "n_nulls", "n_distinct")
+        .orderBy("column_name")
+    )
+
+
+def oracle_table_stats_orders() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                   CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct
+            FROM orders"""
+        for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
+    ]
+    return " UNION ALL ".join(parts) + " ORDER BY column_name"

@@ -470,3 +470,27 @@ def test_bpe_merge_step_greedy_non_overlap(spark, tmp_path):
     got = {(r.pair_a, r.pair_b): r.cnt for r in rows}
     # doc1 -> [x_x, x_x, x]: pairs (x_x,x_x), (x_x,x); doc2 -> [x_x, y]: (x_x,y)
     assert got == {("x_x", "x_x"): 1, ("x_x", "x"): 1, ("x_x", "y"): 1}
+
+
+def test_apply_expectations_split_and_reason_precedence(spark):
+    """kept ∪ quarantined == input; reasons name the FIRST failing rule
+    in declaration order; a NULL predicate outcome fails the row."""
+    from northwind_warehouse_spark.operators.expectations import apply_expectations
+
+    df = spark.createDataFrame(
+        [(1, 10, "ok"), (2, None, "ok"), (3, -5, "bad"), (4, -1, None)],
+        "id int, amount int, status string",
+    )
+    rules = [
+        ("amount_not_null", F.col("amount").isNotNull()),
+        ("amount_positive", F.col("amount") > 0),
+        ("status_ok", F.col("status") == "ok"),
+    ]
+    kept, quarantined = apply_expectations(df, rules)
+    assert [r["id"] for r in kept.orderBy("id").collect()] == [1]
+    got = {r["id"]: r["dq_reason"] for r in quarantined.collect()}
+    # id=2: first rule fails; id=3: amount ok-null but negative → positive
+    # fails before status; id=4: amount_positive fails first (NULL status
+    # never reached); NULL predicate (id=4 status) counts as failure.
+    assert got == {2: "amount_not_null", 3: "amount_positive", 4: "amount_positive"}
+    assert kept.count() + quarantined.count() == df.count()
