@@ -342,3 +342,22 @@ def spike_alerts_stream(events: DataFrame, baseline: DataFrame, watermark: str =
         .otherwise(F.lit("N"))
         .alias("is_spike"),
     )
+
+
+def dedup_stream_vs_corpus(incoming: DataFrame, corpus_fingerprints: DataFrame) -> DataFrame:
+    """Ingest-time corpus dedup: drop every incoming document whose
+    md5(text) fingerprint already exists in the reference corpus — the
+    streaming deployment of the batch exact-dedup gate (stream-static
+    left-anti join; the batch side is plans/llm.py::dedup_exact).
+
+    The static side carries ONLY fingerprints (16 bytes/doc — ~1.6 GB
+    per 100M corpus docs), so it broadcasts or hash-joins cheaply while
+    the text never leaves the stream side. Stateless: no watermark and
+    no growing state, because membership lives in the static table,
+    which the batch pipeline refreshes between restarts."""
+    fp = incoming.withColumn("fingerprint", F.md5(F.col("text")))
+    return fp.join(
+        F.broadcast(corpus_fingerprints.select("fingerprint").distinct()),
+        "fingerprint",
+        "left_anti",
+    )

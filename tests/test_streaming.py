@@ -285,3 +285,38 @@ def test_stream_model_scoring_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.table("ms").collect()}
     want = {tuple(r) for r in model_score_documents(load(spark, SF_SMOKE, "documents")).collect()}
     assert got == want and len(got) > 0
+
+
+def test_dedup_stream_vs_corpus_matches_batch(spark, tmp_path):
+    """Streaming corpus-dedup ≡ the batch anti-join: stream half the
+    docs against a corpus containing an overlapping half; only the truly
+    novel docs survive."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.streaming.jobs import (
+        dedup_stream_vs_corpus, run_to_memory, stream_documents,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    corpus = docs.filter(F.col("doc_id") < 300)  # reference corpus
+    incoming = docs.filter(F.col("doc_id") >= 150)  # overlaps 150..299
+    src = str(tmp_path / "incoming")
+    incoming.coalesce(1).write.mode("overwrite").parquet(src)
+
+    fps = corpus.select(F.md5(F.col("text")).alias("fingerprint"))
+    stream = dedup_stream_vs_corpus(stream_documents(spark, src), fps)
+    run_to_memory(stream, "novel_docs", str(tmp_path / "ckpt_dvc"))
+
+    got = {r["doc_id"] for r in spark.table("novel_docs").collect()}
+    want = {
+        r["doc_id"]
+        for r in incoming.join(
+            fps.distinct(),
+            F.md5(incoming["text"]) == F.col("fingerprint"),
+            "left_anti",
+        ).collect()
+    }
+    assert got == want
+    # every streamed-out doc is genuinely novel text vs the corpus
+    corpus_texts = {r["text"] for r in corpus.collect()}
+    survived = {r["text"] for r in spark.table("novel_docs").collect()}
+    assert not (survived & corpus_texts)
