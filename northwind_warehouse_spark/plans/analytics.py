@@ -2351,3 +2351,139 @@ def oracle_nation_order_extremes() -> str:
                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
     ORDER BY nation
     """
+
+
+def events_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap interpolation: hourly revenue (value cents) with
+    empty hours linearly interpolated between the nearest non-empty
+    neighbors — integer lerp (sign-split division) so both engines agree
+    bit-for-bit; edges clamp to the nearest observed value.
+
+    The corpus collapses to |hours| rows before any window runs, so the
+    unpartitioned forward/backward scans are over a tiny series even at
+    100 TB (and the hourly rollup itself is one shuffle)."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        (dec2("value") * 100).cast("bigint").alias("cents"),
+    )
+    hourly = e.groupBy("hour_ts").agg(F.sum("cents").alias("cents"))
+    bounds = e.agg(F.min("hour_ts").alias("h0"), F.max("hour_ts").alias("h1"))
+    spine = bounds.select(
+        F.posexplode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("idx", "hour_ts")
+    )
+    g = spine.join(hourly, "hour_ts", "left")
+    wb = Window.orderBy("idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wf = Window.orderBy("idx").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    x = (
+        g.withColumn("pv", F.last("cents", ignorenulls=True).over(wb))
+        .withColumn("pi", F.last(F.when(F.col("cents").isNotNull(), F.col("idx")), ignorenulls=True).over(wb))
+        .withColumn("nv", F.first("cents", ignorenulls=True).over(wf))
+        .withColumn("ni", F.first(F.when(F.col("cents").isNotNull(), F.col("idx")), ignorenulls=True).over(wf))
+    )
+    return (
+        x.withColumn(
+            "cents_filled",
+            F.expr(
+                """CASE WHEN cents IS NOT NULL THEN cents
+                        WHEN pv IS NULL THEN nv
+                        WHEN nv IS NULL THEN pv
+                        WHEN nv >= pv THEN pv + ((nv - pv) * (idx - pi)) div (ni - pi)
+                        ELSE pv - (((pv - nv) * (idx - pi)) div (ni - pi))
+                   END"""
+            ),
+        )
+        .withColumn("was_interpolated", F.col("cents").isNull())
+        .select("hour_ts", "cents_filled", "was_interpolated")
+        .orderBy("hour_ts")
+    )
+
+
+def oracle_events_interpolate() -> str:
+    return """
+    WITH e AS (
+        SELECT date_trunc('hour', ts) AS hour_ts,
+               CAST(cast(value as decimal(12,2)) * 100 AS BIGINT) AS cents
+        FROM events
+    ), hourly AS (
+        SELECT hour_ts, sum(cents) AS cents FROM e GROUP BY hour_ts
+    ), spine AS (
+        SELECT unnest(generate_series(min(hour_ts), max(hour_ts), INTERVAL 1 HOUR)) AS hour_ts,
+               generate_subscripts(generate_series(min(hour_ts), max(hour_ts), INTERVAL 1 HOUR), 1) - 1 AS idx
+        FROM e
+    ), g AS (
+        SELECT s.hour_ts, s.idx, h.cents
+        FROM spine s LEFT JOIN hourly h ON s.hour_ts = h.hour_ts
+    ), x AS (
+        SELECT *,
+            last_value(cents IGNORE NULLS) OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+                OVER (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pi,
+            first_value(cents IGNORE NULLS) OVER (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN cents IS NOT NULL THEN idx END IGNORE NULLS)
+                OVER (ORDER BY idx ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ni
+        FROM g
+    )
+    SELECT hour_ts,
+           CASE WHEN cents IS NOT NULL THEN cents
+                WHEN pv IS NULL THEN nv
+                WHEN nv IS NULL THEN pv
+                WHEN nv >= pv THEN pv + ((nv - pv) * (idx - pi)) // (ni - pi)
+                ELSE pv - (((pv - nv) * (idx - pi)) // (ni - pi))
+           END AS cents_filled,
+           cents IS NULL AS was_interpolated
+    FROM x ORDER BY hour_ts
+    """
+
+
+def nation_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER reconciliation: customer counts vs well-capitalized
+    supplier counts per nation — either side may be absent, both counts
+    coalesce to zero (the join form the diff/reconcile family needs that
+    no other §2B query exercises).
+
+    Both inputs are nation-sized aggregates, so the full-outer join and
+    the name lookup are broadcast-trivial; the facts reduce before any
+    join."""
+    c = load(spark, sf_dir, "customer").groupBy(
+        F.col("c_nationkey").alias("nationkey")
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(dec2("s_acctbal") > 5000)
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_rich_suppliers"))
+    )
+    n = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("nation")
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .join(F.broadcast(n), "nationkey")
+        .select(
+            "nation",
+            F.coalesce("n_customers", F.lit(0)).cast("bigint").alias("n_customers"),
+            F.coalesce("n_rich_suppliers", F.lit(0)).cast("bigint").alias("n_rich_suppliers"),
+        )
+        .orderBy("nation")
+    )
+
+
+def oracle_nation_coverage() -> str:
+    return """
+    WITH c AS (
+        SELECT c_nationkey AS nationkey, count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+    ), s AS (
+        SELECT s_nationkey AS nationkey, count(*) AS n_rich_suppliers
+        FROM supplier WHERE cast(s_acctbal as decimal(12,2)) > 5000
+        GROUP BY s_nationkey
+    )
+    SELECT n_name AS nation,
+           CAST(coalesce(n_customers, 0) AS BIGINT) AS n_customers,
+           CAST(coalesce(n_rich_suppliers, 0) AS BIGINT) AS n_rich_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    JOIN nation ON coalesce(c.nationkey, s.nationkey) = n_nationkey
+    ORDER BY nation
+    """

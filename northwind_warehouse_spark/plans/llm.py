@@ -2450,3 +2450,44 @@ def oracle_embedding_quantize_int8() -> str:
     GROUP BY s.vec_id, s.label, s.n_dims, s.scale_q
     ORDER BY 1
     """
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation companion to ``lang_id``: the labeled-vs-
+    predicted confusion matrix with per-true-lang recall share in exact
+    ppm — the corpus-level view that tells you WHERE the heuristic
+    misroutes documents, not just how often.
+
+    Reuses the production predictor verbatim; the matrix is a
+    |langs|² rollup, so everything after the per-doc map is tiny."""
+    from pyspark.sql.window import Window
+
+    pred = lang_id(spark, sf_dir)
+    m = pred.groupBy(
+        F.col("lang").alias("true_lang"), F.col("lang_pred").alias("pred_lang")
+    ).agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("true_lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        m.withColumn("n_true", F.sum("n_docs").over(w).cast("bigint"))
+        .select(
+            "true_lang", "pred_lang", "n_docs",
+            F.expr("n_docs * 1000000 div n_true").alias("share_of_true_ppm"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def oracle_lang_confusion_matrix() -> str:
+    pred = oracle_lang_id()
+    return f"""
+    WITH pred AS ({pred}),
+    m AS (
+        SELECT lang AS true_lang, lang_pred AS pred_lang, count(*) AS n_docs
+        FROM pred GROUP BY 1, 2
+    )
+    SELECT true_lang, pred_lang, n_docs,
+           n_docs * 1000000 // CAST(sum(n_docs) OVER (PARTITION BY true_lang) AS BIGINT) AS share_of_true_ppm
+    FROM m ORDER BY true_lang, pred_lang
+    """

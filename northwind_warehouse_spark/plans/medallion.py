@@ -970,3 +970,86 @@ def oracle_table_stats_orders() -> str:
         for c in ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority", "o_orderdate"]
     ]
     return " UNION ALL ".join(parts) + " ORDER BY column_name"
+
+
+def scd2_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production audit of the SCD2 invariants the unit suite asserts at
+    toy scale (tests/test_operators.py): per-key interval disjointness,
+    contiguity, exactly-one-active, back-dated first version and open
+    last version — emitted as violation counts you can alert on after
+    every merge into a 100 TB dimension.
+
+    One hash(user_id) exchange: the lag window and every per-key rollup
+    share the dimension build's own partitioning."""
+    from pyspark.sql.window import Window
+
+    d = scd2_users(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("version_no")
+    x = d.withColumn("prev_expiry", F.lag("expiry_date").over(w))
+    per_key = x.groupBy("user_id").agg(
+        F.sum((F.col("is_active") == "Y").cast("bigint")).alias("n_active"),
+        F.sum(
+            (F.col("prev_expiry").isNotNull() & (F.col("effective_date") < F.col("prev_expiry")))
+            .cast("bigint")
+        ).alias("n_overlaps"),
+        F.sum(
+            (F.col("prev_expiry").isNotNull() & (F.col("effective_date") != F.col("prev_expiry")))
+            .cast("bigint")
+        ).alias("n_gaps"),
+        F.min("effective_date").alias("first_eff"),
+        F.max("expiry_date").alias("last_exp"),
+    )
+    checks = per_key.agg(
+        F.sum((F.col("n_active") != 1).cast("bigint")).alias("one_active_per_key"),
+        F.sum((F.col("n_overlaps") > 0).cast("bigint")).alias("no_overlaps"),
+        F.sum((F.col("n_gaps") > 0).cast("bigint")).alias("contiguous"),
+        F.sum(
+            (F.col("first_eff") != F.lit("1900-01-01 00:00:00").cast("timestamp")).cast("bigint")
+        ).alias("first_backdated"),
+        F.sum(
+            (F.col("last_exp") != F.lit("2200-01-01 00:00:00").cast("timestamp")).cast("bigint")
+        ).alias("last_open"),
+    )
+    return checks.select(
+        F.expr(
+            "stack(5, 'contiguous', contiguous, 'first_backdated', first_backdated,"
+            " 'last_open', last_open, 'no_overlaps', no_overlaps,"
+            " 'one_active_per_key', one_active_per_key) AS (check_name, n_violating_keys)"
+        )
+    ).orderBy("check_name")
+
+
+def oracle_scd2_integrity_audit() -> str:
+    scd2 = oracle_scd2_users()
+    return f"""
+    WITH scd2 AS ({scd2}),
+    x AS (
+        SELECT *, lag(expiry_date) OVER (PARTITION BY user_id ORDER BY version_no) AS prev_expiry
+        FROM scd2
+    ),
+    per_key AS (
+        SELECT user_id,
+               sum(CASE WHEN is_active = 'Y' THEN 1 ELSE 0 END) AS n_active,
+               sum(CASE WHEN prev_expiry IS NOT NULL AND effective_date < prev_expiry THEN 1 ELSE 0 END) AS n_overlaps,
+               sum(CASE WHEN prev_expiry IS NOT NULL AND effective_date <> prev_expiry THEN 1 ELSE 0 END) AS n_gaps,
+               min(effective_date) AS first_eff,
+               max(expiry_date) AS last_exp
+        FROM x GROUP BY user_id
+    ),
+    checks AS (
+        SELECT
+            CAST(sum(CASE WHEN n_active <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS one_active_per_key,
+            CAST(sum(CASE WHEN n_overlaps > 0 THEN 1 ELSE 0 END) AS BIGINT) AS no_overlaps,
+            CAST(sum(CASE WHEN n_gaps > 0 THEN 1 ELSE 0 END) AS BIGINT) AS contiguous,
+            CAST(sum(CASE WHEN first_eff <> TIMESTAMP '1900-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS first_backdated,
+            CAST(sum(CASE WHEN last_exp <> TIMESTAMP '2200-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS last_open
+        FROM per_key
+    )
+    SELECT check_name, n_violating_keys FROM (
+        SELECT 'contiguous' AS check_name, contiguous AS n_violating_keys FROM checks
+        UNION ALL SELECT 'first_backdated', first_backdated FROM checks
+        UNION ALL SELECT 'last_open', last_open FROM checks
+        UNION ALL SELECT 'no_overlaps', no_overlaps FROM checks
+        UNION ALL SELECT 'one_active_per_key', one_active_per_key FROM checks
+    ) ORDER BY check_name
+    """
