@@ -102,3 +102,44 @@ def test_interval_join_copartitions_on_user(spark):
 
     plan = _plan(interval_join_attribution(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """A fact partitioned on order_year joined to a selectively-filtered
+    dim must plan a dynamicpruning expression in the fact scan's
+    PartitionFilters — at 100 TB this is what keeps a dim-filtered join
+    from scanning every year directory even though the qualifying years
+    are only known at run time. (Note Spark's isLikelySelective gate:
+    the dim filter must be a real predicate, e.g. EqualTo — a bare
+    boolean column does NOT qualify.)"""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+
+    fact_path = str(tmp_path / "fact_orders_part")
+    o = load(spark, SF_SMOKE, "orders").withColumn(
+        "order_year", F.year(F.col("o_orderdate").cast("date"))
+    )
+    o.write.partitionBy("order_year").parquet(fact_path)
+
+    dim_path = str(tmp_path / "dim_years")
+    (
+        o.select("order_year").distinct()
+        .withColumn(
+            "tag",
+            F.when(F.col("order_year") >= 1998, F.lit("recent")).otherwise(F.lit("old")),
+        )
+        .write.parquet(dim_path)
+    )
+
+    fact = spark.read.parquet(fact_path)
+    dim = spark.read.parquet(dim_path).filter(F.col("tag") == "recent")
+    joined = fact.join(dim, "order_year").groupBy("order_year").agg(
+        F.sum("o_totalprice").alias("s")
+    )
+
+    executed = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in executed.lower(), executed[:2000]
+
+    got = {r["order_year"] for r in joined.collect()}
+    assert got and all(y >= 1998 for y in got)
