@@ -2491,3 +2491,66 @@ def oracle_lang_confusion_matrix() -> str:
            n_docs * 1000000 // CAST(sum(n_docs) OVER (PARTITION BY true_lang) AS BIGINT) AS share_of_true_ppm
     FROM m ORDER BY true_lang, pred_lang
     """
+
+
+def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher intra-document repetition gate ``repetition_quality``
+    doesn't cover: the fraction of each document's token 3-grams that
+    are duplicates of an earlier occurrence IN THE SAME DOC (boilerplate
+    loops, copy-paste stutter), in exact ppm with the >20% flag.
+
+    One shuffle on (doc_id, trigram) — the per-doc n-gram histogram is
+    a partial-aggregating groupBy, never an array blowup held in one
+    row, so a pathological 1 GB document still aggregates distributed."""
+    d = load(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(split(text,' ')) >= 3 THEN"
+                " transform(sequence(0, size(split(text,' ')) - 3),"
+                " i -> concat_ws(' ', slice(split(text,' '), i + 1, 3)))"
+                " ELSE array() END"
+            )
+        ).alias("tri"),
+    )
+    per = tri.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("c"))
+    stats = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n_trigrams"),
+        F.sum(F.col("c") - 1).alias("n_dup_trigrams"),
+    )
+    return (
+        stats.select(
+            "doc_id",
+            F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+            F.col("n_dup_trigrams").cast("bigint").alias("n_dup_trigrams"),
+            F.expr("n_dup_trigrams * 1000000 div n_trigrams").alias("dup_ppm"),
+            F.expr("n_dup_trigrams * 5 > n_trigrams").alias("is_loopy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_dup_ngram_fraction() -> str:
+    return """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), idx AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i
+        FROM w WHERE len(toks) >= 3
+    ), tri AS (
+        SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS tri
+        FROM idx
+    ), per AS (
+        SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY doc_id, tri
+    ), stats AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_trigrams,
+               CAST(sum(c - 1) AS BIGINT) AS n_dup_trigrams
+        FROM per GROUP BY doc_id
+    )
+    SELECT doc_id, n_trigrams, n_dup_trigrams,
+           n_dup_trigrams * 1000000 // n_trigrams AS dup_ppm,
+           n_dup_trigrams * 5 > n_trigrams AS is_loopy
+    FROM stats ORDER BY doc_id
+    """
