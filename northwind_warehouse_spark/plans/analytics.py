@@ -2250,22 +2250,19 @@ def events_weekly_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame). The scale trick: each (user, active-day) pair fans out to
     the ≤7 days whose trailing window it covers, turning the rolling
     distinct into a plain groupBy-distinct — O(7·|user-days|), never
-    |days|·|events|, and the fanout is map-side (no join)."""
+    |days|·|events|, and the fanout is map-side (no join). The inner
+    join to the per-day (dau) rollup doubles as the observed-days
+    filter, so no separate day spine is built or joined."""
     e = load(spark, sf_dir, "events")
     ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
-    observed = ud.select("d").distinct()
     covered = ud.select(
         "user_id",
         F.explode(F.expr("transform(sequence(0, 6), i -> date_add(d, i))")).alias("day"),
     )
-    wau = (
-        covered.join(observed.withColumnRenamed("d", "day"), "day")
-        .groupBy("day")
-        .agg(F.count_distinct("user_id").alias("wau"))
-    )
+    wau = covered.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
     dau = ud.groupBy(F.col("d").alias("day")).agg(F.count_distinct("user_id").alias("dau"))
     return (
-        wau.join(dau, "day")
+        wau.join(dau, "day")  # inner join: dau's days ARE the observed days
         .select("day", "dau", "wau")
         .orderBy("day")
     )
@@ -2275,15 +2272,12 @@ def oracle_events_weekly_active() -> str:
     return """
     WITH ud AS (
         SELECT DISTINCT user_id, cast(ts as date) AS d FROM events
-    ), observed AS (
-        SELECT DISTINCT d FROM ud
     ), covered AS (
         SELECT user_id, d + CAST(i AS INTEGER) AS day
         FROM ud, (SELECT unnest(generate_series(0, 6)) AS i)
     ), wau AS (
-        SELECT c.day AS day, count(DISTINCT c.user_id) AS wau
-        FROM covered c JOIN observed o ON c.day = o.d
-        GROUP BY c.day
+        SELECT day, count(DISTINCT user_id) AS wau
+        FROM covered GROUP BY day
     ), dau AS (
         SELECT d AS day, count(DISTINCT user_id) AS dau FROM ud GROUP BY d
     )

@@ -108,6 +108,10 @@ def main() -> None:
         "bigram_lm_quality": llm.bigram_lm_quality,
         "kmeans_iter": llm.kmeans_iter,
         "corpus_dedup_apply": llm.corpus_dedup_apply,
+        "bpe_encode": llm.bpe_encode,
+        "dup_ngram_fraction": llm.dup_ngram_fraction,
+        "embedding_quantize_int8": llm.embedding_quantize_int8,
+        "events_weekly_active": analytics.events_weekly_active,
     }
 
     results: dict[int, dict[str, float]] = {}
