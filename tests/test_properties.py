@@ -201,3 +201,52 @@ def test_bpe_merge_never_leaves_adjacent_top_pair(spark, docs):
         a, b = out[0].merged_a, out[0].merged_b
         # post-merge pair counts must not contain the merged raw pair
         assert not any(r.pair_a == a and r.pair_b == b for r in out)
+
+
+@given(docs=st.lists(st.lists(st.sampled_from(["x", "y", "z"]), min_size=3, max_size=12), min_size=1, max_size=6))
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bpe_encode_compresses_monotonically(spark, docs):
+    """bpe_encode never grows a document, and every saved token is
+    accounted for: 0 ≤ n_saved < n_tokens_before, after == before −
+    saved — for arbitrary small-alphabet corpora (the worst case for
+    overlapping self-pairs)."""
+    import os
+    import tempfile
+
+    from northwind_warehouse_spark.plans.llm import bpe_encode
+
+    rows = [
+        (i, " ".join(toks), "en", "src0", len(" ".join(toks)))
+        for i, toks in enumerate(docs)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    with tempfile.TemporaryDirectory() as sf:
+        df.write.mode("overwrite").parquet(os.path.join(sf, "documents.parquet"))
+        for r in bpe_encode(spark, sf).collect():
+            assert 0 <= r.n_saved < r.n_tokens_before
+            assert r.n_tokens_after == r.n_tokens_before - r.n_saved
+            assert r.n_tokens_after >= 1
+
+
+def test_interpolation_stays_within_neighbor_bounds(spark):
+    """Every interpolated hour lies between its neighboring observed
+    values (inclusive) — the lerp can't overshoot; observed hours pass
+    through unchanged."""
+    from northwind_warehouse_spark.plans.analytics import events_interpolate
+    from tests.conftest import SF_SMOKE
+
+    rows = events_interpolate(spark, SF_SMOKE).collect()
+    observed = [(i, r.cents_filled) for i, r in enumerate(rows) if not r.was_interpolated]
+    obs_idx = [i for i, _ in observed]
+    import bisect
+
+    for i, r in enumerate(rows):
+        if not r.was_interpolated:
+            continue
+        j = bisect.bisect_left(obs_idx, i)
+        lo = observed[j - 1][1] if j > 0 else None
+        hi = observed[j][1] if j < len(observed) else None
+        bounds = [v for v in (lo, hi) if v is not None]
+        assert bounds and min(bounds) <= r.cents_filled <= max(bounds)
