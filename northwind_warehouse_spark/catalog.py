@@ -52,3 +52,22 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> list[str]:
+    """Register every raw table as a temp view so users query the
+    warehouse in plain Spark SQL — the access mode dbt users already
+    live in (the reference is SQL-first; parity includes the interface,
+    not just the operators).
+
+    Views are zero-copy: each is the ``load``-conformed DataFrame (nanos
+    conversion, UTC pin), so ``spark.sql("SELECT ... FROM lineitem")``
+    sees exactly what the Python plans see and Catalyst still pushes
+    filters/pruning into the parquet scan through the view. Returns the
+    registered names (``{table}{suffix}``)."""
+    names = []
+    for t in TABLES:
+        name = f"{t}{suffix}"
+        load(spark, sf_dir, t).createOrReplaceTempView(name)
+        names.append(name)
+    return names

@@ -186,3 +186,25 @@ def test_cluster_table_disjoint_file_key_ranges(spark, tmp_path):
     # data preserved
     got = sorted(r["payload"] for r in spark.read.parquet(path).collect())
     assert got == expected
+
+
+def test_register_views_enables_plain_sql(spark):
+    """The SQL-first interface: registered views answer plain Spark SQL
+    with the same conformed semantics as catalog.load (events nanos→µs
+    conversion included), and scans through views still prune."""
+    from tests.conftest import SF_SMOKE
+
+    from northwind_warehouse_spark.catalog import load, register_views
+
+    names = register_views(spark, SF_SMOKE)
+    assert "lineitem" in names and "events" in names
+
+    got = spark.sql(
+        "SELECT l_returnflag, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+    ).collect()
+    want = load(spark, SF_SMOKE, "lineitem").groupBy("l_returnflag").count().collect()
+    assert {(r[0], r[1]) for r in got} == {(r[0], r[1]) for r in want}
+
+    # events view carries the conformed µs timestamp type
+    ts_type = dict(spark.sql("SELECT ts FROM events").dtypes)["ts"]
+    assert ts_type == "timestamp"
