@@ -2481,3 +2481,112 @@ def oracle_nation_coverage() -> str:
     JOIN nation ON coalesce(c.nationkey, s.nationkey) = n_nationkey
     ORDER BY nation
     """
+
+
+def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-parent rollup: each nation's revenue as an exact-ppm
+    share of its region, and each region's share of the grand total —
+    the two-level drill-down shape BI layers ask of a warehouse.
+
+    The fact reduces to |nations| rows in one shuffle; both parent
+    ratios are windows over that tiny aggregate (no second fact pass)."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").alias("nation_cents"))
+    )
+    wr = Window.partitionBy("region").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per_nation.withColumn("region_cents", F.sum("nation_cents").over(wr).cast("bigint"))
+        .withColumn("total_cents", F.sum("nation_cents").over(wt).cast("bigint"))
+        .select(
+            "region", "nation", "nation_cents",
+            F.expr("nation_cents * 1000000 div region_cents").alias("share_of_region_ppm"),
+            F.expr("region_cents * 1000000 div total_cents").alias("region_share_ppm"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+def oracle_revenue_share_of_parent() -> str:
+    return """
+    WITH per_nation AS (
+        SELECT r_name AS region, n_name AS nation,
+               sum(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)) AS nation_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    )
+    SELECT region, nation, nation_cents,
+           nation_cents * 1000000 // CAST(sum(nation_cents) OVER (PARTITION BY region) AS BIGINT) AS share_of_region_ppm,
+           CAST(sum(nation_cents) OVER (PARTITION BY region) AS BIGINT) * 1000000
+               // CAST(sum(nation_cents) OVER () AS BIGINT) AS region_share_ppm
+    FROM per_nation
+    ORDER BY region, nation
+    """
+
+
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit forensics on order totals: observed count and
+    exact-ppm share per leading digit, with the Benford-expected ppm for
+    reference — the classic fabricated-data screen, as a warehouse DQ
+    query (synthetic TPC-H prices are uniform-ish, so they visibly FAIL
+    Benford — the audit's point is surfacing that shape).
+
+    Map-only digit extraction + a 9-row aggregate."""
+    expected = {1: 301029, 2: 176091, 3: 124938, 4: 96910,
+                5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757}
+    o = load(spark, sf_dir, "orders").select(
+        F.substring((dec2("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1)
+        .cast("int").alias("digit")
+    )
+    from pyspark.sql.window import Window
+
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    exp_expr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in expected.items()
+    ) + " END"
+    return (
+        o.groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("total", F.sum("n_orders").over(wt).cast("bigint"))
+        .select(
+            "digit", "n_orders",
+            F.expr("n_orders * 1000000 div total").alias("observed_ppm"),
+            F.expr(exp_expr).cast("bigint").alias("benford_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+def oracle_benford_price_audit() -> str:
+    expected = {1: 301029, 2: 176091, 3: 124938, 4: 96910,
+                5: 79181, 6: 66946, 7: 57991, 8: 51152, 9: 45757}
+    exp_expr = "CASE digit " + " ".join(
+        f"WHEN {d} THEN {p}" for d, p in expected.items()
+    ) + " END"
+    return f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+        FROM orders
+    )
+    SELECT digit, count(*) AS n_orders,
+           count(*) * 1000000 // CAST(sum(count(*)) OVER () AS BIGINT) AS observed_ppm,
+           CAST({exp_expr} AS BIGINT) AS benford_ppm
+    FROM d GROUP BY digit ORDER BY digit
+    """
