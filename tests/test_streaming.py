@@ -320,3 +320,30 @@ def test_dedup_stream_vs_corpus_matches_batch(spark, tmp_path):
     corpus_texts = {r["text"] for r in corpus.collect()}
     survived = {r["text"] for r in spark.table("novel_docs").collect()}
     assert not (survived & corpus_texts)
+
+
+def test_expectations_quarantine_streams_identically(spark, tmp_path):
+    """The write-path expectations gate (operators/expectations.py) is
+    two map-only filters, so the SAME rules deployed on the ingest
+    stream quarantine exactly the rows the batch gate quarantines —
+    batch/stream unification for data quality."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.expectations import apply_expectations
+    from northwind_warehouse_spark.streaming.jobs import run_to_memory, stream_documents
+
+    rules = [
+        ("lang_known", F.col("lang").isin("en", "de", "es", "fr", "zh")),
+        ("text_min_len", F.col("n_chars") >= 600),
+    ]
+    docs_dir = str(tmp_path / "docs_q_stream")
+    load(spark, SF_SMOKE, "documents").coalesce(1).write.mode("overwrite").parquet(docs_dir)
+
+    _, q_stream = apply_expectations(stream_documents(spark, docs_dir), rules)
+    run_to_memory(
+        q_stream.select("doc_id", "dq_reason"), "doc_quarantine",
+        str(tmp_path / "ckpt_q"), output_mode="append",
+    )
+    got = {tuple(r) for r in spark.table("doc_quarantine").collect()}
+    _, q_batch = apply_expectations(load(spark, SF_SMOKE, "documents"), rules)
+    want = {tuple(r) for r in q_batch.select("doc_id", "dq_reason").collect()}
+    assert got == want and len(got) > 0
