@@ -715,19 +715,64 @@ def oracle_customer_spend_deciles() -> str:
     """
 
 
+_KMV_K = 1024  # bottom-k size: relative error ~ 1/sqrt(k-1) ≈ 3.1%
+
+
 def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HLL approximate distinct users per event type (rows-only check:
-    sketch estimates are engine-specific by construction; accuracy vs
-    the exact count is asserted in tests/test_operators.py)."""
+    """KMV (bottom-k) approximate distinct users per event type.
+
+    The sketch keeps the k smallest 32-bit md5 hashes of the key; the
+    estimator is ``(k-1) * 2^32 div h_(k)`` — pure integer arithmetic, so
+    (unlike HLL register estimates) the result is deterministic and
+    byte-identical cross-engine, giving this sketch a full SQL oracle.
+    Below k distinct hashes the count is exact (the sketch holds the
+    whole distinct set). Accuracy vs the exact distinct count is
+    additionally asserted in tests/test_operators.py.
+
+    Scale: distinct(event_type, h) is one shuffle with map-side partial
+    dedup; the rank window reuses the same hash partitioning (AQE), and
+    only k rows per group survive to the final tiny aggregate — the
+    bottom-k set is mergeable exactly like any production theta/KMV
+    sketch, so 1000 executors each ship ≤k hashes per group."""
+    from pyspark.sql.window import Window
+
     e = load(spark, sf_dir, "events")
+    h32 = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
+    hashes = e.select("event_type", h32.alias("h")).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = hashes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KMV_K)
     return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count(F.lit(1)).alias("n_events"),
+        ranked.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk"))
+        .select(
+            "event_type",
+            F.when(F.col("n_kept") < _KMV_K, F.col("n_kept"))
+            .otherwise(F.expr(f"({_KMV_K} - 1) * 4294967296 div hk"))
+            .cast("bigint")
+            .alias("approx_users"),
         )
         .orderBy("event_type")
     )
+
+
+def oracle_sketch_distinct_users() -> str:
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM events
+    ), ranked AS (
+        SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+        FROM hashes
+    ), kept AS (
+        SELECT event_type, count(*) AS n_kept, max(h) AS hk
+        FROM ranked WHERE rk <= {_KMV_K} GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(CASE WHEN n_kept < {_KMV_K} THEN n_kept
+                     ELSE ({_KMV_K} - 1) * 4294967296 // hk END AS BIGINT) AS approx_users
+    FROM kept ORDER BY event_type
+    """
 
 
 def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1447,28 +1492,68 @@ def oracle_grouping_sets_sales() -> str:
     """
 
 
+_QSAMPLE_PPM = 500_000  # deterministic 50% md5-lottery sample
+
+
 def approx_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate order-value quartiles per priority class via
-    percentile_approx (Greenwald-Khanna sketch). Rows-only: sketch
-    estimates are engine-specific; accuracy vs the exact percentiles is
-    asserted in tests/test_operators.py. The sketch is mergeable, so at
-    100 TB this is one map-side pass + a tiny merge — no global sort."""
+    """Approximate order-value quartiles per priority class via a
+    deterministic md5-lottery sample + exact percentiles on the sample.
+
+    Unlike GK/t-digest sketches (whose estimates are engine-specific),
+    the sample membership is a pure function of the row key, so both
+    engines see the identical subset and the exact cent-integer
+    percentile over it is byte-identical — a fully SQL-oracled
+    approximate quantile. Accuracy vs the exact percentiles is asserted
+    in tests/test_operators.py (sampling error ~1/sqrt(pn) per group).
+
+    Scale: the lottery filter is map-only and reaches the scan; at
+    100 TB a fixed-rate sample is still huge, so the production knob is
+    dropping _QSAMPLE_PPM until the per-group sample fits one reducer —
+    estimate quality degrades as 1/sqrt(pn), never correctness. n_orders
+    stays exact (cheap count agg, no sort)."""
     o = load(spark, sf_dir, "orders")
-    qs = F.expr(
-        "percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 10000)"
-    ).alias("qs")
+    lottery = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("q|"), F.col("o_orderkey").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    cents = (dec2("o_totalprice") * 100).cast("bigint")
+    sampled = o.select("o_orderpriority", cents.alias("cents"), lottery.alias("lot")).filter(
+        F.col("lot") < _QSAMPLE_PPM
+    )
+    qs = sampled.groupBy("o_orderpriority").agg(
+        (F.expr("percentile(cents, 0.25)") / 100.0).alias("p25"),
+        (F.expr("percentile(cents, 0.5)") / 100.0).alias("p50"),
+        (F.expr("percentile(cents, 0.75)") / 100.0).alias("p75"),
+    )
+    n = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
     return (
-        o.groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), qs)
-        .select(
-            "o_orderpriority",
-            "n_orders",
-            F.col("qs")[0].alias("p25"),
-            F.col("qs")[1].alias("p50"),
-            F.col("qs")[2].alias("p75"),
-        )
+        n.join(qs, "o_orderpriority")
+        .select("o_orderpriority", "n_orders", "p25", "p50", "p75")
         .orderBy("o_orderpriority")
     )
+
+
+def oracle_approx_order_quantiles() -> str:
+    return f"""
+    WITH sampled AS (
+        SELECT o_orderpriority,
+               CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+        WHERE CAST(('0x' || substr(md5('q|' || CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 < {_QSAMPLE_PPM}
+    ), qs AS (
+        SELECT o_orderpriority,
+               quantile_cont(cents, 0.25) / 100.0 AS p25,
+               quantile_cont(cents, 0.5)  / 100.0 AS p50,
+               quantile_cont(cents, 0.75) / 100.0 AS p75
+        FROM sampled GROUP BY o_orderpriority
+    ), n AS (
+        SELECT o_orderpriority, count(*) AS n_orders FROM orders GROUP BY o_orderpriority
+    )
+    SELECT n.o_orderpriority, n_orders, p25, p50, p75
+    FROM n JOIN qs USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """
 
 
 def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2589,4 +2674,307 @@ def oracle_benford_price_audit() -> str:
            count(*) * 1000000 // CAST(sum(count(*)) OVER () AS BIGINT) AS observed_ppm,
            CAST({exp_expr} AS BIGINT) AS benford_ppm
     FROM d GROUP BY digit ORDER BY digit
+    """
+
+
+# ---------------------------------------------------------------------------
+# Association / concentration analytics (round-2 wave 3)
+# ---------------------------------------------------------------------------
+
+
+def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket analysis: top-20 part-brand pairs by lift.
+
+    support(a,b) = n_ab / n_orders; lift = n_ab * n_orders / (n_a * n_b),
+    both surfaced in exact integer ppm so the oracle hashes identically.
+
+    Scale: brands per order are bounded (~items per order), so the
+    per-order pair fan-out is a small constant — never parts², never
+    orders×parts. One shuffle keys the distinct (order, brand) set; the
+    pair self-join re-uses that partitioning; brand marginals are a tiny
+    broadcast. Analogous to fact_order_details co-occurrence mining over
+    the reference's order-grain model (models/dwh/fact_order_details.sql).
+    """
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+        # read 4× (total, both self-join sides, marginals); persist so the
+        # distinct is computed once (at warehouse scale: checkpoint to the lake)
+        .persist()
+    )
+    # 1-row total as a broadcast cross-join — no driver-side .count()
+    # scalar, the whole thing stays one declarative plan
+    tot = ob.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    a = ob.alias("a")
+    b = ob.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.l_orderkey") == F.col("b.l_orderkey")) & (F.col("a.brand") < F.col("b.brand")))
+        .groupBy(F.col("a.brand").alias("brand_a"), F.col("b.brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    marg = ob.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pairs.join(F.broadcast(marg.withColumnRenamed("brand", "brand_a").withColumnRenamed("n", "n_a")), "brand_a")
+        .join(F.broadcast(marg.withColumnRenamed("brand", "brand_b").withColumnRenamed("n", "n_b")), "brand_b")
+        .join(F.broadcast(tot))
+        .select(
+            "brand_a", "brand_b", "n_ab",
+            F.expr("n_ab * 1000000 div n_orders").alias("support_ppm"),
+            F.expr("n_ab * n_orders * 1000000 div (n_a * n_b)").alias("lift_ppm"),
+        )
+        .filter(F.col("n_ab") >= 5)
+        .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
+        .limit(20)
+    )
+
+
+def oracle_basket_affinity() -> str:
+    return """
+    WITH ob AS (
+        SELECT DISTINCT l_orderkey, p_brand AS brand
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    ), tot AS (
+        SELECT count(DISTINCT l_orderkey) AS n_orders FROM ob
+    ), pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+        FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+        GROUP BY a.brand, b.brand
+    ), marg AS (
+        SELECT brand, count(*) AS n FROM ob GROUP BY brand
+    )
+    SELECT brand_a, brand_b, n_ab,
+           n_ab * 1000000 // n_orders AS support_ppm,
+           n_ab * n_orders * 1000000 // (ma.n * mb.n) AS lift_ppm
+    FROM pairs, tot
+    JOIN marg ma ON ma.brand = brand_a
+    JOIN marg mb ON mb.brand = brand_b
+    WHERE n_ab >= 5
+    ORDER BY lift_ppm DESC, brand_a, brand_b
+    LIMIT 20
+    """
+
+
+def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto 80/20 concentration per nation: how many customers cover
+    80% of the nation's order revenue, and the share they hold.
+
+    All comparisons are integer (scale-2 cents): a customer is in the
+    top-80 set while the revenue accumulated BEFORE them is still under
+    80% of the nation total (5*(cum-spend) < 4*total). One shuffle
+    builds per-customer spend; the window and rollup reuse the nation
+    partitioning — customer-count-sized data, never the fact."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = (dec2("o_totalprice") * 100).cast("bigint")
+    spend = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name", "o_custkey")
+        .agg(F.sum(cents).alias("cents"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("cents"), "o_custkey")
+    wt = Window.partitionBy("n_name")
+    ranked = (
+        spend.withColumn("cum", F.sum("cents").over(w))
+        .withColumn("total", F.sum("cents").over(wt))
+        .withColumn("in_top80", 5 * (F.col("cum") - F.col("cents")) < 4 * F.col("total"))
+    )
+    return (
+        ranked.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.when(F.col("in_top80"), 1).otherwise(0)).cast("bigint").alias("n_top80"),
+            F.max("total").alias("total_cents"),
+            F.sum(F.when(F.col("in_top80"), F.col("cents")).otherwise(0)).cast("bigint").alias("top80_cents"),
+        )
+        .select(
+            "n_name", "n_customers", "n_top80",
+            F.expr("n_top80 * 1000000 div n_customers").alias("top_share_of_customers_ppm"),
+            F.expr("top80_cents * 1000000 div total_cents").alias("revenue_share_ppm"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def oracle_pareto_customers() -> str:
+    return """
+    WITH spend AS (
+        SELECT n_name, o_custkey,
+               sum(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        GROUP BY n_name, o_custkey
+    ), ranked AS (
+        SELECT n_name, cents,
+               sum(cents) OVER (PARTITION BY n_name ORDER BY cents DESC, o_custkey) AS cum,
+               sum(cents) OVER (PARTITION BY n_name) AS total
+        FROM spend
+    ), flagged AS (
+        SELECT *, (5 * (cum - cents) < 4 * total) AS in_top80 FROM ranked
+    )
+    SELECT n_name,
+           count(*) AS n_customers,
+           CAST(sum(CASE WHEN in_top80 THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
+           sum(CASE WHEN in_top80 THEN 1 ELSE 0 END) * 1000000 // count(*) AS top_share_of_customers_ppm,
+           CAST(sum(CASE WHEN in_top80 THEN cents ELSE 0 END) AS BIGINT) * 1000000 // CAST(max(total) AS BIGINT) AS revenue_share_ppm
+    FROM flagged GROUP BY n_name ORDER BY n_name
+    """
+
+
+def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, class A =
+    first 70% of cumulative revenue, B = next 20%, C = the tail —
+    integer scale-4 units throughout (the ADVICE-hardened full-scale
+    cast, so the BIGINT conversion is exact in both engines)."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    units = (disc_price() * 10000).cast("bigint")
+    per_part = li.groupBy("l_partkey").agg(F.sum(units).alias("rev"))
+    w = Window.orderBy(F.desc("rev"), "l_partkey")
+    wt = Window.partitionBy()
+    classed = (
+        per_part.withColumn("cum", F.sum("rev").over(w))
+        .withColumn("total", F.sum("rev").over(wt))
+        .withColumn(
+            "abc_class",
+            F.when(10 * (F.col("cum") - F.col("rev")) < 7 * F.col("total"), "A")
+            .when(10 * (F.col("cum") - F.col("rev")) < 9 * F.col("total"), "B")
+            .otherwise("C"),
+        )
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.sum("rev").cast("bigint").alias("rev_units"),
+        )
+        .withColumn("rev_share_ppm", F.expr("rev_units * 1000000 div (sum(rev_units) over ())").cast("bigint"))
+        .orderBy("abc_class")
+    )
+
+
+def oracle_abc_parts() -> str:
+    return f"""
+    WITH per_part AS (
+        SELECT l_partkey, sum(CAST({o_disc_price()} * 10000 AS BIGINT)) AS rev
+        FROM lineitem GROUP BY l_partkey
+    ), ranked AS (
+        SELECT l_partkey, rev,
+               sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
+               sum(rev) OVER () AS total
+        FROM per_part
+    ), classed AS (
+        SELECT *,
+               CASE WHEN 10 * (cum - rev) < 7 * total THEN 'A'
+                    WHEN 10 * (cum - rev) < 9 * total THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    ), agg AS (
+        SELECT abc_class, count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_units
+        FROM classed GROUP BY abc_class
+    )
+    SELECT abc_class, n_parts, rev_units,
+           CAST(rev_units * 1000000 // (sum(rev_units) OVER ()) AS BIGINT) AS rev_share_ppm
+    FROM agg ORDER BY abc_class
+    """
+
+
+def interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution per market segment: per
+    customer, day gaps between consecutive orders (lag); per segment,
+    exact integer stats (count / min / max / median via cent-free
+    integer percentile). One hash(customer) shuffle serves the lag
+    window; the segment rollup is segment-sized."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate")
+    gaps = (
+        o.withColumn("prev_date", F.lag("o_orderdate").over(w))
+        .filter(F.col("prev_date").isNotNull())
+        .withColumn("gap_days", F.datediff("o_orderdate", "prev_date").cast("bigint"))
+    )
+    return (
+        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_gap"),
+            F.max("gap_days").alias("max_gap"),
+            F.expr("percentile(gap_days, 0.5)").alias("median_gap"),
+            F.expr("sum(gap_days) * 100 div count(1)").alias("avg_gap_x100"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def oracle_interpurchase_intervals() -> str:
+    return """
+    WITH gaps AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate),
+                              o_orderdate) AS BIGINT) AS gap_days
+        FROM orders
+        QUALIFY gap_days IS NOT NULL
+    )
+    SELECT c_mktsegment,
+           count(*) AS n_gaps,
+           min(gap_days) AS min_gap,
+           max(gap_days) AS max_gap,
+           quantile_cont(gap_days, 0.5) AS median_gap,
+           sum(gap_days) * 100 // count(*) AS avg_gap_x100
+    FROM gaps JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """
+
+
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto front): parts not strictly dominated on
+    (cheaper retail price, larger size).
+
+    Spark-first formulation: sort by price cents ascending and take the
+    running max of size over STRICTLY cheaper rows (a RANGE frame ending
+    1 unit before the current price) — O(n log n) with one exchange,
+    versus the naive quadratic NOT-EXISTS self-join, which the oracle
+    deliberately keeps as its independent semantic statement."""
+    from pyspark.sql.window import Window
+
+    p = load(spark, sf_dir, "part")
+    cents = (dec2("p_retailprice") * 100).cast("bigint")
+    w = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        p.select("p_partkey", "p_name", "p_size", cents.alias("price_cents"))
+        .withColumn("best_cheaper_size", F.max("p_size").over(w))
+        .filter(F.col("best_cheaper_size").isNull() | (F.col("best_cheaper_size") <= F.col("p_size")))
+        .select("p_partkey", "p_name", "p_size", "price_cents")
+        .orderBy("price_cents", "p_partkey")
+    )
+
+
+def oracle_skyline_parts() -> str:
+    return """
+    WITH pp AS (
+        SELECT p_partkey, p_name, p_size,
+               CAST(cast(p_retailprice as decimal(12,2)) * 100 AS BIGINT) AS price_cents
+        FROM part
+    )
+    SELECT p_partkey, p_name, p_size, price_cents
+    FROM pp a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pp b
+        WHERE b.price_cents < a.price_cents AND b.p_size > a.p_size
+    )
+    ORDER BY price_cents, p_partkey
     """
