@@ -2978,3 +2978,197 @@ def oracle_skyline_parts() -> str:
     )
     ORDER BY price_cents, p_partkey
     """
+
+
+def event_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph, two unrolled
+    power iterations in exact integer ppm (d=0.85 teleport).
+
+    Link analysis as a first-class iterative-algorithm kind (alongside
+    kmeans_iter / connected components / bpe_encode): each iteration is
+    contrib_j = Σ_i r_i·c_ij div W_i; r'_j = 150000 div N +
+    850000·contrib_j div 1000000 — integer division everywhere, so both
+    engines truncate identically and the ranks hash-match. Dangling-node
+    mass is dropped (documented; all observed types have out-edges).
+
+    Scale: the transition graph is event-type² sized (tiny) — the only
+    corpus-scale work is the one hash(user) shuffle building edge
+    counts; every iteration after that runs on broadcast-sized data."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = (
+        e.withColumn("dst", F.lead("event_type").over(w))
+        .filter(F.col("dst").isNotNull())
+        .groupBy(F.col("event_type").alias("src"), "dst")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # read by both iterations; edge table is event-type² sized
+    )
+    # all three are event-type-sized and read by every iteration
+    outw = edges.groupBy("src").agg(F.sum("c").alias("w_out")).persist()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n")).persist()
+    ranks = nodes.join(F.broadcast(n_nodes)).select(
+        "node", F.expr("1000000 div n").cast("bigint").alias("r")
+    )
+
+    def step(r: DataFrame) -> DataFrame:
+        contrib = (
+            edges.join(F.broadcast(outw), "src")
+            .join(F.broadcast(r.withColumnRenamed("node", "src")), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.expr("r * c div w_out")).alias("contrib"))
+        )
+        return (
+            nodes.join(F.broadcast(contrib), "node", "left")
+            .join(F.broadcast(n_nodes))
+            .select(
+                "node",
+                F.expr(
+                    "150000 div n + 850000 * coalesce(contrib, 0) div 1000000"
+                ).cast("bigint").alias("r"),
+            )
+        )
+
+    final = step(step(ranks))
+    return final.select(F.col("node").alias("event_type"), F.col("r").alias("rank_ppm")).orderBy(
+        "event_type"
+    )
+
+
+def oracle_event_pagerank() -> str:
+    return """
+    WITH seq AS (
+        SELECT event_type AS src,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+        FROM events
+    ), edges AS (
+        SELECT src, dst, count(*) AS c FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ), outw AS (
+        SELECT src, sum(c) AS w_out FROM edges GROUP BY src
+    ), nodes AS (
+        SELECT DISTINCT src AS node FROM edges
+        UNION SELECT DISTINCT dst FROM edges
+    ), nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (
+        SELECT node, CAST(1000000 // n AS BIGINT) AS r FROM nodes, nn
+    ), c1 AS (
+        SELECT dst AS node, sum(r0.r * c // w_out) AS contrib
+        FROM edges JOIN outw USING (src) JOIN r0 ON r0.node = edges.src
+        GROUP BY dst
+    ), r1 AS (
+        SELECT nodes.node,
+               CAST(150000 // n + 850000 * coalesce(contrib, 0) // 1000000 AS BIGINT) AS r
+        FROM nodes CROSS JOIN nn LEFT JOIN c1 ON c1.node = nodes.node
+    ), c2 AS (
+        SELECT dst AS node, sum(r1.r * c // w_out) AS contrib
+        FROM edges JOIN outw USING (src) JOIN r1 ON r1.node = edges.src
+        GROUP BY dst
+    ), r2 AS (
+        SELECT nodes.node,
+               CAST(150000 // n + 850000 * coalesce(contrib, 0) // 1000000 AS BIGINT) AS r
+        FROM nodes CROSS JOIN nn LEFT JOIN c2 ON c2.node = nodes.node
+    )
+    SELECT node AS event_type, r AS rank_ppm FROM r2 ORDER BY event_type
+    """
+
+
+def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH decile histogram of order values (complement of the
+    equi-width order_value_histogram): ntile(10) with a full (cents,
+    order key) tiebreak so bucket assignment is deterministic in both
+    engines; per-bucket count and exact cent boundaries.
+
+    Scale note: a global ntile is a single-reducer sort — the 100 TB
+    path computes boundaries from the deterministic md5 sample
+    (approx_order_quantiles) and bucket-assigns with a broadcast range
+    join; this exact variant is the small-table/oracle form."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    cents = (dec2("o_totalprice") * 100).cast("bigint")
+    w = Window.orderBy("cents", "o_orderkey")
+    return (
+        o.select("o_orderkey", cents.alias("cents"))
+        .withColumn("bucket", F.ntile(10).over(w))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def oracle_equi_depth_histogram() -> str:
+    return """
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), tiled AS (
+        SELECT cents, ntile(10) OVER (ORDER BY cents, o_orderkey) AS bucket FROM c
+    )
+    SELECT bucket, count(*) AS n_orders,
+           min(cents) AS lo_cents, max(cents) AS hi_cents
+    FROM tiled GROUP BY bucket ORDER BY bucket
+    """
+
+
+def twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per event type over each
+    user's irregular event timeline: a value holds from its event until
+    the user's next event; TWAP = Σ value·duration div Σ duration.
+
+    Irregular-time-series integration in exact integers: value → cents,
+    hold duration → whole seconds (µs div 1e6), so the area sum stays
+    far inside BIGINT even at 1000× data (~3e16). One hash(user)
+    shuffle for the lead window; the rollup is event-type-sized."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id", "value")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cents = (dec2("value") * 100).cast("bigint")
+    held = (
+        e.withColumn("next_us", F.lead(F.unix_micros("ts")).over(w))
+        .filter(F.col("next_us").isNotNull())
+        .select(
+            "event_type",
+            cents.alias("cents"),
+            F.expr("(next_us - unix_micros(ts)) div 1000000").alias("hold_s"),
+        )
+    )
+    return (
+        held.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("hold_s").cast("bigint").alias("total_secs"),
+            F.expr("sum(cents * hold_s) div sum(hold_s)").cast("bigint").alias("twap_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def oracle_twap_event_value() -> str:
+    return """
+    WITH held AS (
+        SELECT event_type,
+               CAST(cast(value as decimal(12,2)) * 100 AS BIGINT) AS cents,
+               (lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                - epoch_us(ts)) // 1000000 AS hold_s
+        FROM events
+        QUALIFY hold_s IS NOT NULL
+    )
+    SELECT event_type,
+           count(*) AS n_intervals,
+           CAST(sum(hold_s) AS BIGINT) AS total_secs,
+           CAST(sum(cents * hold_s) // sum(hold_s) AS BIGINT) AS twap_cents
+    FROM held GROUP BY event_type ORDER BY event_type
+    """

@@ -89,6 +89,40 @@ class VersionedTable:
             entry = matches[0]
         return self.spark.read.parquet(entry["path"])
 
+    def vacuum(self, keep_last: int = 1, older_than: datetime | None = None) -> list[int]:
+        """Retention cleanup: drop version directories beyond the newest
+        ``keep_last`` (and, if ``older_than`` is given, only those also
+        committed strictly before it). The latest version is never
+        deleted. Returns the dropped version ids.
+
+        Mirrors Delta/Iceberg VACUUM / expire_snapshots: storage for a
+        full-snapshot versioned table grows linearly with commits, so at
+        warehouse scale retention is not optional. The manifest is
+        rewritten atomically BEFORE directories are removed — a crash
+        between the two leaves unreferenced files (harmless, re-vacuumable),
+        never a manifest pointing at deleted data."""
+        import shutil
+
+        manifest = self._manifest()
+        keep_last = max(1, keep_last)
+        cutoff = manifest[:-keep_last] if keep_last < len(manifest) else []
+        if older_than is not None:
+            if older_than.tzinfo is None:
+                older_than = older_than.replace(tzinfo=timezone.utc)
+            cutoff = [m for m in cutoff
+                      if datetime.fromisoformat(m["committed_at"]) < older_than]
+        if not cutoff:
+            return []
+        dropped = {m["version"] for m in cutoff}
+        kept = [m for m in manifest if m["version"] not in dropped]
+        tmp = self.manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(kept, f, indent=2)
+        os.replace(tmp, self.manifest_path)
+        for m in cutoff:
+            shutil.rmtree(m["path"], ignore_errors=True)
+        return sorted(dropped)
+
     def read_asof(self, ts: datetime) -> DataFrame:
         """The newest version committed at or before ``ts`` — the
         ``AT (TIMESTAMP => ...)`` semantics of the reference."""

@@ -54,3 +54,32 @@ def test_table_diff_classifies_changes(spark):
     )
     got = {r.k: r.change_type for r in table_diff(old, new, ["k"]).collect()}
     assert got == {1: "deleted", 3: "updated", 4: "inserted"}
+
+
+def test_vacuum_retention(spark, tmp_path):
+    import os
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.sources.versioned import VersionedTable
+
+    c = load(spark, SF_SMOKE, "customer").select("c_custkey", "c_name")
+    t = VersionedTable(spark, str(tmp_path), "cust")
+    for i, day in enumerate((1, 2, 3, 4)):
+        t.write(c.limit(10 + i), committed_at=_utc(2024, 3, day))
+
+    # keep_last bounds retention; latest always survives
+    dropped = t.vacuum(keep_last=2)
+    assert dropped == [0, 1]
+    assert [m["version"] for m in t.versions()] == [2, 3]
+    assert not os.path.exists(os.path.join(str(tmp_path), "cust", "v=0"))
+    assert t.read(version=3).count() == 13
+    with pytest.raises(KeyError):
+        t.read(version=0)
+
+    # older_than further narrows: nothing before the cutoff -> no-op
+    assert t.vacuum(keep_last=1, older_than=_utc(2024, 3, 3)) == []
+    assert [m["version"] for m in t.versions()] == [2, 3]
+
+    # keep_last=0 is clamped: the newest version can never be vacuumed
+    assert t.vacuum(keep_last=0) == [2]
+    assert [m["version"] for m in t.versions()] == [3]
