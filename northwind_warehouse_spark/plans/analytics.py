@@ -734,23 +734,14 @@ def sketch_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     only k rows per group survive to the final tiny aggregate — the
     bottom-k set is mergeable exactly like any production theta/KMV
     sketch, so 1000 executors each ship ≤k hashes per group."""
-    from pyspark.sql.window import Window
+    from northwind_warehouse_spark.operators import sketch
 
     e = load(spark, sf_dir, "events")
-    h32 = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10).cast("long")
-    hashes = e.select("event_type", h32.alias("h")).distinct()
-    w = Window.partitionBy("event_type").orderBy("h")
-    ranked = hashes.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KMV_K)
+    hashes = sketch.kmv_hashes(e, "user_id", ["event_type"])
+    kept = sketch.kmv_bottom_k(hashes, ["event_type"], k=_KMV_K)
     return (
-        ranked.groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.max("h").alias("hk"))
-        .select(
-            "event_type",
-            F.when(F.col("n_kept") < _KMV_K, F.col("n_kept"))
-            .otherwise(F.expr(f"({_KMV_K} - 1) * 4294967296 div hk"))
-            .cast("bigint")
-            .alias("approx_users"),
-        )
+        sketch.kmv_estimate(kept, ["event_type"], k=_KMV_K)
+        .withColumnRenamed("approx_distinct", "approx_users")
         .orderBy("event_type")
     )
 
@@ -3171,4 +3162,58 @@ def oracle_twap_event_value() -> str:
            CAST(sum(hold_s) AS BIGINT) AS total_secs,
            CAST(sum(cents * hold_s) // sum(hold_s) AS BIGINT) AS twap_cents
     FROM held GROUP BY event_type ORDER BY event_type
+    """
+
+
+def sketch_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY: the global distinct-user estimate computed by
+    merging the per-event-type KMV sketches — union the kept-hash sets,
+    re-take the bottom k — without ever rescanning the corpus.
+
+    This is the property that makes sketches viable at 100 TB: per-group
+    (or per-partition, or per-day) sketches are tiny (≤k hashes), and any
+    rollup level is a re-fold of sketch state, exactly like production
+    theta/KMV sketch libraries. The '_ALL_' row here is derived purely
+    from the per-type sketches; the oracle mirrors the same two-level
+    fold, so the merge semantics themselves are hash-verified."""
+    from northwind_warehouse_spark.operators import sketch
+
+    e = load(spark, sf_dir, "events")
+    hashes = sketch.kmv_hashes(e, "user_id", ["event_type"])
+    kept = sketch.kmv_bottom_k(hashes, ["event_type"], k=_KMV_K).persist()
+    per_type = sketch.kmv_estimate(kept, ["event_type"], k=_KMV_K)
+    merged = sketch.kmv_bottom_k(kept.select(F.lit("_ALL_").alias("event_type"), "h"),
+                                 ["event_type"], k=_KMV_K)
+    overall = sketch.kmv_estimate(merged, ["event_type"], k=_KMV_K)
+    return per_type.unionByName(overall).withColumnRenamed(
+        "approx_distinct", "approx_users"
+    ).orderBy("event_type")
+
+
+def oracle_sketch_distinct_rollup() -> str:
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM events
+    ), kept AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+            FROM hashes
+        ) WHERE rk <= {_KMV_K}
+    ), merged AS (
+        SELECT h FROM (
+            SELECT h, row_number() OVER (ORDER BY h) AS rk
+            FROM (SELECT DISTINCT h FROM kept)
+        ) WHERE rk <= {_KMV_K}
+    ), per_type AS (
+        SELECT event_type, count(*) AS n, max(h) AS hk FROM kept GROUP BY event_type
+    ), overall AS (
+        SELECT '_ALL_' AS event_type, count(*) AS n, max(h) AS hk FROM merged
+    )
+    SELECT event_type,
+           CAST(CASE WHEN n < {_KMV_K} THEN n
+                     ELSE ({_KMV_K} - 1) * 4294967296 // hk END AS BIGINT) AS approx_users
+    FROM (SELECT * FROM per_type UNION ALL SELECT * FROM overall)
+    ORDER BY event_type
     """

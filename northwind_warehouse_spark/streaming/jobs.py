@@ -361,3 +361,47 @@ def dedup_stream_vs_corpus(incoming: DataFrame, corpus_fingerprints: DataFrame) 
         "fingerprint",
         "left_anti",
     )
+
+
+def kmv_distinct_stream(
+    events: DataFrame,
+    lake_dir: str,
+    table: str,
+    checkpoint_dir: str,
+    k: int = 1024,
+):
+    """Streaming approximate-distinct maintenance: fold each micro-batch
+    into a per-group KMV bottom-k state table.
+
+    The sketch's merge-associativity does all the work: state ∪ batch →
+    bottom-k is exactly the sketch of everything seen, so replaying the
+    stream in ANY micro-batch split yields byte-identical estimates to
+    the one-shot batch sketch (asserted in tests/test_streaming.py).
+    State is bounded at k hashes per group FOREVER — unlike streaming
+    dropDuplicates, no watermark is needed for the state to stay finite,
+    which is why count-distinct-over-all-time is a sketch problem, not a
+    dedup problem, on an unbounded stream. Each fold commits an
+    immutable version (estimate history is time-travelable); the
+    checkpoint guarantees exactly-once folding.
+    """
+    from northwind_warehouse_spark.operators import sketch
+    from northwind_warehouse_spark.sources.versioned import VersionedTable
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        vt = VersionedTable(spark, lake_dir, table)
+        if batch.isEmpty():
+            return
+        hashes = sketch.kmv_hashes(batch, "user_id", ["event_type"])
+        if vt.versions():
+            hashes = vt.read().unionByName(hashes)
+        vt.write(sketch.kmv_bottom_k(hashes, ["event_type"], k=k))
+
+    q = (
+        events.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return q

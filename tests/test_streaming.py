@@ -347,3 +347,40 @@ def test_expectations_quarantine_streams_identically(spark, tmp_path):
     _, q_batch = apply_expectations(load(spark, SF_SMOKE, "documents"), rules)
     want = {tuple(r) for r in q_batch.select("doc_id", "dq_reason").collect()}
     assert got == want and len(got) > 0
+
+
+def test_kmv_distinct_stream_matches_batch(spark, tmp_path):
+    """Bottom-k sketch state folded over 3 arbitrary micro-batches must
+    equal the one-shot batch sketch exactly (merge associativity) —
+    no watermark involved, state bounded at k hashes per group."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.analytics import sketch_distinct_users
+    from northwind_warehouse_spark.sources.versioned import VersionedTable
+    from northwind_warehouse_spark.operators import sketch
+    from northwind_warehouse_spark.streaming.jobs import kmv_distinct_stream
+
+    e = load(spark, SF_SMOKE, "events")
+    src = str(tmp_path / "kmv_src")
+    # arbitrary (non-time-ordered) split: sketches don't care about order
+    import time
+
+    for m in range(3):
+        e.filter(F.col("event_id") % 3 == m).coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    lake = str(tmp_path / "lake")
+    events = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    kmv_distinct_stream(events, lake, "kmv_users", str(tmp_path / "ckpt"))
+
+    vt = VersionedTable(spark, lake, "kmv_users")
+    assert len(vt.versions()) == 3  # one immutable fold per micro-batch
+    got = {
+        r.event_type: r.approx_distinct
+        for r in sketch.kmv_estimate(vt.read(), ["event_type"]).collect()
+    }
+    want = {r.event_type: r.approx_users for r in sketch_distinct_users(spark, SF_SMOKE).collect()}
+    assert got == want
