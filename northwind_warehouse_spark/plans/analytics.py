@@ -3217,3 +3217,45 @@ def oracle_sketch_distinct_rollup() -> str:
     FROM (SELECT * FROM per_type UNION ALL SELECT * FROM overall)
     ORDER BY event_type
     """
+
+
+def fuzzy_part_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join: near-identical part names matched by
+    edit distance within a blocking key.
+
+    The classic record-linkage shape: block on a cheap stable key (the
+    name's final token) so candidate pairs stay per-block-bounded — never
+    the n² cross product — then score candidates with levenshtein (unit
+    costs; identical algorithm in Spark and DuckDB, so distances
+    hash-match). Names, not keys, deduplicate dirty dimension feeds —
+    the fuzzy counterpart of the reference's row_hash exact change
+    detection (models/staging/* surrogate keys)."""
+    p = load(spark, sf_dir, "part").select("p_name").distinct()
+    names = p.withColumn("block", F.element_at(F.split("p_name", " "), -1))
+    a = names.alias("a")
+    b = names.alias("b")
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.p_name") < F.col("b.p_name")))
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).cast("bigint").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= 3)
+        .orderBy("name_a", "name_b")
+    )
+
+
+def oracle_fuzzy_part_matches() -> str:
+    return """
+    WITH names AS (
+        SELECT DISTINCT p_name,
+               list_extract(string_split(p_name, ' '), -1) AS block
+        FROM part
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM names a JOIN names b ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    ORDER BY name_a, name_b
+    """

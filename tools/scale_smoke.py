@@ -112,6 +112,12 @@ def main() -> None:
         "dup_ngram_fraction": llm.dup_ngram_fraction,
         "embedding_quantize_int8": llm.embedding_quantize_int8,
         "events_weekly_active": analytics.events_weekly_active,
+        "basket_affinity": analytics.basket_affinity,
+        "pareto_customers": analytics.pareto_customers,
+        "interpurchase_intervals": analytics.interpurchase_intervals,
+        "event_pagerank": analytics.event_pagerank,
+        "twap_event_value": analytics.twap_event_value,
+        "sketch_distinct_rollup": analytics.sketch_distinct_rollup,
     }
 
     results: dict[int, dict[str, float]] = {}
