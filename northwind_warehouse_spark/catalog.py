@@ -39,14 +39,23 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{table}.parquet")
     if table == "events":
-        # ts is TIMESTAMP(NANOS) in the file → surfaced as long nanos;
-        # floor-convert to microsecond timestamp (matches DuckDB's
-        # ns→datetime truncation).
+        # ts is TIMESTAMP(NANOS) in the file. How it surfaces depends on
+        # session confs we may not control (the driver builds its own
+        # session): long nanos when nanosAsLong was set at builder time,
+        # TIMESTAMP_NTZ under Spark 4's default native-nanos inference, or
+        # TIMESTAMP when inferTimestampNTZ is off. Normalize every case to
+        # a session-tz (UTC-pinned) microsecond TIMESTAMP so downstream
+        # epoch-µs arithmetic matches DuckDB's ns→datetime truncation.
         from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+        from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, TimestampNTZType):
+            # wall clock is UTC by construction; session tz is pinned UTC
+            # above, so the cast reinterprets the same instant
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

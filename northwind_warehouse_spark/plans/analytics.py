@@ -350,7 +350,10 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("promo"), 2).cast("double").alias("promo_revenue"),
         F.round(F.col("total"), 2).cast("double").alias("total_revenue"),
         F.expr(
-            "CAST((1000000 * CAST(promo * 10000 AS BIGINT)) div CAST(total * 10000 AS BIGINT) AS DOUBLE) / 10000.0"
+            # DECIMAL(38,0) intermediate — scale-4 revenue units * 1e6 would
+            # overflow BIGINT once the month's revenue passes ~9.2e8 dollars
+            "CAST(CAST(promo * 10000 AS DECIMAL(38,0)) * 1000000"
+            " div CAST(total * 10000 AS DECIMAL(38,0)) AS DOUBLE) / 10000.0"
         ).alias("promo_share_pct"),
     )
 
@@ -368,7 +371,7 @@ def oracle_q14() -> str:
     )
     SELECT cast(round(promo, 2) as double) AS promo_revenue,
            cast(round(total, 2) as double) AS total_revenue,
-           CAST((1000000 * CAST(promo * 10000 AS BIGINT)) // CAST(total * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS promo_share_pct
+           CAST(CAST(promo * 10000 AS HUGEINT) * 1000000 // CAST(total * 10000 AS HUGEINT) AS DOUBLE) / 10000.0 AS promo_share_pct
     FROM agg
     """
 
@@ -1582,11 +1585,14 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("step")
     return (
         out.withColumn("n_users", F.col("n").cast("bigint"))
+        .withColumn("prev_n", F.lag("n").over(w))
         .withColumn(
             "conv_from_prev_ppm",
             F.when(
-                F.lag("n").over(w).isNotNull(),
-                (F.col("n") * 1000000 / F.lag("n").over(w)).cast("bigint"),
+                F.col("prev_n").isNotNull(),
+                # exact integer div on a DECIMAL(38,0) intermediate — double
+                # division loses bits past 2^53, BIGINT mult overflows at 9.2e12
+                F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div prev_n AS BIGINT)"),
             ).otherwise(F.lit(1000000).cast("bigint")),
         )
         .select("step", "step_name", "n_users", "conv_from_prev_ppm")
@@ -1617,7 +1623,7 @@ def oracle_events_funnel() -> str:
         UNION ALL SELECT 3, 'purchase', count(*) FROM s3
     )
     SELECT step, step_name, CAST(n AS BIGINT) AS n_users,
-           CAST(coalesce(n * 1000000 // lag(n) OVER (ORDER BY step), 1000000) AS BIGINT)
+           CAST(coalesce(CAST(n AS HUGEINT) * 1000000 // lag(n) OVER (ORDER BY step), 1000000) AS BIGINT)
                AS conv_from_prev_ppm
     FROM c ORDER BY step
     """
@@ -1952,7 +1958,7 @@ def events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("total", F.sum("n_transitions").over(wtot).cast("bigint"))
         .select(
             "from_type", "to_type", "n_transitions",
-            F.expr("n_transitions * 1000000 div total").alias("share_ppm"),
+            F.expr("CAST(CAST(n_transitions AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)").alias("share_ppm"),
         )
         .orderBy(F.desc("n_transitions"), "from_type", "to_type")
     )
@@ -1970,7 +1976,7 @@ def oracle_events_transitions() -> str:
         GROUP BY prev_type, event_type
     )
     SELECT from_type, to_type, n_transitions,
-           n_transitions * 1000000 // CAST(sum(n_transitions) OVER () AS BIGINT) AS share_ppm
+           CAST(CAST(n_transitions AS HUGEINT) * 1000000 // CAST(sum(n_transitions) OVER () AS BIGINT) AS BIGINT) AS share_ppm
     FROM pairs
     ORDER BY n_transitions DESC, from_type, to_type
     """
@@ -2177,8 +2183,8 @@ def monthly_revenue_mom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 """CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
                         WHEN rev_cents >= prev_cents
-                          THEN ((rev_cents - prev_cents) * 10000) div prev_cents
-                        ELSE -(((prev_cents - rev_cents) * 10000) div prev_cents)
+                          THEN CAST(CAST(rev_cents - prev_cents AS DECIMAL(38,0)) * 10000 div prev_cents AS BIGINT)
+                        ELSE -CAST(CAST(prev_cents - rev_cents AS DECIMAL(38,0)) * 10000 div prev_cents AS BIGINT)
                    END"""
             ),
         )
@@ -2200,8 +2206,8 @@ def oracle_monthly_revenue_mom() -> str:
     SELECT ym, rev_cents, prev_cents,
            CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
                 WHEN rev_cents >= prev_cents
-                  THEN ((rev_cents - prev_cents) * 10000) // prev_cents
-                ELSE -(((prev_cents - rev_cents) * 10000) // prev_cents)
+                  THEN CAST(CAST(rev_cents - prev_cents AS HUGEINT) * 10000 // prev_cents AS BIGINT)
+                ELSE -CAST(CAST(prev_cents - rev_cents AS HUGEINT) * 10000 // prev_cents AS BIGINT)
            END AS mom_bp
     FROM lagged ORDER BY ym
     """
@@ -2239,7 +2245,7 @@ def events_trigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         tri.withColumn("total", F.sum("n_paths").over(wtot).cast("bigint"))
         .select(
             "step1", "step2", "step3", "n_paths",
-            F.expr("n_paths * 1000000 div total").alias("share_ppm"),
+            F.expr("CAST(CAST(n_paths AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)").alias("share_ppm"),
         )
         .orderBy(F.desc("n_paths"), "step1", "step2", "step3")
         .limit(20)
@@ -2260,7 +2266,7 @@ def oracle_events_trigram_paths() -> str:
         GROUP BY 1, 2, 3
     )
     SELECT step1, step2, step3, n_paths,
-           n_paths * 1000000 // CAST(sum(n_paths) OVER () AS BIGINT) AS share_ppm
+           CAST(CAST(n_paths AS HUGEINT) * 1000000 // CAST(sum(n_paths) OVER () AS BIGINT) AS BIGINT) AS share_ppm
     FROM tri
     ORDER BY n_paths DESC, step1, step2, step3
     LIMIT 20
@@ -2295,7 +2301,7 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("skew_rank") <= 20)
             .select(
                 "key_col", "skew_rank", "key_value", "n_rows",
-                F.expr("n_rows * 1000000 div total").alias("share_ppm"),
+                F.expr("CAST(CAST(n_rows AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)").alias("share_ppm"),
             )
         )
         out = top if out is None else out.unionByName(top)
@@ -2308,7 +2314,7 @@ def oracle_key_skew_audit() -> str:
         SELECT '{col}' AS key_col,
                row_number() OVER (ORDER BY count(*) DESC, {col}) AS skew_rank,
                {col} AS key_value, count(*) AS n_rows,
-               count(*) * 1000000 // CAST(sum(count(*)) OVER () AS BIGINT) AS share_ppm
+               CAST(CAST(count(*) AS HUGEINT) * 1000000 // CAST(sum(count(*)) OVER () AS BIGINT) AS BIGINT) AS share_ppm
         FROM lineitem GROUP BY {col}
         QUALIFY skew_rank <= 20
         """
@@ -2590,8 +2596,8 @@ def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total_cents", F.sum("nation_cents").over(wt).cast("bigint"))
         .select(
             "region", "nation", "nation_cents",
-            F.expr("nation_cents * 1000000 div region_cents").alias("share_of_region_ppm"),
-            F.expr("region_cents * 1000000 div total_cents").alias("region_share_ppm"),
+            F.expr("CAST(CAST(nation_cents AS DECIMAL(38,0)) * 1000000 div region_cents AS BIGINT)").alias("share_of_region_ppm"),
+            F.expr("CAST(CAST(region_cents AS DECIMAL(38,0)) * 1000000 div total_cents AS BIGINT)").alias("region_share_ppm"),
         )
         .orderBy("region", "nation")
     )
@@ -2609,9 +2615,9 @@ def oracle_revenue_share_of_parent() -> str:
         GROUP BY r_name, n_name
     )
     SELECT region, nation, nation_cents,
-           nation_cents * 1000000 // CAST(sum(nation_cents) OVER (PARTITION BY region) AS BIGINT) AS share_of_region_ppm,
-           CAST(sum(nation_cents) OVER (PARTITION BY region) AS BIGINT) * 1000000
-               // CAST(sum(nation_cents) OVER () AS BIGINT) AS region_share_ppm
+           CAST(CAST(nation_cents AS HUGEINT) * 1000000 // CAST(sum(nation_cents) OVER (PARTITION BY region) AS BIGINT) AS BIGINT) AS share_of_region_ppm,
+           CAST(CAST(sum(nation_cents) OVER (PARTITION BY region) AS HUGEINT) * 1000000
+               // CAST(sum(nation_cents) OVER () AS BIGINT) AS BIGINT) AS region_share_ppm
     FROM per_nation
     ORDER BY region, nation
     """
@@ -2643,7 +2649,7 @@ def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("total", F.sum("n_orders").over(wt).cast("bigint"))
         .select(
             "digit", "n_orders",
-            F.expr("n_orders * 1000000 div total").alias("observed_ppm"),
+            F.expr("CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)").alias("observed_ppm"),
             F.expr(exp_expr).cast("bigint").alias("benford_ppm"),
         )
         .orderBy("digit")
@@ -2662,7 +2668,7 @@ def oracle_benford_price_audit() -> str:
         FROM orders
     )
     SELECT digit, count(*) AS n_orders,
-           count(*) * 1000000 // CAST(sum(count(*)) OVER () AS BIGINT) AS observed_ppm,
+           CAST(CAST(count(*) AS HUGEINT) * 1000000 // CAST(sum(count(*)) OVER () AS BIGINT) AS BIGINT) AS observed_ppm,
            CAST({exp_expr} AS BIGINT) AS benford_ppm
     FROM d GROUP BY digit ORDER BY digit
     """
@@ -2713,8 +2719,13 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot))
         .select(
             "brand_a", "brand_b", "n_ab",
-            F.expr("n_ab * 1000000 div n_orders").alias("support_ppm"),
-            F.expr("n_ab * n_orders * 1000000 div (n_a * n_b)").alias("lift_ppm"),
+            F.expr("CAST(CAST(n_ab AS DECIMAL(38,0)) * 1000000 div n_orders AS BIGINT)").alias("support_ppm"),
+            # both the numerator (count * count * 1e6) and the marginal
+            # product overflow BIGINT at warehouse scale — DECIMAL(38,0) both
+            F.expr(
+                "CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
         )
         .filter(F.col("n_ab") >= 5)
         .orderBy(F.desc("lift_ppm"), "brand_a", "brand_b")
@@ -2737,8 +2748,8 @@ def oracle_basket_affinity() -> str:
         SELECT brand, count(*) AS n FROM ob GROUP BY brand
     )
     SELECT brand_a, brand_b, n_ab,
-           n_ab * 1000000 // n_orders AS support_ppm,
-           n_ab * n_orders * 1000000 // (ma.n * mb.n) AS lift_ppm
+           CAST(CAST(n_ab AS HUGEINT) * 1000000 // n_orders AS BIGINT) AS support_ppm,
+           CAST(CAST(n_ab AS HUGEINT) * n_orders * 1000000 // (CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS lift_ppm
     FROM pairs, tot
     JOIN marg ma ON ma.brand = brand_a
     JOIN marg mb ON mb.brand = brand_b
@@ -2786,8 +2797,8 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "n_name", "n_customers", "n_top80",
-            F.expr("n_top80 * 1000000 div n_customers").alias("top_share_of_customers_ppm"),
-            F.expr("top80_cents * 1000000 div total_cents").alias("revenue_share_ppm"),
+            F.expr("CAST(CAST(n_top80 AS DECIMAL(38,0)) * 1000000 div n_customers AS BIGINT)").alias("top_share_of_customers_ppm"),
+            F.expr("CAST(CAST(top80_cents AS DECIMAL(38,0)) * 1000000 div total_cents AS BIGINT)").alias("revenue_share_ppm"),
         )
         .orderBy("n_name")
     )
@@ -2813,8 +2824,8 @@ def oracle_pareto_customers() -> str:
     SELECT n_name,
            count(*) AS n_customers,
            CAST(sum(CASE WHEN in_top80 THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
-           sum(CASE WHEN in_top80 THEN 1 ELSE 0 END) * 1000000 // count(*) AS top_share_of_customers_ppm,
-           CAST(sum(CASE WHEN in_top80 THEN cents ELSE 0 END) AS BIGINT) * 1000000 // CAST(max(total) AS BIGINT) AS revenue_share_ppm
+           CAST(CAST(sum(CASE WHEN in_top80 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS top_share_of_customers_ppm,
+           CAST(CAST(sum(CASE WHEN in_top80 THEN cents ELSE 0 END) AS HUGEINT) * 1000000 // CAST(max(total) AS BIGINT) AS BIGINT) AS revenue_share_ppm
     FROM flagged GROUP BY n_name ORDER BY n_name
     """
 
@@ -2847,7 +2858,15 @@ def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_parts"),
             F.sum("rev").cast("bigint").alias("rev_units"),
         )
-        .withColumn("rev_share_ppm", F.expr("rev_units * 1000000 div (sum(rev_units) over ())").cast("bigint"))
+        .withColumn(
+            "rev_share_ppm",
+            F.expr(
+                # DECIMAL(38,0) intermediate: rev_units*1e6 overflows BIGINT
+                # once total scale-4 revenue exceeds ~9.2e12 (sf>=0.01).
+                "CAST(CAST(rev_units AS DECIMAL(38,0)) * 1000000"
+                " div (sum(rev_units) over ()) AS BIGINT)"
+            ),
+        )
         .orderBy("abc_class")
     )
 
@@ -2873,7 +2892,7 @@ def oracle_abc_parts() -> str:
         FROM classed GROUP BY abc_class
     )
     SELECT abc_class, n_parts, rev_units,
-           CAST(rev_units * 1000000 // (sum(rev_units) OVER ()) AS BIGINT) AS rev_share_ppm
+           CAST(CAST(rev_units AS HUGEINT) * 1000000 // (sum(rev_units) OVER ()) AS BIGINT) AS rev_share_ppm
     FROM agg ORDER BY abc_class
     """
 
@@ -2902,7 +2921,7 @@ def interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("gap_days").alias("min_gap"),
             F.max("gap_days").alias("max_gap"),
             F.expr("percentile(gap_days, 0.5)").alias("median_gap"),
-            F.expr("sum(gap_days) * 100 div count(1)").alias("avg_gap_x100"),
+            F.expr("CAST(CAST(sum(gap_days) AS DECIMAL(38,0)) * 100 div count(1) AS BIGINT)").alias("avg_gap_x100"),
         )
         .orderBy("c_mktsegment")
     )
@@ -2922,7 +2941,7 @@ def oracle_interpurchase_intervals() -> str:
            min(gap_days) AS min_gap,
            max(gap_days) AS max_gap,
            quantile_cont(gap_days, 0.5) AS median_gap,
-           sum(gap_days) * 100 // count(*) AS avg_gap_x100
+           CAST(CAST(sum(gap_days) AS HUGEINT) * 100 // count(*) AS BIGINT) AS avg_gap_x100
     FROM gaps JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment
     """

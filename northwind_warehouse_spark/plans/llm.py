@@ -1004,8 +1004,11 @@ def domain_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "src_tokens",
             # integer div end-to-end (double division + CAST truncation can
             # diverge from the oracle's `//` on unlucky values)
-            F.expr("src_tokens * 1000000 div total_tokens").alias("share_ppm"),
-            F.expr("(total_tokens div n_sources) * 1000000 div src_tokens").alias("uniform_weight_ppm"),
+            F.expr("CAST(CAST(src_tokens AS DECIMAL(38,0)) * 1000000 div total_tokens AS BIGINT)").alias("share_ppm"),
+            F.expr(
+                "CAST(CAST(total_tokens div n_sources AS DECIMAL(38,0)) * 1000000"
+                " div src_tokens AS BIGINT)"
+            ).alias("uniform_weight_ppm"),
         )
         .orderBy("source")
     )
@@ -1024,8 +1027,8 @@ def oracle_domain_mixture() -> str:
         FROM per_src
     )
     SELECT source, n_docs, src_tokens,
-           src_tokens * 1000000 // total_tokens AS share_ppm,
-           (total_tokens // n_sources) * 1000000 // src_tokens AS uniform_weight_ppm
+           CAST(CAST(src_tokens AS HUGEINT) * 1000000 // total_tokens AS BIGINT) AS share_ppm,
+           CAST(CAST(total_tokens // n_sources AS HUGEINT) * 1000000 // src_tokens AS BIGINT) AS uniform_weight_ppm
     FROM tot ORDER BY source
     """
 
@@ -1552,7 +1555,7 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = tok.agg(F.count(F.lit(1)).alias("total_tok"))
     uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     uni_ppm = uni.crossJoin(F.broadcast(tot)).select(
-        "term", F.expr("(cnt * 1000000) div total_tok").alias("tok_ppm")
+        "term", F.expr("CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div total_tok AS BIGINT)").alias("tok_ppm")
     )
     per_doc = (
         tok.join(uni_ppm, "term")
@@ -1599,7 +1602,7 @@ def oracle_bigram_lm_quality() -> str:
     ), uni AS (
         SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY term
     ), unip AS (
-        SELECT term, CAST((cnt * 1000000) // total_tok AS BIGINT) AS tok_ppm
+        SELECT term, CAST(CAST(cnt AS HUGEINT) * 1000000 // total_tok AS BIGINT) AS tok_ppm
         FROM uni CROSS JOIN tot
     ), per_doc AS (
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
@@ -1692,7 +1695,10 @@ def mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
             # diverges from the oracle's exact `//` (see CLAUDE.md rules)
             F.least(
                 F.lit(1000000).cast("bigint"),
-                F.expr("(total_tokens div n_sources) * 1000000 div src_tokens"),
+                F.expr(
+                    "CAST(CAST(total_tokens div n_sources AS DECIMAL(38,0)) * 1000000"
+                    " div src_tokens AS BIGINT)"
+                ),
             ).alias("keep_ppm"),
         )
     )
@@ -1716,8 +1722,8 @@ def oracle_mixture_resample() -> str:
         FROM documents GROUP BY source
     ), rates AS (
         SELECT source, src_tokens,
-               least(1000000, CAST(sum(src_tokens) OVER () AS BIGINT) // CAST(count(*) OVER () AS BIGINT)
-                              * 1000000 // src_tokens) AS keep_ppm
+               least(1000000, CAST(CAST(CAST(sum(src_tokens) OVER () AS BIGINT) // CAST(count(*) OVER () AS BIGINT) AS HUGEINT)
+                              * 1000000 // src_tokens AS BIGINT)) AS keep_ppm
         FROM per_src
     ), docs AS (
         SELECT doc_id, source, {o_n_tokens('text')} AS n_tok,
@@ -2473,7 +2479,7 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.withColumn("n_true", F.sum("n_docs").over(w).cast("bigint"))
         .select(
             "true_lang", "pred_lang", "n_docs",
-            F.expr("n_docs * 1000000 div n_true").alias("share_of_true_ppm"),
+            F.expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div n_true AS BIGINT)").alias("share_of_true_ppm"),
         )
         .orderBy("true_lang", "pred_lang")
     )
@@ -2488,7 +2494,7 @@ def oracle_lang_confusion_matrix() -> str:
         FROM pred GROUP BY 1, 2
     )
     SELECT true_lang, pred_lang, n_docs,
-           n_docs * 1000000 // CAST(sum(n_docs) OVER (PARTITION BY true_lang) AS BIGINT) AS share_of_true_ppm
+           CAST(CAST(n_docs AS HUGEINT) * 1000000 // CAST(sum(n_docs) OVER (PARTITION BY true_lang) AS BIGINT) AS BIGINT) AS share_of_true_ppm
     FROM m ORDER BY true_lang, pred_lang
     """
 
