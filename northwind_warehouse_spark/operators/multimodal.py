@@ -59,6 +59,41 @@ def extract_features(binary_df: DataFrame, id_col: str = "doc_id", blob_col: str
     return binary_df.mapInPandas(run, EXTRACT_SCHEMA)
 
 
+EXTRACT_FLAT_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_md5", StringType()),
+    ]
+    + [StructField(f"f{i}_q", LongType()) for i in range(FEATURE_DIM)]
+)
+
+
+def extract_features_flat(
+    binary_df: DataFrame, id_col: str = "doc_id", blob_col: str = "content"
+) -> DataFrame:
+    """``extract_features`` with the feature vector flattened to
+    integer-quantized scalar columns (``f0_q..f3_q``, the raw 0-255
+    digest bytes) — every column scalar and exact, so any external
+    harness can sort/hash rows without array handling, per the
+    project's float discipline (CLAUDE.md)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = pdf[blob_col]
+            digests = blobs.map(lambda b: hashlib.md5(b).digest())
+            out = {
+                "doc_id": pdf[id_col].astype("int64"),
+                "n_bytes": blobs.map(len).astype("int64"),
+                "content_md5": digests.map(bytes.hex),
+            }
+            for i in range(FEATURE_DIM):
+                out[f"f{i}_q"] = digests.map(lambda d, i=i: d[i]).astype("int64")
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, EXTRACT_FLAT_SCHEMA)
+
+
 RESIZE_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("width", LongType()),

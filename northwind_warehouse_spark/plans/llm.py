@@ -20,7 +20,11 @@ from northwind_warehouse_spark.functions.text import (
     stopword_count,
 )
 from northwind_warehouse_spark.operators import similarity as sim
-from northwind_warehouse_spark.operators.multimodal import documents_as_binary, extract_features
+from northwind_warehouse_spark.operators.multimodal import (
+    documents_as_binary,
+    extract_features,
+    extract_features_flat,
+)
 
 # ---------------------------------------------------------------------------
 # Dedup family
@@ -687,9 +691,26 @@ def oracle_embedding_stats() -> str:
 
 
 def multimodal_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode/feature pipeline over mapInPandas."""
+    """Binary-column decode/feature pipeline over mapInPandas.
+
+    Emits the flat integer-quantized feature columns (f0_q..f3_q) so
+    every output column is a hashable scalar; the stubbed decode is
+    md5-derived, which makes the whole pipeline SQL-expressible and
+    fully oracle-checkable (a real decoder swap would drop back to the
+    rows-only gate)."""
     d = load(spark, sf_dir, "documents")
-    return extract_features(documents_as_binary(d)).orderBy("doc_id")
+    return extract_features_flat(documents_as_binary(d)).orderBy("doc_id")
+
+
+def oracle_multimodal_extract() -> str:
+    fq = ", ".join(
+        f"CAST(('0x' || substr(md5(text), {2 * i + 1}, 2)) AS BIGINT) AS f{i}_q"
+        for i in range(4)
+    )
+    return f"""
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, md5(text) AS content_md5, {fq}
+    FROM documents ORDER BY doc_id
+    """
 
 
 # ---------------------------------------------------------------------------
