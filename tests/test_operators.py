@@ -206,10 +206,31 @@ def test_multimodal_extract_schema_and_determinism(spark):
 
     out = multimodal_extract(spark, SF_SMOKE)
     rows = out.limit(5).collect()
+    assert out.columns == [
+        "doc_id", "n_bytes", "content_md5", "f0_q", "f1_q", "f2_q", "f3_q",
+    ]
+    for r in rows:
+        for i in range(4):
+            q = getattr(r, f"f{i}_q")
+            assert 0 <= q <= 255
+            # quantized columns are the raw digest bytes
+            assert q == int(r.content_md5[2 * i: 2 * i + 2], 16)
+    rows2 = multimodal_extract(spark, SF_SMOKE).limit(5).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+
+
+def test_multimodal_extract_array_variant(spark):
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.multimodal import (
+        documents_as_binary, extract_features,
+    )
+
+    corpus = documents_as_binary(load(spark, SF_SMOKE, "documents"))
+    out = extract_features(corpus)
+    rows = out.limit(5).collect()
     assert out.columns == ["doc_id", "n_bytes", "content_md5", "features"]
     assert all(len(r.features) == 4 for r in rows)
-    rows2 = multimodal_extract(spark, SF_SMOKE).limit(5).collect()
-    assert [r.content_md5 for r in rows] == [r.content_md5 for r in rows2]
+    assert all(0.0 <= f <= 1.0 for r in rows for f in r.features)
 
 
 def test_multimodal_resize_and_frame_sample(spark):
