@@ -680,16 +680,32 @@ def oracle_q8() -> str:
 
 
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customer lifetime-value deciles (ntile) with per-decile rollup —
-    the segmentation pattern; total ordering makes tiles deterministic."""
-    from pyspark.sql.window import Window
+    """Customer lifetime-value deciles with per-decile rollup — the
+    segmentation pattern, de-globalized: decile membership is assigned
+    by VALUE against sampled spend boundaries (decile 1 = top spenders),
+    not by a global ntile sort.
 
+    Boundaries are the nine interior deciles of per-customer spend
+    cents over the md5-lottery customer sample (descending, so
+    ``decile = 1 + #(boundaries strictly above the customer's cents)``).
+    One hash(customer) agg shuffle builds spend; the boundary agg runs
+    on the lottery-filtered aggregate and broadcasts a single row back
+    — NO Window operator, no customer-count single-reducer sort.
+    Customers with equal spend land in the same decile (value-based,
+    deterministic cross-engine); populations are decile-sized to within
+    sampling error."""
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     per_cust = o.groupBy("o_custkey").agg(
-        F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_spend")
+        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"),
+        F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_spend"),
     )
-    w = Window.orderBy(F.desc("total_spend"), F.col("o_custkey"))
-    tiled = per_cust.withColumn("decile", F.ntile(10).over(w))
+    qs = [i / 10 for i in range(9, 0, -1)]  # descending: decile 1 = richest
+    bnds = per_cust.filter(_ppm_lottery("csd|", "o_custkey") < _QSAMPLE_PPM).agg(
+        F.array(*[F.expr(f"percentile(cents, {q})") for q in qs]).alias("bnds")
+    )
+    tiled = per_cust.crossJoin(F.broadcast(bnds)).withColumn(
+        "decile", F.expr("CAST(1 + size(filter(bnds, b -> cents < b)) AS INT)")
+    )
     return (
         tiled.groupBy("decile")
         .agg(
@@ -703,13 +719,19 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_customer_spend_deciles() -> str:
-    return """
+    qlist = ", ".join(f"quantile_cont(cents, {i / 10})" for i in range(9, 0, -1))
+    return f"""
     WITH per_cust AS (
-        SELECT o_custkey, cast(round(sum(cast(o_totalprice as decimal(12,2))), 2) as double) AS total_spend
+        SELECT o_custkey,
+               CAST(sum(cast(o_totalprice as decimal(12,2))) * 100 AS BIGINT) AS cents,
+               cast(round(sum(cast(o_totalprice as decimal(12,2))), 2) as double) AS total_spend
         FROM orders GROUP BY o_custkey
+    ), b AS (
+        SELECT [{qlist}] AS bnds
+        FROM per_cust WHERE {_o_ppm_lottery('csd|', 'o_custkey')} < {_QSAMPLE_PPM}
     ), tiled AS (
-        SELECT *, ntile(10) OVER (ORDER BY total_spend DESC, o_custkey) AS decile
-        FROM per_cust
+        SELECT total_spend, CAST(1 + len(list_filter(bnds, x -> cents < x)) AS INTEGER) AS decile
+        FROM per_cust, b
     )
     SELECT decile, count(*) AS n_customers,
            cast(round(sum(cast(total_spend as decimal(18,2))), 2) as double) AS decile_spend,
@@ -1489,6 +1511,26 @@ def oracle_grouping_sets_sales() -> str:
 _QSAMPLE_PPM = 500_000  # deterministic 50% md5-lottery sample
 
 
+def _ppm_lottery(prefix: str, key) -> F.Column:
+    """Deterministic per-key lottery ticket in [0, 1e6): the first 8 hex
+    digits of md5(prefix || key). A pure function of the row key, so both
+    engines draw the identical sample — the foundation of every
+    sampled-boundary plan below. Map-only; reaches the scan."""
+    key = F.col(key) if isinstance(key, str) else key
+    return (
+        F.conv(F.substring(F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+
+
+def _o_ppm_lottery(prefix: str, key_expr: str) -> str:
+    """DuckDB rendering of ``_ppm_lottery`` (identical hash, identical sample)."""
+    return (
+        f"CAST(('0x' || substr(md5('{prefix}' || CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT)"
+        f" % 1000000"
+    )
+
+
 def approx_order_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate order-value quartiles per priority class via a
     deterministic md5-lottery sample + exact percentiles on the sample.
@@ -1869,30 +1911,38 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     quartile scores via ntile over deterministic total orders, and the
     classic champion/loyal/at-risk/other segment labels.
 
-    One groupBy(customer) shuffle; the three ntile windows share the
-    same single-partition ordering of the (small) per-customer aggregate
-    — at 100 TB the per-customer relation is ~customers-sized, so the
-    window runs on the aggregated table, never the fact."""
-    from pyspark.sql.window import Window
-
+    One groupBy(customer) shuffle; quartile scores are assigned by
+    VALUE against sampled per-metric boundaries (score 1 = best
+    quartile), so the plan has NO Window operator at all — the three
+    global ntile sorts of the round-3 formulation are gone. The corpus
+    max date and the three 3-element boundary arrays are tiny global
+    aggregates broadcast back over the per-customer relation; equal
+    metric values share a score (value-based, deterministic
+    cross-engine). At 100 TB nothing here sorts more than the
+    md5-lottery sample."""
     o = load(spark, sf_dir, "orders")
     per_cust = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
         F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
         F.count(F.lit(1)).alias("frequency"),
         (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("monetary_cents"),
     )
-    wmax = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    base = per_cust.withColumn("max_date", F.max("last_order_date").over(wmax)).withColumn(
+    maxd = per_cust.agg(F.max("last_order_date").alias("max_date"))
+    base = per_cust.crossJoin(F.broadcast(maxd)).withColumn(
         "recency_days", F.datediff("max_date", "last_order_date").cast("bigint")
     )
-    # ntile needs a total order for cross-engine determinism → tiebreak on id
-    w_r = Window.orderBy(F.col("recency_days"), F.col("customer_id"))
-    w_f = Window.orderBy(F.desc("frequency"), F.col("customer_id"))
-    w_m = Window.orderBy(F.desc("monetary_cents"), F.col("customer_id"))
+    # quartile boundaries from the deterministic customer sample:
+    # recency ascending (low = best), frequency/monetary descending
+    samp = base.filter(_ppm_lottery("rfm|", "customer_id") < _QSAMPLE_PPM)
+    bnds = samp.agg(
+        F.array(*[F.expr(f"percentile(recency_days, {q})") for q in (0.25, 0.5, 0.75)]).alias("r_bnds"),
+        F.array(*[F.expr(f"percentile(frequency, {q})") for q in (0.75, 0.5, 0.25)]).alias("f_bnds"),
+        F.array(*[F.expr(f"percentile(monetary_cents, {q})") for q in (0.75, 0.5, 0.25)]).alias("m_bnds"),
+    )
     scored = (
-        base.withColumn("r_score", F.ntile(4).over(w_r).cast("bigint"))
-        .withColumn("f_score", F.ntile(4).over(w_f).cast("bigint"))
-        .withColumn("m_score", F.ntile(4).over(w_m).cast("bigint"))
+        base.crossJoin(F.broadcast(bnds))
+        .withColumn("r_score", F.expr("CAST(1 + size(filter(r_bnds, b -> recency_days > b)) AS BIGINT)"))
+        .withColumn("f_score", F.expr("CAST(1 + size(filter(f_bnds, b -> frequency < b)) AS BIGINT)"))
+        .withColumn("m_score", F.expr("CAST(1 + size(filter(m_bnds, b -> monetary_cents < b)) AS BIGINT)"))
     )
     seg = (
         F.when((F.col("r_score") == 1) & (F.col("f_score") == 1), F.lit("champion"))
@@ -1915,14 +1965,20 @@ def oracle_rfm_segments() -> str:
                CAST(sum({o_dec2('o_totalprice')}) * 100 AS BIGINT) AS monetary_cents
         FROM orders GROUP BY o_custkey
     ), base AS (
-        SELECT *, max(last_order_date) OVER () AS max_date FROM per_cust
+        SELECT *,
+               CAST(date_diff('day', last_order_date, (SELECT max(last_order_date) FROM per_cust)) AS BIGINT) AS recency_days
+        FROM per_cust
+    ), b AS (
+        SELECT [quantile_cont(recency_days, 0.25), quantile_cont(recency_days, 0.5), quantile_cont(recency_days, 0.75)] AS r_bnds,
+               [quantile_cont(frequency, 0.75), quantile_cont(frequency, 0.5), quantile_cont(frequency, 0.25)] AS f_bnds,
+               [quantile_cont(monetary_cents, 0.75), quantile_cont(monetary_cents, 0.5), quantile_cont(monetary_cents, 0.25)] AS m_bnds
+        FROM base WHERE {_o_ppm_lottery('rfm|', 'customer_id')} < {_QSAMPLE_PPM}
     ), scored AS (
-        SELECT customer_id, frequency, monetary_cents,
-               CAST(date_diff('day', last_order_date, max_date) AS BIGINT) AS recency_days,
-               CAST(ntile(4) OVER (ORDER BY date_diff('day', last_order_date, max_date), customer_id) AS BIGINT) AS r_score,
-               CAST(ntile(4) OVER (ORDER BY frequency DESC, customer_id) AS BIGINT) AS f_score,
-               CAST(ntile(4) OVER (ORDER BY monetary_cents DESC, customer_id) AS BIGINT) AS m_score
-        FROM base
+        SELECT customer_id, frequency, monetary_cents, recency_days,
+               CAST(1 + len(list_filter(r_bnds, x -> recency_days > x)) AS BIGINT) AS r_score,
+               CAST(1 + len(list_filter(f_bnds, x -> frequency < x)) AS BIGINT) AS f_score,
+               CAST(1 + len(list_filter(m_bnds, x -> monetary_cents < x)) AS BIGINT) AS m_score
+        FROM base, b
     )
     SELECT customer_id, recency_days, frequency, monetary_cents,
            r_score, f_score, m_score,
@@ -2763,11 +2819,18 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto 80/20 concentration per nation: how many customers cover
     80% of the nation's order revenue, and the share they hold.
 
-    All comparisons are integer (scale-2 cents): a customer is in the
-    top-80 set while the revenue accumulated BEFORE them is still under
-    80% of the nation total (5*(cum-spend) < 4*total). One shuffle
-    builds per-customer spend; the window and rollup reuse the nation
-    partitioning — customer-count-sized data, never the fact."""
+    All comparisons are integer (scale-2 cents). De-globalized: the
+    cumulative 80% crossing is found inside the md5-lottery CUSTOMER
+    SAMPLE only — per nation, rank the sampled spends descending and
+    take the minimum spend still inside the sample's own 80% band
+    (5*(cum-spend) < 4*sample_total) as the nation's spend THRESHOLD;
+    full-population membership is then the map-only value test
+    ``cents >= threshold``. The rank/cumsum window is partitioned by
+    nation and consumes only sample-sized input (the production knob
+    is _QSAMPLE_PPM); the full per-customer relation is never globally
+    sorted. Counts/sums over the full population are exact for the
+    sampled threshold; a nation absent from the sample yields zero
+    top-80 members (coalesce false)."""
     from pyspark.sql.window import Window
 
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -2780,19 +2843,25 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "o_custkey")
         .agg(F.sum(cents).alias("cents"))
     )
+    samp = spend.filter(_ppm_lottery("par|", "o_custkey") < _QSAMPLE_PPM)
     w = Window.partitionBy("n_name").orderBy(F.desc("cents"), "o_custkey")
     wt = Window.partitionBy("n_name")
-    ranked = (
-        spend.withColumn("cum", F.sum("cents").over(w))
-        .withColumn("total", F.sum("cents").over(wt))
-        .withColumn("in_top80", 5 * (F.col("cum") - F.col("cents")) < 4 * F.col("total"))
+    thr = (
+        samp.withColumn("cum", F.sum("cents").over(w))
+        .withColumn("stotal", F.sum("cents").over(wt))
+        .filter(5 * (F.col("cum") - F.col("cents")) < 4 * F.col("stotal"))
+        .groupBy("n_name")
+        .agg(F.min("cents").alias("thr_cents"))
+    )
+    flagged = spend.join(F.broadcast(thr), "n_name", "left").withColumn(
+        "in_top80", F.coalesce(F.col("cents") >= F.col("thr_cents"), F.lit(False))
     )
     return (
-        ranked.groupBy("n_name")
+        flagged.groupBy("n_name")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
             F.sum(F.when(F.col("in_top80"), 1).otherwise(0)).cast("bigint").alias("n_top80"),
-            F.max("total").alias("total_cents"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
             F.sum(F.when(F.col("in_top80"), F.col("cents")).otherwise(0)).cast("bigint").alias("top80_cents"),
         )
         .select(
@@ -2805,7 +2874,7 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_pareto_customers() -> str:
-    return """
+    return f"""
     WITH spend AS (
         SELECT n_name, o_custkey,
                sum(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)) AS cents
@@ -2814,58 +2883,88 @@ def oracle_pareto_customers() -> str:
         JOIN nation   ON c_nationkey = n_nationkey
         GROUP BY n_name, o_custkey
     ), ranked AS (
-        SELECT n_name, cents,
+        SELECT n_name, o_custkey, cents,
                sum(cents) OVER (PARTITION BY n_name ORDER BY cents DESC, o_custkey) AS cum,
-               sum(cents) OVER (PARTITION BY n_name) AS total
+               sum(cents) OVER (PARTITION BY n_name) AS stotal
         FROM spend
+        WHERE {_o_ppm_lottery('par|', 'o_custkey')} < {_QSAMPLE_PPM}
+    ), thr AS (
+        SELECT n_name, min(cents) AS thr_cents
+        FROM ranked WHERE 5 * (cum - cents) < 4 * stotal
+        GROUP BY n_name
     ), flagged AS (
-        SELECT *, (5 * (cum - cents) < 4 * total) AS in_top80 FROM ranked
+        SELECT spend.n_name, cents,
+               coalesce(cents >= thr_cents, false) AS in_top80
+        FROM spend LEFT JOIN thr ON spend.n_name = thr.n_name
     )
     SELECT n_name,
            count(*) AS n_customers,
            CAST(sum(CASE WHEN in_top80 THEN 1 ELSE 0 END) AS BIGINT) AS n_top80,
            CAST(CAST(sum(CASE WHEN in_top80 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS top_share_of_customers_ppm,
-           CAST(CAST(sum(CASE WHEN in_top80 THEN cents ELSE 0 END) AS HUGEINT) * 1000000 // CAST(max(total) AS BIGINT) AS BIGINT) AS revenue_share_ppm
+           CAST(CAST(sum(CASE WHEN in_top80 THEN cents ELSE 0 END) AS HUGEINT) * 1000000 // CAST(sum(cents) AS BIGINT) AS BIGINT) AS revenue_share_ppm
     FROM flagged GROUP BY n_name ORDER BY n_name
     """
 
 
 def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ABC inventory classification: parts ranked by revenue, class A =
-    first 70% of cumulative revenue, B = next 20%, C = the tail —
-    integer scale-4 units throughout (the ADVICE-hardened full-scale
-    cast, so the BIGINT conversion is exact in both engines)."""
-    from pyspark.sql.window import Window
+    """ABC inventory classification: class A = parts whose revenue puts
+    them inside the first ~70% of cumulative revenue, B = the next 20%,
+    C = the tail — integer scale-4 units with DECIMAL(38,0) cumulative
+    arithmetic (overflow-proof at any scale).
 
+    De-globalized: the A/B revenue THRESHOLDS are found inside the
+    md5-lottery PART SAMPLE — the sample's revenues are folded (sorted
+    descending) with a higher-order ``aggregate`` that tracks the
+    running sum and records the last revenue value still under the
+    70% / 90% crossings of the sample total; full-population class is
+    then the map-only value test ``rev >= threshold``. The plan carries
+    NO Window operator and never sorts the per-part relation — the only
+    sorted object is the in-memory sample array (bounded by
+    _QSAMPLE_PPM, the production knob). Parts with revenue equal to a
+    threshold share its class (value-based, deterministic)."""
     li = load(spark, sf_dir, "lineitem")
     units = (disc_price() * 10000).cast("bigint")
     per_part = li.groupBy("l_partkey").agg(F.sum(units).alias("rev"))
-    w = Window.orderBy(F.desc("rev"), "l_partkey")
-    wt = Window.partitionBy()
-    classed = (
-        per_part.withColumn("cum", F.sum("rev").over(w))
-        .withColumn("total", F.sum("rev").over(wt))
-        .withColumn(
-            "abc_class",
-            F.when(10 * (F.col("cum") - F.col("rev")) < 7 * F.col("total"), "A")
-            .when(10 * (F.col("cum") - F.col("rev")) < 9 * F.col("total"), "B")
-            .otherwise("C"),
-        )
+    samp = per_part.filter(_ppm_lottery("abc|", "l_partkey") < _QSAMPLE_PPM)
+    sarr = samp.agg(
+        F.expr("reverse(array_sort(collect_list(rev)))").alias("revs"),
+        F.sum("rev").cast("decimal(38,0)").alias("stotal"),
     )
+    thr = sarr.select(
+        F.expr(
+            """
+            aggregate(
+                revs,
+                named_struct(
+                    'cum', CAST(0 AS DECIMAL(38,0)),
+                    'ta', CAST(NULL AS BIGINT),
+                    'tb', CAST(NULL AS BIGINT)),
+                (acc, x) -> named_struct(
+                    'cum', CAST(acc.cum + x AS DECIMAL(38,0)),
+                    'ta', CASE WHEN 10 * acc.cum < 7 * stotal THEN x ELSE acc.ta END,
+                    'tb', CASE WHEN 10 * acc.cum < 9 * stotal THEN x ELSE acc.tb END),
+                acc -> acc)
+            """
+        ).alias("t")
+    ).select(F.col("t.ta").alias("thr_a"), F.col("t.tb").alias("thr_b"))
+    classed = per_part.crossJoin(F.broadcast(thr)).withColumn(
+        "abc_class",
+        F.when(F.col("rev") >= F.col("thr_a"), "A")
+        .when(F.col("rev") >= F.col("thr_b"), "B")
+        .otherwise("C"),
+    )
+    agg = classed.groupBy("abc_class").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("rev").cast("bigint").alias("rev_units"),
+    )
+    tot = agg.agg(F.sum("rev_units").cast("bigint").alias("tot_units"))
     return (
-        classed.groupBy("abc_class")
-        .agg(
-            F.count(F.lit(1)).alias("n_parts"),
-            F.sum("rev").cast("bigint").alias("rev_units"),
-        )
-        .withColumn(
-            "rev_share_ppm",
-            F.expr(
-                # DECIMAL(38,0) intermediate: rev_units*1e6 overflows BIGINT
-                # once total scale-4 revenue exceeds ~9.2e12 (sf>=0.01).
-                "CAST(CAST(rev_units AS DECIMAL(38,0)) * 1000000"
-                " div (sum(rev_units) over ()) AS BIGINT)"
-            ),
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class", "n_parts", "rev_units",
+            # DECIMAL(38,0) intermediate: rev_units*1e6 overflows BIGINT
+            # once total scale-4 revenue exceeds ~9.2e12 (sf>=0.01).
+            F.expr("CAST(CAST(rev_units AS DECIMAL(38,0)) * 1000000 div tot_units AS BIGINT)").alias("rev_share_ppm"),
         )
         .orderBy("abc_class")
     )
@@ -2879,20 +2978,26 @@ def oracle_abc_parts() -> str:
     ), ranked AS (
         SELECT l_partkey, rev,
                sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS cum,
-               sum(rev) OVER () AS total
+               sum(rev) OVER () AS stotal
         FROM per_part
-    ), classed AS (
-        SELECT *,
-               CASE WHEN 10 * (cum - rev) < 7 * total THEN 'A'
-                    WHEN 10 * (cum - rev) < 9 * total THEN 'B'
-                    ELSE 'C' END AS abc_class
+        WHERE {_o_ppm_lottery('abc|', 'l_partkey')} < {_QSAMPLE_PPM}
+    ), thr AS (
+        SELECT min(CASE WHEN 10 * (cum - rev) < 7 * stotal THEN rev END) AS thr_a,
+               min(CASE WHEN 10 * (cum - rev) < 9 * stotal THEN rev END) AS thr_b
         FROM ranked
+    ), classed AS (
+        SELECT rev,
+               CASE WHEN rev >= thr_a THEN 'A'
+                    WHEN rev >= thr_b THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM per_part, thr
     ), agg AS (
         SELECT abc_class, count(*) AS n_parts, CAST(sum(rev) AS BIGINT) AS rev_units
         FROM classed GROUP BY abc_class
     )
     SELECT abc_class, n_parts, rev_units,
-           CAST(CAST(rev_units AS HUGEINT) * 1000000 // (sum(rev_units) OVER ()) AS BIGINT) AS rev_share_ppm
+           CAST(CAST(rev_units AS HUGEINT) * 1000000
+                // (SELECT CAST(sum(rev_units) AS BIGINT) FROM agg) AS BIGINT) AS rev_share_ppm
     FROM agg ORDER BY abc_class
     """
 
@@ -2951,22 +3056,47 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto front): parts not strictly dominated on
     (cheaper retail price, larger size).
 
-    Spark-first formulation: sort by price cents ascending and take the
-    running max of size over STRICTLY cheaper rows (a RANGE frame ending
-    1 unit before the current price) — O(n log n) with one exchange,
-    versus the naive quadratic NOT-EXISTS self-join, which the oracle
-    deliberately keeps as its independent semantic statement."""
+    Spark-first DE-GLOBALIZED formulation (result is EXACT and
+    unchanged — bucketing only parallelizes): the price axis is split
+    into ranges at sampled price boundaries (md5-lottery sample, 15
+    interior 16-iles; the boundary count is the parallelism knob at
+    scale). Within each bucket a PARTITIONED window takes the running
+    max of size over strictly-cheaper rows (RANGE frame ending 1 cent
+    before the current price); domination from other buckets is folded
+    in via the per-bucket max-size prefix (a tiny ≤16-row broadcast
+    self-join — every row in a lower bucket has strictly lower price by
+    construction, since bucket assignment is a monotone function of
+    price and equal prices share a bucket). No unpartitioned window,
+    no single-reducer sort; the quadratic NOT-EXISTS stays in the
+    oracle as the independent semantic statement."""
     from pyspark.sql.window import Window
 
     p = load(spark, sf_dir, "part")
     cents = (dec2("p_retailprice") * 100).cast("bigint")
-    w = (
-        Window.orderBy("price_cents")
+    vals = p.select("p_partkey", "p_name", "p_size", cents.alias("price_cents"))
+    qs = [i / 16 for i in range(1, 16)]
+    bnds = vals.filter(_ppm_lottery("sky|", "p_partkey") < _QSAMPLE_PPM).agg(
+        F.array(*[F.expr(f"percentile(price_cents, {q})") for q in qs]).alias("bnds")
+    )
+    tagged = vals.crossJoin(F.broadcast(bnds)).withColumn(
+        "bucket", F.expr("CAST(1 + size(filter(bnds, b -> price_cents > b)) AS INT)")
+    ).drop("bnds")
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("price_cents")
         .rangeBetween(Window.unboundedPreceding, -1)
     )
+    bucket_max = tagged.groupBy("bucket").agg(F.max("p_size").alias("bmax"))
+    earlier = (
+        bucket_max.alias("a")
+        .join(bucket_max.alias("b"), F.col("b.bucket") < F.col("a.bucket"))
+        .groupBy(F.col("a.bucket").alias("bucket"))
+        .agg(F.max(F.col("b.bmax")).alias("earlier_best"))
+    )
     return (
-        p.select("p_partkey", "p_name", "p_size", cents.alias("price_cents"))
-        .withColumn("best_cheaper_size", F.max("p_size").over(w))
+        tagged.withColumn("local_best", F.max("p_size").over(w_local))
+        .join(F.broadcast(earlier), "bucket", "left")
+        .withColumn("best_cheaper_size", F.greatest("local_best", "earlier_best"))
         .filter(F.col("best_cheaper_size").isNull() | (F.col("best_cheaper_size") <= F.col("p_size")))
         .select("p_partkey", "p_name", "p_size", "price_cents")
         .orderBy("price_cents", "p_partkey")
@@ -3091,22 +3221,31 @@ def oracle_event_pagerank() -> str:
 
 def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-DEPTH decile histogram of order values (complement of the
-    equi-width order_value_histogram): ntile(10) with a full (cents,
-    order key) tiebreak so bucket assignment is deterministic in both
-    engines; per-bucket count and exact cent boundaries.
+    equi-width order_value_histogram) via SAMPLED BOUNDARIES — the
+    100-TB plan shape, no global ntile anywhere.
 
-    Scale note: a global ntile is a single-reducer sort — the 100 TB
-    path computes boundaries from the deterministic md5 sample
-    (approx_order_quantiles) and bucket-assigns with a broadcast range
-    join; this exact variant is the small-table/oracle form."""
-    from pyspark.sql.window import Window
-
+    The nine interior decile boundaries come from the deterministic
+    md5-lottery sample (same lottery as approx_order_quantiles: both
+    engines see the identical subset, and the interpolated percentile
+    over integer cents is bit-identical cross-engine). Every order is
+    then assigned ``bucket = 1 + #(boundaries strictly below its
+    cents)`` from the broadcast single-row boundary array — a map-only
+    expression. The plan is: lottery-filtered scan → tiny global
+    percentile agg → broadcast → 10-group rollup; NO Window operator,
+    no single-reducer sort of the fact. Per-bucket counts and cent
+    extremes are exact for the chosen boundaries; bucket populations
+    are equal to within sampling error ~1/sqrt(pn). At 100 TB the knob
+    is dropping _QSAMPLE_PPM until the sample fits one reducer."""
     o = load(spark, sf_dir, "orders")
     cents = (dec2("o_totalprice") * 100).cast("bigint")
-    w = Window.orderBy("cents", "o_orderkey")
+    vals = o.select("o_orderkey", cents.alias("cents"))
+    qs = [i / 10 for i in range(1, 10)]
+    bnds = vals.filter(_ppm_lottery("ed|", "o_orderkey") < _QSAMPLE_PPM).agg(
+        F.array(*[F.expr(f"percentile(cents, {q})") for q in qs]).alias("bnds")
+    )
     return (
-        o.select("o_orderkey", cents.alias("cents"))
-        .withColumn("bucket", F.ntile(10).over(w))
+        vals.crossJoin(F.broadcast(bnds))
+        .withColumn("bucket", F.expr("CAST(1 + size(filter(bnds, b -> cents > b)) AS INT)"))
         .groupBy("bucket")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
@@ -3118,13 +3257,18 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_equi_depth_histogram() -> str:
-    return """
+    qlist = ", ".join(f"quantile_cont(cents, {i / 10})" for i in range(1, 10))
+    return f"""
     WITH c AS (
         SELECT o_orderkey,
                CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS cents
         FROM orders
+    ), b AS (
+        SELECT [{qlist}] AS bnds
+        FROM c WHERE {_o_ppm_lottery('ed|', 'o_orderkey')} < {_QSAMPLE_PPM}
     ), tiled AS (
-        SELECT cents, ntile(10) OVER (ORDER BY cents, o_orderkey) AS bucket FROM c
+        SELECT cents, CAST(1 + len(list_filter(bnds, x -> cents > x)) AS INTEGER) AS bucket
+        FROM c, b
     )
     SELECT bucket, count(*) AS n_orders,
            min(cents) AS lo_cents, max(cents) AS hi_cents

@@ -143,3 +143,39 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
 
     got = {r["order_year"] for r in joined.collect()}
     assert got and all(y >= 1998 for y in got)
+
+
+_DEGLOBALIZED = (
+    "equi_depth_histogram",
+    "customer_spend_deciles",
+    "rfm_segments",
+    "pareto_customers",
+    "abc_parts",
+    "skyline_parts",
+)
+
+
+def test_deglobalized_queries_have_no_unpartitioned_window(spark):
+    """The round-4 sampled-boundary rewrites: none of these may plan a
+    Window over an unpartitioned (single-reducer) ordering of
+    entity-grain data. A windowspecdefinition whose first argument is an
+    ordering expression (contains ASC/DESC) or a bare frame spec has no
+    partition columns — that is the global-sort shape that OOMs at
+    100 TB. Remaining windows (pareto per-nation threshold, skyline
+    per-price-bucket running max) are partitioned and consume only
+    sample-bounded or bucket-bounded input."""
+    import re
+
+    from northwind_warehouse_spark.plans import analytics as A
+
+    for name in _DEGLOBALIZED:
+        plan = _plan(getattr(A, name)(spark, SF_SMOKE))
+        assert "ntile" not in plan, f"{name}: global ntile survived"
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)", plan):
+            first = spec.split(",")[0].strip()
+            assert not first.startswith("specifiedwindowframe"), (
+                f"{name}: unpartitioned, unordered window: {spec[:100]}"
+            )
+            assert " ASC" not in first and " DESC" not in first, (
+                f"{name}: unpartitioned window: {spec[:100]}"
+            )
