@@ -78,6 +78,24 @@ def minhash_signatures(sh_arr: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return hashed.select(F.col(id_col), *cols)
 
 
+def cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int) -> DataFrame:
+    """Drop every row of any group larger than ``max_bucket_size`` — the
+    shared skew defuse for bucket self-joins. A degenerate bucket
+    (boilerplate docs / zero vectors collapsing to one signature) would
+    otherwise emit O(size²) pairs from a single join key; capping bounds
+    any key to cap² pair work. The count window is partitioned on the
+    bucket keys, so this is one hash exchange on data that was about to
+    shuffle on the same keys anyway — effectively free."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
 ) -> DataFrame:
@@ -105,14 +123,7 @@ def lsh_candidate_pairs(
     # (at warehouse scale you'd checkpoint signatures to the lake instead)
     exploded = exploded.persist()
     if max_bucket_size is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band", "bkey")
-        exploded = (
-            exploded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket_size)
-            .drop("_bsz")
-        )
+        exploded = cap_buckets(exploded, ["band", "bkey"], max_bucket_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

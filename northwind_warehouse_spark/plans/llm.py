@@ -596,28 +596,53 @@ def oracle_ann_lsh_topk() -> str:
     """
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+_EMB_DEDUP_MAX_BUCKET = 1000  # skew cap: bounds any bucket to cap² pair work
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, max_bucket_size: int = _EMB_DEDUP_MAX_BUCKET
+) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket candidates, exact
     cosine on each, keep pairs above threshold. The bucket equi-join is
-    the scale move — never the full O(n²) pair space."""
+    the scale move — never the full O(n²) pair space.
+
+    Two skew defenses, ON by default (round-3 verdict item): buckets
+    larger than ``max_bucket_size`` are dropped before the self-join
+    (operators.similarity.cap_buckets — a degenerate all-zeros/
+    boilerplate bucket would otherwise go quadratic at corpus scale;
+    such vectors are near-certain duplicates better handled by exact
+    dedup first), and the self-join shuffles ONLY (vec_id, bucket_id)
+    id pairs — the quantized embedding arrays are re-attached by two
+    hash joins AFTER candidate pruning, so array bytes cross the wire
+    once per side, never bucket-size times."""
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q, norm2_q
 
     e = load(spark, sf_dir, "embeddings")
-    base = e.join(sim.lsh_buckets(e), "vec_id").select(
-        "vec_id", "embedding", "bucket_id", norm2_q("embedding").alias("n2")
+    buckets = sim.cap_buckets(sim.lsh_buckets(e), ["bucket_id"], max_bucket_size)
+    a = buckets.select(F.col("vec_id").alias("vec_a"), F.col("bucket_id").alias("b_a"))
+    b = buckets.select(F.col("vec_id").alias("vec_b"), F.col("bucket_id").alias("b_b"))
+    pairs = a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("vec_a") < F.col("vec_b"))).select(
+        "vec_a", "vec_b"
     )
-    a = base.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
-        F.col("bucket_id").alias("b_a"), F.col("n2").alias("n2a"),
+    base = e.select("vec_id", "embedding", norm2_q("embedding").alias("n2"))
+    scored = (
+        pairs.join(
+            base.select(
+                F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+                F.col("n2").alias("n2a"),
+            ),
+            "vec_a",
+        )
+        .join(
+            base.select(
+                F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+                F.col("n2").alias("n2b"),
+            ),
+            "vec_b",
+        )
+        .select("vec_a", "vec_b", dot_q("emb_a", "emb_b").alias("dot"), "n2a", "n2b")
+        .withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
     )
-    b = base.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
-        F.col("bucket_id").alias("b_b"), F.col("n2").alias("n2b"),
-    )
-    pairs = a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("vec_a") < F.col("vec_b")))
-    scored = pairs.select(
-        "vec_a", "vec_b", dot_q("emb_a", "emb_b").alias("dot"), "n2a", "n2b"
-    ).withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
     return scored.filter(F.col("cosine") > 0.5).select(
         "vec_a", "vec_b", "cosine"
     ).orderBy("vec_a", "vec_b")
@@ -626,9 +651,13 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_dedup_embedding_cosine() -> str:
     return f"""
     WITH {_oracle_bucket_cte()},
+    bc AS (
+        SELECT vec_id, bucket_id FROM b
+        QUALIFY count(*) OVER (PARTITION BY bucket_id) <= {_EMB_DEDUP_MAX_BUCKET}
+    ),
     pairs AS (
         SELECT pa.vec_id AS vec_a, pb.vec_id AS vec_b
-        FROM b pa JOIN b pb ON pa.bucket_id = pb.bucket_id AND pa.vec_id < pb.vec_id
+        FROM bc pa JOIN bc pb ON pa.bucket_id = pb.bucket_id AND pa.vec_id < pb.vec_id
     ),
     dots AS (
         SELECT p.vec_a, p.vec_b, CAST(sum(ea.xq * eb.xq) AS BIGINT) AS dot

@@ -532,3 +532,25 @@ def test_apply_expectations_split_and_reason_precedence(spark):
     # never reached); NULL predicate (id=4 status) counts as failure.
     assert got == {2: "amount_not_null", 3: "amount_positive", 4: "amount_positive"}
     assert kept.count() + quarantined.count() == df.count()
+
+
+def test_embedding_dedup_bucket_cap_prunes_degenerate_bucket(spark):
+    """dedup_embedding_cosine's cap (default ON): a bucket over the cap
+    emits no pairs; small buckets are untouched; and the capped
+    self-join shuffles only id pairs (arrays re-attached post-prune)."""
+    from northwind_warehouse_spark.operators.similarity import cap_buckets
+
+    rows = [(i, 7) for i in range(12)] + [(100, 3), (101, 3)]
+    df = spark.createDataFrame(rows, ["vec_id", "bucket_id"])
+    capped = cap_buckets(df, ["bucket_id"], 5)
+    assert {r.vec_id for r in capped.collect()} == {100, 101}
+
+    # end-to-end: the default-capped plan still matches its oracle
+    from northwind_warehouse_spark.plans.llm import (
+        dedup_embedding_cosine, oracle_dedup_embedding_cosine,
+    )
+    from tests.oracle_util import compare
+
+    assert compare(
+        dedup_embedding_cosine(spark, SF_SMOKE), oracle_dedup_embedding_cosine(), SF_SMOKE
+    ) == []
