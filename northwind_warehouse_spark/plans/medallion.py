@@ -1053,3 +1053,224 @@ def oracle_scd2_integrity_audit() -> str:
         UNION ALL SELECT 'one_active_per_key', one_active_per_key FROM checks
     ) ORDER BY check_name
     """
+
+
+# ---------------------------------------------------------------------------
+# Multi-source dimension + hierarchy unroll
+# (reference: models/intermediate/stg_dim_employee.sql, stg_employees.sql)
+# ---------------------------------------------------------------------------
+
+_PSEUDO_EPOCH = "2024-01-01"
+_MULTISOURCE_HWM = "2024-03-01"  # fixed demo high-watermark
+
+
+def _pseudo_process_date(prefix: str, key) -> F.Column:
+    """Deterministic synthetic per-row ingestion date.
+
+    The reference's sources each carry a ``dl_process_date`` lake-load
+    timestamp (reference: models/intermediate/stg_dim_employee.sql:104);
+    the test parquet has none, so each source derives one as
+    epoch + (md5(prefix||key) % 365) days — a pure function of the row
+    key, identical in both engines, standing in for the ingestion clock
+    while keeping the freshness-folding machinery real."""
+    key = F.col(key) if isinstance(key, str) else key
+    days = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 365
+    ).cast("int")
+    return F.date_add(F.lit(_PSEUDO_EPOCH).cast("date"), days)
+
+
+def _o_pseudo_process_date(prefix: str, key_expr: str) -> str:
+    """DuckDB rendering of :func:`_pseudo_process_date` (date + int = days)."""
+    return (
+        f"(DATE '{_PSEUDO_EPOCH}' + CAST(CAST(('0x' || substr(md5('{prefix}' ||"
+        f" CAST({key_expr} AS VARCHAR)), 1, 8)) AS BIGINT) % 365 AS INTEGER))"
+    )
+
+
+def dim_part_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source dimension change propagation: a supplier-enriched
+    part dim that versions when ANY of its four upstreams changes.
+
+    Re-expresses the reference's N-source dim pattern (reference:
+    models/intermediate/stg_dim_employee.sql:129,204,217 — employee ⋈
+    employee_territories bridge ⋈ territory ⋈ region with
+    ``greatest()`` of the four per-source dl_process_dates): here
+    part ⋈ (distinct lineitem part↔supplier pairs — the many-to-many
+    BRIDGE with its own per-pair process date) ⋈ supplier ⋈ nation.
+    Freshness folds as ``greatest(part_pd, bridge_pd, supp_pd,
+    nation_pd)``; the bridge fan-out is deduped back to one row per
+    part by rank over freshness (freshest supplier variant wins,
+    supplier id as the deterministic tiebreak — the reference's
+    ``ranked = 1``); rows at-or-under the high-watermark are filtered
+    out (the reference's incremental ``> hwm_date`` gate).
+
+    Scale: the bridge distinct and the part⋈bridge join share the
+    part-key hash partitioning (AQE reuses it for the rank window);
+    supplier and nation are broadcast (at 100 TB supplier outgrows the
+    threshold and falls back to sort-merge). The window is partitioned
+    by part — never a global sort."""
+    from pyspark.sql.window import Window
+
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type",
+        _pseudo_process_date("pd|p|", "p_partkey").alias("part_pd"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        _pseudo_process_date("pd|s|", "s_suppkey").alias("supp_pd"),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name",
+        _pseudo_process_date("pd|n|", "n_nationkey").alias("nation_pd"),
+    )
+    bridge = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .withColumn(
+            "bridge_pd",
+            _pseudo_process_date(
+                "pd|b|", F.concat_ws("~", F.col("l_partkey"), F.col("l_suppkey"))
+            ),
+        )
+    )
+    joined = (
+        p.join(bridge, p.p_partkey == bridge.l_partkey)
+        .join(F.broadcast(s), bridge.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn(
+            "max_processed_date",
+            F.greatest("part_pd", "bridge_pd", "supp_pd", "nation_pd"),
+        )
+        .withColumn("row_hash", surrogate_key("p_name", "p_brand", "p_type", "s_name", "n_name"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy(F.desc("max_processed_date"), "s_suppkey")
+    return (
+        joined.withColumn("_rn", F.row_number().over(w))
+        .filter(
+            (F.col("_rn") == 1)
+            & (F.col("max_processed_date") > F.lit(_MULTISOURCE_HWM).cast("date"))
+        )
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            F.col("p_name").alias("part_name"),
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("part_type"),
+            F.col("s_suppkey").alias("supplier_id"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("nation_name"),
+            "row_hash",
+            F.col("max_processed_date").alias("updated_at"),
+        )
+        .orderBy("part_id")
+    )
+
+
+def oracle_dim_part_multisource() -> str:
+    rh = oracle_surrogate_key("p_name", "p_brand", "p_type", "s_name", "n_name")
+    return f"""
+    WITH bridge AS (
+        SELECT l_partkey, l_suppkey,
+               {_o_pseudo_process_date("pd|b|", "CAST(l_partkey AS VARCHAR) || '~' || CAST(l_suppkey AS VARCHAR)")} AS bridge_pd
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    ), joined AS (
+        SELECT p.p_partkey, p.p_name, p.p_brand, p.p_type,
+               s.s_suppkey, s.s_name, n.n_name,
+               greatest(
+                   {_o_pseudo_process_date("pd|p|", "p.p_partkey")},
+                   b.bridge_pd,
+                   {_o_pseudo_process_date("pd|s|", "s.s_suppkey")},
+                   {_o_pseudo_process_date("pd|n|", "n.n_nationkey")}
+               ) AS max_processed_date
+        FROM part p
+        JOIN bridge b ON b.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    ), ranked AS (
+        SELECT *, {rh} AS row_hash,
+               row_number() OVER (
+                   PARTITION BY p_partkey
+                   ORDER BY max_processed_date DESC, s_suppkey
+               ) AS _rn
+        FROM joined
+    )
+    SELECT p_partkey AS part_id, p_name AS part_name, p_brand AS brand,
+           p_type AS part_type, s_suppkey AS supplier_id, s_name AS supplier_name,
+           n_name AS nation_name, row_hash, max_processed_date AS updated_at
+    FROM ranked
+    WHERE _rn = 1 AND max_processed_date > DATE '{_MULTISOURCE_HWM}'
+    ORDER BY part_id
+    """
+
+
+def hierarchy_unroll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-referencing hierarchy flatten: per node, chain depth and the
+    materialized ancestor path down to its root.
+
+    Re-expresses the reference's ``reports_to`` manager chain
+    (reference: models/staging/stg_employees.sql:21). The test tables
+    carry no self-referencing column, so the parent rule is the
+    deterministic ``parent(k) = k div 10`` forest over customer keys
+    (keys < 10 are roots) — synthetic EDGES, real MACHINERY: the
+    unroll only ever follows the parent KEY through joins, exactly as
+    it would a reports_to column.
+
+    Spark-first: iterative frontier walk, one broadcast hash join per
+    level (hierarchy dims are entity-sized — employees, org units —
+    so the parent table broadcasts at any corpus scale), O(depth)
+    rounds with localCheckpoint capping lineage like
+    operators/components.py. The DuckDB oracle is the independent
+    recursive-CTE statement of the same semantics."""
+    c = load(spark, sf_dir, "customer")
+    nodes = c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.when(F.col("c_custkey") >= 10, F.expr("c_custkey div 10"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("parent_id"),
+    )
+    cur = nodes.select(
+        "customer_id",
+        F.col("parent_id").alias("anc"),
+        F.lit(1).alias("depth"),
+        F.col("customer_id").cast("string").alias("path"),
+    )
+    parents = nodes.select(
+        F.col("customer_id").alias("anc"), F.col("parent_id").alias("anc_parent")
+    )
+    finished = [cur.filter(F.col("anc").isNull())]
+    frontier = cur.filter(F.col("anc").isNotNull()).localCheckpoint()
+    while not frontier.isEmpty():
+        stepped = frontier.join(F.broadcast(parents), "anc").select(
+            "customer_id",
+            F.col("anc_parent").alias("anc"),
+            (F.col("depth") + 1).alias("depth"),
+            F.concat_ws("/", "path", F.col("anc").cast("string")).alias("path"),
+        ).localCheckpoint()
+        finished.append(stepped.filter(F.col("anc").isNull()))
+        frontier = stepped.filter(F.col("anc").isNotNull())
+    out = finished[0]
+    for part in finished[1:]:
+        out = out.unionByName(part)
+    return out.select("customer_id", "depth", "path").orderBy("customer_id")
+
+
+def oracle_hierarchy_unroll() -> str:
+    return """
+    WITH RECURSIVE nodes AS (
+        SELECT c_custkey AS customer_id,
+               CASE WHEN c_custkey >= 10 THEN c_custkey // 10 ELSE NULL END AS parent_id
+        FROM customer
+    ), chain AS (
+        SELECT customer_id, parent_id AS anc, 1 AS depth,
+               CAST(customer_id AS VARCHAR) AS path
+        FROM nodes
+        UNION ALL
+        SELECT ch.customer_id, n.parent_id, ch.depth + 1,
+               ch.path || '/' || CAST(ch.anc AS VARCHAR)
+        FROM chain ch JOIN nodes n ON ch.anc = n.customer_id
+    )
+    SELECT customer_id, depth, path FROM chain
+    WHERE anc IS NULL ORDER BY customer_id
+    """

@@ -554,3 +554,82 @@ def test_embedding_dedup_bucket_cap_prunes_degenerate_bucket(spark):
     assert compare(
         dedup_embedding_cosine(spark, SF_SMOKE), oracle_dedup_embedding_cosine(), SF_SMOKE
     ) == []
+
+
+def test_multisource_dim_freshness_folds_all_sources(spark):
+    """dim_part_multisource invariants: one row per part (bridge fan-out
+    deduped), updated_at == greatest() of the four independently
+    recomputed per-source pseudo process dates, every row clears the
+    HWM, and the kept supplier variant is the freshest (rank-1 rule)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.medallion import (
+        _MULTISOURCE_HWM, _pseudo_process_date, dim_part_multisource,
+    )
+
+    out = dim_part_multisource(spark, SF_SMOKE)
+    rows = out.collect()
+    assert rows
+    ids = [r.part_id for r in rows]
+    assert len(ids) == len(set(ids))  # fan-out fully deduped
+    import datetime as dt
+
+    hwm = dt.date.fromisoformat(_MULTISOURCE_HWM)
+    assert all(r.updated_at > hwm for r in rows)
+
+    # independently recompute each source's pseudo date and re-fold
+    pd_part = {
+        r.k: r.d for r in load(spark, SF_SMOKE, "part").select(
+            F.col("p_partkey").alias("k"),
+            _pseudo_process_date("pd|p|", "p_partkey").alias("d"),
+        ).collect()
+    }
+    pd_supp = {
+        r.k: r.d for r in load(spark, SF_SMOKE, "supplier").select(
+            F.col("s_suppkey").alias("k"),
+            _pseudo_process_date("pd|s|", "s_suppkey").alias("d"),
+        ).collect()
+    }
+    supp_nation = {
+        r.s_suppkey: r.s_nationkey
+        for r in load(spark, SF_SMOKE, "supplier").select("s_suppkey", "s_nationkey").collect()
+    }
+    pd_nation = {
+        r.k: r.d for r in load(spark, SF_SMOKE, "nation").select(
+            F.col("n_nationkey").alias("k"),
+            _pseudo_process_date("pd|n|", "n_nationkey").alias("d"),
+        ).collect()
+    }
+    pd_bridge = {
+        (r.l_partkey, r.l_suppkey): r.d
+        for r in load(spark, SF_SMOKE, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        .withColumn("d", _pseudo_process_date(
+            "pd|b|", F.concat_ws("~", F.col("l_partkey"), F.col("l_suppkey"))))
+        .collect()
+    }
+    for r in rows[:50]:
+        folded = max(
+            pd_part[r.part_id],
+            pd_bridge[(r.part_id, r.supplier_id)],
+            pd_supp[r.supplier_id],
+            pd_nation[supp_nation[r.supplier_id]],
+        )
+        assert r.updated_at == folded, (r.part_id, r.updated_at, folded)
+
+
+def test_hierarchy_unroll_wellformed(spark):
+    """Every node's path is a valid parent chain ending at a root:
+    depth == path length, consecutive path elements follow the parent
+    rule, and the last element is a root (< 10)."""
+    from northwind_warehouse_spark.plans.medallion import hierarchy_unroll
+
+    from northwind_warehouse_spark.catalog import load
+
+    rows = hierarchy_unroll(spark, SF_SMOKE).collect()
+    assert len(rows) == load(spark, SF_SMOKE, "customer").count()
+    for r in rows:
+        chain = [int(x) for x in r.path.split("/")]
+        assert chain[0] == r.customer_id
+        assert len(chain) == r.depth
+        assert chain[-1] < 10  # root
+        for child, parent in zip(chain, chain[1:]):
+            assert parent == child // 10
