@@ -5,8 +5,9 @@ Runs the SURVEY.md §6 headline set at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
 line: {"metric","value","unit","queries","sf"}.
 
-Each query is forced to full execution with a count()-style action that
-cannot be optimized into metadata (we aggregate a checksum column).
+Each query is forced to FULL execution by aggregating an xxhash64
+checksum over every output column — unlike count(), Catalyst cannot
+prune the final projections, so all result expressions really run.
 
 Methodology: one un-timed warmup execution per query (JIT/codegen
 compile, parquet footer cache, broadcast build), then the timed run —
@@ -51,14 +52,22 @@ def main() -> None:
     qs = entry.queries()
     names = [n for n in HEADLINE if n in qs]
 
+    from pyspark.sql import functions as F
+
+    def force(df):
+        # checksum over ALL columns: no projection pruning, every
+        # result expression executes
+        return df.select(
+            F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("cs")
+        ).collect()[0].cs
+
     timings: dict[str, float] = {}
     for name in names:
-        qs[name](spark, sf_dir).count()  # warmup: codegen + footers + broadcasts
+        force(qs[name](spark, sf_dir))  # warmup: codegen + footers + broadcasts
         t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
+        cs = force(qs[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
+        assert cs is None or isinstance(cs, int)
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -30,13 +30,29 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_PINNED_SESSIONS: "weakref.WeakSet[SparkSession]" = None  # type: ignore[assignment]
+
+
+def _pin_session_confs(spark: SparkSession) -> None:
+    """Pin the confs a vanilla (driver-built) session needs, once per
+    session: nanos-as-long parquet reads and UTC timestamp semantics so
+    results don't depend on the host JVM's default zone. Cached in a
+    WeakSet — repeated load() calls cost zero py4j round-trips."""
+    global _PINNED_SESSIONS
+    if _PINNED_SESSIONS is None:
+        import weakref
+
+        _PINNED_SESSIONS = weakref.WeakSet()
+    if spark not in _PINNED_SESSIONS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        _PINNED_SESSIONS.add(spark)
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # all engine timestamp semantics are UTC; pin it so results don't
-    # depend on the host JVM's default zone
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _pin_session_confs(spark)
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{table}.parquet")
     if table == "events":
         # ts is TIMESTAMP(NANOS) in the file. How it surfaces depends on
