@@ -208,3 +208,70 @@ def test_register_views_enables_plain_sql(spark):
     # events view carries the conformed µs timestamp type
     ts_type = dict(spark.sql("SELECT ts FROM events").dtypes)["ts"]
     assert ts_type == "timestamp"
+
+
+def test_nanos_timestamp_with_submicro_residue_floors(spark, tmp_path):
+    """catalog.load's timestamp normalization, branch by branch
+    (ADVICE r3 fixture):
+
+    1. TIMESTAMP(NANOS) with sub-µs residue (…999 ns) under the
+       nanosAsLong long read must FLOOR to the microsecond (div 1000),
+       matching DuckDB's ns→µs truncation — never round.
+    2. Without nanosAsLong, this Spark build REJECTS nanos parquet
+       (PARQUET_TYPE_ILLEGAL). If a Spark upgrade starts inferring a
+       native type here instead, this assertion fires → re-verify the
+       upgrade floors rather than rounds before trusting it.
+    3. The TIMESTAMP_NTZ branch (what a vanilla session sees for the
+       actual µs-NTZ events files) must preserve the exact microsecond
+       through the UTC-pinned cast."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from northwind_warehouse_spark.catalog import load
+
+    ns = 1704067200_123456999  # 2024-01-01T00:00:00.123456999Z
+    want_us = 1704067200_123456  # floored, NOT rounded to ...457
+
+    def events_table(ts_arr):
+        return pa.table({
+            "event_id": pa.array([1], pa.int64()),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "ts": ts_arr,
+            "value": pa.array([1.0], pa.float64()),
+        })
+
+    nanos_dir = tmp_path / "nanos"
+    nanos_dir.mkdir()
+    pq.write_table(
+        events_table(pa.array([ns], pa.timestamp("ns"))), str(nanos_dir / "events.parquet")
+    )
+
+    # branch 1: nanosAsLong (pinned by catalog.load) → long div 1000 floors
+    got = load(spark, str(nanos_dir), "events").select(F.unix_micros("ts").alias("us")).collect()
+    assert [r.us for r in got] == [want_us]
+
+    # branch 2: without nanosAsLong this build rejects nanos — a future
+    # Spark that infers a native type instead needs a floor re-check
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    try:
+        with pytest.raises(Exception, match="PARQUET_TYPE_ILLEGAL"):
+            spark.read.parquet(str(nanos_dir / "events.parquet")).collect()
+
+        # branch 3: µs TIMESTAMP_NTZ (the real testdata shape) loads exact
+        ntz_dir = tmp_path / "ntz"
+        ntz_dir.mkdir()
+        pq.write_table(
+            events_table(pa.array([want_us], pa.timestamp("us"))),
+            str(ntz_dir / "events.parquet"),
+        )
+        from pyspark.sql.types import TimestampNTZType
+
+        raw = spark.read.parquet(str(ntz_dir / "events.parquet"))
+        assert isinstance(raw.schema["ts"].dataType, TimestampNTZType)
+        got3 = load(spark, str(ntz_dir), "events").select(F.unix_micros("ts").alias("us")).collect()
+        assert [r.us for r in got3] == [want_us]
+    finally:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
