@@ -698,7 +698,7 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = o.groupBy("o_custkey").agg(
         (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents"),
         F.round(F.sum(dec2("o_totalprice")), 2).cast("double").alias("total_spend"),
-    )
+    ).persist()  # read by boundary agg + tiling: one orders agg, not two
     qs = [i / 10 for i in range(9, 0, -1)]  # descending: decile 1 = richest
     bnds = per_cust.filter(_ppm_lottery("csd|", "o_custkey") < _QSAMPLE_PPM).agg(
         F.array(*[F.expr(f"percentile(cents, {q})") for q in qs]).alias("bnds")
@@ -1926,6 +1926,7 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("frequency"),
         (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("monetary_cents"),
     )
+    per_cust = per_cust.persist()  # read by max-date, boundary, and scoring paths
     maxd = per_cust.agg(F.max("last_order_date").alias("max_date"))
     base = per_cust.crossJoin(F.broadcast(maxd)).withColumn(
         "recency_days", F.datediff("max_date", "last_order_date").cast("bigint")
@@ -2842,6 +2843,9 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "o_custkey")
         .agg(F.sum(cents).alias("cents"))
+        # customer-sized aggregate read by both the sampled-threshold
+        # path and the full classification — persist to agg once
+        .persist()
     )
     samp = spend.filter(_ppm_lottery("par|", "o_custkey") < _QSAMPLE_PPM)
     w = Window.partitionBy("n_name").orderBy(F.desc("cents"), "o_custkey")
@@ -2924,7 +2928,10 @@ def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold share its class (value-based, deterministic)."""
     li = load(spark, sf_dir, "lineitem")
     units = (disc_price() * 10000).cast("bigint")
-    per_part = li.groupBy("l_partkey").agg(F.sum(units).alias("rev"))
+    # parts-sized aggregate consumed by three paths (threshold, class,
+    # total) — persist so the lineitem agg shuffle runs ONCE, not per
+    # consumer (at warehouse scale you'd checkpoint it to the lake)
+    per_part = li.groupBy("l_partkey").agg(F.sum(units).alias("rev")).persist()
     samp = per_part.filter(_ppm_lottery("abc|", "l_partkey") < _QSAMPLE_PPM)
     sarr = samp.agg(
         F.expr("reverse(array_sort(collect_list(rev)))").alias("revs"),
@@ -2957,7 +2964,9 @@ def abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("rev").cast("bigint").alias("rev_units"),
     )
-    tot = agg.agg(F.sum("rev_units").cast("bigint").alias("tot_units"))
+    # grand total == sum over classes; computing it straight from the
+    # cached per-part aggregate skips a redundant classification pass
+    tot = per_part.agg(F.sum("rev").cast("bigint").alias("tot_units"))
     return (
         agg.crossJoin(F.broadcast(tot))
         .select(

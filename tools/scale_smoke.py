@@ -118,6 +118,20 @@ def main() -> None:
         "event_pagerank": analytics.event_pagerank,
         "twap_event_value": analytics.twap_event_value,
         "sketch_distinct_rollup": analytics.sketch_distinct_rollup,
+        # round-4 de-globalized sampled-boundary family: growth here is
+        # the direct evidence the former single-reducer sorts are gone
+        "equi_depth_histogram": analytics.equi_depth_histogram,
+        "customer_spend_deciles": analytics.customer_spend_deciles,
+        "rfm_segments": analytics.rfm_segments,
+        "abc_parts": analytics.abc_parts,
+        "skyline_parts": analytics.skyline_parts,
+        "dim_part_multisource": medallion.dim_part_multisource,
+        "hierarchy_unroll": medallion.hierarchy_unroll,
+        # dedup_embedding_cosine is deliberately absent: key-shifted
+        # replication duplicates every vector, so LSH buckets grow
+        # factor-fold and pair work factor² — that measures the
+        # duplicate-explosion regime (now bounded by the bucket cap),
+        # not corpus growth.
     }
 
     results: dict[int, dict[str, float]] = {}
