@@ -1089,6 +1089,67 @@ def _o_pseudo_process_date(prefix: str, key_expr: str) -> str:
     )
 
 
+def _multisource_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared core of the multi-source dim family: part ⋈ bridge ⋈
+    supplier ⋈ nation with per-source pseudo process dates and the
+    ``greatest()`` freshness fold. Consumed by both the snapshot-style
+    ``dim_part_multisource`` and the versioned ``scd2_parts_multisource``."""
+    p = load(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_brand", "p_type",
+        _pseudo_process_date("pd|p|", "p_partkey").alias("part_pd"),
+    )
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey",
+        _pseudo_process_date("pd|s|", "s_suppkey").alias("supp_pd"),
+    )
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name",
+        _pseudo_process_date("pd|n|", "n_nationkey").alias("nation_pd"),
+    )
+    bridge = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .withColumn(
+            "bridge_pd",
+            _pseudo_process_date(
+                "pd|b|", F.concat_ws("~", F.col("l_partkey"), F.col("l_suppkey"))
+            ),
+        )
+    )
+    return (
+        p.join(bridge, p.p_partkey == bridge.l_partkey)
+        .join(F.broadcast(s), bridge.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .withColumn(
+            "max_processed_date",
+            F.greatest("part_pd", "bridge_pd", "supp_pd", "nation_pd"),
+        )
+    )
+
+
+def _oracle_multisource_joined_cte() -> str:
+    """DuckDB CTEs computing the same joined relation (bridge, joined)."""
+    return f"""bridge AS (
+        SELECT l_partkey, l_suppkey,
+               {_o_pseudo_process_date("pd|b|", "CAST(l_partkey AS VARCHAR) || '~' || CAST(l_suppkey AS VARCHAR)")} AS bridge_pd
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    ), joined AS (
+        SELECT p.p_partkey, p.p_name, p.p_brand, p.p_type,
+               s.s_suppkey, s.s_name, n.n_name,
+               greatest(
+                   {_o_pseudo_process_date("pd|p|", "p.p_partkey")},
+                   b.bridge_pd,
+                   {_o_pseudo_process_date("pd|s|", "s.s_suppkey")},
+                   {_o_pseudo_process_date("pd|n|", "n.n_nationkey")}
+               ) AS max_processed_date
+        FROM part p
+        JOIN bridge b ON b.l_partkey = p.p_partkey
+        JOIN supplier s ON s.s_suppkey = b.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    )"""
+
+
 def dim_part_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-source dimension change propagation: a supplier-enriched
     part dim that versions when ANY of its four upstreams changes.
@@ -1113,38 +1174,8 @@ def dim_part_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
     by part — never a global sort."""
     from pyspark.sql.window import Window
 
-    p = load(spark, sf_dir, "part").select(
-        "p_partkey", "p_name", "p_brand", "p_type",
-        _pseudo_process_date("pd|p|", "p_partkey").alias("part_pd"),
-    )
-    s = load(spark, sf_dir, "supplier").select(
-        "s_suppkey", "s_name", "s_nationkey",
-        _pseudo_process_date("pd|s|", "s_suppkey").alias("supp_pd"),
-    )
-    n = load(spark, sf_dir, "nation").select(
-        "n_nationkey", "n_name",
-        _pseudo_process_date("pd|n|", "n_nationkey").alias("nation_pd"),
-    )
-    bridge = (
-        load(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-        .withColumn(
-            "bridge_pd",
-            _pseudo_process_date(
-                "pd|b|", F.concat_ws("~", F.col("l_partkey"), F.col("l_suppkey"))
-            ),
-        )
-    )
-    joined = (
-        p.join(bridge, p.p_partkey == bridge.l_partkey)
-        .join(F.broadcast(s), bridge.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-        .withColumn(
-            "max_processed_date",
-            F.greatest("part_pd", "bridge_pd", "supp_pd", "nation_pd"),
-        )
-        .withColumn("row_hash", surrogate_key("p_name", "p_brand", "p_type", "s_name", "n_name"))
+    joined = _multisource_joined(spark, sf_dir).withColumn(
+        "row_hash", surrogate_key("p_name", "p_brand", "p_type", "s_name", "n_name")
     )
     w = Window.partitionBy("p_partkey").orderBy(F.desc("max_processed_date"), "s_suppkey")
     return (
@@ -1171,24 +1202,7 @@ def dim_part_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
 def oracle_dim_part_multisource() -> str:
     rh = oracle_surrogate_key("p_name", "p_brand", "p_type", "s_name", "n_name")
     return f"""
-    WITH bridge AS (
-        SELECT l_partkey, l_suppkey,
-               {_o_pseudo_process_date("pd|b|", "CAST(l_partkey AS VARCHAR) || '~' || CAST(l_suppkey AS VARCHAR)")} AS bridge_pd
-        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
-    ), joined AS (
-        SELECT p.p_partkey, p.p_name, p.p_brand, p.p_type,
-               s.s_suppkey, s.s_name, n.n_name,
-               greatest(
-                   {_o_pseudo_process_date("pd|p|", "p.p_partkey")},
-                   b.bridge_pd,
-                   {_o_pseudo_process_date("pd|s|", "s.s_suppkey")},
-                   {_o_pseudo_process_date("pd|n|", "n.n_nationkey")}
-               ) AS max_processed_date
-        FROM part p
-        JOIN bridge b ON b.l_partkey = p.p_partkey
-        JOIN supplier s ON s.s_suppkey = b.l_suppkey
-        JOIN nation n ON n.n_nationkey = s.s_nationkey
-    ), ranked AS (
+    WITH {_oracle_multisource_joined_cte()}, ranked AS (
         SELECT *, {rh} AS row_hash,
                row_number() OVER (
                    PARTITION BY p_partkey
@@ -1273,4 +1287,70 @@ def oracle_hierarchy_unroll() -> str:
     )
     SELECT customer_id, depth, path FROM chain
     WHERE anc IS NULL ORDER BY customer_id
+    """
+
+
+def scd2_parts_multisource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 VERSIONING of the multi-source part dim: the reference's
+    full pipeline shape — the N-source freshness-folded change stream
+    (stg_dim_employee) feeding the SCD2 dimension build (dim_* models).
+
+    Every joined (part, supplier-variant) row is a change event at its
+    folded freshness date; scd2_from_change_stream then dedups same-day
+    events (first by supplier id), drops no-op changes via lag(row_hash)
+    and emits versioned intervals with 1900/2200 sentinels — so a part's
+    history shows each attribute flip driven by whichever upstream moved
+    its freshness forward. Same single (key, ts) window partitioning as
+    every SCD2 build here: one shuffle regardless of history depth.
+    reference: models/intermediate/stg_dim_employee.sql:129,204 (change
+    stream) + models/dwh/dim_customer.sql (SCD2 collapse)."""
+    changes = _multisource_joined(spark, sf_dir).select(
+        "p_partkey", "s_suppkey", "s_name", "n_name", "p_brand", "max_processed_date"
+    )
+    return scd2_from_change_stream(
+        changes,
+        key_cols=["p_partkey"],
+        ts_col="max_processed_date",
+        hash_col=surrogate_key("s_name", "n_name", "p_brand"),
+        attr_cols=["s_name", "n_name", "p_brand"],
+        tiebreak_cols=["s_suppkey"],
+        sk_name="part_sk",
+    ).orderBy("p_partkey", "version_no")
+
+
+def oracle_scd2_parts_multisource() -> str:
+    rh = oracle_surrogate_key("s_name", "n_name", "p_brand")
+    sk = oracle_surrogate_key("p_partkey", "epoch_us(effective_date)")
+    return f"""
+    WITH {_oracle_multisource_joined_cte()},
+    changes AS (
+        SELECT p_partkey, s_suppkey, s_name, n_name, p_brand,
+               max_processed_date, {rh} AS _row_hash
+        FROM joined
+    ), dedup AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY p_partkey, max_processed_date
+            ORDER BY max_processed_date, s_suppkey) AS _rn
+        FROM changes
+    ), d AS (SELECT * FROM dedup WHERE _rn = 1),
+    chg AS (
+        SELECT *, lag(_row_hash) OVER (
+            PARTITION BY p_partkey ORDER BY max_processed_date, s_suppkey) AS _prev
+        FROM d
+    ), f AS (SELECT * FROM chg WHERE _prev IS NULL OR _prev <> _row_hash),
+    v AS (
+        SELECT p_partkey, s_name, n_name, p_brand, _row_hash, max_processed_date,
+            row_number() OVER w AS version_no,
+            CASE WHEN row_number() OVER w = 1 THEN TIMESTAMP '1900-01-01 00:00:00'
+                 ELSE CAST(max_processed_date AS TIMESTAMP) END AS effective_date,
+            coalesce(lead(CAST(max_processed_date AS TIMESTAMP)) OVER w,
+                     TIMESTAMP '2200-01-01 00:00:00') AS expiry_date,
+            CASE WHEN lead(max_processed_date) OVER w IS NULL THEN 'Y' ELSE 'N' END AS is_active
+        FROM f
+        WINDOW w AS (PARTITION BY p_partkey ORDER BY max_processed_date, s_suppkey)
+    )
+    SELECT p_partkey, s_name, n_name, p_brand, _row_hash AS row_hash,
+           CAST(max_processed_date AS TIMESTAMP) AS updated_at,
+           version_no, effective_date, expiry_date, is_active, {sk} AS part_sk
+    FROM v ORDER BY p_partkey, version_no
     """

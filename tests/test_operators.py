@@ -633,3 +633,30 @@ def test_hierarchy_unroll_wellformed(spark):
         assert chain[-1] < 10  # root
         for child, parent in zip(chain, chain[1:]):
             assert parent == child // 10
+
+
+def test_scd2_parts_multisource_intervals_wellformed(spark):
+    """SCD2 invariants over the multi-source change stream: dense
+    versions from 1, exactly one active row per part, 1900/2200
+    sentinels, contiguous intervals, and a real attribute change
+    between consecutive versions."""
+    from northwind_warehouse_spark.plans.medallion import scd2_parts_multisource
+
+    rows = scd2_parts_multisource(spark, SF_SMOKE).collect()
+    by_key: dict[int, list] = {}
+    for r in rows:
+        by_key.setdefault(r.p_partkey, []).append(r)
+    assert by_key
+    multi = 0
+    for _part, versions in by_key.items():
+        versions.sort(key=lambda r: r.version_no)
+        assert [v.version_no for v in versions] == list(range(1, len(versions) + 1))
+        actives = [v for v in versions if v.is_active == "Y"]
+        assert len(actives) == 1 and actives[-1] is versions[-1]
+        assert versions[0].effective_date.year == 1900
+        assert versions[-1].expiry_date.year == 2200
+        for a, b in zip(versions, versions[1:]):
+            assert a.expiry_date == b.updated_at  # contiguous
+            assert a.row_hash != b.row_hash  # real change between versions
+        multi += len(versions) > 1
+    assert multi > 0  # the fold actually produces multi-version histories
