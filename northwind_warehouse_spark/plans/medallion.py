@@ -1354,3 +1354,74 @@ def oracle_scd2_parts_multisource() -> str:
            version_no, effective_date, expiry_date, is_active, {sk} AS part_sk
     FROM v ORDER BY p_partkey, version_no
     """
+
+
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over the self-referencing hierarchy: per node, the
+    size of its subtree and the total order revenue of every node at or
+    below it — the org-rollup half of the reference's ``reports_to``
+    pattern (reference: models/staging/stg_employees.sql:21).
+
+    Built from the materialized paths of :func:`hierarchy_unroll`:
+    exploding each node's ancestor path yields the (node, ancestor)
+    transitive closure as flat pairs — O(n·depth) rows, depth being
+    log-sized — which joins per-node revenue and aggregates by
+    ancestor. Root-adjacent ancestors are hot keys, but the rollup is a
+    hash AGGREGATE (map-side partial combine absorbs the skew), never a
+    hot-key join."""
+    unrolled = hierarchy_unroll(spark, sf_dir)
+    pairs = unrolled.select(
+        F.col("customer_id").alias("node_id"),
+        F.explode(F.split("path", "/")).alias("anc_str"),
+    ).select("node_id", F.col("anc_str").cast("bigint").alias("anc_id"))
+    o = load(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        (F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("cents")
+    )
+    contrib = pairs.join(rev, pairs.node_id == rev.o_custkey, "left")
+    rolled = contrib.groupBy("anc_id").agg(
+        F.count(F.lit(1)).alias("n_subtree"),
+        F.sum(F.coalesce(F.col("cents"), F.lit(0))).cast("bigint").alias("subtree_cents"),
+    )
+    return (
+        rolled.join(unrolled, rolled.anc_id == unrolled.customer_id)
+        .select("customer_id", "depth", "n_subtree", "subtree_cents")
+        .orderBy("customer_id")
+    )
+
+
+def oracle_hierarchy_rollup() -> str:
+    return """
+    WITH RECURSIVE nodes AS (
+        SELECT c_custkey AS customer_id,
+               CASE WHEN c_custkey >= 10 THEN c_custkey // 10 ELSE NULL END AS parent_id
+        FROM customer
+    ), chain AS (
+        SELECT customer_id, parent_id AS anc, 1 AS depth,
+               CAST(customer_id AS VARCHAR) AS path
+        FROM nodes
+        UNION ALL
+        SELECT ch.customer_id, n.parent_id, ch.depth + 1,
+               ch.path || '/' || CAST(ch.anc AS VARCHAR)
+        FROM chain ch JOIN nodes n ON ch.anc = n.customer_id
+    ), unrolled AS (
+        SELECT customer_id, depth, path FROM chain WHERE anc IS NULL
+    ), pairs AS (
+        SELECT customer_id AS node_id,
+               CAST(unnest(string_split(path, '/')) AS BIGINT) AS anc_id
+        FROM unrolled
+    ), rev AS (
+        SELECT o_custkey,
+               CAST(sum(cast(o_totalprice as decimal(12,2))) * 100 AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ), rolled AS (
+        SELECT anc_id,
+               count(*) AS n_subtree,
+               CAST(sum(coalesce(cents, 0)) AS BIGINT) AS subtree_cents
+        FROM pairs LEFT JOIN rev ON node_id = o_custkey
+        GROUP BY anc_id
+    )
+    SELECT u.customer_id, u.depth, r.n_subtree, r.subtree_cents
+    FROM rolled r JOIN unrolled u ON r.anc_id = u.customer_id
+    ORDER BY u.customer_id
+    """

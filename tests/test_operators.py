@@ -660,3 +660,31 @@ def test_scd2_parts_multisource_intervals_wellformed(spark):
             assert a.row_hash != b.row_hash  # real change between versions
         multi += len(versions) > 1
     assert multi > 0  # the fold actually produces multi-version histories
+
+
+def test_hierarchy_rollup_consistency(spark):
+    """Subtree sums must be self-consistent: a parent's subtree revenue
+    equals its own revenue plus its children's subtree revenues, and
+    root subtree sizes sum to the node count."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.medallion import hierarchy_rollup
+
+    rows = {r.customer_id: r for r in hierarchy_rollup(spark, SF_SMOKE).collect()}
+    o = load(spark, SF_SMOKE, "orders")
+    own = {
+        r.o_custkey: r.cents
+        for r in o.groupBy("o_custkey").agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(12,2)")) * 100).cast("bigint").alias("cents")
+        ).collect()
+    }
+    children: dict[int, list[int]] = {}
+    for k in rows:
+        if k >= 10:
+            children.setdefault(k // 10, []).append(k)
+    for k, r in rows.items():
+        kid_sum = sum(rows[c].subtree_cents for c in children.get(k, []))
+        kid_n = sum(rows[c].n_subtree for c in children.get(k, []))
+        assert r.subtree_cents == own.get(k, 0) + kid_sum, k
+        assert r.n_subtree == 1 + kid_n, k
+    roots = [r for k, r in rows.items() if k < 10]
+    assert sum(r.n_subtree for r in roots) == len(rows)
