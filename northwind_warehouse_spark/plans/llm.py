@@ -2610,3 +2610,62 @@ def oracle_dup_ngram_fraction() -> str:
            n_dup_trigrams * 5 > n_trigrams AS is_loopy
     FROM stats ORDER BY doc_id
     """
+
+
+_TOKEN_BUDGET = 500  # per-source token budget for the budgeted sample
+
+
+def corpus_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-budget-constrained per-source sampling — the pretraining
+    mixture op 'take ~N tokens from each domain' (complement of
+    corpus_sample_per_source, which budgets DOC counts).
+
+    Scale-safe formulation: instead of a per-source cumulative-sum
+    window over every document (few heavy reducers at corpus scale),
+    each source's keep-threshold is computed from one tiny aggregate —
+    keep docs whose deterministic md5 lottery ticket falls below
+    ``1e6 * budget div src_tokens`` (capped at 1e6 ≡ keep all when the
+    source is under budget). Tokens are independent of the lottery, so
+    kept tokens ≈ budget within sampling error ~1/sqrt(n); membership
+    is a pure function of (doc_id, source totals) — reproducible and
+    map-only after one broadcast. Accuracy asserted in
+    tests/test_operators.py."""
+    d = load(spark, sf_dir, "documents")
+    ord_ppm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("tb|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    toks = d.select(
+        "doc_id", "source", n_tokens("text").alias("n_tokens"), ord_ppm.alias("ord_ppm")
+    )
+    thr = toks.groupBy("source").agg(
+        F.expr(
+            f"CAST(least(CAST(1000000 AS BIGINT) * {_TOKEN_BUDGET} div CAST(sum(n_tokens) AS BIGINT),"
+            f" CAST(1000000 AS BIGINT)) AS BIGINT)"
+        ).alias("thr_ppm")
+    )
+    return (
+        toks.join(F.broadcast(thr), "source")
+        .filter(F.col("ord_ppm") < F.col("thr_ppm"))
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_corpus_sample_token_budget() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, source, {o_n_tokens()} AS n_tokens,
+               CAST(('0x' || substr(md5('tb|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS ord_ppm
+        FROM documents
+    ), thr AS (
+        SELECT source,
+               CAST(least(CAST(1000000 AS BIGINT) * {_TOKEN_BUDGET} // CAST(sum(n_tokens) AS BIGINT),
+                          CAST(1000000 AS BIGINT)) AS BIGINT) AS thr_ppm
+        FROM toks GROUP BY source
+    )
+    SELECT doc_id, t.source, n_tokens
+    FROM toks t JOIN thr ON t.source = thr.source
+    WHERE ord_ppm < thr_ppm
+    ORDER BY doc_id
+    """

@@ -688,3 +688,39 @@ def test_hierarchy_rollup_consistency(spark):
         assert r.n_subtree == 1 + kid_n, k
     roots = [r for k, r in rows.items() if k < 10]
     assert sum(r.n_subtree for r in roots) == len(rows)
+
+
+def test_token_budget_sample_accuracy(spark):
+    """Per source: kept tokens land within sampling error of the budget
+    (binomial over docs: 3σ ≈ 3·avg_doc_tokens·sqrt(p·n)), and an
+    under-budget source keeps every doc (threshold caps at 1e6)."""
+    from northwind_warehouse_spark.plans.llm import _TOKEN_BUDGET, corpus_sample_token_budget
+
+    kept = {
+        r.source: r.kept
+        for r in corpus_sample_token_budget(spark, SF_SMOKE)
+        .groupBy("source")
+        .agg(F.sum("n_tokens").alias("kept"))
+        .collect()
+    }
+    assert kept
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.functions.text import n_tokens
+
+    d = load(spark, SF_SMOKE, "documents")
+    stats = {
+        r.source: (r.T, r.n)
+        for r in d.groupBy("source")
+        .agg(F.sum(n_tokens("text")).alias("T"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    import math
+
+    for src, (T, n) in stats.items():
+        if T <= _TOKEN_BUDGET:
+            assert kept.get(src) == T, (src, "under-budget source must keep all")
+        else:
+            p = _TOKEN_BUDGET / T
+            avg = T / n
+            tol = 3 * avg * math.sqrt(p * n) + avg  # 3σ + one-doc granularity
+            assert abs(kept.get(src, 0) - _TOKEN_BUDGET) <= tol, (src, kept.get(src), tol)
