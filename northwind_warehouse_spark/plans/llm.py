@@ -2631,24 +2631,42 @@ def corpus_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only after one broadcast. Accuracy asserted in
     tests/test_operators.py."""
     d = load(spark, sf_dir, "documents")
-    ord_ppm = (
+    return (
+        admit_token_budget(d, token_budget_thresholds(d))
+        .orderBy("doc_id")
+    )
+
+
+def token_budget_ord() -> "F.Column":
+    """Deterministic admission ticket in [0, 1e6) per document."""
+    return (
         F.conv(F.substring(F.md5(F.concat(F.lit("tb|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
         .cast("long") % 1_000_000
     )
-    toks = d.select(
-        "doc_id", "source", n_tokens("text").alias("n_tokens"), ord_ppm.alias("ord_ppm")
-    )
-    thr = toks.groupBy("source").agg(
+
+
+def token_budget_thresholds(docs: DataFrame, budget: int = _TOKEN_BUDGET) -> DataFrame:
+    """Per-source admission thresholds (source, thr_ppm): one tiny
+    aggregate over the reference corpus — the batch-refreshed static
+    side of the streaming admission job."""
+    return docs.select("source", n_tokens("text").alias("n_tokens")).groupBy("source").agg(
         F.expr(
-            f"CAST(least(CAST(1000000 AS BIGINT) * {_TOKEN_BUDGET} div CAST(sum(n_tokens) AS BIGINT),"
+            f"CAST(least(CAST(1000000 AS BIGINT) * {budget} div CAST(sum(n_tokens) AS BIGINT),"
             f" CAST(1000000 AS BIGINT)) AS BIGINT)"
         ).alias("thr_ppm")
     )
+
+
+def admit_token_budget(docs: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """Map-only admission filter against broadcast thresholds — the
+    shared core of the batch sampler and its streaming twin
+    (streaming/jobs.py::admit_stream_token_budget)."""
     return (
-        toks.join(F.broadcast(thr), "source")
+        docs.select("doc_id", "source", n_tokens("text").alias("n_tokens"),
+                    token_budget_ord().alias("ord_ppm"))
+        .join(F.broadcast(thresholds), "source")
         .filter(F.col("ord_ppm") < F.col("thr_ppm"))
         .select("doc_id", "source", "n_tokens")
-        .orderBy("doc_id")
     )
 
 

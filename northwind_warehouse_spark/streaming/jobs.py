@@ -405,3 +405,20 @@ def kmv_distinct_stream(
     )
     q.awaitTermination(300)
     return q
+
+
+def admit_stream_token_budget(incoming: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """Ingest-time token-budget admission: apply the batch-computed
+    per-source thresholds (plans/llm.py::token_budget_thresholds) to a
+    live document stream — the streaming deployment of
+    corpus_sample_token_budget.
+
+    Stream-static broadcast join, stateless (membership is a pure
+    function of doc_id and the static thresholds, so no watermark, no
+    growing state); the thresholds are a sources-sized table the batch
+    pipeline refreshes between restarts, exactly like the dedup
+    fingerprints. Equality with the batch sampler is asserted in
+    tests/test_streaming.py."""
+    from northwind_warehouse_spark.plans.llm import admit_token_budget
+
+    return admit_token_budget(incoming, thresholds)

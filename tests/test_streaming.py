@@ -384,3 +384,27 @@ def test_kmv_distinct_stream_matches_batch(spark, tmp_path):
     }
     want = {r.event_type: r.approx_users for r in sketch_distinct_users(spark, SF_SMOKE).collect()}
     assert got == want
+
+
+def test_admit_stream_token_budget_matches_batch(spark, tmp_path):
+    """Streaming token-budget admission ≡ the batch sampler: same
+    thresholds, same lottery, same admitted set."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import (
+        corpus_sample_token_budget, token_budget_thresholds,
+    )
+    from northwind_warehouse_spark.streaming.jobs import (
+        admit_stream_token_budget, run_to_memory, stream_documents,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    src = str(tmp_path / "docs_tb")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    thr = token_budget_thresholds(docs)
+    stream = admit_stream_token_budget(stream_documents(spark, src), thr)
+    run_to_memory(stream, "admitted_tb", str(tmp_path / "ckpt_tb"))
+
+    got = {tuple(r) for r in spark.table("admitted_tb").collect()}
+    want = {tuple(r) for r in corpus_sample_token_budget(spark, SF_SMOKE).collect()}
+    assert got == want and len(got) > 0
