@@ -2687,3 +2687,80 @@ def oracle_corpus_sample_token_budget() -> str:
     WHERE ord_ppm < thr_ppm
     ORDER BY doc_id
     """
+
+
+_STRATUM_KEEP_PCT = (100, 50, 25, 10)  # keep rate per quality quartile, best→worst
+
+
+def quality_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted corpus sampling: documents are stratified into
+    quality quartiles and retained at per-stratum rates (best quartile
+    kept whole, the tail downsampled to 10%) — the quality-aware
+    retention stage of a curation pipeline, composing the two round-4
+    primitives.
+
+    The integer quality score is the 4-dp stopword ratio (a natural-
+    language signal; exact integer division, engine-identical). Both
+    decision surfaces are scale-free: quartile BOUNDARIES come from the
+    deterministic md5-lottery sample (descending percentiles, stratum 1
+    = most natural), and retention is a second independent md5 lottery
+    against the stratum's keep rate. The whole plan is one tiny
+    boundary aggregate broadcast over a map-only scan — no window, no
+    per-stratum shuffle, reproducible membership."""
+    d = load(spark, sf_dir, "documents")
+    score = F.expr("CAST(10000 * n_stopwords div n_tokens AS BIGINT)")
+    scored = d.select(
+        "doc_id", "source",
+        n_tokens().alias("n_tokens"),
+        stopword_count().alias("n_stopwords"),
+    ).select("doc_id", "source", "n_tokens", score.alias("score"))
+    samp_lot = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qs|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    bnds = scored.filter(samp_lot < 500_000).agg(
+        F.array(*[F.expr(f"percentile(score, {q})") for q in (0.75, 0.5, 0.25)]).alias("bnds")
+    )
+    keep_lot = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("qk|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 100
+    )
+    rate = (
+        F.when(F.col("stratum") == 1, _STRATUM_KEEP_PCT[0])
+        .when(F.col("stratum") == 2, _STRATUM_KEEP_PCT[1])
+        .when(F.col("stratum") == 3, _STRATUM_KEEP_PCT[2])
+        .otherwise(_STRATUM_KEEP_PCT[3])
+    )
+    return (
+        scored.crossJoin(F.broadcast(bnds))
+        .withColumn("stratum", F.expr("CAST(1 + size(filter(bnds, b -> score < b)) AS INT)"))
+        .withColumn("_keep", keep_lot < rate)
+        .filter(F.col("_keep"))
+        .select("doc_id", "source", "score", "stratum", "n_tokens")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_quality_stratified_sample() -> str:
+    rates = _STRATUM_KEEP_PCT
+    return f"""
+    WITH scored AS (
+        SELECT doc_id, source, {o_n_tokens()} AS n_tokens,
+               CAST(10000 * {o_stopword_count()} // {o_n_tokens()} AS BIGINT) AS score
+        FROM documents
+    ), b AS (
+        SELECT [quantile_cont(score, 0.75), quantile_cont(score, 0.5), quantile_cont(score, 0.25)] AS bnds
+        FROM scored
+        WHERE CAST(('0x' || substr(md5('qs|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 < 500000
+    ), tiled AS (
+        SELECT doc_id, source, score, n_tokens,
+               CAST(1 + len(list_filter(bnds, x -> score < x)) AS INTEGER) AS stratum
+        FROM scored, b
+    )
+    SELECT doc_id, source, score, stratum, n_tokens
+    FROM tiled
+    WHERE CAST(('0x' || substr(md5('qk|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100
+          < CASE stratum WHEN 1 THEN {rates[0]} WHEN 2 THEN {rates[1]}
+                         WHEN 3 THEN {rates[2]} ELSE {rates[3]} END
+    ORDER BY doc_id
+    """

@@ -766,3 +766,29 @@ def test_abc_classes_value_separated(spark):
     # class A holds the majority of revenue (the 70% crossing by design)
     total = sum(r.rev_units for r in classes.values())
     assert classes["A"].rev_units * 10 >= 6 * total  # ~70% minus sampling slack
+
+
+def test_quality_stratified_sample_gradient(spark):
+    """Per-stratum retention follows the configured gradient: stratum 1
+    keeps (exactly) all its docs, and observed keep rates for strata
+    2-4 sit within binomial 3σ of 50/25/10%."""
+    import math
+
+    from northwind_warehouse_spark.plans.llm import (
+        _STRATUM_KEEP_PCT, quality_stratified_sample,
+    )
+
+    kept = {
+        r.stratum: r.n
+        for r in quality_stratified_sample(spark, SF_SMOKE)
+        .groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(kept) == {1, 2, 3, 4}
+    # stratum populations before retention: ~N/4 each (boundary quartiles)
+    n_docs = 500  # sf0.001 documents
+    pop = n_docs / 4
+    for stratum, pct in zip((1, 2, 3, 4), _STRATUM_KEEP_PCT):
+        p = pct / 100
+        sigma = math.sqrt(pop * p * (1 - p))
+        tol = 3 * sigma + 0.1 * pop  # 3σ + quartile-population slack
+        assert abs(kept[stratum] - pop * p) <= tol, (stratum, kept[stratum], pop * p)
