@@ -305,3 +305,117 @@ def ivf_assign(
         "n2",
         (-F.col("best.neg")).cast("bigint").alias("cell_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the compressed-index ANN path
+# ---------------------------------------------------------------------------
+
+PQ_M = 4        # subspaces
+PQ_SUB = 16     # dims per subspace (PQ_M * PQ_SUB = 64 = embedding dim)
+PQ_NC = 8       # codewords per subspace
+
+_PQ_QUANT = "transform({v}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+# squared L2 distance between subspace s of two quantized vectors a, b
+_PQ_SDIST = (
+    f"aggregate(zip_with(slice({{a}}, s * {PQ_SUB} + 1, {PQ_SUB}), "
+    f"slice({{b}}, s * {PQ_SUB} + 1, {PQ_SUB}), "
+    f"(x, y) -> (x - y) * (x - y)), CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def pq_codebook(embeddings: DataFrame, id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """One-row codebook DataFrame: the PQ_NC quantized vectors with the
+    smallest deterministic md5-lottery tickets, ordered (lottery, id).
+
+    A trained PQ codebook is k-means per subspace; the deterministic
+    sampled variant keeps the exact same downstream encode/ADC shape
+    (swap this one function for a trained one) while staying
+    engine-reproducible. TakeOrdered over 8 tiny projected rows — never
+    a driver collect of vectors."""
+    eq = embeddings.select(
+        F.col(id_col),
+        F.expr(_PQ_QUANT.format(v=vec_col)).alias("eq"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("pq|"), F.col(id_col).cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long").alias("lot"),
+    )
+    return (
+        eq.orderBy("lot", id_col).limit(PQ_NC)
+        .agg(
+            F.expr(
+                f"transform(array_sort(collect_list(struct(lot, {id_col}, eq))), s -> s.eq)"
+            ).alias("cws")
+        )
+    )
+
+
+def pq_encode(embeddings: DataFrame, codebook: DataFrame, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode every vector to PQ_M small codes (argmin subspace L2 to a
+    codeword, ties to the lowest codeword id).
+
+    This is the 100 TB move: the index stores PQ_M ints per vector
+    instead of the raw array (here 64 floats -> 4 bytes-ish, 16-64x
+    smaller), and encoding is MAP-ONLY — one broadcast of the one-row
+    codebook, higher-order functions, no shuffle over the corpus."""
+    sdist = _PQ_SDIST.format(a="eq", b="c")
+    return (
+        embeddings.select(F.col(id_col), F.expr(_PQ_QUANT.format(v=vec_col)).alias("eq"))
+        .crossJoin(F.broadcast(codebook))
+        .withColumn(
+            "dists",
+            F.expr(f"transform(sequence(0, {PQ_M - 1}), s -> transform(cws, c -> {sdist}))"),
+        )
+        .withColumn(
+            "codes",
+            F.expr("transform(dists, d -> CAST(array_position(d, array_min(d)) AS INT) - 1)"),
+        )
+        .select(id_col, "codes")
+    )
+
+
+def pq_adc_topk(embeddings: DataFrame, n_queries: int = 10, k: int = 5,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over the PQ-encoded corpus.
+
+    Each query precomputes a PQ_M x PQ_NC lookup table of exact
+    subspace distances to every codeword (tiny, broadcast); scoring a
+    corpus vector is then PQ_M table lookups summed — one scan of the
+    codes, no arrays in the shuffle. The top-k window partitions by
+    query_id (bounded by n_queries); at fleet scale the same scoring
+    scan feeds a per-partition top-k + merge instead of a window."""
+    cb = pq_codebook(embeddings, id_col, vec_col)
+    enc = pq_encode(embeddings, cb, id_col, vec_col)
+    sdist = _PQ_SDIST.format(a="eq", b="c")
+    luts = (
+        embeddings.filter(F.col(id_col) < n_queries)
+        .select(F.col(id_col).alias("query_id"), F.expr(_PQ_QUANT.format(v=vec_col)).alias("eq"))
+        .crossJoin(F.broadcast(cb))
+        .withColumn(
+            "lut",
+            F.expr(f"transform(sequence(0, {PQ_M - 1}), s -> transform(cws, c -> {sdist}))"),
+        )
+        .select("query_id", "lut")
+    )
+    scored = (
+        enc.crossJoin(F.broadcast(luts))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c + 1)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= k)
+        .select("query_id", "neighbor_id", "adist", "nn_rank")
+        .orderBy("query_id", "nn_rank")
+    )

@@ -2764,3 +2764,241 @@ def oracle_quality_stratified_sample() -> str:
                          WHEN 3 THEN {rates[2]} ELSE {rates[3]} END
     ORDER BY doc_id
     """
+
+
+_BOILER_MIN_DF = 3          # a shingle is corpus boilerplate once it appears in >= 3 docs
+_BOILER_FLAG_PPM = 500_000  # a doc is boilerplate-dominated when > 50% of its shingles are common
+
+
+def boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate detection: the fraction of each doc's
+    word-trigram shingles that are *corpus-common* (document frequency
+    >= _BOILER_MIN_DF) — the template/nav-chrome pruning stage of a web
+    curation pipeline (complements dup_ngram_fraction, which measures
+    WITHIN-doc repetition).
+
+    Scale shape: one shuffle on the shingle string to count document
+    frequency (well-spread key, map-side partial countDistinct), one
+    shuffle back on the shingle to tag occurrences, one per-doc agg —
+    no window, no collect, no all-pairs structure; the df table stays
+    distributed. Coverage ratio is exact integer division (ppm)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.expr("size(toks) >= 3")
+    )
+    tri = toks.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(1, size(toks) - 2), "
+            "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])))"
+        ).alias("tri"),
+    )
+    df_counts = tri.groupBy("tri").agg(F.countDistinct("doc_id").alias("df"))
+    per = (
+        tri.join(df_counts, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= _BOILER_MIN_DF, F.lit(1)).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_common"),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_shingles",
+        "n_common",
+        F.expr("1000000 * n_common div n_shingles").alias("boiler_ppm"),
+        F.expr(f"1000000 * n_common div n_shingles > {_BOILER_FLAG_PPM}").alias(
+            "is_boilerplate"
+        ),
+    ).orderBy("doc_id")
+
+
+def oracle_boilerplate_prune() -> str:
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), idx AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM w
+    ), tri AS (
+        SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS tri FROM idx
+    ), df AS (
+        SELECT tri, count(DISTINCT doc_id) AS df FROM tri GROUP BY tri
+    ), per AS (
+        SELECT t.doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(count(*) FILTER (WHERE df.df >= {_BOILER_MIN_DF}) AS BIGINT) AS n_common
+        FROM tri t JOIN df USING (tri) GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_shingles, n_common,
+           1000000 * n_common // n_shingles AS boiler_ppm,
+           1000000 * n_common // n_shingles > {_BOILER_FLAG_PPM} AS is_boilerplate
+    FROM per ORDER BY doc_id
+    """
+
+
+_WINNOW_K = 5  # char-gram length
+_WINNOW_W = 4  # winnowing window (positions per window)
+
+
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer et
+    al. 2003): hash every char 5-gram, keep the minimum hash of each
+    sliding 4-window, distinct the picks — an edit-robust fingerprint
+    set whose density is ~2/(w+1), used for plagiarism-style overlap
+    detection where exact-line hashing (doc_fingerprint) is too
+    brittle.
+
+    Map-only per document — the whole selection runs inside one
+    projection of higher-order functions (no explode, no shuffle);
+    output is the per-doc fingerprint-set cardinality + an
+    order-independent XOR digest, both engine-exact integers."""
+    n_min = _WINNOW_K + _WINNOW_W - 1
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= n_min)
+    hs = (
+        f"transform(sequence(1, length(text) - {_WINNOW_K - 1}), "
+        f"i -> CAST(conv(substring(md5(substring(text, i, {_WINNOW_K})), 1, 8), 16, 10) AS BIGINT))"
+    )
+    return (
+        d.select("doc_id", F.expr(hs).alias("hs"))
+        .select(
+            "doc_id",
+            F.expr("CAST(size(hs) AS BIGINT)").alias("n_grams"),
+            F.expr(
+                f"array_distinct(transform(sequence(1, size(hs) - {_WINNOW_W - 1}), "
+                f"i -> array_min(slice(hs, i, {_WINNOW_W}))))"
+            ).alias("sel"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            F.expr("CAST(size(sel) AS BIGINT)").alias("n_selected"),
+            F.expr("aggregate(sel, CAST(0 AS BIGINT), (a, v) -> a ^ v)").alias("fp_xor"),
+        )
+        .withColumn("density_ppm", F.expr("1000000 * n_selected div n_grams"))
+        .orderBy("doc_id")
+    )
+
+
+def oracle_winnow_fingerprint() -> str:
+    n_min = _WINNOW_K + _WINNOW_W - 1
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - {_WINNOW_K - 1}),
+                   i -> CAST(('0x' || substr(md5(substr(text, i, {_WINNOW_K})), 1, 8)) AS BIGINT)) AS hs
+        FROM documents WHERE length(text) >= {n_min}
+    ), m AS (
+        SELECT doc_id, CAST(len(hs) AS BIGINT) AS n_grams,
+               list_distinct(list_transform(generate_series(1, len(hs) - {_WINNOW_W - 1}),
+                   i -> list_min(hs[i:i + {_WINNOW_W - 1}]))) AS sel
+        FROM h
+    ), x AS (
+        SELECT doc_id, n_grams, CAST(len(sel) AS BIGINT) AS n_selected, unnest(sel) AS s
+        FROM m
+    )
+    SELECT doc_id, n_grams, n_selected, bit_xor(s) AS fp_xor,
+           1000000 * n_selected // n_grams AS density_ppm
+    FROM x GROUP BY doc_id, n_grams, n_selected ORDER BY doc_id
+    """
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-5 for the first 10 vectors — the
+    compressed-index scale path beside ann_lsh_topk (pruned candidates)
+    and ann_ivf_topk (cell-restricted candidates): the corpus is stored
+    as 4 subspace codes per vector (operators/similarity.py::pq_encode,
+    16-64x smaller than raw arrays) and queries score it with exact
+    per-subspace distance lookup tables (pq_adc_topk). Distances are
+    quantized-integer L2 — engine-exact, no float comparison."""
+    e = load(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(e, n_queries=10, k=5)
+
+
+def oracle_ann_pq_topk() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), cw AS (
+        SELECT vec_id, rn - 1 AS j FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY CAST(('0x' || substr(md5('pq|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                         vec_id) AS rn
+            FROM embeddings)
+        WHERE rn <= {sim.PQ_NC}
+    ), cwel AS (
+        SELECT cw.j, el.i, el.xq FROM cw JOIN el USING (vec_id)
+    ), subd AS (
+        SELECT a.vec_id, (a.i - 1) // {sim.PQ_SUB} AS s, c.j,
+               CAST(sum((a.xq - c.xq) * (a.xq - c.xq)) AS BIGINT) AS d
+        FROM el a JOIN cwel c ON a.i = c.i
+        GROUP BY a.vec_id, (a.i - 1) // {sim.PQ_SUB}, c.j
+    ), codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM subd)
+        WHERE rn = 1
+    ), adist AS (
+        SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(sum(qd.d) AS BIGINT) AS adist
+        FROM codes c JOIN subd qd ON qd.s = c.s AND qd.j = c.code
+        WHERE qd.vec_id < 10 AND c.vec_id <> qd.vec_id
+        GROUP BY qd.vec_id, c.vec_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS nn_rank
+        FROM adist
+    )
+    SELECT query_id, neighbor_id, adist, nn_rank
+    FROM ranked WHERE nn_rank <= 5 ORDER BY query_id, nn_rank
+    """
+
+
+def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the PQ/ADC index against the brute-force cosine
+    ground truth — the same accept/reject gate ann_recall_eval runs for
+    the LSH index, applied to the compressed-index path. A trained
+    codebook (k-means refinement of pq_codebook's sample) raises this
+    number without changing any plan shape; the gate is what tells you
+    when the compression is safe to trust at corpus scale."""
+    truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    return (
+        n_true.join(n_hit, "query_id", "left")
+        .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("bigint"))
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div n_true"))
+        .select("query_id", "n_true", "n_hits", "recall_ppm")
+        .orderBy("query_id")
+    )
+
+
+def oracle_ann_pq_recall() -> str:
+    truth = oracle_ann_cosine_topk()
+    approx = oracle_ann_pq_topk()
+    return f"""
+    WITH truth AS ({truth}),
+    approx AS ({approx}),
+    n_true_t AS (
+        SELECT query_id, count(*) AS n_true FROM truth GROUP BY query_id
+    ),
+    n_hit_t AS (
+        SELECT t.query_id, count(*) AS n_hits
+        FROM truth t
+        WHERE EXISTS (
+            SELECT 1 FROM approx a
+            WHERE a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        )
+        GROUP BY t.query_id
+    )
+    SELECT n_true_t.query_id AS query_id, n_true,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(n_hits, 0) AS BIGINT) * 1000000 // n_true AS recall_ppm
+    FROM n_true_t LEFT JOIN n_hit_t ON n_true_t.query_id = n_hit_t.query_id
+    ORDER BY 1
+    """

@@ -792,3 +792,56 @@ def test_quality_stratified_sample_gradient(spark):
         sigma = math.sqrt(pop * p * (1 - p))
         tol = 3 * sigma + 0.1 * pop  # 3σ + quartile-population slack
         assert abs(kept[stratum] - pop * p) <= tol, (stratum, kept[stratum], pop * p)
+
+
+def test_winnow_fingerprint_invariants(spark):
+    """Winnowing picks at most one hash per window and is deterministic:
+    density <= 1e6, selected set non-empty per doc, identical fp_xor
+    across two runs."""
+    from northwind_warehouse_spark.plans.llm import winnow_fingerprint
+
+    a = winnow_fingerprint(spark, SF_SMOKE).collect()
+    assert a
+    for r in a:
+        assert 0 < r.n_selected <= r.n_grams
+        assert 0 <= r.density_ppm <= 1_000_000
+    b = winnow_fingerprint(spark, SF_SMOKE).collect()
+    assert [(r.doc_id, r.fp_xor) for r in a] == [(r.doc_id, r.fp_xor) for r in b]
+
+
+def test_boilerplate_prune_bounds(spark):
+    """Common-shingle coverage is a sub-count of total shingles and the
+    flag fires exactly on the >50% boundary."""
+    from northwind_warehouse_spark.plans.llm import boilerplate_prune
+
+    rows = boilerplate_prune(spark, SF_SMOKE).collect()
+    assert rows
+    flagged = 0
+    for r in rows:
+        assert 0 <= r.n_common <= r.n_shingles
+        assert r.is_boilerplate == (r.boiler_ppm > 500_000)
+        flagged += int(r.is_boilerplate)
+    assert 0 < flagged < len(rows)  # calibrated threshold separates the corpus
+
+
+def test_ann_pq_codes_compact_and_ranked(spark):
+    """PQ encodes to PQ_M in-range codes (the compressed index) and ADC
+    returns a dense top-5 per query; ADC distance of the true nearest
+    exact-cosine neighbor is finite and included in candidates scored."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators import similarity as sim
+    from northwind_warehouse_spark.plans.llm import ann_pq_topk
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    cb = sim.pq_codebook(e)
+    codes = sim.pq_encode(e, cb).collect()
+    assert codes and all(
+        len(r.codes) == sim.PQ_M and all(0 <= c < sim.PQ_NC for c in r.codes) for r in codes
+    )
+    out = ann_pq_topk(spark, SF_SMOKE).collect()
+    per_query: dict[int, list] = {}
+    for r in out:
+        assert r.adist >= 0
+        per_query.setdefault(r.query_id, []).append(r.nn_rank)
+    assert len(per_query) == 10
+    assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_query.values())
