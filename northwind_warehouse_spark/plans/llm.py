@@ -2843,20 +2843,12 @@ _WINNOW_K = 5  # char-gram length
 _WINNOW_W = 4  # winnowing window (positions per window)
 
 
-def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (the MOSS scheme, Schleimer et
-    al. 2003): hash every char 5-gram, keep the minimum hash of each
-    sliding 4-window, distinct the picks — an edit-robust fingerprint
-    set whose density is ~2/(w+1), used for plagiarism-style overlap
-    detection where exact-line hashing (doc_fingerprint) is too
-    brittle.
-
-    Map-only per document — the whole selection runs inside one
-    projection of higher-order functions (no explode, no shuffle);
-    output is the per-doc fingerprint-set cardinality + an
-    order-independent XOR digest, both engine-exact integers."""
+def winnow_digests(docs: DataFrame) -> DataFrame:
+    """The winnowing selection as a reusable map-only transform — one
+    definition serves the batch plan (winnow_fingerprint) and the live
+    ingest stream (streaming/jobs.py::winnow_stream) unchanged."""
     n_min = _WINNOW_K + _WINNOW_W - 1
-    d = load(spark, sf_dir, "documents").filter(F.length("text") >= n_min)
+    d = docs.filter(F.length("text") >= n_min)
     hs = (
         f"transform(sequence(1, length(text) - {_WINNOW_K - 1}), "
         f"i -> CAST(conv(substring(md5(substring(text, i, {_WINNOW_K})), 1, 8), 16, 10) AS BIGINT))"
@@ -2878,8 +2870,22 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("aggregate(sel, CAST(0 AS BIGINT), (a, v) -> a ^ v)").alias("fp_xor"),
         )
         .withColumn("density_ppm", F.expr("1000000 * n_selected div n_grams"))
-        .orderBy("doc_id")
     )
+
+
+def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer et
+    al. 2003): hash every char 5-gram, keep the minimum hash of each
+    sliding 4-window, distinct the picks — an edit-robust fingerprint
+    set whose density is ~2/(w+1), used for plagiarism-style overlap
+    detection where exact-line hashing (doc_fingerprint) is too
+    brittle.
+
+    Map-only per document — the whole selection runs inside one
+    projection of higher-order functions (no explode, no shuffle);
+    output is the per-doc fingerprint-set cardinality + an
+    order-independent XOR digest, both engine-exact integers."""
+    return winnow_digests(load(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
 def oracle_winnow_fingerprint() -> str:

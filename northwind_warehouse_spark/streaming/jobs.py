@@ -422,3 +422,15 @@ def admit_stream_token_budget(incoming: DataFrame, thresholds: DataFrame) -> Dat
     from northwind_warehouse_spark.plans.llm import admit_token_budget
 
     return admit_token_budget(incoming, thresholds)
+
+
+def winnow_stream(incoming: DataFrame) -> DataFrame:
+    """Streaming winnowing fingerprints: the BATCH selection
+    (plans/llm.py::winnow_digests) applied verbatim to the ingest
+    stream — map-only, so no watermark or state; a near-dup screen
+    (compare fp_xor / fingerprint overlap against the corpus index)
+    runs at ingest with provably batch-identical digests (equality
+    asserted in tests/test_streaming.py)."""
+    from northwind_warehouse_spark.plans.llm import winnow_digests
+
+    return winnow_digests(incoming)

@@ -408,3 +408,21 @@ def test_admit_stream_token_budget_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.table("admitted_tb").collect()}
     want = {tuple(r) for r in corpus_sample_token_budget(spark, SF_SMOKE).collect()}
     assert got == want and len(got) > 0
+
+
+def test_winnow_stream_matches_batch(spark, tmp_path):
+    """Streaming winnowing digests ≡ the batch fingerprint plan: same
+    picks, same XOR digest per document."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import winnow_fingerprint
+    from northwind_warehouse_spark.streaming.jobs import (
+        run_to_memory, stream_documents, winnow_stream,
+    )
+
+    src = str(tmp_path / "docs_winnow")
+    load(spark, SF_SMOKE, "documents").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = winnow_stream(stream_documents(spark, src))
+    run_to_memory(stream, "winnowed", str(tmp_path / "ckpt_winnow"))
+    got = {tuple(r) for r in spark.table("winnowed").collect()}
+    want = {tuple(r) for r in winnow_fingerprint(spark, SF_SMOKE).collect()}
+    assert got == want and len(got) > 0
