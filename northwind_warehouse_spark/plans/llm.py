@@ -2766,23 +2766,26 @@ def oracle_quality_stratified_sample() -> str:
     """
 
 
-_BOILER_MIN_DF = 3          # a shingle is corpus boilerplate once it appears in >= 3 docs
+_BOILER_DF_PPM = 6_000      # a shingle is corpus boilerplate once it appears in >= 0.6% of docs
 _BOILER_FLAG_PPM = 500_000  # a doc is boilerplate-dominated when > 50% of its shingles are common
 
 
 def boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate detection: the fraction of each doc's
     word-trigram shingles that are *corpus-common* (document frequency
-    >= _BOILER_MIN_DF) — the template/nav-chrome pruning stage of a web
-    curation pipeline (complements dup_ngram_fraction, which measures
-    WITHIN-doc repetition).
+    >= _BOILER_DF_PPM of the corpus — RELATIVE, so the gate means the
+    same thing at 500 docs and 500M docs) — the template/nav-chrome
+    pruning stage of a web curation pipeline (complements
+    dup_ngram_fraction, which measures WITHIN-doc repetition).
 
     Scale shape: one shuffle on the shingle string to count document
     frequency (well-spread key, map-side partial countDistinct), one
-    shuffle back on the shingle to tag occurrences, one per-doc agg —
-    no window, no collect, no all-pairs structure; the df table stays
-    distributed. Coverage ratio is exact integer division (ppm)."""
+    shuffle back on the shingle to tag occurrences, one per-doc agg,
+    one 1-row corpus-count broadcast — no window, no collect, no
+    all-pairs structure; the df table stays distributed. Coverage
+    ratio is exact integer division (ppm)."""
     d = load(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     toks = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.expr("size(toks) >= 3")
     )
@@ -2796,11 +2799,14 @@ def boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = tri.groupBy("tri").agg(F.countDistinct("doc_id").alias("df"))
     per = (
         tri.join(df_counts, "tri")
+        .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
             F.sum(
-                F.when(F.col("df") >= _BOILER_MIN_DF, F.lit(1)).otherwise(F.lit(0))
+                F.when(
+                    F.expr(f"df * 1000000 >= n_docs * {_BOILER_DF_PPM}"), F.lit(1)
+                ).otherwise(F.lit(0))
             ).cast("bigint").alias("n_common"),
         )
     )
@@ -2829,7 +2835,9 @@ def oracle_boilerplate_prune() -> str:
     ), per AS (
         SELECT t.doc_id,
                CAST(count(*) AS BIGINT) AS n_shingles,
-               CAST(count(*) FILTER (WHERE df.df >= {_BOILER_MIN_DF}) AS BIGINT) AS n_common
+               CAST(count(*) FILTER (
+                   WHERE df.df * 1000000 >= (SELECT count(*) FROM documents) * {_BOILER_DF_PPM}
+               ) AS BIGINT) AS n_common
         FROM tri t JOIN df USING (tri) GROUP BY t.doc_id
     )
     SELECT doc_id, n_shingles, n_common,
@@ -3007,4 +3015,163 @@ def oracle_ann_pq_recall() -> str:
            CAST(coalesce(n_hits, 0) AS BIGINT) * 1000000 // n_true AS recall_ppm
     FROM n_true_t LEFT JOIN n_hit_t ON n_true_t.query_id = n_hit_t.query_id
     ORDER BY 1
+    """
+
+
+_CURATE_BUDGET = 700  # post-filter token budget per source
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation funnel as ONE declarative plan —
+    the capstone composition of the §2C stages a pretraining pipeline
+    chains (exact dedup -> language gate -> quality gate -> boilerplate
+    gate -> per-source token-budget admission), with a first-failing-
+    stage verdict per document (the quarantine_orders reason pattern
+    applied to corpus curation).
+
+    Stage semantics reuse the standalone ops' exact predicates
+    (dedup_exact's min-doc_id keeper, lang_id's stopword heuristic in
+    integer form, quality_filter's thresholds, boilerplate_prune's
+    relative-df coverage, corpus_sample_token_budget's lottery admission
+    with thresholds computed over the stage-4 SURVIVORS — the budget
+    applies to what the filters kept, as a real mixture stage would).
+
+    Scale shape: everything is aggregates + well-spread shuffle joins
+    (fingerprint, shingle, source) and one tiny broadcast of per-source
+    thresholds; document text never enters a shuffle (the shingle path
+    explodes trigram strings, the fingerprint join carries ids and
+    counters only); no window anywhere."""
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source",
+        F.md5("text").alias("fingerprint"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_tokens().alias("n_tokens"),
+        stopword_count().alias("n_stopwords"),
+    )
+    keepers = base.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_doc_id"))
+
+    toks = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
+        F.expr("size(toks) >= 3")
+    )
+    tri = toks.select(
+        "doc_id",
+        F.expr(
+            "explode(transform(sequence(1, size(toks) - 2), "
+            "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])))"
+        ).alias("tri"),
+    )
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_counts = tri.groupBy("tri").agg(F.countDistinct("doc_id").alias("df"))
+    boiler = (
+        tri.join(df_counts, "tri")
+        .crossJoin(F.broadcast(n_docs))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(
+                    F.expr(f"df * 1000000 >= n_docs * {_BOILER_DF_PPM}"), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).cast("bigint").alias("n_common"),
+        )
+        .select("doc_id", F.expr("1000000 * n_common div n_shingles").alias("boiler_ppm"))
+    )
+
+    flagged = (
+        base.join(keepers, "fingerprint")
+        .join(boiler, "doc_id", "left")
+        .withColumn("is_exact_dup", F.col("doc_id") != F.col("keep_doc_id"))
+        .withColumn("lang_ok", F.expr("10000 * n_stopwords div n_tokens >= 500"))
+        .withColumn(
+            "quality_ok",
+            F.expr("n_tokens >= 15 AND n_chars >= 60 AND n_stopwords * 100 >= n_tokens * 2"),
+        )
+        .withColumn("boiler_bad", F.coalesce(F.col("boiler_ppm"), F.lit(0)) > _BOILER_FLAG_PPM)
+    )
+    surv = flagged.filter(
+        ~F.col("is_exact_dup") & F.col("lang_ok") & F.col("quality_ok") & ~F.col("boiler_bad")
+    )
+    thr = surv.groupBy("source").agg(
+        F.expr(
+            f"CAST(least(CAST(1000000 AS BIGINT) * {_CURATE_BUDGET} div CAST(sum(n_tokens) AS BIGINT),"
+            f" CAST(1000000 AS BIGINT)) AS BIGINT)"
+        ).alias("thr_ppm")
+    )
+    ord_ppm = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("cc|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1_000_000
+    )
+    return (
+        flagged.join(F.broadcast(thr), "source", "left")
+        .withColumn("ord_ppm", ord_ppm)
+        .select(
+            "doc_id", "source", "n_tokens",
+            F.when(F.col("is_exact_dup"), F.lit("exact_dup"))
+            .when(~F.col("lang_ok"), F.lit("lang"))
+            .when(~F.col("quality_ok"), F.lit("quality"))
+            .when(F.col("boiler_bad"), F.lit("boilerplate"))
+            .when(F.col("ord_ppm") >= F.coalesce(F.col("thr_ppm"), F.lit(0)), F.lit("over_budget"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_curate_corpus() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id, source, md5(text) AS fingerprint,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {o_n_tokens()} AS n_tokens,
+               {o_stopword_count()} AS n_stopwords
+        FROM documents
+    ), keepers AS (
+        SELECT fingerprint, min(doc_id) AS keep_doc_id FROM base GROUP BY fingerprint
+    ), w AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ), idx AS (
+        SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 2)) AS i FROM w
+    ), tri AS (
+        SELECT doc_id, concat_ws(' ', toks[i], toks[i + 1], toks[i + 2]) AS tri FROM idx
+    ), dfc AS (
+        SELECT tri, count(DISTINCT doc_id) AS df FROM tri GROUP BY tri
+    ), boiler AS (
+        SELECT t.doc_id,
+               1000000 * CAST(count(*) FILTER (
+                   WHERE dfc.df * 1000000 >= (SELECT count(*) FROM documents) * {_BOILER_DF_PPM}
+               ) AS BIGINT)
+                 // CAST(count(*) AS BIGINT) AS boiler_ppm
+        FROM tri t JOIN dfc USING (tri) GROUP BY t.doc_id
+    ), flagged AS (
+        SELECT b.doc_id, b.source, b.n_tokens,
+               b.doc_id <> k.keep_doc_id AS is_exact_dup,
+               10000 * b.n_stopwords // b.n_tokens >= 500 AS lang_ok,
+               (b.n_tokens >= 15 AND b.n_chars >= 60 AND b.n_stopwords * 100 >= b.n_tokens * 2) AS quality_ok,
+               coalesce(bo.boiler_ppm, 0) > {_BOILER_FLAG_PPM} AS boiler_bad
+        FROM base b
+        JOIN keepers k USING (fingerprint)
+        LEFT JOIN boiler bo ON bo.doc_id = b.doc_id
+    ), thr AS (
+        SELECT source,
+               CAST(least(CAST(1000000 AS BIGINT) * {_CURATE_BUDGET} // CAST(sum(n_tokens) AS BIGINT),
+                          CAST(1000000 AS BIGINT)) AS BIGINT) AS thr_ppm
+        FROM flagged
+        WHERE NOT is_exact_dup AND lang_ok AND quality_ok AND NOT boiler_bad
+        GROUP BY source
+    )
+    SELECT f.doc_id, f.source, f.n_tokens,
+           CASE
+             WHEN f.is_exact_dup THEN 'exact_dup'
+             WHEN NOT f.lang_ok THEN 'lang'
+             WHEN NOT f.quality_ok THEN 'quality'
+             WHEN f.boiler_bad THEN 'boilerplate'
+             WHEN CAST(('0x' || substr(md5('cc|' || CAST(f.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+                  >= coalesce(t.thr_ppm, 0) THEN 'over_budget'
+             ELSE 'kept'
+           END AS verdict
+    FROM flagged f LEFT JOIN thr t ON f.source = t.source
+    ORDER BY f.doc_id
     """

@@ -845,3 +845,31 @@ def test_ann_pq_codes_compact_and_ranked(spark):
         per_query.setdefault(r.query_id, []).append(r.nn_rank)
     assert len(per_query) == 10
     assert all(sorted(v) == [1, 2, 3, 4, 5] for v in per_query.values())
+
+
+def test_curate_corpus_funnel(spark):
+    """The curation funnel's verdict respects stage precedence, covers
+    every document exactly once, and keeps a non-empty admitted set."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import curate_corpus
+
+    rows = curate_corpus(spark, SF_SMOKE).collect()
+    n_docs = load(spark, SF_SMOKE, "documents").count()
+    assert len(rows) == n_docs
+    verdicts = {r.verdict for r in rows}
+    assert verdicts <= {"exact_dup", "lang", "quality", "boilerplate", "over_budget", "kept"}
+    kept = [r for r in rows if r.verdict == "kept"]
+    assert kept  # the funnel admits something
+    # stage-1 precedence: every non-minimal doc of a duplicate text group
+    # must carry exact_dup regardless of later-stage failures
+    d = load(spark, SF_SMOKE, "documents")
+    dup_ids = {
+        r.doc_id
+        for r in d.selectExpr("md5(text) AS fp", "doc_id")
+        .withColumn("keep", F.expr("min(doc_id) over (partition by fp)"))
+        .filter("doc_id <> keep")
+        .collect()
+    }
+    for r in rows:
+        if r.doc_id in dup_ids:
+            assert r.verdict == "exact_dup"

@@ -127,6 +127,9 @@ def main() -> None:
         "skyline_parts": analytics.skyline_parts,
         "dim_part_multisource": medallion.dim_part_multisource,
         "hierarchy_unroll": medallion.hierarchy_unroll,
+        "boilerplate_prune": llm.boilerplate_prune,
+        "winnow_fingerprint": llm.winnow_fingerprint,
+        "ann_pq_topk": llm.ann_pq_topk,
         # dedup_embedding_cosine is deliberately absent: key-shifted
         # replication duplicates every vector, so LSH buckets grow
         # factor-fold and pair work factor² — that measures the
