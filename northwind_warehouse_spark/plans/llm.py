@@ -2851,10 +2851,10 @@ _WINNOW_K = 5  # char-gram length
 _WINNOW_W = 4  # winnowing window (positions per window)
 
 
-def winnow_digests(docs: DataFrame) -> DataFrame:
-    """The winnowing selection as a reusable map-only transform — one
-    definition serves the batch plan (winnow_fingerprint) and the live
-    ingest stream (streaming/jobs.py::winnow_stream) unchanged."""
+def _winnow_sel(docs: DataFrame) -> DataFrame:
+    """Map-only winnowing selection: (doc_id, n_grams, sel) with sel the
+    distinct window-minimum hash picks — the shared core of the digest
+    plan, the streaming twin, and the overlap-pair detector."""
     n_min = _WINNOW_K + _WINNOW_W - 1
     d = docs.filter(F.length("text") >= n_min)
     hs = (
@@ -2871,6 +2871,15 @@ def winnow_digests(docs: DataFrame) -> DataFrame:
                 f"i -> array_min(slice(hs, i, {_WINNOW_W}))))"
             ).alias("sel"),
         )
+    )
+
+
+def winnow_digests(docs: DataFrame) -> DataFrame:
+    """The winnowing digest as a reusable map-only transform — one
+    definition serves the batch plan (winnow_fingerprint) and the live
+    ingest stream (streaming/jobs.py::winnow_stream) unchanged."""
+    return (
+        _winnow_sel(docs)
         .select(
             "doc_id",
             "n_grams",
@@ -2916,6 +2925,86 @@ def oracle_winnow_fingerprint() -> str:
     SELECT doc_id, n_grams, n_selected, bit_xor(s) AS fp_xor,
            1000000 * n_selected // n_grams AS density_ppm
     FROM x GROUP BY doc_id, n_grams, n_selected ORDER BY doc_id
+    """
+
+
+_WINNOW_MAX_DF = 20  # fingerprints in more docs than this are vocabulary, not evidence
+
+
+def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document overlap detection over the winnowing fingerprints
+    — the MOSS use case: document pairs sharing >= 2 *rare* fingerprint
+    hashes, scored by shared-fingerprint fraction of the smaller set.
+
+    The rarity cap (document frequency <= _WINNOW_MAX_DF) is the skew
+    bound: a fingerprint every document carries is shared vocabulary,
+    not copying, and joining on it would fan out quadratically — the
+    same degenerate-bucket discipline as the MinHash band cap
+    (operators/similarity.py). With it, per-hash join fan-out is
+    <= cap², so pair work stays linear in corpus size at any scale;
+    candidates never come from an all-pairs structure.
+
+    The per-doc fingerprint arrays are persisted BEFORE the explode:
+    downstream reuses them in the df count and both pair-join sides,
+    and without the barrier Catalyst collapses the winnow transform
+    into the post-explode projections — re-evaluating the whole per-doc
+    hashing once per exploded row per branch (measured 280s -> 3s at
+    sf0.001; the blowup factor is exactly the mean fingerprints/doc)."""
+    sel = _winnow_sel(load(spark, sf_dir, "documents")).select(
+        "doc_id", F.expr("CAST(size(sel) AS BIGINT)").alias("n_sel"), "sel"
+    ).persist()
+    x = sel.select("doc_id", "n_sel", F.explode("sel").alias("s"))
+    rare = x.join(
+        x.groupBy("s").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= _WINNOW_MAX_DF
+        ),
+        "s",
+    ).select("s", "doc_id", "n_sel")
+    pairs = (
+        rare.select("s", F.col("doc_id").alias("doc_a"), F.col("n_sel").alias("n_a"))
+        .join(
+            rare.select("s", F.col("doc_id").alias("doc_b"), F.col("n_sel").alias("n_b")),
+            "s",
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    return pairs.select(
+        "doc_a", "doc_b", "n_shared", "n_a", "n_b",
+        F.expr("1000000 * n_shared div least(n_a, n_b)").alias("overlap_ppm"),
+    ).orderBy("doc_a", "doc_b")
+
+
+def oracle_winnow_overlap_pairs() -> str:
+    return f"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(generate_series(1, length(text) - {_WINNOW_K - 1}),
+                   i -> CAST(('0x' || substr(md5(substr(text, i, {_WINNOW_K})), 1, 8)) AS BIGINT)) AS hs
+        FROM documents WHERE length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+    ), m AS (
+        SELECT doc_id,
+               list_distinct(list_transform(generate_series(1, len(hs) - {_WINNOW_W - 1}),
+                   i -> list_min(hs[i:i + {_WINNOW_W - 1}]))) AS sel
+        FROM h
+    ), x AS (
+        SELECT doc_id, CAST(len(sel) AS BIGINT) AS n_sel, unnest(sel) AS s FROM m
+    ), rare AS (
+        SELECT x.s, x.doc_id, x.n_sel
+        FROM x JOIN (
+            SELECT s, count(*) AS df FROM x GROUP BY s HAVING count(*) <= {_WINNOW_MAX_DF}
+        ) d ON x.s = d.s
+    ), pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n_sel AS n_a, b.n_sel AS n_b,
+               CAST(count(*) AS BIGINT) AS n_shared
+        FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+    )
+    SELECT doc_a, doc_b, n_shared, n_a, n_b,
+           1000000 * n_shared // least(n_a, n_b) AS overlap_ppm
+    FROM pairs ORDER BY doc_a, doc_b
     """
 
 

@@ -873,3 +873,17 @@ def test_curate_corpus_funnel(spark):
     for r in rows:
         if r.doc_id in dup_ids:
             assert r.verdict == "exact_dup"
+
+
+def test_winnow_overlap_pairs_symmetric_and_capped(spark):
+    """Overlap pairs are canonical (doc_a < doc_b), shared counts are
+    bounded by both fingerprint sets, and no pair rests on a fingerprint
+    more common than the rarity cap."""
+    from northwind_warehouse_spark.plans.llm import winnow_overlap_pairs
+
+    rows = winnow_overlap_pairs(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 2 <= r.n_shared <= min(r.n_a, r.n_b)
+        assert 0 < r.overlap_ppm <= 1_000_000

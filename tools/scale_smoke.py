@@ -130,6 +130,8 @@ def main() -> None:
         "boilerplate_prune": llm.boilerplate_prune,
         "winnow_fingerprint": llm.winnow_fingerprint,
         "ann_pq_topk": llm.ann_pq_topk,
+        "curate_corpus": llm.curate_corpus,
+        "winnow_overlap_pairs": llm.winnow_overlap_pairs,
         # dedup_embedding_cosine is deliberately absent: key-shifted
         # replication duplicates every vector, so LSH buckets grow
         # factor-fold and pair work factor² — that measures the
