@@ -2287,11 +2287,11 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     the evaluation costs what the searches cost, nothing more."""
     truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    hits = truth.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi")
     n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
     n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
     return (
-        n_true.join(n_hit, "query_id", "left")
+        n_true.join(F.broadcast(n_hit), "query_id", "left")
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("bigint"))
         .withColumn("recall_ppm", F.expr("n_hits * 1000000 div n_true"))
         .select("query_id", "n_true", "n_hits", "recall_ppm")
@@ -3069,11 +3069,11 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     when the compression is safe to trust at corpus scale."""
     truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
-    hits = truth.join(approx, ["query_id", "neighbor_id"], "left_semi")
+    hits = truth.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi")
     n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
     n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
     return (
-        n_true.join(n_hit, "query_id", "left")
+        n_true.join(F.broadcast(n_hit), "query_id", "left")
         .withColumn("n_hits", F.coalesce("n_hits", F.lit(0)).cast("bigint"))
         .withColumn("recall_ppm", F.expr("n_hits * 1000000 div n_true"))
         .select("query_id", "n_true", "n_hits", "recall_ppm")
