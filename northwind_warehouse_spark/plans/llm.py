@@ -3264,3 +3264,127 @@ def oracle_curate_corpus() -> str:
     FROM flagged f LEFT JOIN thr t ON f.source = t.source
     ORDER BY f.doc_id
     """
+
+
+_PQ_XQ_OFF = 2_000_000  # shift makes div operands non-negative: Spark div
+                        # truncates, DuckDB // floors — identical only >= 0
+
+
+def pq_refine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd refinement step of the PQ codebooks — the training move
+    that turns the sampled codebook (operators/similarity.py::
+    pq_codebook) into a fitted one: per (subspace, codeword) cell, the
+    element-wise integer mean of the assigned subvectors becomes the new
+    codeword, and the op reports per-cell assignment mass and total
+    squared distortion against the OLD vs the NEW codeword (dist_new <=
+    dist_old up to integer-floor slack — the k-means descent invariant,
+    asserted in tests). Iterating this step is full PQ training; every
+    iteration is this same plan shape.
+
+    Scale shape: element-grain rows (vector x dim) shuffle on
+    (vec_id, s) and (i, j) — well-spread keys; the codebook explode is a
+    broadcast; per-cell means are map-side-combined aggregates. The
+    element table is persisted: it feeds three consumers and the
+    quantization transform must not be re-inlined per consumer."""
+    e = load(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebook(e)
+    codes = sim.pq_encode(e, cb)
+    el = (
+        e.select("vec_id", F.expr(
+            "posexplode(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))"
+        ).alias("i0", "xq"))
+        .select("vec_id", (F.col("i0") + 1).alias("i"), "xq")
+        .persist()
+    )
+    asn = codes.select(
+        "vec_id", F.expr(f"posexplode(codes)").alias("s", "j")
+    )
+    ael = (
+        el.withColumn("s", F.expr(f"CAST((i - 1) div {sim.PQ_SUB} AS INT)"))
+        .join(asn, ["vec_id", "s"])
+    )
+    cw_el = (
+        cb.select(F.expr("posexplode(cws)").alias("j", "cw"))
+        .select("j", F.expr("posexplode(cw)").alias("i0", "w"))
+        .select("j", (F.col("i0") + 1).alias("i"), "w")
+    )
+    old_d = (
+        ael.join(F.broadcast(cw_el), ["i", "j"])
+        .groupBy("s", "j", "vec_id")
+        .agg(F.expr("CAST(sum((xq - w) * (xq - w)) AS BIGINT)").alias("d"))
+    )
+    newc = ael.groupBy("j", "i").agg(
+        F.expr(
+            f"CAST((sum(xq) + {_PQ_XQ_OFF} * count(*)) div count(*) - {_PQ_XQ_OFF} AS BIGINT)"
+        ).alias("w")
+    )
+    new_d = (
+        ael.join(newc, ["i", "j"])
+        .groupBy("s", "j", "vec_id")
+        .agg(F.expr("CAST(sum((xq - w) * (xq - w)) AS BIGINT)").alias("d"))
+    )
+    return (
+        old_d.groupBy("s", "j")
+        .agg(F.count(F.lit(1)).alias("n_assigned"),
+             F.expr("CAST(sum(d) AS BIGINT)").alias("dist_old"))
+        .join(
+            new_d.groupBy("s", "j").agg(F.expr("CAST(sum(d) AS BIGINT)").alias("dist_new")),
+            ["s", "j"],
+        )
+        .select("s", "j", "n_assigned", "dist_old", "dist_new")
+        .orderBy("s", "j")
+    )
+
+
+def oracle_pq_refine_stats() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), cw AS (
+        SELECT vec_id, rn - 1 AS j FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY CAST(('0x' || substr(md5('pq|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                         vec_id) AS rn
+            FROM embeddings)
+        WHERE rn <= {sim.PQ_NC}
+    ), cwel AS (
+        SELECT cw.j, el.i, el.xq AS w FROM cw JOIN el USING (vec_id)
+    ), subd AS (
+        SELECT a.vec_id, (a.i - 1) // {sim.PQ_SUB} AS s, c.j,
+               CAST(sum((a.xq - c.w) * (a.xq - c.w)) AS BIGINT) AS d
+        FROM el a JOIN cwel c ON a.i = c.i
+        GROUP BY a.vec_id, (a.i - 1) // {sim.PQ_SUB}, c.j
+    ), codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM subd)
+        WHERE rn = 1
+    ), ael AS (
+        SELECT el.vec_id, CAST((el.i - 1) // {sim.PQ_SUB} AS INT) AS s, el.i, el.xq, codes.code AS j
+        FROM el JOIN codes ON el.vec_id = codes.vec_id AND (el.i - 1) // {sim.PQ_SUB} = codes.s
+    ), old_d AS (
+        SELECT a.s, a.j, a.vec_id,
+               CAST(sum((a.xq - c.w) * (a.xq - c.w)) AS BIGINT) AS d
+        FROM ael a JOIN cwel c ON a.i = c.i AND a.j = c.j
+        GROUP BY 1, 2, 3
+    ), newc AS (
+        SELECT j, i,
+               CAST((sum(xq) + {_PQ_XQ_OFF} * count(*)) // count(*) - {_PQ_XQ_OFF} AS BIGINT) AS w
+        FROM ael GROUP BY j, i
+    ), new_d AS (
+        SELECT a.s, a.j, a.vec_id,
+               CAST(sum((a.xq - n.w) * (a.xq - n.w)) AS BIGINT) AS d
+        FROM ael a JOIN newc n ON a.i = n.i AND a.j = n.j
+        GROUP BY 1, 2, 3
+    ), agg_old AS (
+        SELECT s, j, CAST(count(*) AS BIGINT) AS n_assigned, CAST(sum(d) AS BIGINT) AS dist_old
+        FROM old_d GROUP BY s, j
+    ), agg_new AS (
+        SELECT s, j, CAST(sum(d) AS BIGINT) AS dist_new FROM new_d GROUP BY s, j
+    )
+    SELECT agg_old.s AS s, agg_old.j AS j, n_assigned, dist_old, dist_new
+    FROM agg_old JOIN agg_new ON agg_old.s = agg_new.s AND agg_old.j = agg_new.j
+    ORDER BY s, j
+    """

@@ -887,3 +887,18 @@ def test_winnow_overlap_pairs_symmetric_and_capped(spark):
         assert r.doc_a < r.doc_b
         assert 2 <= r.n_shared <= min(r.n_a, r.n_b)
         assert 0 < r.overlap_ppm <= 1_000_000
+
+
+def test_pq_refine_descends(spark):
+    """One Lloyd step of PQ codebook refinement must not increase total
+    distortion (k-means descent; per-cell up to integer-floor slack of
+    PQ_SUB per assigned vector)."""
+    from northwind_warehouse_spark.operators import similarity as sim
+    from northwind_warehouse_spark.plans.llm import pq_refine_stats
+
+    rows = pq_refine_stats(spark, SF_SMOKE).collect()
+    assert rows and len(rows) <= sim.PQ_M * sim.PQ_NC
+    assert sum(r.dist_new for r in rows) < sum(r.dist_old for r in rows)
+    for r in rows:
+        assert r.n_assigned > 0
+        assert r.dist_new <= r.dist_old + sim.PQ_SUB * r.n_assigned  # floor slack
