@@ -132,6 +132,7 @@ def main() -> None:
         "ann_pq_topk": llm.ann_pq_topk,
         "curate_corpus": llm.curate_corpus,
         "winnow_overlap_pairs": llm.winnow_overlap_pairs,
+        "pq_refine_stats": llm.pq_refine_stats,
         # dedup_embedding_cosine is deliberately absent: key-shifted
         # replication duplicates every vector, so LSH buckets grow
         # factor-fold and pair work factor² — that measures the
