@@ -3431,3 +3431,189 @@ def oracle_fuzzy_part_matches() -> str:
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     ORDER BY name_a, name_b
     """
+
+
+def gaps_islands_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each customer's longest streak of consecutive
+    ordering months, rolled up to a streak-length histogram.
+
+    The canonical islands trick (month_index - row_number = island id)
+    runs on the DISTINCT (customer, month) grain — orders collapse
+    map-side first, and every window partitions by customer, so the
+    sorted object is per-customer months, never the fact. The histogram
+    rollup is dim-sized."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("bigint").alias("ym"),
+    )
+    months = o.distinct()
+    w = Window.partitionBy("o_custkey").orderBy("ym")
+    streaks = (
+        months.withColumn("isl", F.col("ym") - F.row_number().over(w))
+        .groupBy("o_custkey", "isl")
+        .agg(F.count(F.lit(1)).alias("streak_len"))
+        .groupBy("o_custkey")
+        .agg(F.max("streak_len").alias("longest_streak"))
+    )
+    return (
+        streaks.groupBy("longest_streak")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("longest_streak")
+    )
+
+
+def oracle_gaps_islands_orders() -> str:
+    return """
+    WITH months AS (
+        SELECT DISTINCT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym
+        FROM orders
+    ), isl AS (
+        SELECT o_custkey,
+               ym - row_number() OVER (PARTITION BY o_custkey ORDER BY ym) AS isl
+        FROM months
+    ), streaks AS (
+        SELECT o_custkey, count(*) AS streak_len FROM isl GROUP BY o_custkey, isl
+    ), longest AS (
+        SELECT o_custkey, max(streak_len) AS longest_streak FROM streaks GROUP BY o_custkey
+    )
+    SELECT longest_streak, count(*) AS n_customers
+    FROM longest GROUP BY longest_streak ORDER BY longest_streak
+    """
+
+
+def revenue_alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact largest-remainder allocation: each order's header total is
+    allocated to its lines proportionally to quantity so the per-line
+    cents sum back to the header EXACTLY (the Kimball bridge-allocation
+    problem; naive proportional rounding drifts by ±n_lines cents).
+
+    Floor division distributes target*qty div total_qty, then the cent
+    deficit goes to the largest remainders (ties to the lowest line
+    number). All integer arithmetic; both windows share the one
+    hash(orderkey) partitioning the join already created. Output is the
+    (returnflag, linestatus)-grain rollup of the allocated cents — which
+    equals the header-total rollup only because the per-order invariant
+    holds."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", (dec2("o_totalprice") * 100).cast("bigint").alias("target")
+    )
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus",
+        dec2("l_quantity").cast("bigint").alias("qty"),
+    )
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    wtot = Window.partitionBy("l_orderkey")
+    wrk = Window.partitionBy("l_orderkey").orderBy(
+        F.desc("rem"), F.col("l_linenumber")
+    )
+    alloc = (
+        j.withColumn("total_qty", F.sum("qty").over(wtot))
+        .withColumn("base", F.expr("target * qty div total_qty"))
+        .withColumn("rem", F.expr("(target * qty) % total_qty"))
+        .withColumn("deficit", F.col("target") - F.sum("base").over(wtot))
+        .withColumn("rn", F.row_number().over(wrk))
+        .withColumn(
+            "alloc_cents", F.col("base") + (F.col("rn") <= F.col("deficit")).cast("bigint")
+        )
+    )
+    return (
+        alloc.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("alloc_cents").cast("bigint").alias("alloc_cents"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def oracle_revenue_alloc_largest_remainder() -> str:
+    return """
+    WITH j AS (
+        SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS qty,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS target
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), t AS (
+        SELECT *,
+               sum(qty) OVER (PARTITION BY l_orderkey) AS total_qty
+        FROM j
+    ), b AS (
+        SELECT *,
+               target * qty // total_qty AS base,
+               (target * qty) % total_qty AS rem
+        FROM t
+    ), d AS (
+        SELECT *,
+               target - sum(base) OVER (PARTITION BY l_orderkey) AS deficit,
+               row_number() OVER (PARTITION BY l_orderkey ORDER BY rem DESC, l_linenumber) AS rn
+        FROM b
+    )
+    SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+           CAST(sum(base + CASE WHEN rn <= deficit THEN 1 ELSE 0 END) AS BIGINT) AS alloc_cents
+    FROM d GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """
+
+
+def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per order priority: median absolute
+    deviation (MAD) of the order total, flagging orders beyond 3 MADs.
+
+    Doubled/quadrupled integer units keep every comparison exact: the
+    interpolated median of cent integers lands on halves, so med_x2 =
+    2*median and mad_x4 = 4*MAD are integers, and the outlier test
+    2*|2*cents - med_x2| > 3*mad_x4 is pure BIGINT. Two priority-grain
+    aggregates broadcast back — the fact shuffles once per pass, the
+    sorted objects are 5-row tables."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderpriority", (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    med = o.groupBy("o_orderpriority").agg(
+        (F.expr("percentile(cents, 0.5)") * 2).cast("bigint").alias("med_x2")
+    )
+    dev = o.join(F.broadcast(med), "o_orderpriority").withColumn(
+        "d2", F.abs(2 * F.col("cents") - F.col("med_x2"))
+    )
+    mad = dev.groupBy("o_orderpriority").agg(
+        (F.expr("percentile(d2, 0.5)") * 2).cast("bigint").alias("mad_x4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.max("med_x2").alias("med_x2"),
+            F.max("mad_x4").alias("mad_x4"),
+            F.sum((2 * F.col("d2") > 3 * F.col("mad_x4")).cast("bigint")).alias("n_outliers"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def oracle_mad_outlier_orders() -> str:
+    return """
+    WITH o AS (
+        SELECT o_orderpriority,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), med AS (
+        SELECT o_orderpriority, CAST(quantile_cont(cents, 0.5) * 2 AS BIGINT) AS med_x2
+        FROM o GROUP BY o_orderpriority
+    ), dev AS (
+        SELECT o.o_orderpriority, cents, med_x2, abs(2 * cents - med_x2) AS d2
+        FROM o JOIN med USING (o_orderpriority)
+    ), mad AS (
+        SELECT o_orderpriority, CAST(quantile_cont(d2, 0.5) * 2 AS BIGINT) AS mad_x4
+        FROM dev GROUP BY o_orderpriority
+    )
+    SELECT dev.o_orderpriority, count(*) AS n_orders,
+           max(med_x2) AS med_x2, max(mad_x4) AS mad_x4,
+           CAST(sum(CASE WHEN 2 * d2 > 3 * mad_x4 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dev JOIN mad USING (o_orderpriority)
+    GROUP BY dev.o_orderpriority ORDER BY dev.o_orderpriority
+    """

@@ -1425,3 +1425,123 @@ def oracle_hierarchy_rollup() -> str:
     FROM rolled r JOIN unrolled u ON r.anc_id = u.customer_id
     ORDER BY u.customer_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Kimball fact variants: accumulating + periodic snapshots
+# ---------------------------------------------------------------------------
+
+
+def fact_order_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accumulating-snapshot fact: one row per order carrying its
+    lifecycle milestones (order placed -> first line shipped -> last
+    line shipped) and the day lags between them.
+
+    The Kimball accumulating-snapshot pattern the reference's
+    fact_order (models/dwh/fact_order.sql) would grow into once
+    fulfillment milestones land: milestones are folded from the line
+    grain with one hash(orderkey) aggregation, then joined back to the
+    order grain on the same key — Catalyst reuses the partitioning, so
+    the whole fact builds in one exchange. Lags are integer day
+    arithmetic (portable)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_orderstatus"
+    )
+    l = load(spark, sf_dir, "lineitem")
+    m = l.groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("l_linestatus") == "F").cast("bigint")).alias("n_lines_finished"),
+    )
+    return (
+        o.join(m, o.o_orderkey == m.l_orderkey, "left")
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_orderstatus",
+            F.col("o_orderdate").cast("date").alias("order_date"),
+            F.col("first_ship").cast("date").alias("first_ship_date"),
+            F.col("last_ship").cast("date").alias("last_ship_date"),
+            F.coalesce("n_lines", F.lit(0)).cast("bigint").alias("n_lines"),
+            F.coalesce("n_lines_finished", F.lit(0)).cast("bigint").alias("n_lines_finished"),
+            F.datediff(F.col("first_ship"), F.col("o_orderdate")).cast("bigint").alias("days_to_first_ship"),
+            F.datediff(F.col("last_ship"), F.col("first_ship")).cast("bigint").alias("ship_span_days"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+def oracle_fact_order_lifecycle() -> str:
+    return """
+    WITH m AS (
+        SELECT l_orderkey, min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+               count(*) AS n_lines,
+               CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_lines_finished
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o_orderkey, o_orderpriority, o_orderstatus,
+           CAST(o_orderdate AS DATE) AS order_date,
+           CAST(first_ship AS DATE) AS first_ship_date,
+           CAST(last_ship AS DATE) AS last_ship_date,
+           CAST(coalesce(n_lines, 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(n_lines_finished, 0) AS BIGINT) AS n_lines_finished,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(first_ship AS DATE)) AS BIGINT)
+               AS days_to_first_ship,
+           CAST(date_diff('day', CAST(first_ship AS DATE), CAST(last_ship AS DATE)) AS BIGINT)
+               AS ship_span_days
+    FROM orders LEFT JOIN m ON o_orderkey = l_orderkey
+    ORDER BY o_orderkey
+    """
+
+
+def fact_inventory_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodic-snapshot fact: month-end inventory movement per brand —
+    units shipped that month plus the running cumulative, the balance a
+    warehouse reports when no absolute stock feed exists.
+
+    Kimball's periodic snapshot re-expressed Spark-first: the line feed
+    collapses to (brand, month) grain with one shuffle (part dim
+    broadcast), and the running balance is a window over the
+    MONTH-grain aggregate partitioned by brand — the sorted object is
+    brands x months, never the fact, so the plan survives 100 TB
+    unchanged."""
+    from pyspark.sql.window import Window
+
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_quantity")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    monthly = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.trunc(F.col("l_shipdate").cast("date"), "month").alias("month_start"),
+            dec2("l_quantity").alias("qty"),
+        )
+        .groupBy("p_brand", "month_start")
+        .agg(
+            F.sum("qty").cast("bigint").alias("qty_shipped"),
+            F.count(F.lit(1)).alias("n_shipments"),
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("month_start")
+    return (
+        monthly.withColumn("cum_qty_shipped", F.sum("qty_shipped").over(w).cast("bigint"))
+        .orderBy("p_brand", "month_start")
+    )
+
+
+def oracle_fact_inventory_monthly() -> str:
+    return """
+    WITH monthly AS (
+        SELECT p_brand,
+               date_trunc('month', CAST(l_shipdate AS DATE)) AS month_start,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT) AS qty_shipped,
+               count(*) AS n_shipments
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY 1, 2
+    )
+    SELECT p_brand, month_start, qty_shipped, n_shipments,
+           CAST(sum(qty_shipped) OVER (PARTITION BY p_brand ORDER BY month_start) AS BIGINT)
+               AS cum_qty_shipped
+    FROM monthly ORDER BY p_brand, month_start
+    """
