@@ -3388,3 +3388,264 @@ def oracle_pq_refine_stats() -> str:
     FROM agg_old JOIN agg_new ON agg_old.s = agg_new.s AND agg_old.j = agg_new.j
     ORDER BY s, j
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-4 additions: containment dedup, novelty, fertility, SimHash bands
+# ---------------------------------------------------------------------------
+
+_PREFIX_BLOCK_K = 32  # blocking-prefix length (docs shorter than K are exact-dup territory)
+
+
+def dedup_prefix_truncation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncation duplicates: documents that are a strict PREFIX of a
+    longer document — the shape web-scrape corpora produce when the same
+    page is captured both truncated and full. Exact dedup misses these
+    (different md5); MinHash catches only high-Jaccard ones.
+
+    Blocking: candidates must share the md5 of their first 32 chars
+    (docs shorter than the block are handled by exact dedup), so the
+    self-join is bucket-equi — never n² — and only ids + lengths travel
+    through the shuffle; the full-text prefix check runs after the
+    equi-join, JVM-side. Same discipline as the MinHash band join."""
+    d = load(spark, sf_dir, "documents").filter(F.length("text") >= _PREFIX_BLOCK_K)
+    keyed = d.select(
+        "doc_id",
+        "text",
+        F.length("text").cast("bigint").alias("len"),
+        F.md5(F.substring("text", 1, _PREFIX_BLOCK_K)).alias("blk"),
+    )
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.len") < F.col("b.len")))
+        .filter(F.expr("substring(b.text, 1, CAST(a.len AS INT)) = a.text"))
+        .select(
+            F.col("a.doc_id").alias("short_doc_id"),
+            F.col("b.doc_id").alias("long_doc_id"),
+            F.col("a.len").alias("short_len"),
+            F.col("b.len").alias("long_len"),
+        )
+        .orderBy("short_doc_id", "long_doc_id")
+    )
+
+
+def oracle_dedup_prefix_truncation() -> str:
+    return f"""
+    WITH d AS (
+        SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len,
+               md5(substr(text, 1, {_PREFIX_BLOCK_K})) AS blk
+        FROM documents WHERE length(text) >= {_PREFIX_BLOCK_K}
+    )
+    SELECT a.doc_id AS short_doc_id, b.doc_id AS long_doc_id,
+           a.len AS short_len, b.len AS long_len
+    FROM d a JOIN d b ON a.blk = b.blk AND a.len < b.len
+    WHERE substr(b.text, 1, CAST(a.len AS INT)) = a.text
+    ORDER BY short_doc_id, long_doc_id
+    """
+
+
+def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's DISTINCT
+    word trigrams whose corpus-wide first occurrence (minimum doc_id)
+    is this doc — the document-ordered variant of dup-ngram analysis
+    used to rank crawl snapshots by marginal contribution.
+
+    Two well-spread shuffles: trigram -> min(doc_id) (map-side partial
+    min), then doc_id for the rollup. Exact-ppm ratio."""
+    d = load(spark, sf_dir, "documents")
+    tri = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), "
+                "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+            )
+        ).alias("tri"),
+    )
+    first = tri.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        tri.join(first, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("bigint")).alias("n_novel"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_trigrams",
+        "n_novel",
+        F.expr("1000000 * n_novel div n_trigrams").alias("novelty_ppm"),
+    ).orderBy("doc_id")
+
+
+def oracle_ngram_novelty() -> str:
+    return """
+    WITH tri AS (
+        SELECT DISTINCT doc_id, t.tri
+        FROM documents,
+             LATERAL (
+                SELECT unnest(list_transform(
+                    generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) AS tri
+             ) t
+    ), first AS (
+        SELECT tri, min(doc_id) AS first_doc FROM tri GROUP BY tri
+    )
+    SELECT t.doc_id, count(*) AS n_trigrams,
+           CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           1000000 * CAST(sum(CASE WHEN f.first_doc = t.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+               // count(*) AS novelty_ppm
+    FROM tri t JOIN first f ON t.tri = f.tri
+    GROUP BY t.doc_id ORDER BY t.doc_id
+    """
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fertility audit per (lang, source): BPE-ish tokens per
+    whitespace word and chars per BPE token — the table that tells you
+    which slices of a mixture are expensive to tokenize (fertility >> 1
+    means the tokenizer fragments that slice).
+
+    Map-only metrics + one tiny aggregate; ratios in exact ppm."""
+    d = load(spark, sf_dir, "documents")
+    bpe_ish = F.expr(
+        r"CAST(size(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)"
+    )
+    per = d.select(
+        "lang",
+        "source",
+        n_tokens().alias("n_words"),
+        bpe_ish.alias("n_bpe"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        per.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_words").alias("total_words"),
+            F.sum("n_bpe").alias("total_bpe"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "total_words",
+            "total_bpe",
+            "total_chars",
+            F.expr("1000000 * total_bpe div total_words").alias("fertility_ppm"),
+            F.expr("1000000 * total_chars div total_bpe").alias("chars_per_bpe_ppm"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+def oracle_tokenizer_fertility() -> str:
+    return f"""
+    WITH per AS (
+        SELECT lang, source, {o_n_tokens()} AS n_words,
+               CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
+    ), agg AS (
+        SELECT lang, source, count(*) AS n_docs,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(sum(n_bpe) AS BIGINT) AS total_bpe,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+        FROM per GROUP BY lang, source
+    )
+    SELECT lang, source, n_docs, total_words, total_bpe, total_chars,
+           1000000 * total_bpe // total_words AS fertility_ppm,
+           1000000 * total_chars // total_bpe AS chars_per_bpe_ppm
+    FROM agg ORDER BY lang, source
+    """
+
+
+_SIMHASH_BANDS = 4          # 4 x 8-bit bands over the 32-bit fingerprint
+_SIMHASH_MAX_HAM = 3        # pigeonhole: hamming<=3 over 4 bands => >=1 identical band
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: documents whose 32-bit SimHash
+    fingerprints differ in at most 3 bits — found WITHOUT an all-pairs
+    scan via pigeonhole banding (any pair within hamming 3 of a 4-band
+    split must agree exactly on at least one 8-bit band, so candidates
+    come from a band-value equi-self-join; same discipline as MinHash
+    LSH but on a 4-byte fingerprint instead of a signature matrix).
+
+    The exact hamming distance then verifies candidates JVM-side
+    (bit_count(xor)). Fingerprints are one groupBy over tokens
+    (operators/similarity.py::simhash32); only (band, value, id)
+    triples travel through the candidate shuffle."""
+    fp = sim.simhash32(load(spark, sf_dir, "documents"))
+    bands = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("bval"),
+                )
+                for b in range(_SIMHASH_BANDS)
+            ])
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("bigint")
+        )
+        .filter(F.col("hamming") <= _SIMHASH_MAX_HAM)
+        .select("doc_a", "doc_b", "hamming")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_simhash_hamming_pairs() -> str:
+    votes = ",\n".join(
+        f"               CAST(sum(2 * ((h >> {b}) & 1) - 1) AS BIGINT) AS v{b}" for b in range(32)
+    )
+    fpexpr = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(32))
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), h AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+    ), votes AS (
+        SELECT doc_id,
+{votes}
+        FROM h GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, CAST({fpexpr} AS BIGINT) AS simhash FROM votes
+    ), bands AS (
+        SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS bval
+        FROM fp, (VALUES (0), (1), (2), (3)) b(band)
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.simhash AS sh_a, b.simhash AS sh_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {_SIMHASH_MAX_HAM}
+    ORDER BY doc_a, doc_b
+    """
