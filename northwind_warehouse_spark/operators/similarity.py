@@ -353,17 +353,22 @@ def pq_codebook(embeddings: DataFrame, id_col: str = "vec_id",
 
 
 def pq_encode(embeddings: DataFrame, codebook: DataFrame, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding", extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """Encode every vector to PQ_M small codes (argmin subspace L2 to a
     codeword, ties to the lowest codeword id).
 
     This is the 100 TB move: the index stores PQ_M ints per vector
     instead of the raw array (here 64 floats -> 4 bytes-ish, 16-64x
     smaller), and encoding is MAP-ONLY — one broadcast of the one-row
-    codebook, higher-order functions, no shuffle over the corpus."""
+    codebook, higher-order functions, no shuffle over the corpus.
+    ``extra_cols`` ride along untouched (e.g. the IVF cell_id, so one
+    corpus scan yields the full IVF-PQ index)."""
     sdist = _PQ_SDIST.format(a="eq", b="c")
     return (
-        embeddings.select(F.col(id_col), F.expr(_PQ_QUANT.format(v=vec_col)).alias("eq"))
+        embeddings.select(
+            F.col(id_col), *[F.col(c) for c in extra_cols],
+            F.expr(_PQ_QUANT.format(v=vec_col)).alias("eq"),
+        )
         .crossJoin(F.broadcast(codebook))
         .withColumn(
             "dists",
@@ -373,7 +378,7 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame, id_col: str = "vec_id"
             "codes",
             F.expr("transform(dists, d -> CAST(array_position(d, array_min(d)) AS INT) - 1)"),
         )
-        .select(id_col, "codes")
+        .select(id_col, *extra_cols, "codes")
     )
 
 

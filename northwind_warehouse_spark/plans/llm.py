@@ -3649,3 +3649,207 @@ def oracle_simhash_hamming_pairs() -> str:
     FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {_SIMHASH_MAX_HAM}
     ORDER BY doc_a, doc_b
     """
+
+
+_EO_OFF = 2_000_000  # shift keeps div operands non-negative (Spark div truncates, DuckDB // floors)
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier audit: each label's centroid (exact
+    integer-quantized per-dimension mean), every member's squared
+    distance to it, and the count of members beyond 2x the label's mean
+    distance — the curation gate that drops mislabeled / off-manifold
+    vectors before they poison a contrastive batch.
+
+    Scale shape: the centroid update is one (label, dim) shuffle whose
+    cardinality is labels x dims (map-side partial sums), centroids fold
+    to one tiny array table broadcast back, and the distance pass is
+    map-only higher-order functions. The means use the +OFF shift so
+    floor/truncation division agree across engines on negative sums."""
+    e = load(spark, sf_dir, "embeddings")
+    xq = e.select(
+        "vec_id",
+        "label",
+        F.expr(
+            "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+        ).alias("xq"),
+    )
+    cents = (
+        xq.select("label", F.posexplode("xq").alias("dim_idx", "v"))
+        .groupBy("label", "dim_idx")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"))
+        .withColumn("mean_q", F.expr(f"(s + {_EO_OFF} * n) div n - {_EO_OFF}"))
+        .groupBy("label")
+        .agg(
+            F.expr("transform(array_sort(collect_list(struct(dim_idx, mean_q))), p -> p.mean_q)")
+            .alias("cent")
+        )
+    )
+    dist = xq.join(F.broadcast(cents), "label").select(
+        "label",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(xq, cent, (x, c) -> (x - c) * (x - c)), CAST(0 AS BIGINT), (a, v) -> a + v)"
+        ).alias("dist2"),
+    )
+    stats = dist.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.expr("sum(dist2) div count(*)").alias("avg_dist2"),
+        F.max("dist2").alias("max_dist2"),
+    )
+    return (
+        dist.join(F.broadcast(stats), "label")
+        .groupBy("label")
+        .agg(
+            F.max("n_vectors").alias("n_vectors"),
+            F.max("avg_dist2").alias("avg_dist2"),
+            F.max("max_dist2").alias("max_dist2"),
+            F.sum((F.col("dist2") > 2 * F.col("avg_dist2")).cast("bigint")).alias("n_outliers"),
+        )
+        .orderBy("label")
+    )
+
+
+def oracle_embedding_outliers() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM embeddings
+    ), cents AS (
+        SELECT label, i,
+               (sum(xq) + {_EO_OFF} * count(*)) // count(*) - {_EO_OFF} AS mean_q
+        FROM el GROUP BY label, i
+    ), dist AS (
+        SELECT el.label, el.vec_id,
+               CAST(sum((el.xq - c.mean_q) * (el.xq - c.mean_q)) AS BIGINT) AS dist2
+        FROM el JOIN cents c ON el.label = c.label AND el.i = c.i
+        GROUP BY el.label, el.vec_id
+    ), stats AS (
+        SELECT label, count(*) AS n_vectors,
+               CAST(sum(dist2) // count(*) AS BIGINT) AS avg_dist2,
+               max(dist2) AS max_dist2
+        FROM dist GROUP BY label
+    )
+    SELECT d.label, max(s.n_vectors) AS n_vectors, max(s.avg_dist2) AS avg_dist2,
+           max(s.max_dist2) AS max_dist2,
+           CAST(sum(CASE WHEN d.dist2 > 2 * s.avg_dist2 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM dist d JOIN stats s ON d.label = s.label
+    GROUP BY d.label ORDER BY d.label
+    """
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5: the two index compressions composed the way a
+    production vector store layers them — IVF cells prune WHICH vectors
+    each query scores (candidates shrink ~n_centroids-fold) and PQ codes
+    compress WHAT is scored (ADC lookup tables instead of raw arrays).
+
+    One corpus scan builds the whole index (cell assignment and PQ
+    encoding are both map-only broadcast computations; pq_encode carries
+    cell_id through), queries broadcast their LUT + cell, and the scored
+    shuffle carries only (query, neighbor, adist) rows from the query's
+    own cell. Integer-exact ADC distances."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS)
+    cb = sim.pq_codebook(e)
+    enc = sim.pq_encode(assigned, cb, extra_cols=("cell_id",))
+    sdist = sim._PQ_SDIST.format(a="eq", b="c")
+    luts = (
+        assigned.filter(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell_id").alias("qcell"),
+            F.expr(sim._PQ_QUANT.format(v="embedding")).alias("eq"),
+        )
+        .crossJoin(F.broadcast(cb))
+        .withColumn(
+            "lut",
+            F.expr(f"transform(sequence(0, {sim.PQ_M - 1}), s -> transform(cws, c -> {sdist}))"),
+        )
+        .select("query_id", "qcell", "lut")
+    )
+    scored = (
+        enc.join(
+            F.broadcast(luts),
+            (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("qcell").alias("cell_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c + 1)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 5)
+        .select("query_id", "cell_id", "neighbor_id", "adist", "nn_rank")
+        .orderBy("query_id", "nn_rank")
+    )
+
+
+def oracle_ann_ivfpq_topk() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM el GROUP BY vec_id
+    ), cdot AS (
+        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
+        FROM el a JOIN el c ON a.i = c.i AND c.vec_id < {IVF_N_CENTROIDS}
+        GROUP BY a.vec_id, c.vec_id
+    ), ccos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
+        FROM cdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN n2 nc ON nc.vec_id = d.cent_id
+    ), assign AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+            FROM ccos
+        ) WHERE rk = 1
+    ), cw AS (
+        SELECT vec_id, rn - 1 AS j FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY CAST(('0x' || substr(md5('pq|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                         vec_id) AS rn
+            FROM embeddings)
+        WHERE rn <= {sim.PQ_NC}
+    ), cwel AS (
+        SELECT cw.j, el.i, el.xq FROM cw JOIN el USING (vec_id)
+    ), subd AS (
+        SELECT a.vec_id, (a.i - 1) // {sim.PQ_SUB} AS s, c.j,
+               CAST(sum((a.xq - c.xq) * (a.xq - c.xq)) AS BIGINT) AS d
+        FROM el a JOIN cwel c ON a.i = c.i
+        GROUP BY a.vec_id, (a.i - 1) // {sim.PQ_SUB}, c.j
+    ), codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM subd)
+        WHERE rn = 1
+    ), adist AS (
+        SELECT qd.vec_id AS query_id, aq.cell_id, c.vec_id AS neighbor_id,
+               CAST(sum(qd.d) AS BIGINT) AS adist
+        FROM codes c
+        JOIN subd qd ON qd.s = c.s AND qd.j = c.code
+        JOIN assign ac ON ac.vec_id = c.vec_id
+        JOIN assign aq ON aq.vec_id = qd.vec_id
+        WHERE qd.vec_id < 10 AND c.vec_id <> qd.vec_id AND ac.cell_id = aq.cell_id
+        GROUP BY qd.vec_id, aq.cell_id, c.vec_id
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS nn_rank
+        FROM adist
+    )
+    SELECT query_id, cell_id, neighbor_id, adist, nn_rank
+    FROM ranked WHERE nn_rank <= 5 ORDER BY query_id, nn_rank
+    """
