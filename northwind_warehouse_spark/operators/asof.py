@@ -72,3 +72,59 @@ def asof_join_backward(
         *[F.col(c) for c in lcols],
         *[F.col("_pf").getField(c).alias(f"{payload_prefix}{c}") for c in payload_cols],
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: Sequence[str],
+    payload_prefix: str = "asof_",
+    right_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """For each left row, attach the payload of the EARLIEST right row
+    with ``right.ts >= left.ts`` and matching key (inclusive forward
+    as-of — "time to next action" joins).
+
+    The exact mirror of :func:`asof_join_backward`: same union + one
+    window shape (one shuffle, no key x interval blow-up), with the
+    ordering reversed — descending time, so "latest preceding in sort
+    order" is "nearest following in event time". Equal-time ties pick
+    the LOWEST tiebreak (the tiebreak sorts descending so the window's
+    ``last`` lands on the minimum).
+    """
+    lcols = left.columns
+    payload_type = StructType(
+        [StructField(c, right.schema[c].dataType) for c in payload_cols]
+    )
+    l = left.select(
+        F.col(left_key).alias("_k"),
+        F.col(left_ts).cast("timestamp").alias("_t"),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in lcols],
+        F.lit(None).cast(payload_type).alias("_p"),
+    )
+    r = right.select(
+        F.col(right_key).alias("_k"),
+        F.col(right_ts).cast("timestamp").alias("_t"),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.struct(*[F.col(c).alias(c) for c in payload_cols]).alias("_p"),
+    )
+    order = [F.col("_t").desc(), F.col("_side")] + [
+        F.col("_p").getField(c).desc() for c in right_tiebreak
+    ]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = l.unionByName(r)
+    filled = unioned.withColumn("_pf", F.last(F.col("_p"), ignorenulls=True).over(w))
+    return filled.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col("_pf").getField(c).alias(f"{payload_prefix}{c}") for c in payload_cols],
+    )

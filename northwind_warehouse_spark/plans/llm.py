@@ -3578,7 +3578,15 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     The exact hamming distance then verifies candidates JVM-side
     (bit_count(xor)). Fingerprints are one groupBy over tokens
     (operators/similarity.py::simhash32); only (band, value, id)
-    triples travel through the candidate shuffle."""
+    triples travel through the candidate shuffle.
+
+    100 TB note: 8-bit bands give only 256 buckets per band, which
+    saturates on a large corpus (bucket size grows linearly -> pair work
+    quadratically). The production setting is a 64-bit fingerprint with
+    4 x 16-bit bands (65k buckets/band) plus the same
+    cap_buckets(max_bucket_size) guard the MinHash join uses — the plan
+    shape here is width-agnostic; only the fingerprint literal and the
+    band mask change."""
     fp = sim.simhash32(load(spark, sf_dir, "documents"))
     bands = fp.select(
         "doc_id",
@@ -3691,7 +3699,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "aggregate(zip_with(xq, cent, (x, c) -> (x - c) * (x - c)), CAST(0 AS BIGINT), (a, v) -> a + v)"
         ).alias("dist2"),
-    )
+    ).persist()  # read by the stats pass AND the outlier rollup: one corpus scan, not two
     stats = dist.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.expr("sum(dist2) div count(*)").alias("avg_dist2"),
@@ -3852,4 +3860,76 @@ def oracle_ann_ivfpq_topk() -> str:
     )
     SELECT query_id, cell_id, neighbor_id, adist, nn_rank
     FROM ranked WHERE nn_rank <= 5 ORDER BY query_id, nn_rank
+    """
+
+
+def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering structure of the near-dup candidate graph:
+    edge / wedge / triangle counts and the clustering coefficient in
+    exact ppm — high closure means the LSH pairs form dense duplicate
+    cliques (safe to collapse via connected components), low closure
+    means chains of borderline matches that over-merge.
+
+    Triangle counting via the two-path join: edges are oriented
+    (doc_a < doc_b, already canonical from lsh_candidate_pairs), wedges
+    come from one self-join on the shared middle vertex, and each wedge
+    is closed by probing the edge set — at fleet scale this is the
+    standard degree-oriented triangle count (each triangle counted
+    once), with the same band-bucket-capped edge generation MinHash
+    dedup uses. Wedge total = sum over nodes of C(deg, 2)."""
+    d = load(spark, sf_dir, "documents")
+    edges = sim.lsh_candidate_pairs(sim.minhash_signatures(sim.shingle_arrays(d))).persist()
+    e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    # wedge (x < y < z) centered anywhere: join on shared vertex, all
+    # three orientations collapse because edges are canonical
+    two_path = (
+        e1.alias("p")
+        .join(e1.alias("q"), F.col("p.y") == F.col("q.x"))
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"), F.col("q.y").alias("c"))
+    )
+    tri = two_path.join(
+        e1.select(F.col("x").alias("a"), F.col("y").alias("c")), ["a", "c"], "left_semi"
+    )
+    deg = (
+        edges.select(F.col("doc_a").alias("n")).unionAll(edges.select(F.col("doc_b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    counts = (
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .crossJoin(deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("n_wedges")))
+    )
+    return counts.select(
+        "n_edges",
+        "n_wedges",
+        "n_triangles",
+        F.expr(
+            "CASE WHEN n_wedges = 0 THEN 0 ELSE 3 * n_triangles * 1000000 div n_wedges END"
+        ).alias("closure_ppm"),
+    )
+
+
+def oracle_dedup_graph_triangles() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM cand p JOIN cand q ON p.doc_b = q.doc_a
+        WHERE EXISTS (
+            SELECT 1 FROM cand r WHERE r.doc_a = p.doc_a AND r.doc_b = q.doc_b
+        )
+    ), deg AS (
+        SELECT n, count(*) AS deg FROM (
+            SELECT doc_a AS n FROM cand UNION ALL SELECT doc_b FROM cand
+        ) GROUP BY n
+    ), agg AS (
+        SELECT (SELECT count(*) FROM cand) AS n_edges,
+               (SELECT CAST(sum(deg * (deg - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+               (SELECT n_triangles FROM tri) AS n_triangles
+    )
+    SELECT n_edges, n_wedges, CAST(n_triangles AS BIGINT) AS n_triangles,
+           CASE WHEN n_wedges = 0 THEN 0
+                ELSE 3 * n_triangles * 1000000 // n_wedges END AS closure_ppm
+    FROM agg
     """

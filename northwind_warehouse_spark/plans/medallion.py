@@ -1545,3 +1545,152 @@ def oracle_fact_inventory_monthly() -> str:
                AS cum_qty_shipped
     FROM monthly ORDER BY p_brand, month_start
     """
+
+
+def scd3_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-3 user dimension: current attribute value plus the most
+    recent PRIOR distinct value — the "previous segment" column Kimball
+    Type 3 keeps when history is one column wide, complementing the
+    Type-2 interval dimension (scd2_users).
+
+    Both passes (current pick, previous-distinct pick) are windows over
+    the same hash(user_id) partitioning; the join back is key-aligned,
+    so the dimension builds without a second wide shuffle. Ties at
+    equal timestamp break by event_id (matching the SCD2 builder's
+    tiebreak discipline)."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    cur = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("current_type"),
+            F.col("ts").alias("current_ts"),
+        )
+    )
+    prev = (
+        e.join(cur, "user_id")
+        .filter(F.col("event_type") != F.col("current_type"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("previous_type"),
+            F.col("ts").alias("previous_ts"),
+        )
+    )
+    return (
+        cur.join(prev, "user_id", "left")
+        .select("user_id", "current_type", "current_ts", "previous_type", "previous_ts")
+        .orderBy("user_id")
+    )
+
+
+def oracle_scd3_users() -> str:
+    return """
+    WITH cur AS (
+        SELECT user_id, event_type AS current_type, ts AS current_ts
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    ), prev AS (
+        SELECT user_id, event_type AS previous_type, ts AS previous_ts
+        FROM (
+            SELECT e.user_id, e.event_type, e.ts,
+                   row_number() OVER (PARTITION BY e.user_id ORDER BY e.ts DESC, e.event_id DESC) AS rn
+            FROM events e JOIN cur USING (user_id)
+            WHERE e.event_type <> cur.current_type
+        ) WHERE rn = 1
+    )
+    SELECT cur.user_id, current_type, current_ts, previous_type, previous_ts
+    FROM cur LEFT JOIN prev ON cur.user_id = prev.user_id
+    ORDER BY cur.user_id
+    """
+
+
+def junk_dim_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Junk dimension: the distinct combinations of the order header's
+    low-cardinality flags collapsed into one keyed dimension (Kimball's
+    junk-dim pattern — keeps N tiny flag columns off the fact).
+
+    One map-side-combining distinct; the surrogate key is the same
+    portable md5 scheme the staging row_hash uses, so the fact can join
+    on it from either engine."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            surrogate_key("o_orderstatus", "o_orderpriority").alias("junk_sk"),
+            "o_orderstatus",
+            "o_orderpriority",
+            "n_orders",
+        )
+        .orderBy("o_orderstatus", "o_orderpriority")
+    )
+
+
+def oracle_junk_dim_orders() -> str:
+    sk = oracle_surrogate_key("o_orderstatus", "o_orderpriority")
+    return f"""
+    SELECT {sk} AS junk_sk, o_orderstatus, o_orderpriority, count(*) AS n_orders
+    FROM orders GROUP BY o_orderstatus, o_orderpriority
+    ORDER BY o_orderstatus, o_orderpriority
+    """
+
+
+def asof_events_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase → EARLIEST following (inclusive) click of the same
+    user — the forward as-of ("time to next action") complement of
+    asof_events. Same union + one-window shape reversed
+    (operators/asof.py::asof_join_forward): one shuffle, never the
+    key x interval product."""
+    from northwind_warehouse_spark.operators.asof import asof_join_forward
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return asof_join_forward(
+        purchases, clicks,
+        left_key="user_id", right_key="user_id",
+        left_ts="purchase_ts", right_ts="ts",
+        payload_cols=["event_id", "ts"],
+        payload_prefix="next_click_",
+        right_tiebreak=["event_id"],
+    ).select(
+        "purchase_event_id", "user_id", "purchase_ts",
+        F.col("next_click_event_id"),
+        F.col("next_click_ts"),
+        (F.unix_micros("next_click_ts") - F.unix_micros("purchase_ts"))
+        .alias("micros_to_next_click"),
+    ).orderBy("purchase_event_id")
+
+
+def oracle_asof_events_forward() -> str:
+    return """
+    WITH purchases AS (
+        SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), ranked AS (
+        SELECT p.purchase_event_id, p.user_id, p.purchase_ts,
+               c.event_id AS next_click_event_id, c.ts AS next_click_ts,
+               row_number() OVER (PARTITION BY p.purchase_event_id
+                                  ORDER BY c.ts, c.event_id) AS rn
+        FROM purchases p LEFT JOIN clicks c
+          ON c.user_id = p.user_id AND c.ts >= p.purchase_ts
+    )
+    SELECT purchase_event_id, user_id, purchase_ts, next_click_event_id, next_click_ts,
+           epoch_us(next_click_ts) - epoch_us(purchase_ts) AS micros_to_next_click
+    FROM ranked WHERE rn = 1
+    ORDER BY purchase_event_id
+    """

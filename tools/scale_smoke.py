@@ -133,6 +133,18 @@ def main() -> None:
         "curate_corpus": llm.curate_corpus,
         "winnow_overlap_pairs": llm.winnow_overlap_pairs,
         "pq_refine_stats": llm.pq_refine_stats,
+        # second-wave round-4 additions
+        "fact_order_lifecycle": medallion.fact_order_lifecycle,
+        "fact_inventory_monthly": medallion.fact_inventory_monthly,
+        "gaps_islands_orders": analytics.gaps_islands_orders,
+        "revenue_alloc_largest_remainder": analytics.revenue_alloc_largest_remainder,
+        "mad_outlier_orders": analytics.mad_outlier_orders,
+        "dedup_prefix_truncation": llm.dedup_prefix_truncation,
+        "ngram_novelty": llm.ngram_novelty,
+        "tokenizer_fertility": llm.tokenizer_fertility,
+        "simhash_hamming_pairs": llm.simhash_hamming_pairs,
+        "embedding_outliers": llm.embedding_outliers,
+        "ann_ivfpq_topk": llm.ann_ivfpq_topk,
         # dedup_embedding_cosine is deliberately absent: key-shifted
         # replication duplicates every vector, so LSH buckets grow
         # factor-fold and pair work factor² — that measures the
