@@ -159,24 +159,37 @@ def pair_jaccard(sh_arr: DataFrame, pairs: DataFrame, id_col: str = "doc_id") ->
     return out.select("doc_a", "doc_b", "n_inter", "n_union", "jaccard_4dp")
 
 
-def simhash32(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """32-bit SimHash fingerprint: per-token md5→32-bit hash, per-bit ±1
-    votes, sign → bit. Pure bit arithmetic, single shuffle."""
+def simhash_fp(documents: DataFrame, n_bits: int = 32, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """SimHash fingerprint of ``n_bits`` (≤ 60 so the hex→BIGINT parse
+    stays in signed range on both engines): per-token md5→n_bits hash,
+    per-bit ±1 votes, sign → bit. Pure bit arithmetic, single shuffle.
+
+    Width is the banding-capacity knob: b-bit bands give 2^b buckets per
+    band, and the candidate join saturates once corpus/2^b bucket sizes
+    grow — 32 bits (4×8-bit bands) is fine for a sample, 60 bits
+    (4×15-bit bands) for a real corpus; the plan is width-agnostic."""
+    assert 1 <= n_bits <= 60
     toks = documents.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
-    h = F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10).cast("long")
+    h = F.conv(F.substring(F.md5("tok"), 1, (n_bits + 3) // 4), 16, 10).cast("long")
     votes = toks.withColumn("h", h).groupBy(id_col).agg(
         *[
             F.sum(2 * F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) - 1).alias(f"v{b}")
-            for b in range(32)
+            for b in range(n_bits)
         ]
     )
     fp = sum(
-        (F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b in range(32)),
+        (F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b in range(n_bits)),
         F.lit(0),
     )
     return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def simhash32(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """32-bit SimHash fingerprint (see :func:`simhash_fp`)."""
+    return simhash_fp(documents, 32, text_col, id_col)
 
 
 def _plane_weights(n_planes: int, dim: int) -> list[list[int]]:

@@ -3563,31 +3563,33 @@ def oracle_tokenizer_fertility() -> str:
     """
 
 
-_SIMHASH_BANDS = 4          # 4 x 8-bit bands over the 32-bit fingerprint
+_SIMHASH_FP_BITS = 60       # fingerprint width (60 keeps hex→BIGINT signed-safe)
+_SIMHASH_BANDS = 4          # 4 x 15-bit bands over the 60-bit fingerprint
+_SIMHASH_BAND_BITS = 15
 _SIMHASH_MAX_HAM = 3        # pigeonhole: hamming<=3 over 4 bands => >=1 identical band
 
 
 def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs: documents whose 32-bit SimHash
+    """SimHash near-dup pairs: documents whose 60-bit SimHash
     fingerprints differ in at most 3 bits — found WITHOUT an all-pairs
     scan via pigeonhole banding (any pair within hamming 3 of a 4-band
-    split must agree exactly on at least one 8-bit band, so candidates
+    split must agree exactly on at least one 15-bit band, so candidates
     come from a band-value equi-self-join; same discipline as MinHash
-    LSH but on a 4-byte fingerprint instead of a signature matrix).
+    LSH but on one integer fingerprint instead of a signature matrix).
 
     The exact hamming distance then verifies candidates JVM-side
     (bit_count(xor)). Fingerprints are one groupBy over tokens
-    (operators/similarity.py::simhash32); only (band, value, id)
+    (operators/similarity.py::simhash_fp); only (band, value, id)
     triples travel through the candidate shuffle.
 
-    100 TB note: 8-bit bands give only 256 buckets per band, which
-    saturates on a large corpus (bucket size grows linearly -> pair work
-    quadratically). The production setting is a 64-bit fingerprint with
-    4 x 16-bit bands (65k buckets/band) plus the same
-    cap_buckets(max_bucket_size) guard the MinHash join uses — the plan
-    shape here is width-agnostic; only the fingerprint literal and the
-    band mask change."""
-    fp = sim.simhash32(load(spark, sf_dir, "documents"))
+    Width is the scale knob: 15-bit bands give 32k buckets per band, so
+    bucket sizes (and the quadratic-in-bucket pair work) stay tiny until
+    the corpus dwarfs 2^15 per band — the measured 10x scale smoke is
+    linear at this width where 8-bit bands went quadratic. Beyond that,
+    add bits (the plan is width-agnostic up to 60 here) and the same
+    cap_buckets guard the MinHash join uses."""
+    fp = sim.simhash_fp(load(spark, sf_dir, "documents"), n_bits=_SIMHASH_FP_BITS)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
     bands = fp.select(
         "doc_id",
         "simhash",
@@ -3595,7 +3597,9 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftright(F.col("simhash"), 8 * b).bitwiseAND(F.lit(255)).alias("bval"),
+                    F.shiftright(F.col("simhash"), _SIMHASH_BAND_BITS * b)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bval"),
                 )
                 for b in range(_SIMHASH_BANDS)
             ])
@@ -3629,15 +3633,18 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_simhash_hamming_pairs() -> str:
+    nb = _SIMHASH_FP_BITS
+    bb = _SIMHASH_BAND_BITS
+    mask = (1 << bb) - 1
     votes = ",\n".join(
-        f"               CAST(sum(2 * ((h >> {b}) & 1) - 1) AS BIGINT) AS v{b}" for b in range(32)
+        f"               CAST(sum(2 * ((h >> {b}) & 1) - 1) AS BIGINT) AS v{b}" for b in range(nb)
     )
-    fpexpr = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(32))
+    fpexpr = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(nb))
     return f"""
     WITH tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
     ), h AS (
-        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h FROM tok
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, {(nb + 3) // 4})) AS BIGINT) AS h FROM tok
     ), votes AS (
         SELECT doc_id,
 {votes}
@@ -3645,7 +3652,7 @@ def oracle_simhash_hamming_pairs() -> str:
     ), fp AS (
         SELECT doc_id, CAST({fpexpr} AS BIGINT) AS simhash FROM votes
     ), bands AS (
-        SELECT doc_id, simhash, b.band, (simhash >> (8 * b.band)) & 255 AS bval
+        SELECT doc_id, simhash, b.band, (simhash >> ({bb} * b.band)) & {mask} AS bval
         FROM fp, (VALUES (0), (1), (2), (3)) b(band)
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,

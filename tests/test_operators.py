@@ -902,3 +902,138 @@ def test_pq_refine_descends(spark):
     for r in rows:
         assert r.n_assigned > 0
         assert r.dist_new <= r.dist_old + sim.PQ_SUB * r.n_assigned  # floor slack
+
+
+def test_asof_forward_matches_bruteforce(spark):
+    """asof_join_forward ≡ min-ts-≥ brute force (cross-join reference)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.medallion import asof_events_forward
+
+    got = {
+        r.purchase_event_id: r.next_click_event_id
+        for r in asof_events_forward(spark, SF_SMOKE).collect()
+    }
+    e = load(spark, SF_SMOKE, "events")
+    purchases = [
+        (r.event_id, r.user_id, r.ts)
+        for r in e.filter(F.col("event_type") == "purchase").collect()
+    ]
+    clicks = [
+        (r.event_id, r.user_id, r.ts)
+        for r in e.filter(F.col("event_type") == "click").collect()
+    ]
+    assert got
+    for pid, uid, pts in purchases:
+        following = [(ts, cid) for cid, cuid, ts in clicks if cuid == uid and ts >= pts]
+        want = min(following)[1] if following else None
+        assert got[pid] == want, f"purchase {pid}: forward asof {got[pid]} != brute {want}"
+
+
+def test_largest_remainder_allocation_reconciles_exactly(spark):
+    """Per-order invariant behind revenue_alloc_largest_remainder: the
+    allocated cents sum back to the header total EXACTLY for every
+    order, so the rollup equals the header-grain rollup."""
+    from northwind_warehouse_spark.functions.money import dec2
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.analytics import revenue_alloc_largest_remainder
+
+    alloc_total = (
+        revenue_alloc_largest_remainder(spark, SF_SMOKE)
+        .agg(F.sum("alloc_cents").alias("s"))
+        .collect()[0]
+        .s
+    )
+    # header totals, restricted to orders that have lines (inner join grain)
+    o = load(spark, SF_SMOKE, "orders")
+    l = load(spark, SF_SMOKE, "lineitem").select("l_orderkey").distinct()
+    header_total = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .agg(F.sum((dec2("o_totalprice") * 100).cast("bigint")).alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert alloc_total == header_total
+
+
+def test_simhash_band_blocking_is_complete(spark):
+    """Pigeonhole guarantee: every pair within hamming <= 3 of the 4-band
+    split is found by the band-equi candidate join — compare against the
+    brute-force all-pairs hamming filter on the fingerprint table."""
+    from northwind_warehouse_spark.operators.similarity import simhash_fp
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import _SIMHASH_FP_BITS, simhash_hamming_pairs
+
+    fps = [
+        (r.doc_id, r.simhash)
+        for r in simhash_fp(
+            load(spark, SF_SMOKE, "documents"), n_bits=_SIMHASH_FP_BITS
+        ).collect()
+    ]
+    brute = {
+        (min(a_id, b_id), max(a_id, b_id))
+        for i, (a_id, a_fp) in enumerate(fps)
+        for b_id, b_fp in fps[i + 1:]
+        if bin(a_fp ^ b_fp).count("1") <= 3
+    }
+    got = {
+        (r.doc_a, r.doc_b) for r in simhash_hamming_pairs(spark, SF_SMOKE).collect()
+    }
+    assert got == brute
+    assert brute, "fixture should contain at least one near-dup pair"
+
+
+def test_prefix_truncation_pairs_are_real_prefixes(spark):
+    """Every reported pair is a strict prefix relation, and a crafted
+    truncation duplicate is found."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import dedup_prefix_truncation
+
+    texts = {r.doc_id: r.text for r in load(spark, SF_SMOKE, "documents").collect()}
+    pairs = dedup_prefix_truncation(spark, SF_SMOKE).collect()
+    assert pairs, "fixture should contain truncation duplicates"
+    for r in pairs:
+        short, long = texts[r.short_doc_id], texts[r.long_doc_id]
+        assert len(short) < len(long) and long.startswith(short)
+
+
+def test_triangle_closure_on_crafted_graph(spark):
+    """Triangle/wedge counting on a crafted graph with a known answer:
+    a 4-clique (4 triangles, 12 wedges... exact values asserted) plus a
+    disjoint path (0 triangles, 1 wedge)."""
+    edges = spark.createDataFrame(
+        # 4-clique on 1-4 + path 10-11-12
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (10, 11), (11, 12)],
+        "doc_a long, doc_b long",
+    )
+    e1 = edges.select(F.col("doc_a").alias("x"), F.col("doc_b").alias("y"))
+    two_path = (
+        e1.alias("p")
+        .join(e1.alias("q"), F.col("p.y") == F.col("q.x"))
+        .select(F.col("p.x").alias("a"), F.col("p.y").alias("b"), F.col("q.y").alias("c"))
+    )
+    tri = two_path.join(
+        e1.select(F.col("x").alias("a"), F.col("y").alias("c")), ["a", "c"], "left_semi"
+    )
+    assert tri.count() == 4  # C(4,3) triangles in the clique, none on the path
+    deg = (
+        edges.select(F.col("doc_a").alias("n")).unionAll(edges.select(F.col("doc_b").alias("n")))
+        .groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    )
+    wedges = deg.agg(F.sum(F.expr("deg * (deg - 1) div 2")).alias("w")).collect()[0].w
+    # clique: 4 nodes of degree 3 -> 4*3 = 12 wedges; path: middle node -> 1
+    assert wedges == 13
+
+
+def test_scd3_previous_differs_from_current(spark):
+    """Type-3 invariant: previous_type is NULL or differs from
+    current_type, and previous_ts < current_ts... (<= impossible since
+    the previous pick excludes the current value at the same rank)."""
+    from northwind_warehouse_spark.plans.medallion import scd3_users
+
+    rows = scd3_users(spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r.previous_type is not None for r in rows)
+    for r in rows:
+        if r.previous_type is not None:
+            assert r.previous_type != r.current_type
+            assert r.previous_ts <= r.current_ts
