@@ -163,28 +163,32 @@ def simhash_fp(documents: DataFrame, n_bits: int = 32, text_col: str = "text",
                id_col: str = "doc_id") -> DataFrame:
     """SimHash fingerprint of ``n_bits`` (≤ 60 so the hex→BIGINT parse
     stays in signed range on both engines): per-token md5→n_bits hash,
-    per-bit ±1 votes, sign → bit. Pure bit arithmetic, single shuffle.
+    per-bit ±1 votes, sign → bit.
+
+    MAP-ONLY: the per-bit votes fold over the row's own token array with
+    higher-order functions (a bit is set when more than half the token
+    hashes have it set — ±1 vote sum > 0 ⇔ 2·set_count > n), so the
+    fingerprint pass has ZERO shuffle, scales with input bytes, and runs
+    verbatim on a streaming DataFrame (streaming/jobs.py).
 
     Width is the banding-capacity knob: b-bit bands give 2^b buckets per
     band, and the candidate join saturates once corpus/2^b bucket sizes
     grow — 32 bits (4×8-bit bands) is fine for a sample, 60 bits
     (4×15-bit bands) for a real corpus; the plan is width-agnostic."""
     assert 1 <= n_bits <= 60
-    toks = documents.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    nhex = (n_bits + 3) // 4
+    bits = " + ".join(
+        f"CASE WHEN 2 * size(filter(hs, h -> ((h >> {b}) & 1) = 1)) > size(hs) "
+        f"THEN CAST({2 ** b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        for b in range(n_bits)
     )
-    h = F.conv(F.substring(F.md5("tok"), 1, (n_bits + 3) // 4), 16, 10).cast("long")
-    votes = toks.withColumn("h", h).groupBy(id_col).agg(
-        *[
-            F.sum(2 * F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) - 1).alias(f"v{b}")
-            for b in range(n_bits)
-        ]
-    )
-    fp = sum(
-        (F.when(F.col(f"v{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0)) for b in range(n_bits)),
-        F.lit(0),
-    )
-    return votes.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+    return documents.select(
+        F.col(id_col),
+        F.expr(
+            f"transform(split({text_col}, ' '), "
+            f"t -> CAST(conv(substring(md5(t), 1, {nhex}), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    ).select(F.col(id_col), F.expr(f"CAST({bits} AS BIGINT)").alias("simhash"))
 
 
 def simhash32(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

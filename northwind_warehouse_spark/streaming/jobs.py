@@ -434,3 +434,17 @@ def winnow_stream(incoming: DataFrame) -> DataFrame:
     from northwind_warehouse_spark.plans.llm import winnow_digests
 
     return winnow_digests(incoming)
+
+
+def simhash_stream(incoming: DataFrame) -> DataFrame:
+    """Streaming SimHash fingerprints: the BATCH fingerprint fold
+    (operators/similarity.py::simhash_fp, map-only since the per-bit
+    votes aggregate over each row's own token array) applied verbatim to
+    the ingest stream — no watermark, no state. Ingest-time near-dup
+    screening joins these against the corpus fingerprint index the same
+    stateless way dedup_stream_vs_corpus does (equality with the batch
+    fingerprints asserted in tests/test_streaming.py)."""
+    from northwind_warehouse_spark.operators.similarity import simhash_fp
+    from northwind_warehouse_spark.plans.llm import _SIMHASH_FP_BITS
+
+    return simhash_fp(incoming, n_bits=_SIMHASH_FP_BITS)

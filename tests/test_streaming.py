@@ -426,3 +426,28 @@ def test_winnow_stream_matches_batch(spark, tmp_path):
     got = {tuple(r) for r in spark.table("winnowed").collect()}
     want = {tuple(r) for r in winnow_fingerprint(spark, SF_SMOKE).collect()}
     assert got == want and len(got) > 0
+
+
+def test_simhash_stream_matches_batch(spark, tmp_path):
+    """Streaming SimHash fingerprints ≡ the batch fingerprint fold —
+    possible only because simhash_fp is map-only (the votes fold over
+    each row's token array, no explode+groupBy)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.similarity import simhash_fp
+    from northwind_warehouse_spark.plans.llm import _SIMHASH_FP_BITS
+    from northwind_warehouse_spark.streaming.jobs import (
+        run_to_memory, simhash_stream, stream_documents,
+    )
+
+    src = str(tmp_path / "docs_simhash")
+    load(spark, SF_SMOKE, "documents").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = simhash_stream(stream_documents(spark, src))
+    run_to_memory(stream, "simhashed", str(tmp_path / "ckpt_simhash"))
+    got = {tuple(r) for r in spark.table("simhashed").collect()}
+    want = {
+        tuple(r)
+        for r in simhash_fp(
+            load(spark, SF_SMOKE, "documents"), n_bits=_SIMHASH_FP_BITS
+        ).collect()
+    }
+    assert got == want and len(got) > 0
