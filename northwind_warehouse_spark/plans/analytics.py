@@ -3617,3 +3617,137 @@ def oracle_mad_outlier_orders() -> str:
     FROM dev JOIN mad USING (o_orderpriority)
     GROUP BY dev.o_orderpriority ORDER BY dev.o_orderpriority
     """
+
+
+_BLOOM_WORD_BITS = 60  # bits per word — 1<<59 max keeps the shift signed-safe in both engines
+_BLOOM_WORDS = 68
+_BLOOM_BITS = _BLOOM_WORD_BITS * _BLOOM_WORDS  # 4080
+
+
+def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pre-filter, audited: build a 4096-bit /
+    2-hash Bloom filter over a selective dimension key set (BUILDING-
+    segment customers), probe every order against it BEFORE the join,
+    and report the exact pass/true-match/false-positive accounting —
+    the portable re-expression of Spark's runtime row-level filtering
+    (InjectRuntimeFilter's bloom pushdown), which at 100 TB means the
+    big fact is pre-filtered at the scan instead of shuffling rows that
+    the join will drop.
+
+    The filter itself is a ≤64-row (word_idx, bits) table — built with
+    one tiny aggregation over the dim keys, broadcast to the probe side
+    and checked with pure bit arithmetic. No false negatives by
+    construction (asserted in the output: n_false_neg); the
+    false-positive rate among true non-members is exact ppm."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+
+    def pos(tag: str, key: str) -> F.Column:
+        return (
+            F.conv(F.substring(F.md5(F.concat(F.lit(tag), F.col(key).cast("string"))), 1, 8), 16, 10)
+            .cast("long") % _BLOOM_BITS
+        )
+
+    kb = c.select(
+        F.explode(F.array(pos("b1|", "c_custkey"), pos("b2|", "c_custkey"))).alias("p")
+    ).select(
+        (F.col("p") / _BLOOM_WORD_BITS).cast("long").alias("word_idx"),
+        F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {_BLOOM_WORD_BITS} AS INT))").alias("bit"),
+    )
+    words = kb.groupBy("word_idx").agg(F.bit_or("bit").alias("bits"))
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probe = o.select(
+        "o_orderkey",
+        "o_custkey",
+        pos("b1|", "o_custkey").alias("p1"),
+        pos("b2|", "o_custkey").alias("p2"),
+    )
+    w1 = words.select(F.col("word_idx").alias("w1"), F.col("bits").alias("bits1"))
+    w2 = words.select(F.col("word_idx").alias("w2"), F.col("bits").alias("bits2"))
+    checked = (
+        probe.join(F.broadcast(w1), (F.col("p1") / _BLOOM_WORD_BITS).cast("long") == F.col("w1"), "left")
+        .join(F.broadcast(w2), (F.col("p2") / _BLOOM_WORD_BITS).cast("long") == F.col("w2"), "left")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            (
+                F.expr(f"(shiftright(coalesce(bits1, CAST(0 AS BIGINT)), CAST(p1 % {_BLOOM_WORD_BITS} AS INT)) & 1) = 1")
+                & F.expr(f"(shiftright(coalesce(bits2, CAST(0 AS BIGINT)), CAST(p2 % {_BLOOM_WORD_BITS} AS INT)) & 1) = 1")
+            ).alias("bloom_pass"),
+        )
+    )
+    truth = checked.join(
+        F.broadcast(c.withColumn("is_member", F.lit(1))),
+        checked.o_custkey == F.col("c_custkey"),
+        "left",
+    ).select("o_orderkey", "bloom_pass", F.coalesce("is_member", F.lit(0)).alias("is_member"))
+    return truth.agg(
+        F.count(F.lit(1)).alias("n_probe"),
+        F.sum(F.col("bloom_pass").cast("bigint")).alias("n_pass_bloom"),
+        F.sum("is_member").cast("bigint").alias("n_true_match"),
+        F.sum(((~F.col("bloom_pass")) & (F.col("is_member") == 1)).cast("bigint")).alias("n_false_neg"),
+        F.sum((F.col("bloom_pass") & (F.col("is_member") == 0)).cast("bigint")).alias("n_false_pos"),
+    ).select(
+        "n_probe",
+        "n_pass_bloom",
+        "n_true_match",
+        "n_false_neg",
+        "n_false_pos",
+        F.expr(
+            "CASE WHEN n_probe = n_true_match THEN 0 "
+            "ELSE 1000000 * n_false_pos div (n_probe - n_true_match) END"
+        ).alias("fp_ppm"),
+    )
+
+
+def oracle_bloom_prefilter_audit() -> str:
+    def pos(tag: str, key: str) -> str:
+        return (
+            f"CAST(('0x' || substr(md5('{tag}' || CAST({key} AS VARCHAR)), 1, 8)) AS BIGINT)"
+            f" % {_BLOOM_BITS}"
+        )
+
+    wb = _BLOOM_WORD_BITS
+    return f"""
+    WITH keys AS (
+        SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), kb AS (
+        SELECT p // {wb} AS word_idx, (CAST(1 AS BIGINT) << CAST(p % {wb} AS INT)) AS bit
+        FROM (
+            SELECT unnest([{pos('b1|', 'c_custkey')}, {pos('b2|', 'c_custkey')}]) AS p
+            FROM keys
+        )
+    ), words AS (
+        SELECT word_idx, bit_or(bit) AS bits FROM kb GROUP BY word_idx
+    ), probe AS (
+        SELECT o_orderkey, o_custkey,
+               {pos('b1|', 'o_custkey')} AS p1,
+               {pos('b2|', 'o_custkey')} AS p2
+        FROM orders
+    ), checked AS (
+        SELECT o_orderkey, o_custkey,
+               ((coalesce(w1.bits, 0) >> CAST(p1 % {wb} AS INT)) & 1) = 1
+               AND ((coalesce(w2.bits, 0) >> CAST(p2 % {wb} AS INT)) & 1) = 1 AS bloom_pass
+        FROM probe
+        LEFT JOIN words w1 ON p1 // {wb} = w1.word_idx
+        LEFT JOIN words w2 ON p2 // {wb} = w2.word_idx
+    ), truth AS (
+        SELECT o_orderkey, bloom_pass,
+               CASE WHEN k.c_custkey IS NULL THEN 0 ELSE 1 END AS is_member
+        FROM checked LEFT JOIN keys k ON checked.o_custkey = k.c_custkey
+    ), agg AS (
+        SELECT count(*) AS n_probe,
+               CAST(sum(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_bloom,
+               CAST(sum(is_member) AS BIGINT) AS n_true_match,
+               CAST(sum(CASE WHEN NOT bloom_pass AND is_member = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_neg,
+               CAST(sum(CASE WHEN bloom_pass AND is_member = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_false_pos
+        FROM truth
+    )
+    SELECT n_probe, n_pass_bloom, n_true_match, n_false_neg, n_false_pos,
+           CASE WHEN n_probe = n_true_match THEN 0
+                ELSE 1000000 * n_false_pos // (n_probe - n_true_match) END AS fp_ppm
+    FROM agg
+    """
