@@ -3751,3 +3751,151 @@ def oracle_bloom_prefilter_audit() -> str:
                 ELSE 1000000 * n_false_pos // (n_probe - n_true_match) END AS fp_ppm
     FROM agg
     """
+
+
+_ATTR_WINDOW_US = 3_600_000_000  # 1h attribution lookback, microseconds
+
+
+def attribution_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing attribution, three models side by side: for every
+    purchase, the click/view touches in the hour before it are credited
+    last-touch (1 to the latest), first-touch (1 to the earliest), and
+    linear (1e6 div n_touches ppm each) — the comparison table that
+    shows how much each model shifts credit between channels.
+
+    One user-co-partitioned interval join builds the touch set (never a
+    time cross-join), and all three models run in the SAME
+    purchase-partitioned window pass — the ranks and the count share one
+    exchange. Credits are exact integers (ties: event_id)."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    touches = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("touch_event_id"),
+        "user_id",
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    p, t = purchases.alias("p"), touches.alias("t")
+    j = p.join(
+        t,
+        (F.col("p.user_id") == F.col("t.user_id"))
+        & (F.unix_micros("t.touch_ts") <= F.unix_micros("p.purchase_ts"))
+        & (F.unix_micros("t.touch_ts") >= F.unix_micros("p.purchase_ts") - F.lit(_ATTR_WINDOW_US)),
+    ).select("purchase_event_id", "channel", "touch_event_id", "touch_ts")
+    wp = Window.partitionBy("purchase_event_id")
+    ranked = (
+        j.withColumn(
+            "rn_last",
+            F.row_number().over(wp.orderBy(F.desc("touch_ts"), F.desc("touch_event_id"))),
+        )
+        .withColumn(
+            "rn_first",
+            F.row_number().over(wp.orderBy(F.col("touch_ts"), F.col("touch_event_id"))),
+        )
+        .withColumn("n_touches", F.count(F.lit(1)).over(wp))
+    )
+    return (
+        ranked.groupBy("channel")
+        .agg(
+            F.sum((F.col("rn_last") == 1).cast("bigint")).alias("last_touch_credits"),
+            F.sum((F.col("rn_first") == 1).cast("bigint")).alias("first_touch_credits"),
+            F.sum(F.expr("1000000 div n_touches")).alias("linear_credit_ppm"),
+            F.count(F.lit(1)).alias("n_touches_total"),
+        )
+        .orderBy("channel")
+    )
+
+
+def oracle_attribution_models() -> str:
+    return f"""
+    WITH purchases AS (
+        SELECT event_id AS purchase_event_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ), touches AS (
+        SELECT event_id AS touch_event_id, user_id, event_type AS channel, ts AS touch_ts
+        FROM events WHERE event_type IN ('click', 'view')
+    ), j AS (
+        SELECT purchase_event_id, channel, touch_event_id, touch_ts
+        FROM purchases p JOIN touches t
+          ON p.user_id = t.user_id
+         AND epoch_us(t.touch_ts) <= epoch_us(p.purchase_ts)
+         AND epoch_us(t.touch_ts) >= epoch_us(p.purchase_ts) - {_ATTR_WINDOW_US}
+    ), ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY purchase_event_id
+                                  ORDER BY touch_ts DESC, touch_event_id DESC) AS rn_last,
+               row_number() OVER (PARTITION BY purchase_event_id
+                                  ORDER BY touch_ts, touch_event_id) AS rn_first,
+               count(*) OVER (PARTITION BY purchase_event_id) AS n_touches
+        FROM j
+    )
+    SELECT channel,
+           CAST(sum(CASE WHEN rn_last = 1 THEN 1 ELSE 0 END) AS BIGINT) AS last_touch_credits,
+           CAST(sum(CASE WHEN rn_first = 1 THEN 1 ELSE 0 END) AS BIGINT) AS first_touch_credits,
+           CAST(sum(1000000 // n_touches) AS BIGINT) AS linear_credit_ppm,
+           count(*) AS n_touches_total
+    FROM ranked GROUP BY channel ORDER BY channel
+    """
+
+
+_DEBOUNCE_US = 3_600_000_000  # 1h burst-collapse threshold
+
+
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time debouncing: collapse bursts by keeping only events
+    whose previous event of the same (user, type) is more than an hour
+    older (or absent) — the telemetry dedup that turns retry storms and
+    double-fires into one logical action.
+
+    One lag window on the (user_id, event_type) partitioning; reported
+    as per-type kept/total accounting in exact ppm. The same rule
+    streams with applyInPandasWithState keyed the same way."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "kept",
+        (
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > F.lit(_DEBOUNCE_US))
+        ).cast("bigint"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "n_kept",
+            F.expr("1000000 * n_kept div n_events").alias("kept_ppm"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def oracle_events_debounce() -> str:
+    return f"""
+    WITH flagged AS (
+        SELECT event_type,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+                         IS NULL THEN 1
+                    WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id, event_type
+                         ORDER BY ts, event_id)) > {_DEBOUNCE_US} THEN 1
+                    ELSE 0 END AS kept
+        FROM events
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(kept) AS BIGINT) AS n_kept,
+           1000000 * CAST(sum(kept) AS BIGINT) // count(*) AS kept_ppm
+    FROM flagged GROUP BY event_type ORDER BY event_type
+    """

@@ -3940,3 +3940,126 @@ def oracle_dedup_graph_triangles() -> str:
                 ELSE 3 * n_triangles * 1000000 // n_wedges END AS closure_ppm
     FROM agg
     """
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT on the LSH candidate pairs:
+    |A∩B| relative to each side separately — the measure that catches
+    doc-inside-doc (quotes, concatenated crawls) that symmetric Jaccard
+    under-scores: a small doc fully embedded in a big one has tiny
+    Jaccard but containment_a ≈ 1.
+
+    Same candidate discipline as pair_jaccard (band buckets, never
+    all-pairs); the flag marks pairs where one side is ≥90% contained
+    while Jaccard stays below 70% — exactly the pairs a Jaccard-only
+    pipeline would keep twice."""
+    d = load(spark, sf_dir, "documents")
+    sh_arr = sim.shingle_arrays(d)
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sh_arr))
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)").alias("n_inter"),
+            F.expr("CAST(size(sh_a) AS BIGINT)").alias("n_a"),
+            F.expr("CAST(size(sh_b) AS BIGINT)").alias("n_b"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.expr("1000000 * n_inter div n_a").alias("containment_a_ppm"),
+            F.expr("1000000 * n_inter div n_b").alias("containment_b_ppm"),
+            F.expr(
+                "CASE WHEN greatest(1000000 * n_inter div n_a, 1000000 * n_inter div n_b) >= 900000 "
+                "AND 1000000 * n_inter div (n_a + n_b - n_inter) < 700000 "
+                "THEN 'Y' ELSE 'N' END"
+            ).alias("containment_only"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_dedup_containment() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    inter AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+               CAST(len(sa.sh) AS BIGINT) AS n_a,
+               CAST(len(sb.sh) AS BIGINT) AS n_b
+        FROM cand c
+        JOIN sharr sa ON sa.doc_id = c.doc_a
+        JOIN sharr sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, n_inter, n_a, n_b,
+           1000000 * n_inter // n_a AS containment_a_ppm,
+           1000000 * n_inter // n_b AS containment_b_ppm,
+           CASE WHEN greatest(1000000 * n_inter // n_a, 1000000 * n_inter // n_b) >= 900000
+                     AND 1000000 * n_inter // (n_a + n_b - n_inter) < 700000
+                THEN 'Y' ELSE 'N' END AS containment_only
+    FROM inter ORDER BY doc_a, doc_b
+    """
+
+
+_VOCAB_K = 50
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage audit: what fraction of each source's token
+    occurrences the top-50 corpus vocabulary covers (exact ppm) — the
+    number that decides whether a vocab/merge budget is big enough for
+    a slice before training a tokenizer on the mixture.
+
+    The vocab is a 50-row total-ordered top-k, broadcast back; coverage
+    is one token-explode aggregate per source with a broadcast-hash
+    membership flag (no second corpus shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(_VOCAB_K)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("total_tokens"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("bigint").alias("covered_tokens"),
+        )
+        .select(
+            "source",
+            "total_tokens",
+            "covered_tokens",
+            F.expr("1000000 * covered_tokens div total_tokens").alias("coverage_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_vocab_coverage() -> str:
+    return f"""
+    WITH toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), vocab AS (
+        SELECT term FROM (
+            SELECT term, count(*) AS n FROM toks GROUP BY term
+            ORDER BY n DESC, term LIMIT {_VOCAB_K}
+        )
+    )
+    SELECT source, count(*) AS total_tokens,
+           CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS covered_tokens,
+           1000000 * CAST(sum(CASE WHEN v.term IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+               // count(*) AS coverage_ppm
+    FROM toks LEFT JOIN vocab v USING (term)
+    GROUP BY source ORDER BY source
+    """
