@@ -3899,3 +3899,97 @@ def oracle_events_debounce() -> str:
            1000000 * CAST(sum(kept) AS BIGINT) // count(*) AS kept_ppm
     FROM flagged GROUP BY event_type ORDER BY event_type
     """
+
+
+def revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue trend: exact least-squares slope of monthly
+    revenue over the month index, plus the Pearson correlation — trend
+    detection as closed-form integer algebra instead of an ML library.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) published in exact
+    micro-cents-per-month via the sign-split DECIMAL(38,0) division
+    (numerator can be negative; both engines truncate non-negative
+    dividends identically). corr divides the same integer moments in
+    IEEE double (sqrt is correctly rounded in both engines — the
+    cosine_from_parts discipline). The fact collapses to nation×month
+    grain first; the regression runs on ≤ |nations|·|months| rows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1 - 1995 * 12)
+            .cast("bigint")
+            .alias("x"),
+            (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("n_name", "x")
+        .agg(F.sum("cents").alias("y"))
+    )
+    moments = monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.expr("CAST(y AS DECIMAL(38,0)) * y")).cast("decimal(38,0)").alias("syy"),
+    )
+    return (
+        moments.select(
+            "n_name",
+            "n",
+            F.expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))").alias("num"),
+            F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("den_x"),
+            F.expr("CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))").alias("den_y"),
+        )
+        .select(
+            "n_name",
+            "n",
+            F.expr(
+                """CASE WHEN num >= 0
+                        THEN CAST(num * 1000000 div den_x AS BIGINT)
+                        ELSE -CAST((-num) * 1000000 div den_x AS BIGINT) END"""
+            ).alias("slope_microcents_per_month"),
+            F.expr(
+                "CAST(num AS DOUBLE) / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE))"
+            ).alias("corr"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def oracle_revenue_trend_slope() -> str:
+    return """
+    WITH monthly AS (
+        SELECT n_name,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 - 1995 * 12 AS BIGINT) AS x,
+               CAST(sum(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name, x
+    ), moments AS (
+        SELECT n_name, count(*) AS n,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy,
+               CAST(sum(CAST(y AS HUGEINT) * y) AS HUGEINT) AS syy
+        FROM monthly GROUP BY n_name
+    ), parts AS (
+        SELECT n_name, n,
+               CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS HUGEINT) AS num,
+               CAST(n * sxx - sx * sx AS HUGEINT) AS den_x,
+               CAST(n * syy - CAST(sy AS HUGEINT) * sy AS HUGEINT) AS den_y
+        FROM moments
+    )
+    SELECT n_name, n,
+           CASE WHEN num >= 0
+                THEN CAST(num * 1000000 // den_x AS BIGINT)
+                ELSE -CAST((-num) * 1000000 // den_x AS BIGINT) END
+               AS slope_microcents_per_month,
+           CAST(num AS DOUBLE) / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)) AS corr
+    FROM parts ORDER BY n_name
+    """

@@ -1694,3 +1694,84 @@ def oracle_asof_events_forward() -> str:
     FROM ranked WHERE rn = 1
     ORDER BY purchase_event_id
     """
+
+
+def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bill-of-materials explosion: for every (component, ancestor
+    assembly) pair in a self-referencing part hierarchy, the EFFECTIVE
+    quantity — the PRODUCT of per-edge quantities along the path — plus
+    the level distance. The multiplicative complement of
+    hierarchy_rollup's additive subtree sums; the manufacturing query
+    every requirements-planning run starts from.
+
+    The test tables carry no BOM edges, so the structure rule is the
+    deterministic ``parent(k) = k div 10`` forest with per-edge
+    ``qty_per(k) = k % 5 + 1`` (synthetic EDGES, real MACHINERY — the
+    walk only follows keys and multiplies a column). Spark-first:
+    iterative frontier walk, one broadcast join per level, O(depth)
+    rounds, lineage capped by localCheckpoint; every intermediate pair
+    is emitted, not just roots. DuckDB oracle: recursive CTE carrying
+    the running product."""
+    p = load(spark, sf_dir, "part")
+    nodes = p.select(
+        F.col("p_partkey").alias("part_id"),
+        F.when(F.col("p_partkey") >= 10, F.expr("p_partkey div 10"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("parent_id"),
+        F.expr("p_partkey % 5 + 1").cast("bigint").alias("qty_per"),
+    )
+    cur = nodes.filter(F.col("parent_id").isNotNull()).select(
+        F.col("part_id").alias("component_id"),
+        F.col("parent_id").alias("ancestor_id"),
+        F.lit(1).cast("bigint").alias("levels"),
+        F.col("qty_per").alias("effective_qty"),
+    )
+    parents = nodes.select(
+        F.col("part_id").alias("ancestor_id"),
+        F.col("parent_id").alias("next_anc"),
+        F.col("qty_per").alias("anc_qty_per"),
+    )
+    out = [cur.localCheckpoint()]
+    frontier = out[0]
+    while True:
+        stepped = (
+            frontier.join(F.broadcast(parents), "ancestor_id")
+            .filter(F.col("next_anc").isNotNull())
+            .select(
+                "component_id",
+                F.col("next_anc").alias("ancestor_id"),
+                (F.col("levels") + 1).alias("levels"),
+                (F.col("effective_qty") * F.col("anc_qty_per")).alias("effective_qty"),
+            )
+            .localCheckpoint()
+        )
+        if stepped.isEmpty():
+            break
+        out.append(stepped)
+        frontier = stepped
+    res = out[0]
+    for part_df in out[1:]:
+        res = res.unionByName(part_df)
+    return res.orderBy("component_id", "ancestor_id")
+
+
+def oracle_bom_explosion() -> str:
+    return """
+    WITH RECURSIVE nodes AS (
+        SELECT p_partkey AS part_id,
+               CASE WHEN p_partkey >= 10 THEN p_partkey // 10 ELSE NULL END AS parent_id,
+               CAST(p_partkey % 5 + 1 AS BIGINT) AS qty_per
+        FROM part
+    ), chain AS (
+        SELECT part_id AS component_id, parent_id AS ancestor_id,
+               CAST(1 AS BIGINT) AS levels, qty_per AS effective_qty
+        FROM nodes WHERE parent_id IS NOT NULL
+        UNION ALL
+        SELECT ch.component_id, n.parent_id, ch.levels + 1,
+               ch.effective_qty * n.qty_per
+        FROM chain ch JOIN nodes n ON ch.ancestor_id = n.part_id
+        WHERE n.parent_id IS NOT NULL
+    )
+    SELECT component_id, ancestor_id, levels, effective_qty
+    FROM chain ORDER BY component_id, ancestor_id
+    """
