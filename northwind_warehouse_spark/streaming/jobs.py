@@ -448,3 +448,56 @@ def simhash_stream(incoming: DataFrame) -> DataFrame:
     from northwind_warehouse_spark.plans.llm import _SIMHASH_FP_BITS
 
     return simhash_fp(incoming, n_bits=_SIMHASH_FP_BITS)
+
+
+DEBOUNCE_STATE_SCHEMA = StructType([StructField("last_ts", TimestampType())])
+
+DEBOUNCE_OUT_SCHEMA = StructType([
+    StructField("event_id", LongType()),
+    StructField("user_id", LongType()),
+    StructField("event_type", StringType()),
+    StructField("ts", TimestampType()),
+])
+
+
+def debounce_stream(events: DataFrame, threshold_seconds: int = 3600) -> DataFrame:
+    """Stateful event-time debouncing (the streaming twin of the batch
+    events_debounce rule): per (user_id, event_type), emit an event only
+    when the previous event of the same key is more than the threshold
+    older — state is ONE timestamp per key, updated on every event, so
+    it is bounded by key cardinality regardless of volume.
+
+    Within a micro-batch rows fold in (ts, event_id) order, matching the
+    batch lag-window tiebreak; across batches the carried last_ts
+    continues the same recurrence (equality with the batch rule asserted
+    in tests/test_streaming.py)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    thr = timedelta(seconds=threshold_seconds)
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState) -> Iterator[pd.DataFrame]:
+        user_id, event_type = key
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        last_ts = state.get[0] if state.exists else None
+        if last_ts is not None and hasattr(last_ts, "to_pydatetime"):
+            last_ts = last_ts.to_pydatetime()
+        kept = []
+        for ts, event_id in zip(rows["ts"], rows["event_id"]):
+            ts = ts.to_pydatetime() if hasattr(ts, "to_pydatetime") else ts
+            if last_ts is None or (ts - last_ts) > thr:
+                kept.append({
+                    "event_id": int(event_id), "user_id": user_id,
+                    "event_type": event_type, "ts": ts,
+                })
+            last_ts = ts
+        state.update((last_ts,))
+        if kept:
+            yield pd.DataFrame(kept)
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        fn,
+        outputStructType=DEBOUNCE_OUT_SCHEMA,
+        stateStructType=DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -451,3 +451,41 @@ def test_simhash_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_debounce_stream_matches_batch(spark, events_dir, tmp_path):
+    """Stateful streaming debounce ≡ the batch lag-window rule: the same
+    kept event_ids, computed with one-timestamp-per-key state."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.streaming.jobs import debounce_stream, stream_events
+
+    _prepare(spark, events_dir)
+    stream = debounce_stream(
+        stream_events(spark, events_dir).select("event_id", "user_id", "event_type", "ts")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("debounced")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_debounce"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.event_id for r in spark.table("debounced").collect()}
+
+    e = load(spark, SF_SMOKE, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    want = {
+        r.event_id
+        for r in e.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(
+            F.col("prev_ts").isNull()
+            | (F.unix_micros("ts") - F.unix_micros("prev_ts") > F.lit(3_600_000_000))
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
