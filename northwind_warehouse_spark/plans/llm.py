@@ -4063,3 +4063,171 @@ def oracle_vocab_coverage() -> str:
     FROM toks LEFT JOIN vocab v USING (term)
     GROUP BY source ORDER BY source
     """
+
+
+_MINHASH_RECALL_J_PPM = 500_000  # ground-truth threshold: exact Jaccard >= 0.5
+
+
+def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH candidate generator against EXACT
+    shingle-Jaccard ground truth — the same accept/reject gate the ANN
+    indexes get (ann_recall_eval / ann_pq_recall), applied to the text
+    dedup index: band/row settings are safe to deploy only when this
+    number clears the bar at sample scale.
+
+    The ground truth is an all-pairs exact Jaccard — O(n²) BY DESIGN
+    and only ever run on an evaluation sample (here the full 500-doc
+    test corpus), exactly like the brute-force ANN baseline; the LSH
+    candidates under test come from the production band-bucket join.
+    Output: truth-pair count, found count, recall ppm, per Jaccard
+    decile of the truth pairs (near-misses live in the lowest band)."""
+    d = load(spark, sf_dir, "documents")
+    sh = sim.shingle_arrays(d)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    truth = (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)").alias("n_inter"),
+            F.expr("CAST(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)) AS BIGINT)")
+            .alias("n_union"),
+        )
+        .withColumn("j_ppm", F.expr("1000000 * n_inter div n_union"))
+        .filter(F.col("j_ppm") >= _MINHASH_RECALL_J_PPM)
+    )
+    cand = sim.lsh_candidate_pairs(sim.minhash_signatures(sh)).withColumn(
+        "found", F.lit(1)
+    )
+    joined = truth.join(F.broadcast(cand), ["doc_a", "doc_b"], "left").select(
+        F.expr("j_ppm div 100000").alias("j_decile"),
+        F.coalesce("found", F.lit(0)).alias("found"),
+    )
+    return (
+        joined.groupBy("j_decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_truth_pairs"),
+            F.sum("found").cast("bigint").alias("n_found"),
+        )
+        .withColumn("recall_ppm", F.expr("1000000 * n_found div n_truth_pairs"))
+        .orderBy("j_decile")
+    )
+
+
+def oracle_minhash_recall_eval() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    truth AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               1000000 * CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                 // CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS BIGINT)
+                   AS j_ppm
+        FROM sharr a JOIN sharr b ON a.doc_id < b.doc_id
+    ), t AS (
+        SELECT doc_a, doc_b, j_ppm FROM truth WHERE j_ppm >= {_MINHASH_RECALL_J_PPM}
+    ), joined AS (
+        SELECT t.j_ppm // 100000 AS j_decile,
+               CASE WHEN c.doc_a IS NULL THEN 0 ELSE 1 END AS found
+        FROM t LEFT JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT j_decile, count(*) AS n_truth_pairs,
+           CAST(sum(found) AS BIGINT) AS n_found,
+           1000000 * CAST(sum(found) AS BIGINT) // count(*) AS recall_ppm
+    FROM joined GROUP BY j_decile ORDER BY j_decile
+    """
+
+
+def pack_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency audit for the concat-then-chunk packer
+    (sequence_pack): per source, total tokens, pack count at
+    PACK_BUDGET, tail waste, and utilization in exact ppm — the number
+    that says how much compute the final ragged pack burns per domain.
+
+    Pure arithmetic over the per-source token totals (one tiny
+    aggregate); consistent with sequence_pack's semantics because
+    concat-then-chunk wastes ONLY the final partial pack."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.sum(n_tokens()).cast("bigint").alias("total_tokens"))
+    return (
+        per.withColumn(
+            "n_packs", F.expr(f"(total_tokens + {PACK_BUDGET} - 1) div {PACK_BUDGET}")
+        )
+        .withColumn("capacity", F.expr(f"n_packs * {PACK_BUDGET}"))
+        .withColumn("tail_waste_tokens", F.expr("capacity - total_tokens"))
+        .withColumn("utilization_ppm", F.expr("1000000 * total_tokens div capacity"))
+        .select(
+            "source", "total_tokens", "n_packs", "tail_waste_tokens", "utilization_ppm"
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_pack_efficiency_audit() -> str:
+    return f"""
+    WITH per AS (
+        SELECT source, CAST(sum({o_n_tokens()}) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY source
+    ), sized AS (
+        SELECT source, total_tokens,
+               (total_tokens + {PACK_BUDGET} - 1) // {PACK_BUDGET} AS n_packs
+        FROM per
+    )
+    SELECT source, total_tokens, n_packs,
+           n_packs * {PACK_BUDGET} - total_tokens AS tail_waste_tokens,
+           1000000 * total_tokens // (n_packs * {PACK_BUDGET}) AS utilization_ppm
+    FROM sized ORDER BY source
+    """
+
+
+def sample_representativeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-preservation audit of the deterministic hash split: per
+    source, the corpus share vs the VAL-split share in exact ppm and
+    their signed difference — a split whose bias_ppm strays far from 0
+    is leaking domain signal between train and val.
+
+    Plain integer subtraction of two exact ppm shares (no division of
+    signed values); two tiny per-source aggregates off one corpus
+    scan."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    flagged = d.withColumn("is_val", (_split_bucket() >= 90).cast("bigint"))
+    per = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_val").cast("bigint").alias("n_val"),
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per.withColumn("tot_docs", F.sum("n_docs").over(w).cast("bigint"))
+        .withColumn("tot_val", F.sum("n_val").over(w).cast("bigint"))
+        .select(
+            "source",
+            "n_docs",
+            "n_val",
+            F.expr("1000000 * n_docs div tot_docs").alias("corpus_share_ppm"),
+            F.expr("1000000 * n_val div tot_val").alias("val_share_ppm"),
+            F.expr("1000000 * n_val div tot_val - 1000000 * n_docs div tot_docs").alias("bias_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_sample_representativeness() -> str:
+    return f"""
+    WITH flagged AS (
+        SELECT source, CASE WHEN {_ORACLE_BUCKET} >= 90 THEN 1 ELSE 0 END AS is_val
+        FROM documents
+    ), per AS (
+        SELECT source, count(*) AS n_docs, CAST(sum(is_val) AS BIGINT) AS n_val
+        FROM flagged GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs, CAST(sum(n_val) AS BIGINT) AS tot_val
+        FROM per
+    )
+    SELECT source, n_docs, n_val,
+           1000000 * n_docs // tot_docs AS corpus_share_ppm,
+           1000000 * n_val // tot_val AS val_share_ppm,
+           1000000 * n_val // tot_val - 1000000 * n_docs // tot_docs AS bias_ppm
+    FROM per, tot ORDER BY source
+    """
