@@ -3993,3 +3993,171 @@ def oracle_revenue_trend_slope() -> str:
            CAST(num AS DOUBLE) / sqrt(CAST(den_x AS DOUBLE) * CAST(den_y AS DOUBLE)) AS corr
     FROM parts ORDER BY n_name
     """
+
+
+_AGING_REF = "1998-08-02"  # reporting date for the aging buckets
+
+
+def order_aging_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic aging report: OPEN orders bucketed by how overdue they
+    are at the reporting date (0-29 / 30-59 / 60-89 / 90+ days), with
+    order counts and exact open cents per (bucket, priority) — the
+    receivables-aging pattern every finance mart ships.
+
+    Map-only bucketing (integer day arithmetic) + one tiny aggregate;
+    the status filter pushes to the scan."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    age = F.datediff(F.lit(_AGING_REF).cast("date"), F.col("o_orderdate").cast("date"))
+    bucket = (
+        F.when(age < 30, "0-29")
+        .when(age < 60, "30-59")
+        .when(age < 90, "60-89")
+        .otherwise("90+")
+    )
+    return (
+        o.select(
+            bucket.alias("age_bucket"),
+            "o_orderpriority",
+            (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .groupBy("age_bucket", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("open_cents"),
+        )
+        .orderBy("age_bucket", "o_orderpriority")
+    )
+
+
+def oracle_order_aging_report() -> str:
+    return f"""
+    WITH aged AS (
+        SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '{_AGING_REF}') < 30 THEN '0-29'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '{_AGING_REF}') < 60 THEN '30-59'
+                    WHEN date_diff('day', CAST(o_orderdate AS DATE), DATE '{_AGING_REF}') < 90 THEN '60-89'
+                    ELSE '90+' END AS age_bucket,
+               o_orderpriority,
+               CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT age_bucket, o_orderpriority, count(*) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS open_cents
+    FROM aged GROUP BY age_bucket, o_orderpriority
+    ORDER BY age_bucket, o_orderpriority
+    """
+
+
+_KMV_OVERLAP_K = 64  # small k so the estimator path (not the exact-below-k path) is exercised
+
+
+def kmv_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap estimation from KMV sketches: for every pair of
+    event types, the estimated distinct-user union, intersection, and
+    Jaccard — computed ONLY from the two bottom-k sketches (theta-sketch
+    style set operations), never a second scan of the corpus.
+
+    The pair sketch is the bottom-k of the merged kept-hash sets; the
+    intersection estimate is n_common·est_union div k' (exact when the
+    union fits inside k). All integer arithmetic over deterministic md5
+    hashes — fully oracle-checkable, unlike HLL register merges. At
+    fleet scale each executor ships ≤k hashes per group and the pair
+    algebra runs on sketch-sized data."""
+    from northwind_warehouse_spark.operators import sketch
+
+    e = load(spark, sf_dir, "events")
+    kept = sketch.kmv_bottom_k(
+        sketch.kmv_hashes(e, "user_id", ["event_type"]), ["event_type"], k=_KMV_OVERLAP_K
+    ).persist()  # read by the pair-union build AND the two membership joins
+    types = kept.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .crossJoin(types.select(F.col("event_type").alias("type_b")))
+        .filter(F.col("type_a") < F.col("type_b"))
+    )
+    u = (
+        pairs.join(kept, F.col("event_type").isin(F.col("type_a"), F.col("type_b")))
+        .select("type_a", "type_b", "h")
+        .distinct()
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ranked = u.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= _KMV_OVERLAP_K)
+    ka = kept.select(F.col("event_type").alias("type_a"), "h", F.lit(1).alias("in_a"))
+    kb = kept.select(F.col("event_type").alias("type_b"), "h", F.lit(1).alias("in_b"))
+    flagged = (
+        ranked.join(ka, ["type_a", "h"], "left")
+        .join(kb, ["type_b", "h"], "left")
+        .select(
+            "type_a", "type_b", "h",
+            F.coalesce("in_a", F.lit(0)).alias("in_a"),
+            F.coalesce("in_b", F.lit(0)).alias("in_b"),
+        )
+    )
+    agg = flagged.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("k_eff"),
+        F.max("h").alias("hk"),
+        F.sum(F.expr("in_a * in_b")).cast("bigint").alias("n_common"),
+    )
+    return (
+        agg.withColumn(
+            "est_union",
+            F.when(F.col("k_eff") < _KMV_OVERLAP_K, F.col("k_eff"))
+            .otherwise(F.expr(f"({_KMV_OVERLAP_K} - 1) * 4294967296 div hk"))
+            .cast("bigint"),
+        )
+        .withColumn("est_intersection", F.expr("n_common * est_union div k_eff"))
+        .withColumn("jaccard_ppm", F.expr("1000000 * n_common div k_eff"))
+        .select(
+            "type_a", "type_b", "k_eff", "n_common",
+            "est_union", "est_intersection", "jaccard_ppm",
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def oracle_kmv_overlap_estimate() -> str:
+    return f"""
+    WITH hashes AS (
+        SELECT DISTINCT event_type,
+               CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        FROM events
+    ), kept AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk
+            FROM hashes
+        ) WHERE rk <= {_KMV_OVERLAP_K}
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b
+        FROM (SELECT DISTINCT event_type FROM kept) a
+        JOIN (SELECT DISTINCT event_type FROM kept) b ON a.event_type < b.event_type
+    ), u AS (
+        SELECT DISTINCT p.type_a, p.type_b, k.h
+        FROM pairs p JOIN kept k ON k.event_type IN (p.type_a, p.type_b)
+    ), ranked AS (
+        SELECT type_a, type_b, h FROM (
+            SELECT *, row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rk
+            FROM u
+        ) WHERE rk <= {_KMV_OVERLAP_K}
+    ), flagged AS (
+        SELECT r.type_a, r.type_b, r.h,
+               CASE WHEN ka.h IS NULL THEN 0 ELSE 1 END AS in_a,
+               CASE WHEN kb.h IS NULL THEN 0 ELSE 1 END AS in_b
+        FROM ranked r
+        LEFT JOIN kept ka ON ka.event_type = r.type_a AND ka.h = r.h
+        LEFT JOIN kept kb ON kb.event_type = r.type_b AND kb.h = r.h
+    ), agg AS (
+        SELECT type_a, type_b, count(*) AS k_eff, max(h) AS hk,
+               CAST(sum(in_a * in_b) AS BIGINT) AS n_common
+        FROM flagged GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, k_eff, n_common,
+           CAST(CASE WHEN k_eff < {_KMV_OVERLAP_K} THEN k_eff
+                     ELSE ({_KMV_OVERLAP_K} - 1) * 4294967296 // hk END AS BIGINT) AS est_union,
+           CAST(n_common * (CASE WHEN k_eff < {_KMV_OVERLAP_K} THEN k_eff
+                     ELSE ({_KMV_OVERLAP_K} - 1) * 4294967296 // hk END) // k_eff AS BIGINT)
+               AS est_intersection,
+           1000000 * n_common // k_eff AS jaccard_ppm
+    FROM agg ORDER BY type_a, type_b
+    """
