@@ -4161,3 +4161,192 @@ def oracle_kmv_overlap_estimate() -> str:
            1000000 * n_common // k_eff AS jaccard_ppm
     FROM agg ORDER BY type_a, type_b
     """
+
+
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessions via Spark's NATIVE session_window primitive — the
+    same 30-minute rule events_sessionize builds from lag+cumsum,
+    expressed as the engine-level session aggregation (one groupBy, no
+    explicit window pass; in Structured Streaming the identical
+    expression maintains session state with watermark expiry).
+
+    The DuckDB oracle restates the semantics independently with the
+    classic gap algorithm — including session_window's convention that
+    a session's end is last_event + gap — so the native primitive is
+    cross-checked against the textbook construction."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def oracle_events_session_window() -> str:
+    return """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM numbered GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """
+
+
+def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit between customer market segment and
+    order priority — the statistical test behind "does attribute A
+    drive attribute B", with the statistic defined entirely in integer
+    arithmetic so both engines agree bit-for-bit: per cell,
+    (O·n − rowtot·coltot)² div (n·rowtot·coltot), summed in micro-units.
+
+    One contingency aggregation (cells = segments × priorities, tiny),
+    marginals via windows over the cell table — the fact is shuffled
+    once."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cells = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    wr = Window.partitionBy("c_mktsegment")
+    wc = Window.partitionBy("o_orderpriority")
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    contrib = (
+        cells.withColumn("row_tot", F.sum("obs").over(wr))
+        .withColumn("col_tot", F.sum("obs").over(wc))
+        .withColumn("n", F.sum("obs").over(wt))
+        .withColumn(
+            "cell_chi2_micro",
+            F.expr(
+                """CAST(1000000 * CAST(obs * n - row_tot * col_tot AS DECIMAL(38,0))
+                        * (obs * n - row_tot * col_tot)
+                        div (CAST(n AS DECIMAL(38,0)) * row_tot * col_tot) AS BIGINT)"""
+            ),
+        )
+    )
+    return (
+        contrib.groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("cell_chi2_micro").cast("bigint").alias("chi2_micro"),
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+            F.count_distinct("o_orderpriority").alias("n_priorities"),
+        )
+        .withColumn("dof", F.expr("(n_segments - 1) * (n_priorities - 1)"))
+        .select("n_cells", "n_segments", "n_priorities", "dof", "chi2_micro")
+    )
+
+
+def oracle_segment_priority_chi2() -> str:
+    return """
+    WITH cells AS (
+        SELECT c_mktsegment, o_orderpriority, count(*) AS obs
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment, o_orderpriority
+    ), m AS (
+        SELECT *,
+               sum(obs) OVER (PARTITION BY c_mktsegment) AS row_tot,
+               sum(obs) OVER (PARTITION BY o_orderpriority) AS col_tot,
+               sum(obs) OVER () AS n
+        FROM cells
+    ), contrib AS (
+        SELECT c_mktsegment, o_orderpriority,
+               CAST(1000000 * CAST(obs * n - row_tot * col_tot AS HUGEINT)
+                    * (obs * n - row_tot * col_tot)
+                    // (CAST(n AS HUGEINT) * row_tot * col_tot) AS BIGINT) AS cell_chi2_micro
+        FROM m
+    )
+    SELECT count(*) AS n_cells,
+           CAST((SELECT count(DISTINCT c_mktsegment) FROM cells) AS BIGINT) AS n_segments,
+           CAST((SELECT count(DISTINCT o_orderpriority) FROM cells) AS BIGINT) AS n_priorities,
+           CAST(((SELECT count(DISTINCT c_mktsegment) FROM cells) - 1)
+                * ((SELECT count(DISTINCT o_orderpriority) FROM cells) - 1) AS BIGINT) AS dof,
+           CAST(sum(cell_chi2_micro) AS BIGINT) AS chi2_micro
+    FROM contrib
+    """
+
+
+def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration metrics per region: the Herfindahl index
+    (sum of squared nation revenue shares) and the complementary Gini
+    impurity, both in exact ppm — the antitrust-style concentration
+    audit a market-share mart reports next to q8-style shares.
+
+    The fact collapses to nation grain first; shares square inside
+    DECIMAL(38,0) so the ppm² products never overflow."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    per_nation = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(F.sum((dec2("o_totalprice") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.partitionBy("r_name")
+    shared = per_nation.withColumn("region_cents", F.sum("cents").over(w)).withColumn(
+        "share_ppm", F.expr("1000000 * cents div region_cents")
+    )
+    return (
+        shared.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum(F.expr("CAST(share_ppm AS DECIMAL(38,0)) * share_ppm div 1000000"))
+            .cast("bigint")
+            .alias("hhi_ppm"),
+        )
+        .withColumn("gini_impurity_ppm", F.expr("1000000 - hhi_ppm"))
+        .select("r_name", "n_nations", "hhi_ppm", "gini_impurity_ppm")
+        .orderBy("r_name")
+    )
+
+
+def oracle_market_concentration_hhi() -> str:
+    return """
+    WITH per_nation AS (
+        SELECT r_name, n_name,
+               CAST(sum(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+    ), shared AS (
+        SELECT r_name,
+               1000000 * cents // sum(cents) OVER (PARTITION BY r_name) AS share_ppm
+        FROM per_nation
+    ), agg AS (
+        SELECT r_name, count(*) AS n_nations,
+               CAST(sum(CAST(share_ppm AS HUGEINT) * share_ppm // 1000000) AS BIGINT) AS hhi_ppm
+        FROM shared GROUP BY r_name
+    )
+    SELECT r_name, n_nations, hhi_ppm, 1000000 - hhi_ppm AS gini_impurity_ppm
+    FROM agg ORDER BY r_name
+    """
