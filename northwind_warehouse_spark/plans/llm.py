@@ -4231,3 +4231,150 @@ def oracle_sample_representativeness() -> str:
            1000000 * n_val // tot_val - 1000000 * n_docs // tot_docs AS bias_ppm
     FROM per, tot ORDER BY source
     """
+
+
+_XSRC_MAX_DF = 20  # rare-shingle cap: bounds join fan-out exactly like winnowing
+
+
+def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-domain duplication matrix: for every source pair, how many
+    RARE word-trigram shingles they share and the shared fraction of
+    the smaller side's rare-shingle set (exact ppm) — which domains are
+    mirroring / syndicating which, at source grain rather than doc
+    grain (winnow_overlap_pairs' discipline applied one level up).
+
+    The rarity cap (df ≤ 20 docs) bounds the shingle self-join exactly
+    like the winnowing pair query — boilerplate shingles never explode
+    the matrix; the matrix itself is sources² rows."""
+    d = load(spark, sf_dir, "documents")
+    sh_arr = sim.shingle_arrays(d).persist()  # read by the df filter AND the per-source sets
+    # rarity measured by doc frequency, capped to bound the pair join
+    df_per = (
+        sh_arr.select("doc_id", F.explode("sh").alias("s"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _XSRC_MAX_DF)
+    )
+    src_sh = (
+        sh_arr.join(d.select("doc_id", "source"), "doc_id")
+        .select("source", F.explode("sh").alias("s"))
+        .join(df_per.select("s"), "s", "left_semi")
+        .distinct()
+    )
+    sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_rare"))
+    a = src_sh.select(F.col("source").alias("source_a"), "s")
+    b = src_sh.select(F.col("source").alias("source_b"), "s")
+    pairs = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_rare").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_rare").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared", "n_a", "n_b",
+            F.expr("1000000 * n_shared div least(n_a, n_b)").alias("overlap_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def oracle_cross_source_overlap_matrix() -> str:
+    return f"""
+    WITH {_SHINGLE_CTE},
+    ex AS (
+        SELECT s.doc_id, d.source, unnest(s.sh) AS s
+        FROM sharr s JOIN documents d ON s.doc_id = d.doc_id
+    ), dfp AS (
+        SELECT s FROM (
+            SELECT s, count(*) AS df FROM (
+                SELECT doc_id, unnest(sh) AS s FROM sharr
+            ) GROUP BY s
+        ) WHERE df <= {_XSRC_MAX_DF}
+    ), src_sh AS (
+        SELECT DISTINCT e.source, e.s FROM ex e JOIN dfp USING (s)
+    ), sizes AS (
+        SELECT source, count(*) AS n_rare FROM src_sh GROUP BY source
+    ), pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        FROM src_sh a JOIN src_sh b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           sa.n_rare AS n_a, sb.n_rare AS n_b,
+           1000000 * n_shared // least(sa.n_rare, sb.n_rare) AS overlap_ppm
+    FROM pairs
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    ORDER BY source_a, source_b
+    """
+
+
+def embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One power-iteration step toward the corpus's top principal
+    direction: v1 = M·v0 where M is the integer-quantized second-moment
+    matrix Σ x xᵀ and v0 a deterministic ±1 seed — the building block
+    of distributed PCA (iterate + normalize for the full eigenvector,
+    same plan shape per round; kmeans_iter is the same story for
+    clustering).
+
+    M never materializes driver-side: the (i, j) co-moment aggregation
+    is one shuffle of dim² = 4096 cells (map-side partial sums), and
+    the matvec folds those cells with the broadcast-free literal seed.
+    Everything BIGINT-exact; at 100 TB the corpus is scanned once per
+    iteration and all post-shuffle work is dim²-sized."""
+    import hashlib as _hl
+
+    e = load(spark, sf_dir, "embeddings")
+    v0 = [
+        1 if int(_hl.md5(f"pw|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+        for i in range(64)
+    ]
+    xq = e.select(
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+        ).alias("i", "xi"),
+        F.expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
+        .alias("xs"),
+    )
+    cells = (
+        xq.select("i", F.posexplode("xs").alias("j", "xj"), "xi")
+        .groupBy("i", "j")
+        .agg(F.sum(F.expr("xi * xj")).alias("m"))
+    )
+    v0_arr = "array(" + ",".join(str(x) for x in v0) + ")"
+    return (
+        cells.withColumn("v0j", F.expr(f"element_at({v0_arr}, j + 1)"))
+        .groupBy("i")
+        .agg(F.sum(F.expr("m * v0j")).cast("bigint").alias("v1"))
+        .select(F.col("i").cast("bigint").alias("dim_idx"), "v1")
+        .orderBy("dim_idx")
+    )
+
+
+def oracle_embedding_power_iter() -> str:
+    import hashlib as _hl
+
+    v0 = [
+        1 if int(_hl.md5(f"pw|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
+        for i in range(64)
+    ]
+    v0_list = "[" + ",".join(str(x) for x in v0) + "]"
+    return f"""
+    WITH el AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0) AS BIGINT) AS x
+        FROM embeddings
+    ), cells AS (
+        SELECT a.i AS i, b.i AS j, CAST(sum(a.x * b.x) AS BIGINT) AS m
+        FROM el a JOIN el b ON a.vec_id = b.vec_id
+        GROUP BY a.i, b.i
+    )
+    SELECT CAST(i AS BIGINT) AS dim_idx,
+           CAST(sum(m * ({v0_list})[j + 1]) AS BIGINT) AS v1
+    FROM cells GROUP BY i ORDER BY dim_idx
+    """

@@ -1775,3 +1775,60 @@ def oracle_bom_explosion() -> str:
     SELECT component_id, ancestor_id, levels, effective_qty
     FROM chain ORDER BY component_id, ancestor_id
     """
+
+
+def dim_customer_inferred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball inferred members (early-arriving facts): when a fact
+    references a dimension key that has not arrived yet, the load
+    inserts a PLACEHOLDER dim row for that key (member_type='inferred')
+    so the fact join never drops rows — later the real attributes
+    overwrite the placeholder (an ordinary SCD update). Distinct from
+    dummy members, which absorb keys that will NEVER resolve.
+
+    The test tables have clean referential integrity, so the
+    not-yet-arrived slice is simulated deterministically (customers
+    with c_custkey % 7 == 3 are 'late'); the machinery — anti-join of
+    fact keys against the dim, placeholder construction, union — is
+    exactly what a real late feed exercises. One map-side-combined
+    distinct of fact keys + one broadcast-able anti-join."""
+    c = load(spark, sf_dir, "customer").filter(F.expr("c_custkey % 7 <> 3"))
+    o = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    conformed = c.select(
+        "c_custkey",
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("conformed").alias("member_type"),
+    )
+    inferred = (
+        o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.lit("Inferred Member").alias("customer_name"),
+            F.lit("UNKNOWN").alias("segment"),
+            F.lit("inferred").alias("member_type"),
+        )
+    )
+    return conformed.unionByName(inferred).orderBy("c_custkey")
+
+
+def oracle_dim_customer_inferred() -> str:
+    return """
+    WITH c AS (
+        SELECT * FROM customer WHERE c_custkey % 7 <> 3
+    ), conformed AS (
+        SELECT c_custkey, c_name AS customer_name, c_mktsegment AS segment,
+               'conformed' AS member_type
+        FROM c
+    ), inferred AS (
+        SELECT DISTINCT o_custkey AS c_custkey,
+               'Inferred Member' AS customer_name,
+               'UNKNOWN' AS segment,
+               'inferred' AS member_type
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM c WHERE c_custkey = o_custkey)
+    )
+    SELECT * FROM conformed
+    UNION ALL
+    SELECT * FROM inferred
+    ORDER BY c_custkey
+    """
