@@ -4260,6 +4260,7 @@ def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", F.explode("sh").alias("s"))
         .join(df_per.select("s"), "s", "left_semi")
         .distinct()
+        .persist()  # read 3x: per-source sizes + both sides of the pair join
     )
     sizes = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("n_rare"))
     a = src_sh.select(F.col("source").alias("source_a"), "s")

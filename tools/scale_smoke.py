@@ -145,6 +145,27 @@ def main() -> None:
         "simhash_hamming_pairs": llm.simhash_hamming_pairs,
         "embedding_outliers": llm.embedding_outliers,
         "ann_ivfpq_topk": llm.ann_ivfpq_topk,
+        # third/fourth-wave additions
+        "scd3_users": medallion.scd3_users,
+        "asof_events_forward": medallion.asof_events_forward,
+        "dedup_graph_triangles": llm.dedup_graph_triangles,
+        "bloom_prefilter_audit": analytics.bloom_prefilter_audit,
+        "attribution_models": analytics.attribution_models,
+        "events_debounce": analytics.events_debounce,
+        "dedup_containment": llm.dedup_containment,
+        "vocab_coverage": llm.vocab_coverage,
+        "bom_explosion": medallion.bom_explosion,
+        "revenue_trend_slope": analytics.revenue_trend_slope,
+        # minhash_recall_eval deliberately absent: its ground truth is an
+        # all-pairs exact Jaccard, O(n²) BY DESIGN and documented as an
+        # eval-sample-only gate — growth measurement would just re-measure
+        # that intentional quadratic.
+        "kmv_overlap_estimate": analytics.kmv_overlap_estimate,
+        "events_session_window": analytics.events_session_window,
+        "market_concentration_hhi": analytics.market_concentration_hhi,
+        "cross_source_overlap_matrix": llm.cross_source_overlap_matrix,
+        "embedding_power_iter": llm.embedding_power_iter,
+        "dim_customer_inferred": medallion.dim_customer_inferred,
         # dedup_embedding_cosine is deliberately absent: key-shifted
         # replication duplicates every vector, so LSH buckets grow
         # factor-fold and pair work factor² — that measures the
