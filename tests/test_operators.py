@@ -1037,3 +1037,88 @@ def test_scd3_previous_differs_from_current(spark):
         if r.previous_type is not None:
             assert r.previous_type != r.current_type
             assert r.previous_ts <= r.current_ts
+
+
+def test_bom_explosion_multiplicative_invariant(spark):
+    """Depth-1 pairs carry exactly the child's qty_per; any deeper pair
+    equals the product of its child's depth-1 qty and the parent pair's
+    qty — i.e. the walk really multiplies along the path."""
+    from northwind_warehouse_spark.plans.medallion import bom_explosion
+
+    rows = bom_explosion(spark, SF_SMOKE).collect()
+    assert rows
+    by_pair = {(r.component_id, r.ancestor_id): r for r in rows}
+    for r in rows:
+        if r.levels == 1:
+            assert r.effective_qty == r.component_id % 5 + 1
+        else:
+            # the one-step-up pair must exist and divide the product
+            parent = r.component_id // 10 if r.levels >= 2 else None
+            step1 = by_pair[(r.component_id, r.component_id // 10)]
+            rest = by_pair[(r.component_id // 10, r.ancestor_id)]
+            assert r.effective_qty == step1.effective_qty * rest.effective_qty
+
+
+def test_kmv_overlap_exact_below_k(spark):
+    """When the pair's union fits inside k, the sketch algebra is exact:
+    est_union and est_intersection equal the true distinct counts."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.analytics import kmv_overlap_estimate
+
+    e = load(spark, SF_SMOKE, "events")
+    users = {
+        t: {r.user_id for r in e.filter(f"event_type = '{t}'").select("user_id").distinct().collect()}
+        for t in ("click", "view")
+    }
+    res = {
+        (r.type_a, r.type_b): r for r in kmv_overlap_estimate(spark, SF_SMOKE).collect()
+    }
+    r = res[("click", "view")]
+    true_union = len(users["click"] | users["view"])
+    true_inter = len(users["click"] & users["view"])
+    if r.k_eff < 64:  # exact path
+        assert r.est_union == true_union and r.est_intersection == true_inter
+    else:  # estimator path: within 25% at k=64 (bound loose on purpose)
+        assert abs(r.est_union - true_union) <= true_union // 4
+        assert abs(r.est_intersection - true_inter) <= max(true_inter // 4, 8)
+
+
+def test_session_window_matches_lag_cumsum_sessions(spark):
+    """The native session_window sessions coincide with the lag+cumsum
+    sessionization: same per-user session count and the same event
+    totals (end conventions differ by the gap; starts must match)."""
+    from northwind_warehouse_spark.plans.analytics import (
+        events_session_window, events_sessionize,
+    )
+
+    native = events_session_window(spark, SF_SMOKE).collect()
+    classic = events_sessionize(spark, SF_SMOKE).collect()
+    n_starts = {(r.user_id, r.session_start) for r in native}
+    c_starts = {(r.user_id, r.session_start) for r in classic}
+    assert n_starts == c_starts
+    assert sum(r.n_events for r in native) == sum(r.n_events for r in classic)
+
+
+def test_inferred_members_make_fact_join_total(spark):
+    """Kimball inferred-members invariant: every distinct fact key
+    resolves against conformed ∪ inferred — the join drops nothing."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.medallion import dim_customer_inferred
+
+    dim = dim_customer_inferred(spark, SF_SMOKE)
+    o = load(spark, SF_SMOKE, "orders").select("o_custkey").distinct()
+    unresolved = o.join(dim, o.o_custkey == dim.c_custkey, "left_anti").count()
+    assert unresolved == 0
+    assert dim.filter("member_type = 'inferred'").count() > 0
+
+
+def test_chi2_statistic_sane(spark):
+    """chi2 >= 0, dof = (segments-1)(priorities-1), and the micro-unit
+    statistic is stable across runs (determinism)."""
+    from northwind_warehouse_spark.plans.analytics import segment_priority_chi2
+
+    a = segment_priority_chi2(spark, SF_SMOKE).collect()[0]
+    b = segment_priority_chi2(spark, SF_SMOKE).collect()[0]
+    assert a.chi2_micro == b.chi2_micro >= 0
+    assert a.dof == (a.n_segments - 1) * (a.n_priorities - 1)
+    assert a.n_cells <= a.n_segments * a.n_priorities
