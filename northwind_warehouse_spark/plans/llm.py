@@ -4379,3 +4379,81 @@ def oracle_embedding_power_iter() -> str:
            CAST(sum(m * ({v0_list})[j + 1]) AS BIGINT) AS v1
     FROM cells GROUP BY i ORDER BY dim_idx
     """
+
+
+def multimodal_frame_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling manifest over the binary corpus: the
+    1→N-fan-out mapInPandas stage (operators/multimodal.py::
+    sample_frames) with every emitted frame identified by its digest —
+    so even the STUBBED decode path is value-checked row by row, the
+    same upgrade multimodal_extract got (rows-only → SQL-oracled).
+
+    The oracle re-derives each frame independently: evenly spaced
+    byte-range slices of the source content hashed with md5 — proving
+    the Arrow batch iteration, the fan-out, and the slice arithmetic
+    all match a from-scratch restatement. Real decoders replace only
+    the inner function; the manifest shape is what training-data
+    lineage tracks per frame."""
+    from northwind_warehouse_spark.operators.multimodal import (
+        documents_as_binary, sample_frames,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    frames = sample_frames(documents_as_binary(d), n_frames=4)
+    return frames.select(
+        "doc_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.lower(F.hex("frame")).alias("frame_md5"),
+    ).orderBy("doc_id", "frame_idx")
+
+
+def oracle_multimodal_frame_manifest() -> str:
+    return """
+    WITH stepped AS (
+        SELECT doc_id, text, greatest(1, length(text) // 4) AS step
+        FROM documents
+    ), frames AS (
+        SELECT doc_id, i AS frame_idx,
+               md5(substr(text, i * step + 1, step)) AS frame_md5
+        FROM stepped, (VALUES (0), (1), (2), (3)) f(i)
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, frame_md5
+    FROM frames ORDER BY doc_id, frame_idx
+    """
+
+
+def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize stage audit: the mapInPandas resize
+    (operators/multimodal.py::resize_images) with every resized payload
+    identified by digest + size — the stubbed 64x64 pixel buffer is
+    value-checked against an oracle that reconstructs it from scratch
+    (md5 of the repeated-digest block), completing the value-checked
+    upgrade across ALL THREE multimodal stages (extract, frames,
+    resize)."""
+    from northwind_warehouse_spark.operators.multimodal import (
+        documents_as_binary, resize_images,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    resized = resize_images(documents_as_binary(d), width=64, height=64)
+    return resized.select(
+        "doc_id",
+        "width",
+        "height",
+        F.length("resized").cast("bigint").alias("n_bytes"),
+        # first 64 hex chars span two digest repeats — checks both the
+        # content and the repeat structure without blob hashing (DuckDB
+        # md5 is VARCHAR-only)
+        F.substring(F.lower(F.hex("resized")), 1, 64).alias("resized_hex64"),
+    ).orderBy("doc_id")
+
+
+def oracle_multimodal_resize_audit() -> str:
+    return """
+    SELECT doc_id, CAST(64 AS BIGINT) AS width, CAST(64 AS BIGINT) AS height,
+           CAST(4096 AS BIGINT) AS n_bytes,
+           -- the stub buffer is the 16-byte digest repeated; 64 hex chars
+           -- cover two repeats, pinning content AND structure
+           repeat(md5(text), 2) AS resized_hex64
+    FROM documents ORDER BY doc_id
+    """
