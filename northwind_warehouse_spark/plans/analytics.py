@@ -4350,3 +4350,52 @@ def oracle_market_concentration_hhi() -> str:
     SELECT r_name, n_nations, hhi_ppm, 1000000 - hhi_ppm AS gini_impurity_ppm
     FROM agg ORDER BY r_name
     """
+
+
+def order_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily order backlog: how many orders were open (placed but not
+    yet first-shipped) on each day — the concurrent-intervals counting
+    pattern (+1 at open, -1 at close, running sum over the event
+    deltas), which also answers peak-concurrency questions without ever
+    joining intervals to a calendar spine.
+
+    The fact collapses to day-grain deltas first (one shuffle with
+    map-side combine); the cumulative runs over ~|days| rows — a
+    dim-sized sort at any fact scale. Orders with no lines never close
+    (stay in the backlog); the close day is the FIRST ship date."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.min("l_shipdate").alias("first_ship")
+    )
+    opens = o.select(F.col("o_orderdate").cast("date").alias("d"), F.lit(1).alias("delta"))
+    closes = (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .select(F.col("first_ship").cast("date").alias("d"), F.lit(-1).alias("delta"))
+    )
+    daily = opens.unionByName(closes).groupBy("d").agg(F.sum("delta").alias("net"))
+    w = Window.orderBy("d")
+    return (
+        daily.withColumn("backlog", F.sum("net").over(w).cast("bigint"))
+        .select("d", F.col("net").cast("bigint").alias("net"), "backlog")
+        .orderBy("d")
+    )
+
+
+def oracle_order_backlog_daily() -> str:
+    return """
+    WITH first_ship AS (
+        SELECT l_orderkey, min(l_shipdate) AS first_ship FROM lineitem GROUP BY l_orderkey
+    ), deltas AS (
+        SELECT CAST(o_orderdate AS DATE) AS d, 1 AS delta FROM orders
+        UNION ALL
+        SELECT CAST(first_ship AS DATE) AS d, -1 AS delta
+        FROM orders JOIN first_ship ON o_orderkey = l_orderkey
+    ), daily AS (
+        SELECT d, CAST(sum(delta) AS BIGINT) AS net FROM deltas GROUP BY d
+    )
+    SELECT d, net,
+           CAST(sum(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+    FROM daily ORDER BY d
+    """

@@ -4457,3 +4457,147 @@ def oracle_multimodal_resize_audit() -> str:
            repeat(md5(text), 2) AS resized_hex64
     FROM documents ORDER BY doc_id
     """
+
+
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation accounting: per source, how much exact dedup saves —
+    documents and tokens before vs after keeping one canonical copy per
+    fingerprint, with the removal rate in exact ppm. The number a data
+    lead reads to see WHICH feeds are redundant, at the grain budgets
+    are negotiated.
+
+    One hash(fingerprint) dedup keyed per source (map-side partial min)
+    + one source rollup; token counts ride the same rows."""
+    d = load(spark, sf_dir, "documents")
+    keyed = d.select(
+        "source",
+        "doc_id",
+        F.md5("text").alias("fp"),
+        n_tokens().alias("n_tok"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source", "fp").orderBy("doc_id")
+    flagged = keyed.withColumn("is_keeper", (F.row_number().over(w) == 1).cast("bigint"))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("is_keeper").cast("bigint").alias("n_kept"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.sum(F.expr("is_keeper * n_tok")).cast("bigint").alias("kept_tokens"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_kept",
+            "total_tokens",
+            "kept_tokens",
+            F.expr("1000000 * (n_docs - n_kept) div n_docs").alias("doc_removal_ppm"),
+            F.expr("1000000 * (total_tokens - kept_tokens) div total_tokens").alias("token_removal_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_dedup_savings_by_source() -> str:
+    return f"""
+    WITH keyed AS (
+        SELECT source, doc_id, md5(text) AS fp, {o_n_tokens()} AS n_tok
+        FROM documents
+    ), flagged AS (
+        SELECT source, n_tok,
+               CASE WHEN row_number() OVER (PARTITION BY source, fp ORDER BY doc_id) = 1
+                    THEN 1 ELSE 0 END AS is_keeper
+        FROM keyed
+    ), agg AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(is_keeper) AS BIGINT) AS n_kept,
+               CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+               CAST(sum(is_keeper * n_tok) AS BIGINT) AS kept_tokens
+        FROM flagged GROUP BY source
+    )
+    SELECT source, n_docs, n_kept, total_tokens, kept_tokens,
+           1000000 * (n_docs - n_kept) // n_docs AS doc_removal_ppm,
+           1000000 * (total_tokens - kept_tokens) // total_tokens AS token_removal_ppm
+    FROM agg ORDER BY source
+    """
+
+
+def dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal curation audit: the point-biserial correlation
+    between "document is a NEAR-duplicate" (it appears in at least one
+    LSH candidate pair) and its model quality score — the check that
+    tells you whether dedup and quality filtering remove the SAME
+    documents (redundant gates) or different ones (complementary).
+
+    The score is the deterministic quantized model score (the
+    model_score_filter stub — swap in a real classifier unchanged). The
+    correlation divides exact integer moments in IEEE double (sqrt
+    correctly rounded in both engines — the cosine_from_parts
+    discipline); n and the dup count are published alongside so the
+    double is auditable."""
+    d = load(spark, sf_dir, "documents")
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sim.shingle_arrays(d)))
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1).cast("bigint"))
+    )
+    scored = d.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("score|"), F.col("text"))), 1, 8), 16, 10)
+            .cast("long") % 1000000
+        ).alias("score_q"),
+    ).join(F.broadcast(dup_ids), "doc_id", "left").withColumn(
+        "is_dup", F.coalesce("is_dup", F.lit(0)).cast("bigint")
+    )
+    moments = scored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("is_dup").alias("sx"),
+        F.sum("score_q").alias("sy"),
+        F.sum(F.expr("is_dup * is_dup")).alias("sxx"),
+        F.sum(F.expr("is_dup * score_q")).alias("sxy"),
+        F.sum(F.expr("CAST(score_q AS DECIMAL(38,0)) * score_q")).cast("decimal(38,0)").alias("syy"),
+    )
+    return moments.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sx").cast("bigint").alias("n_dups"),
+        F.expr(
+            '''CAST(CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS DOUBLE)
+               / sqrt(CAST(CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS DOUBLE)
+                      * CAST(CAST(n * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS DOUBLE))'''
+        ).alias("point_biserial_corr"),
+    )
+
+
+def oracle_dup_quality_correlation() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    dup_ids AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand
+        )
+    ), scored AS (
+        SELECT d.doc_id,
+               CAST(('0x' || substr(md5('score|' || d.text), 1, 8)) AS BIGINT) % 1000000 AS score_q,
+               CASE WHEN u.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+        FROM documents d LEFT JOIN dup_ids u ON d.doc_id = u.doc_id
+    ), m AS (
+        SELECT count(*) AS n,
+               CAST(sum(is_dup) AS BIGINT) AS sx,
+               CAST(sum(score_q) AS BIGINT) AS sy,
+               CAST(sum(is_dup * is_dup) AS BIGINT) AS sxx,
+               CAST(sum(is_dup * score_q) AS BIGINT) AS sxy,
+               CAST(sum(CAST(score_q AS HUGEINT) * score_q) AS HUGEINT) AS syy
+        FROM scored
+    )
+    SELECT CAST(n AS BIGINT) AS n, sx AS n_dups,
+           CAST(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS HUGEINT) AS DOUBLE)
+             / sqrt(CAST(CAST(n * sxx - sx * sx AS HUGEINT) AS DOUBLE)
+                    * CAST(CAST(n * syy - CAST(sy AS HUGEINT) * sy AS HUGEINT) AS DOUBLE))
+               AS point_biserial_corr
+    FROM m
+    """
