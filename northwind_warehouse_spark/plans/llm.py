@@ -4601,3 +4601,92 @@ def oracle_dup_quality_correlation() -> str:
                AS point_biserial_corr
     FROM m
     """
+
+
+_PFX_J_PPM = 700_000  # exact-join threshold: Jaccard >= 0.7
+
+
+def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT similarity join via prefix filtering (the AllPairs/PPJoin
+    family): every document pair with shingle-Jaccard >= 0.7 is
+    returned with NO false negatives — the deterministic-guarantee
+    complement to MinHash-LSH (which trades recall for speed and needs
+    the recall gate minhash_recall_eval to deploy).
+
+    The prefix-filter theorem: order each doc's shingles by ascending
+    global frequency (rarest first, ties by value); if two docs have
+    J >= t, they must share at least one shingle within each other's
+    first n - ceil(t*n) + 1 shingles. Candidates therefore come from an
+    equi-join on PREFIX shingles only — the rare ones, so the join is
+    naturally skew-resistant (a shingle common to half the corpus can
+    never be in a prefix) — and exact Jaccard verification runs on the
+    survivors. Shuffles: df count, prefix rank window on hash(doc),
+    candidate equi-join; never all-pairs."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    sh_arr = sim.shingle_arrays(d)
+    tok = sh_arr.select("doc_id", F.explode("sh").alias("s"))
+    df_t = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "s")
+    ranked = (
+        tok.join(df_t, "s")
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    )
+    prefix = ranked.filter(F.expr("pos <= n - ((7 * n + 9) div 10) + 1")).select("doc_id", "s")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)").alias("n_inter"),
+            F.expr("CAST(size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b)) AS BIGINT)")
+            .alias("n_union"),
+        )
+        .withColumn("j_ppm", F.expr("1000000 * n_inter div n_union"))
+        .filter(F.col("j_ppm") >= _PFX_J_PPM)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def oracle_dedup_prefix_filter_join() -> str:
+    return f"""
+    WITH {_SHINGLE_CTE},
+    tok AS (
+        SELECT doc_id, unnest(sh) AS s FROM sharr
+    ), dft AS (
+        SELECT s, count(*) AS df FROM tok GROUP BY s
+    ), ranked AS (
+        SELECT t.doc_id, t.s,
+               row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df, t.s) AS pos,
+               count(*) OVER (PARTITION BY t.doc_id) AS n
+        FROM tok t JOIN dft d ON t.s = d.s
+    ), prefix AS (
+        SELECT doc_id, s FROM ranked WHERE pos <= n - ((7 * n + 9) // 10) + 1
+    ), cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+    ), scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,
+               CAST(len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_union
+        FROM cand c
+        JOIN sharr sa ON sa.doc_id = c.doc_a
+        JOIN sharr sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, n_inter, n_union,
+           1000000 * n_inter // n_union AS j_ppm
+    FROM scored WHERE 1000000 * n_inter // n_union >= {_PFX_J_PPM}
+    ORDER BY doc_a, doc_b
+    """
