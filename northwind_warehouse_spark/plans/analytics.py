@@ -4399,3 +4399,95 @@ def oracle_order_backlog_daily() -> str:
            CAST(sum(net) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
     FROM daily ORDER BY d
     """
+
+
+_FUNNEL_WINDOW_US = 86_400_000_000  # each step must follow within 24h
+
+
+def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded funnel: view → click → purchase where each step
+    must occur WITHIN 24 HOURS of the previous step's completion — the
+    product-analytics variant that distinguishes a real conversion
+    journey from coincidental events weeks apart (the unbounded
+    events_funnel over-counts those).
+
+    Same chained min-aggregate shape as the unbounded funnel — three
+    passes on one hash(user_id) partitioning, the step deadline is just
+    an extra join-level predicate — so the bounded semantics cost no
+    extra shuffle."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id").agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(
+            (F.unix_micros("ts") >= F.unix_micros("t1"))
+            & (F.unix_micros("ts") <= F.unix_micros("t1") + F.lit(_FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(
+            (F.unix_micros("ts") >= F.unix_micros("t2"))
+            & (F.unix_micros("ts") <= F.unix_micros("t2") + F.lit(_FUNNEL_WINDOW_US))
+        )
+        .groupBy("user_id").agg(F.min("ts").alias("t3"))
+    )
+    counts = [
+        s1.agg(F.count(F.lit(1)).alias("n")).select(F.lit(1).alias("step"), F.lit("view").alias("step_name"), "n"),
+        s2.agg(F.count(F.lit(1)).alias("n")).select(F.lit(2).alias("step"), F.lit("click_24h").alias("step_name"), "n"),
+        s3.agg(F.count(F.lit(1)).alias("n")).select(F.lit(3).alias("step"), F.lit("purchase_24h").alias("step_name"), "n"),
+    ]
+    out = counts[0].unionByName(counts[1]).unionByName(counts[2])
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("step")
+    return (
+        out.withColumn("n_users", F.col("n").cast("bigint"))
+        .withColumn("prev_n", F.lag("n").over(w))
+        .withColumn(
+            "conv_from_prev_ppm",
+            F.when(
+                F.col("prev_n").isNotNull(),
+                F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div prev_n AS BIGINT)"),
+            ).otherwise(F.lit(1000000).cast("bigint")),
+        )
+        .select("step", "step_name", "n_users", "conv_from_prev_ppm")
+        .orderBy("step")
+    )
+
+
+def oracle_events_funnel_timebound() -> str:
+    return f"""
+    WITH s1 AS (
+        SELECT user_id, min(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ), s2 AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'click'
+          AND epoch_us(e.ts) >= epoch_us(s1.t1)
+          AND epoch_us(e.ts) <= epoch_us(s1.t1) + {_FUNNEL_WINDOW_US}
+        GROUP BY e.user_id
+    ), s3 AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND epoch_us(e.ts) >= epoch_us(s2.t2)
+          AND epoch_us(e.ts) <= epoch_us(s2.t2) + {_FUNNEL_WINDOW_US}
+        GROUP BY e.user_id
+    ), counts AS (
+        SELECT 1 AS step, 'view' AS step_name, count(*) AS n FROM s1
+        UNION ALL SELECT 2, 'click_24h', count(*) FROM s2
+        UNION ALL SELECT 3, 'purchase_24h', count(*) FROM s3
+    )
+    SELECT step, step_name, CAST(n AS BIGINT) AS n_users,
+           CAST(CASE WHEN lag(n) OVER (ORDER BY step) IS NULL THEN 1000000
+                     ELSE CAST(n AS HUGEINT) * 1000000 // lag(n) OVER (ORDER BY step)
+                END AS BIGINT) AS conv_from_prev_ppm
+    FROM counts ORDER BY step
+    """

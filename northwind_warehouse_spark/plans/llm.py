@@ -4690,3 +4690,105 @@ def oracle_dedup_prefix_filter_join() -> str:
     FROM scored WHERE 1000000 * n_inter // n_union >= {_PFX_J_PPM}
     ORDER BY doc_a, doc_b
     """
+
+
+def dedup_consensus_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ensemble dedup verdicts: the candidate pairs from THREE
+    independent detectors — MinHash-LSH bands, SimHash hamming ≤ 3,
+    and high exact containment (≥ 90% of the smaller side) — merged
+    into one table with per-detector flags and the consensus count.
+    Production dedup rarely trusts one detector; pairs flagged by 2+
+    methods collapse automatically, single-method pairs go to review.
+
+    Each detector keeps its own bounded candidate discipline (band
+    buckets / fingerprint bands / band buckets + verify); the merge is
+    a full outer fold over pair keys — pair-sized, not corpus-sized."""
+    d = load(spark, sf_dir, "documents")
+    sh_arr = sim.shingle_arrays(d).persist()
+    lsh = (
+        sim.lsh_candidate_pairs(sim.minhash_signatures(sh_arr))
+        .select("doc_a", "doc_b").withColumn("by_minhash", F.lit(1))
+    )
+    simh = simhash_hamming_pairs(spark, sf_dir).select("doc_a", "doc_b").withColumn(
+        "by_simhash", F.lit(1)
+    )
+    a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    contain = (
+        sim.lsh_candidate_pairs(sim.minhash_signatures(sh_arr))
+        .join(a, "doc_a").join(b, "doc_b")
+        .filter(
+            F.expr(
+                "1000000 * size(array_intersect(sh_a, sh_b)) div least(size(sh_a), size(sh_b)) >= 900000"
+            )
+        )
+        .select("doc_a", "doc_b").withColumn("by_containment", F.lit(1))
+    )
+    merged = (
+        lsh.join(simh, ["doc_a", "doc_b"], "full_outer")
+        .join(contain, ["doc_a", "doc_b"], "full_outer")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.coalesce("by_minhash", F.lit(0)).cast("bigint").alias("by_minhash"),
+            F.coalesce("by_simhash", F.lit(0)).cast("bigint").alias("by_simhash"),
+            F.coalesce("by_containment", F.lit(0)).cast("bigint").alias("by_containment"),
+        )
+        .withColumn("n_detectors", F.expr("by_minhash + by_simhash + by_containment"))
+    )
+    return merged.orderBy("doc_a", "doc_b")
+
+
+def oracle_dedup_consensus_pairs() -> str:
+    nb = _SIMHASH_FP_BITS
+    bb = _SIMHASH_BAND_BITS
+    mask = (1 << bb) - 1
+    votes = ",\n".join(
+        f"               CAST(sum(2 * ((h >> {b}) & 1) - 1) AS BIGINT) AS v{b}" for b in range(nb)
+    )
+    fpexpr = " + ".join(f"CASE WHEN v{b} > 0 THEN {2 ** b} ELSE 0 END" for b in range(nb))
+    return f"""
+    WITH {_SIG_CTE},
+    lsh AS (
+        SELECT doc_a, doc_b, 1 AS by_minhash FROM cand
+    ),
+    htok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), hh AS (
+        SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, {(nb + 3) // 4})) AS BIGINT) AS h FROM htok
+    ), hvotes AS (
+        SELECT doc_id,
+{votes}
+        FROM hh GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, CAST({fpexpr} AS BIGINT) AS simhash FROM hvotes
+    ), sbands AS (
+        SELECT doc_id, simhash, b.band, (simhash >> ({bb} * b.band)) & {mask} AS bval
+        FROM fp, (VALUES (0), (1), (2), (3)) b(band)
+    ), simh AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, 1 AS by_simhash
+        FROM sbands a JOIN sbands b
+          ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_MAX_HAM}
+    ), contain AS (
+        SELECT c.doc_a, c.doc_b, 1 AS by_containment
+        FROM cand c
+        JOIN sharr sa ON sa.doc_id = c.doc_a
+        JOIN sharr sb ON sb.doc_id = c.doc_b
+        WHERE 1000000 * CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT)
+              // least(len(sa.sh), len(sb.sh)) >= 900000
+    ), merged AS (
+        SELECT coalesce(l.doc_a, s.doc_a, ct.doc_a) AS doc_a,
+               coalesce(l.doc_b, s.doc_b, ct.doc_b) AS doc_b,
+               CAST(coalesce(l.by_minhash, 0) AS BIGINT) AS by_minhash,
+               CAST(coalesce(s.by_simhash, 0) AS BIGINT) AS by_simhash,
+               CAST(coalesce(ct.by_containment, 0) AS BIGINT) AS by_containment
+        FROM lsh l
+        FULL OUTER JOIN simh s ON l.doc_a = s.doc_a AND l.doc_b = s.doc_b
+        FULL OUTER JOIN contain ct
+          ON coalesce(l.doc_a, s.doc_a) = ct.doc_a AND coalesce(l.doc_b, s.doc_b) = ct.doc_b
+    )
+    SELECT doc_a, doc_b, by_minhash, by_simhash, by_containment,
+           by_minhash + by_simhash + by_containment AS n_detectors
+    FROM merged ORDER BY doc_a, doc_b
+    """
