@@ -1832,3 +1832,48 @@ def oracle_dim_customer_inferred() -> str:
     SELECT * FROM inferred
     ORDER BY c_custkey
     """
+
+
+def scd6_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-6 hybrid dimension (1+2+3): the full Type-2 version
+    history with, ON EVERY ROW, the key's CURRENT attribute value as an
+    extra column (the Type-1 overlay) and a flag for whether the row is
+    the current version — so point-in-time joins read historical truth
+    and current truth from the same row without a second lookup.
+
+    Built from the Type-2 output with one additional window over the
+    same hash(user_id) partitioning (max_by over version_no) — the
+    overlay costs no extra shuffle. Completes the SCD taxonomy next to
+    scd2_users (Type 2), scd3_users (Type 3), cdc_apply_latest
+    (Type 1), and snapshot_users (Type 4-style)."""
+    from pyspark.sql.window import Window
+
+    base = scd2_users(spark, sf_dir)
+    w = Window.partitionBy("user_id")
+    return (
+        base.withColumn("_max_v", F.max("version_no").over(w))
+        .withColumn(
+            "current_event_type",
+            F.expr("max_by(event_type, version_no)").over(w),
+        )
+        .withColumn("current_value", F.expr("max_by(value, version_no)").over(w))
+        .withColumn(
+            "is_current_version",
+            F.when(F.col("version_no") == F.col("_max_v"), "Y").otherwise("N"),
+        )
+        .drop("_max_v")
+        .orderBy("user_id", "version_no")
+    )
+
+
+def oracle_scd6_users() -> str:
+    inner = oracle_scd2_users()
+    return f"""
+    WITH scd2 AS ({inner})
+    SELECT *,
+           max_by(event_type, version_no) OVER (PARTITION BY user_id) AS current_event_type,
+           max_by(value, version_no) OVER (PARTITION BY user_id) AS current_value,
+           CASE WHEN version_no = max(version_no) OVER (PARTITION BY user_id)
+                THEN 'Y' ELSE 'N' END AS is_current_version
+    FROM scd2 ORDER BY user_id, version_no
+    """
