@@ -166,6 +166,14 @@ def main() -> None:
         "cross_source_overlap_matrix": llm.cross_source_overlap_matrix,
         "embedding_power_iter": llm.embedding_power_iter,
         "dim_customer_inferred": medallion.dim_customer_inferred,
+        "order_backlog_daily": analytics.order_backlog_daily,
+        "dedup_savings_by_source": llm.dedup_savings_by_source,
+        "dup_quality_correlation": llm.dup_quality_correlation,
+        "dedup_prefix_filter_join": llm.dedup_prefix_filter_join,
+        "events_funnel_timebound": analytics.events_funnel_timebound,
+        "dedup_consensus_pairs": llm.dedup_consensus_pairs,
+        "scd6_users": medallion.scd6_users,
+        "multimodal_frame_manifest": llm.multimodal_frame_manifest,
         # dedup_embedding_cosine is deliberately absent: key-shifted
         # replication duplicates every vector, so LSH buckets grow
         # factor-fold and pair work factor² — that measures the
