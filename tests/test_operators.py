@@ -1146,3 +1146,54 @@ def test_prefix_filter_join_is_exact(spark):
                 brute.add((a, b))
     got = {(r.doc_a, r.doc_b) for r in dedup_prefix_filter_join(spark, SF_SMOKE).collect()}
     assert got == brute and brute
+
+
+def test_timebound_funnel_dominated_by_unbounded(spark):
+    """Adding a step deadline can only LOSE conversions: every
+    time-bounded step count is <= the unbounded funnel's count."""
+    from northwind_warehouse_spark.plans.analytics import (
+        events_funnel, events_funnel_timebound,
+    )
+
+    free = {r.step: r.n_users for r in events_funnel(spark, SF_SMOKE).collect()}
+    tight = {r.step: r.n_users for r in events_funnel_timebound(spark, SF_SMOKE).collect()}
+    assert set(free) == set(tight) == {1, 2, 3}
+    assert tight[1] == free[1]  # step 1 has no deadline
+    assert tight[2] <= free[2] and tight[3] <= free[3]
+
+
+def test_scd6_overlay_matches_latest_version(spark):
+    """Type-6 invariant: every row of a key carries the attrs of that
+    key's LATEST version; exactly one row per key flags current."""
+    from northwind_warehouse_spark.plans.medallion import scd6_users
+
+    rows = scd6_users(spark, SF_SMOKE).collect()
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert by_user
+    for _u, vs in by_user.items():
+        latest = max(vs, key=lambda r: r.version_no)
+        assert sum(1 for r in vs if r.is_current_version == "Y") == 1
+        for r in vs:
+            assert r.current_event_type == latest.event_type
+            assert r.current_value == latest.value
+            assert (r.is_current_version == "Y") == (r.version_no == latest.version_no)
+
+
+def test_consensus_contains_every_detector_pair(spark):
+    """The ensemble table is the UNION of the detectors: every MinHash
+    pair and every SimHash pair appears, correctly flagged."""
+    from northwind_warehouse_spark.plans.llm import (
+        dedup_consensus_pairs, dedup_minhash_lsh, simhash_hamming_pairs,
+    )
+
+    cons = {(r.doc_a, r.doc_b): r for r in dedup_consensus_pairs(spark, SF_SMOKE).collect()}
+    mh = {(r.doc_a, r.doc_b) for r in dedup_minhash_lsh(spark, SF_SMOKE).collect()}
+    sh = {(r.doc_a, r.doc_b) for r in simhash_hamming_pairs(spark, SF_SMOKE).collect()}
+    assert mh and sh
+    for p in mh:
+        assert p in cons and cons[p].by_minhash == 1
+    for p in sh:
+        assert p in cons and cons[p].by_simhash == 1
+    assert any(r.n_detectors >= 2 for r in cons.values())
