@@ -4634,11 +4634,20 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pos", F.row_number().over(w))
         .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     )
-    prefix = ranked.filter(F.expr("pos <= n - ((7 * n + 9) div 10) + 1")).select("doc_id", "s")
+    prefix = ranked.filter(F.expr("pos <= n - ((7 * n + 9) div 10) + 1")).select(
+        "doc_id", "s", "n"
+    )
+    # length filter (also exact): J >= 0.7 forces min(n_a,n_b)/max >= 0.7,
+    # pruning size-mismatched candidates BEFORE the array verify
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "s")
-        .join(prefix.select(F.col("doc_id").alias("doc_b"), "s"), "s")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na"))
+        .join(
+            prefix.select(F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb")), "s"
+        )
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.expr("7 * greatest(na, nb) <= 10 * least(na, nb)"))
+        )
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -4673,10 +4682,11 @@ def oracle_dedup_prefix_filter_join() -> str:
                count(*) OVER (PARTITION BY t.doc_id) AS n
         FROM tok t JOIN dft d ON t.s = d.s
     ), prefix AS (
-        SELECT doc_id, s FROM ranked WHERE pos <= n - ((7 * n + 9) // 10) + 1
+        SELECT doc_id, s, n FROM ranked WHERE pos <= n - ((7 * n + 9) // 10) + 1
     ), cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM prefix a JOIN prefix b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE 7 * greatest(a.n, b.n) <= 10 * least(a.n, b.n)
     ), scored AS (
         SELECT c.doc_a, c.doc_b,
                CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS n_inter,

@@ -51,9 +51,16 @@ def replicate_documents(spark, factor: int, out_dir: str) -> None:
     for i in range(factor):
         part = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
         if i > 0:
+            # NOTE: interpolate the copy index INSIDE the f-string — a
+            # previous version evaluated '_{0}' eagerly, giving every
+            # copy the same '_0' suffix, which made copies 1..9 mutual
+            # duplicates and pushed all dedup queries into the
+            # duplicate-explosion regime this function exists to avoid.
             part = part.withColumn(
                 "text",
-                F.concat_ws(" ", F.expr(f"transform(split(text, ' '), t -> concat(t, '_{0}'))".replace("{0}", str(i)))),
+                F.concat_ws(
+                    " ", F.expr(f"transform(split(text, ' '), t -> concat(t, '_c{i}'))")
+                ),
             )
         parts.append(part)
     out = parts[0]
