@@ -180,3 +180,21 @@ def test_deglobalized_queries_have_no_unpartitioned_window(spark):
             assert " ASC" not in first and " DESC" not in first, (
                 f"{name}: unpartitioned window: {spec[:100]}"
             )
+
+
+def test_no_cartesian_product_in_any_registered_plan(spark):
+    """Global plan discipline: NO registered query may plan a
+    CartesianProduct — the unbounded cross join that is always a
+    100 TB killer. Intentional small-side cross joins (broadcast
+    codebooks, LUTs, grouping scaffolds) plan as
+    BroadcastNestedLoopJoin and are allowed; a CartesianProduct means
+    both sides were big and unkeyed, which no operator here should
+    ever need."""
+    import __spark_entry__ as e
+
+    offenders = []
+    for name, fn in e.queries().items():
+        plan = fn(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders.append(name)
+    assert not offenders, f"CartesianProduct planned in: {offenders}"
