@@ -4491,3 +4491,197 @@ def oracle_events_funnel_timebound() -> str:
                 END AS BIGINT) AS conv_from_prev_ppm
     FROM counts ORDER BY step
     """
+
+
+def customer_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active month's customers classified as
+    NEW (first-ever month), RETAINED (also active the previous month),
+    or RESURRECTED (active before, but not last month) — plus the
+    CHURNED count (active last month, absent this month). The
+    month-over-month engine-room chart every subscription/commerce
+    dashboard leads with.
+
+    One distinct to (customer, month) grain, then lag + first-month
+    windows on the customer partitioning; the classification rollup is
+    month-sized. Churn is counted against the month AFTER the last
+    active one via the same lead window — no self-join of month sets."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).cast("bigint").alias("ym"),
+    )
+    months = o.distinct()
+    w = Window.partitionBy("o_custkey").orderBy("ym")
+    flagged = (
+        months.withColumn("first_ym", F.min("ym").over(Window.partitionBy("o_custkey")))
+        .withColumn("prev_ym", F.lag("ym").over(w))
+        .withColumn("next_ym", F.lead("ym").over(w))
+        .withColumn(
+            "status",
+            F.when(F.col("ym") == F.col("first_ym"), "new")
+            .when(F.col("prev_ym") == F.col("ym") - 1, "retained")
+            .otherwise("resurrected"),
+        )
+    )
+    active = flagged.groupBy("ym").agg(
+        F.sum((F.col("status") == "new").cast("bigint")).alias("n_new"),
+        F.sum((F.col("status") == "retained").cast("bigint")).alias("n_retained"),
+        F.sum((F.col("status") == "resurrected").cast("bigint")).alias("n_resurrected"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    churn = (
+        flagged.filter(F.col("next_ym").isNull() | (F.col("next_ym") > F.col("ym") + 1))
+        .select((F.col("ym") + 1).alias("ym"))
+        .groupBy("ym")
+        .agg(F.count(F.lit(1)).alias("n_churned"))
+    )
+    return (
+        active.join(churn, "ym", "left")
+        .select(
+            "ym",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_active",
+            F.coalesce("n_churned", F.lit(0)).cast("bigint").alias("n_churned"),
+        )
+        .orderBy("ym")
+    )
+
+
+def oracle_customer_growth_accounting() -> str:
+    return """
+    WITH months AS (
+        SELECT DISTINCT o_custkey,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS ym
+        FROM orders
+    ), flagged AS (
+        SELECT o_custkey, ym,
+               min(ym) OVER (PARTITION BY o_custkey) AS first_ym,
+               lag(ym) OVER w AS prev_ym,
+               lead(ym) OVER w AS next_ym
+        FROM months
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY ym)
+    ), classified AS (
+        SELECT ym,
+               CASE WHEN ym = first_ym THEN 'new'
+                    WHEN prev_ym = ym - 1 THEN 'retained'
+                    ELSE 'resurrected' END AS status,
+               next_ym
+        FROM flagged
+    ), active AS (
+        SELECT ym,
+               CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+               count(*) AS n_active
+        FROM classified GROUP BY ym
+    ), churn AS (
+        SELECT ym + 1 AS ym, count(*) AS n_churned
+        FROM classified WHERE next_ym IS NULL OR next_ym > ym + 1
+        GROUP BY ym + 1
+    )
+    SELECT a.ym, n_new, n_retained, n_resurrected, n_active,
+           CAST(coalesce(n_churned, 0) AS BIGINT) AS n_churned
+    FROM active a LEFT JOIN churn c ON a.ym = c.ym
+    ORDER BY a.ym
+    """
+
+
+_PVM_Y0, _PVM_Y1 = 1996, 1997
+
+
+def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-bridge (price/volume/mix) decomposition per brand between
+    two years: ΔRevenue = volume effect (quantity change at base unit
+    price) + price effect (unit-price change at base quantity) + mix
+    (the cross term) — the waterfall every finance review walks.
+
+    Unit prices are rationals (cents/qty), so every effect is published
+    in exact micro-cents via sign-split DECIMAL(38,0) division:
+    volume = (q1−q0)·c0·1e6 div q0, price = (c1·q0 − c0·q1)·1e6 div q1
+    wait — price = q0·(c1/q1 − c0/q0)·1e6 = (c1·q0·1e6 div q1) − c0·1e6,
+    and mix is the remainder that makes the bridge sum EXACTLY to
+    ΔRevenue·1e6 (published so the waterfall reconciles by
+    construction). Two year-filtered brand aggregates, dims broadcast."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        l.filter(F.year("l_shipdate").isin(_PVM_Y0, _PVM_Y1))
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .select(
+            "p_brand",
+            F.year("l_shipdate").alias("yr"),
+            dec2("l_quantity").cast("bigint").alias("qty"),
+            # keep sub-cent precision through the SUM; truncate ONCE on the
+            # total (matching the oracle) — per-row truncation drifts
+            (disc_price() * 100).alias("cents_dec"),
+        )
+        .groupBy("p_brand", "yr")
+        .agg(
+            F.sum("qty").alias("q"),
+            F.sum("cents_dec").cast("bigint").alias("c"),
+        )
+    )
+    y0 = base.filter(F.col("yr") == _PVM_Y0).select(
+        "p_brand", F.col("q").alias("q0"), F.col("c").alias("c0")
+    )
+    y1 = base.filter(F.col("yr") == _PVM_Y1).select(
+        "p_brand", F.col("q").alias("q1"), F.col("c").alias("c1")
+    )
+
+    def ssdiv(num: str, den: str) -> str:
+        # sign-split exact integer division on DECIMAL(38,0)
+        return (
+            f"CASE WHEN {num} >= 0 THEN CAST(CAST({num} AS DECIMAL(38,0)) * 1000000 div {den} AS BIGINT) "
+            f"ELSE -CAST(CAST(-({num}) AS DECIMAL(38,0)) * 1000000 div {den} AS BIGINT) END"
+        )
+
+    return (
+        y0.join(y1, "p_brand")
+        .withColumn("delta_microcents", F.expr("(c1 - c0) * CAST(1000000 AS BIGINT)"))
+        .withColumn("volume_effect", F.expr(ssdiv("(q1 - q0) * c0", "q0")))
+        .withColumn("price_effect", F.expr(ssdiv("(CAST(c1 AS DECIMAL(38,0)) * q0 - CAST(c0 AS DECIMAL(38,0)) * q1)", "q1")))
+        .withColumn(
+            "mix_effect", F.expr("delta_microcents - volume_effect - price_effect")
+        )
+        .select(
+            "p_brand", "q0", "q1", "c0", "c1",
+            "delta_microcents", "volume_effect", "price_effect", "mix_effect",
+        )
+        .orderBy("p_brand")
+    )
+
+
+def oracle_price_volume_mix() -> str:
+    def ssdiv(num: str, den: str) -> str:
+        return (
+            f"CASE WHEN {num} >= 0 THEN CAST(CAST({num} AS HUGEINT) * 1000000 // {den} AS BIGINT) "
+            f"ELSE -CAST(CAST(-({num}) AS HUGEINT) * 1000000 // {den} AS BIGINT) END"
+        )
+
+    return f"""
+    WITH base AS (
+        SELECT p_brand, year(l_shipdate) AS yr,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS BIGINT) AS q,
+               -- floor, not round: Spark's decimal->bigint cast truncates
+               CAST(floor(sum({o_disc_price()} * 100)) AS BIGINT) AS c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE year(l_shipdate) IN ({_PVM_Y0}, {_PVM_Y1})
+        GROUP BY p_brand, year(l_shipdate)
+    ), y0 AS (
+        SELECT p_brand, q AS q0, c AS c0 FROM base WHERE yr = {_PVM_Y0}
+    ), y1 AS (
+        SELECT p_brand, q AS q1, c AS c1 FROM base WHERE yr = {_PVM_Y1}
+    ), j AS (
+        SELECT y0.p_brand, q0, q1, c0, c1,
+               (c1 - c0) * CAST(1000000 AS BIGINT) AS delta_microcents,
+               {ssdiv("(q1 - q0) * c0", "q0")} AS volume_effect,
+               {ssdiv("(CAST(c1 AS HUGEINT) * q0 - CAST(c0 AS HUGEINT) * q1)", "q1")} AS price_effect
+        FROM y0 JOIN y1 USING (p_brand)
+    )
+    SELECT p_brand, q0, q1, c0, c1, delta_microcents, volume_effect, price_effect,
+           delta_microcents - volume_effect - price_effect AS mix_effect
+    FROM j ORDER BY p_brand
+    """
