@@ -181,6 +181,8 @@ def main() -> None:
         "dedup_consensus_pairs": llm.dedup_consensus_pairs,
         "scd6_users": medallion.scd6_users,
         "multimodal_frame_manifest": llm.multimodal_frame_manifest,
+        "customer_growth_accounting": analytics.customer_growth_accounting,
+        "price_volume_mix": analytics.price_volume_mix,
         # dedup_embedding_cosine is deliberately absent: key-shifted
         # replication duplicates every vector, so LSH buckets grow
         # factor-fold and pair work factor² — that measures the
