@@ -4685,3 +4685,103 @@ def oracle_price_volume_mix() -> str:
            delta_microcents - volume_effect - price_effect AS mix_effect
     FROM j ORDER BY p_brand
     """
+
+
+_SLA_DAYS = (30, 60, 90)
+
+
+def order_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA attainment report: per order priority, the share of orders
+    FULLY shipped (last line shipped) within 30/60/90 days of order
+    placement, in exact ppm — the service-level table an operations
+    review opens with.
+
+    One line-grain aggregation to the order grain (max ship date), one
+    broadcast-less orderkey join, one tiny priority rollup. Integer day
+    arithmetic; orders with no lines count as unmet at every SLA."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    l = load(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("last_ship")
+    )
+    lagged = o.join(l, o.o_orderkey == l.l_orderkey, "left").select(
+        "o_orderpriority",
+        F.datediff(F.col("last_ship"), F.col("o_orderdate")).alias("lag_days"),
+    )
+    aggs = [F.count(F.lit(1)).alias("n_orders")] + [
+        F.sum(
+            (F.col("lag_days").isNotNull() & (F.col("lag_days") <= d)).cast("bigint")
+        ).alias(f"met_{d}d")
+        for d in _SLA_DAYS
+    ]
+    out = lagged.groupBy("o_orderpriority").agg(*aggs)
+    for d in _SLA_DAYS:
+        out = out.withColumn(f"sla_{d}d_ppm", F.expr(f"1000000 * met_{d}d div n_orders"))
+    return out.select(
+        "o_orderpriority",
+        "n_orders",
+        *[c for d in _SLA_DAYS for c in (f"met_{d}d", f"sla_{d}d_ppm")],
+    ).orderBy("o_orderpriority")
+
+
+def oracle_order_fulfillment_sla() -> str:
+    met = ",\n".join(
+        f"           CAST(sum(CASE WHEN lag_days IS NOT NULL AND lag_days <= {d} THEN 1 ELSE 0 END) AS BIGINT) AS met_{d}d"
+        for d in _SLA_DAYS
+    )
+    sel = ",\n".join(
+        f"           met_{d}d, 1000000 * met_{d}d // n_orders AS sla_{d}d_ppm" for d in _SLA_DAYS
+    )
+    return f"""
+    WITH ls AS (
+        SELECT l_orderkey, max(l_shipdate) AS last_ship FROM lineitem GROUP BY l_orderkey
+    ), lagged AS (
+        SELECT o_orderpriority,
+               date_diff('day', CAST(o_orderdate AS DATE), CAST(last_ship AS DATE)) AS lag_days
+        FROM orders LEFT JOIN ls ON o_orderkey = l_orderkey
+    ), agg AS (
+        SELECT o_orderpriority, count(*) AS n_orders,
+{met}
+        FROM lagged GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders,
+{sel}
+    FROM agg ORDER BY o_orderpriority
+    """
+
+
+def events_dow_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: event volume by (day-of-week, hour) with
+    each cell's share of its day in exact ppm — the heatmap behind
+    capacity planning and anomaly baselines (events_spike_detect's
+    trailing window assumes exactly this kind of stable profile).
+
+    Map-only bucketing + one tiny (7x24)-cell aggregate; the share
+    window runs on the cell table."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select(
+        F.dayofweek("ts").cast("bigint").alias("dow"),
+        F.hour("ts").cast("bigint").alias("hour"),
+    )
+    cells = e.groupBy("dow", "hour").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("dow")
+    return (
+        cells.withColumn("day_total", F.sum("n_events").over(w))
+        .withColumn("share_of_day_ppm", F.expr("1000000 * n_events div day_total"))
+        .select("dow", "hour", "n_events", "share_of_day_ppm")
+        .orderBy("dow", "hour")
+    )
+
+
+def oracle_events_dow_hour_profile() -> str:
+    return """
+    WITH cells AS (
+        SELECT CAST(dayofweek(ts) + 1 AS BIGINT) AS dow,
+               CAST(hour(ts) AS BIGINT) AS hour,
+               count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT dow, hour, n_events,
+           1000000 * n_events // sum(n_events) OVER (PARTITION BY dow) AS share_of_day_ppm
+    FROM cells ORDER BY dow, hour
+    """

@@ -4802,3 +4802,36 @@ def oracle_dedup_consensus_pairs() -> str:
            by_minhash + by_simhash + by_containment AS n_detectors
     FROM merged ORDER BY doc_a, doc_b
     """
+
+
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group size distribution: how many near-dup clusters of
+    each size the corpus contains and the docs they absorb — the skew
+    monitor for the collapse step (a handful of giant clusters means a
+    boilerplate family the pipeline should route to boilerplate_prune
+    instead of pairwise dedup).
+
+    Composes the connected-components resolution (dedup_clusters) with
+    two tiny rollups: cluster -> size, size -> count. Singleton docs
+    (no near-dup) are size-1 clusters, reported too."""
+    base = dedup_clusters(spark, sf_dir)
+    sizes = base.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .withColumn("n_docs", F.expr("cluster_size * n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def oracle_dedup_cluster_size_histogram() -> str:
+    inner = oracle_dedup_clusters()
+    return f"""
+    WITH clusters AS ({inner}),
+    sizes AS (
+        SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id
+    )
+    SELECT cluster_size, count(*) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY cluster_size ORDER BY cluster_size
+    """
