@@ -4785,3 +4785,60 @@ def oracle_events_dow_hour_profile() -> str:
            1000000 * n_events // sum(n_events) OVER (PARTITION BY dow) AS share_of_day_ppm
     FROM cells ORDER BY dow, hour
     """
+
+
+def monthly_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic seasonal index: each calendar month's average revenue
+    relative to the all-month average, in exact ppm (index 1e6 = an
+    average month) — the deseasonalization factor every forecast
+    divides by before fitting a trend (revenue_trend_slope's natural
+    companion).
+
+    The fact collapses to (year, month) grain once; the index algebra
+    runs on ≤ 12 rows with exact integer cross-multiplication
+    (avg_m / avg_all = sum_m·n_all·1e6 div (n_m·sum_all))."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    ym = o.groupBy("yr", "mo").agg(F.sum("cents").alias("c"))
+    per_month = ym.groupBy("mo").agg(
+        F.count(F.lit(1)).alias("n_years"), F.sum("c").alias("month_cents")
+    )
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per_month.withColumn("all_cents", F.sum("month_cents").over(w))
+        .withColumn("all_n", F.sum("n_years").over(w))
+        .withColumn(
+            "seasonal_index_ppm",
+            F.expr(
+                "CAST(CAST(month_cents AS DECIMAL(38,0)) * all_n * 1000000 "
+                "div (CAST(n_years AS DECIMAL(38,0)) * all_cents) AS BIGINT)"
+            ),
+        )
+        .select("mo", "n_years", "month_cents", "seasonal_index_ppm")
+        .orderBy("mo")
+    )
+
+
+def oracle_monthly_seasonal_index() -> str:
+    return """
+    WITH ym AS (
+        SELECT year(o_orderdate) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
+               CAST(sum(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+        FROM orders GROUP BY 1, 2
+    ), per_month AS (
+        SELECT mo, count(*) AS n_years, CAST(sum(c) AS BIGINT) AS month_cents FROM ym GROUP BY mo
+    ), tot AS (
+        SELECT CAST(sum(month_cents) AS BIGINT) AS all_cents,
+               CAST(sum(n_years) AS BIGINT) AS all_n
+        FROM per_month
+    )
+    SELECT mo, n_years, month_cents,
+           CAST(CAST(month_cents AS HUGEINT) * all_n * 1000000
+                // (CAST(n_years AS HUGEINT) * all_cents) AS BIGINT) AS seasonal_index_ppm
+    FROM per_month, tot ORDER BY mo
+    """

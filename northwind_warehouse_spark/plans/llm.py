@@ -4835,3 +4835,114 @@ def oracle_dedup_cluster_size_histogram() -> str:
            CAST(cluster_size * count(*) AS BIGINT) AS n_docs
     FROM sizes GROUP BY cluster_size ORDER BY cluster_size
     """
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law measurement: how the distinct vocabulary grows as the
+    corpus is ingested in doc_id order — new terms per corpus decile
+    plus the cumulative vocabulary size. A flattening curve says the
+    domain's vocabulary is saturating (more data stops paying for
+    tokenizer coverage); linear growth says the opposite.
+
+    Scale shape: term -> min(doc_id) is one map-side-combined shuffle
+    (never a running count-distinct window over the stream); deciles
+    come from the doc-id span, and the cumulative runs over 10 rows."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    first = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    span = d.agg(F.max("doc_id").alias("mx")).select((F.col("mx") + 1).alias("span"))
+    bucketed = first.crossJoin(F.broadcast(span)).select(
+        F.expr("first_doc * 10 div span").alias("decile")
+    )
+    counts = bucketed.groupBy("decile").agg(F.count(F.lit(1)).alias("new_terms"))
+    w = Window.orderBy("decile")
+    return (
+        counts.withColumn("cumulative_vocab", F.sum("new_terms").over(w).cast("bigint"))
+        .select(F.col("decile").cast("bigint").alias("decile"), "new_terms", "cumulative_vocab")
+        .orderBy("decile")
+    )
+
+
+def oracle_vocab_growth_curve() -> str:
+    return """
+    WITH first AS (
+        SELECT term, min(doc_id) AS first_doc FROM (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ) GROUP BY term
+    ), span AS (
+        SELECT max(doc_id) + 1 AS span FROM documents
+    ), counts AS (
+        SELECT first_doc * 10 // span AS decile, count(*) AS new_terms
+        FROM first, span GROUP BY 1
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, new_terms,
+           CAST(sum(new_terms) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cumulative_vocab
+    FROM counts ORDER BY decile
+    """
+
+
+def doc_length_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length banding via SAMPLED boundaries: short/medium/long
+    document classes per source, with the quartile cut points computed
+    from the deterministic md5-lottery sample and broadcast back — the
+    context-length planning table (how much of each domain fits a
+    window) built with the same no-global-sort discipline as the
+    warehouse decile queries.
+
+    Boundaries from the sample (one tiny sorted object), membership as
+    a map-only value test, rollup per (source, band)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").cast("bigint").alias("n_chars")
+    )
+    lot = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("dlb|"), F.col("doc_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000
+    )
+    bnds = (
+        d.filter(lot < 500000)
+        .agg(
+            (F.expr("percentile(n_chars, 0.25)") * 4).cast("bigint").alias("q1_x4"),
+            (F.expr("percentile(n_chars, 0.75)") * 4).cast("bigint").alias("q3_x4"),
+        )
+    )
+    banded = d.crossJoin(F.broadcast(bnds)).withColumn(
+        "band",
+        F.when(4 * F.col("n_chars") < F.col("q1_x4"), "short")
+        .when(4 * F.col("n_chars") <= F.col("q3_x4"), "medium")
+        .otherwise("long"),
+    )
+    return (
+        banded.groupBy("source", "band")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+        .orderBy("source", "band")
+    )
+
+
+def oracle_doc_length_bands() -> str:
+    return """
+    WITH d AS (
+        SELECT doc_id, source, CAST(length(text) AS BIGINT) AS n_chars FROM documents
+    ), bnds AS (
+        SELECT CAST(quantile_cont(n_chars, 0.25) * 4 AS BIGINT) AS q1_x4,
+               CAST(quantile_cont(n_chars, 0.75) * 4 AS BIGINT) AS q3_x4
+        FROM d
+        WHERE CAST(('0x' || substr(md5('dlb|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 < 500000
+    ), banded AS (
+        SELECT source,
+               CASE WHEN 4 * n_chars < q1_x4 THEN 'short'
+                    WHEN 4 * n_chars <= q3_x4 THEN 'medium'
+                    ELSE 'long' END AS band,
+               n_chars
+        FROM d, bnds
+    )
+    SELECT source, band, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM banded GROUP BY source, band ORDER BY source, band
+    """
