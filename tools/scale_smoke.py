@@ -183,6 +183,12 @@ def main() -> None:
         "multimodal_frame_manifest": llm.multimodal_frame_manifest,
         "customer_growth_accounting": analytics.customer_growth_accounting,
         "price_volume_mix": analytics.price_volume_mix,
+        "order_fulfillment_sla": analytics.order_fulfillment_sla,
+        "events_dow_hour_profile": analytics.events_dow_hour_profile,
+        "dedup_cluster_size_histogram": llm.dedup_cluster_size_histogram,
+        "vocab_growth_curve": llm.vocab_growth_curve,
+        "doc_length_bands": llm.doc_length_bands,
+        "monthly_seasonal_index": analytics.monthly_seasonal_index,
         # dedup_embedding_cosine is deliberately absent: key-shifted
         # replication duplicates every vector, so LSH buckets grow
         # factor-fold and pair work factor² — that measures the
