@@ -4842,3 +4842,209 @@ def oracle_monthly_seasonal_index() -> str:
                 // (CAST(n_years AS HUGEINT) * all_cents) AS BIGINT) AS seasonal_index_ppm
     FROM per_month, tot ORDER BY mo
     """
+
+
+def discount_effectiveness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-band elasticity read: per 1%-discount band, line count,
+    exact average quantity (the demand signal), and revenue — the table
+    that says whether deeper discounts actually move volume or just
+    give margin away.
+
+    Map-only integer banding (discount scale-2 cents → band) + one tiny
+    aggregate; averages via the 4dp integer-division trick so both
+    engines emit identical doubles."""
+    l = load(spark, sf_dir, "lineitem")
+    band = (dec2("l_discount") * 100).cast("bigint")
+    return (
+        l.select(
+            band.alias("discount_pct"),
+            dec2("l_quantity").cast("bigint").alias("qty"),
+            (disc_price() * 100).alias("cents_dec"),
+        )
+        .groupBy("discount_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("total_qty"),
+            F.sum("cents_dec").cast("bigint").alias("revenue_cents"),
+        )
+        .withColumn(
+            "avg_qty_4dp",
+            F.expr("CAST((10000 * total_qty) div n_lines AS DOUBLE) / 10000.0"),
+        )
+        .select("discount_pct", "n_lines", "total_qty", "avg_qty_4dp", "revenue_cents")
+        .orderBy("discount_pct")
+    )
+
+
+def oracle_discount_effectiveness() -> str:
+    return f"""
+    WITH l AS (
+        SELECT CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS discount_pct,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) AS BIGINT) AS qty,
+               {o_disc_price()} * 100 AS cents_dec
+        FROM lineitem
+    ), agg AS (
+        SELECT discount_pct, count(*) AS n_lines,
+               CAST(sum(qty) AS BIGINT) AS total_qty,
+               CAST(floor(sum(cents_dec)) AS BIGINT) AS revenue_cents
+        FROM l GROUP BY discount_pct
+    )
+    SELECT discount_pct, n_lines, total_qty,
+           CAST((10000 * total_qty) // n_lines AS DOUBLE) / 10000.0 AS avg_qty_4dp,
+           revenue_cents
+    FROM agg ORDER BY discount_pct
+    """
+
+
+def next_click_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latency SLO reporting over the forward as-of join, HDR-histogram
+    style: purchase→next-click latencies fold into log2 millisecond
+    buckets (the bucket index is the BIT LENGTH of the ms value — pure
+    integer, both engines via bin()), and p50/p90/p99 are read off the
+    cumulative bucket counts — the way latency percentiles are actually
+    computed at scale (no global sort, no float interpolation; the
+    non-dyadic 0.9/0.99 interpolation points are exactly why a
+    percentile() double cannot cross engines).
+
+    Output: matched/unmatched counts and the lower bound (2^bucket ms)
+    of the bucket containing each percentile."""
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.plans.medallion import asof_events_forward
+
+    base = asof_events_forward(spark, sf_dir).select("micros_to_next_click")
+    matched = base.filter(F.col("micros_to_next_click").isNotNull()).select(
+        F.expr("length(bin(greatest(micros_to_next_click div 1000, 1))) - 1").alias("bucket")
+    )
+    counts = matched.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("bucket")
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    cum = counts.withColumn("cum", F.sum("n").over(w)).withColumn(
+        "total", F.sum("n").over(wt)
+    )
+    pick = cum.agg(
+        F.max("total").alias("n_matched"),
+        F.min(F.when(F.expr("10 * cum >= 5 * total"), F.col("bucket"))).alias("p50_bucket"),
+        F.min(F.when(F.expr("10 * cum >= 9 * total"), F.col("bucket"))).alias("p90_bucket"),
+        F.min(F.when(F.expr("100 * cum >= 99 * total"), F.col("bucket"))).alias("p99_bucket"),
+    )
+    return (
+        pick.crossJoin(
+            base.filter(F.col("micros_to_next_click").isNull())
+            .agg(F.count(F.lit(1)).alias("n_unmatched"))
+        )
+        .select(
+            "n_matched",
+            "n_unmatched",
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(p50_bucket AS INT)) AS BIGINT)").alias("p50_bucket_lo_ms"),
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(p90_bucket AS INT)) AS BIGINT)").alias("p90_bucket_lo_ms"),
+            F.expr("CAST(shiftleft(CAST(1 AS BIGINT), CAST(p99_bucket AS INT)) AS BIGINT)").alias("p99_bucket_lo_ms"),
+        )
+    )
+
+
+def oracle_next_click_latency_percentiles() -> str:
+    from northwind_warehouse_spark.plans.medallion import oracle_asof_events_forward
+
+    inner = oracle_asof_events_forward()
+    return f"""
+    WITH fwd AS ({inner}),
+    matched AS (
+        SELECT length(bin(greatest(micros_to_next_click // 1000, 1))) - 1 AS bucket
+        FROM fwd WHERE micros_to_next_click IS NOT NULL
+    ), counts AS (
+        SELECT bucket, count(*) AS n FROM matched GROUP BY bucket
+    ), cum AS (
+        SELECT bucket, n,
+               sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(n) OVER () AS total
+        FROM counts
+    )
+    SELECT max(total) AS n_matched,
+           (SELECT count(*) FROM fwd WHERE micros_to_next_click IS NULL) AS n_unmatched,
+           CAST(1 AS BIGINT) << CAST(min(CASE WHEN 10 * cum >= 5 * total THEN bucket END) AS INT)
+               AS p50_bucket_lo_ms,
+           CAST(1 AS BIGINT) << CAST(min(CASE WHEN 10 * cum >= 9 * total THEN bucket END) AS INT)
+               AS p90_bucket_lo_ms,
+           CAST(1 AS BIGINT) << CAST(min(CASE WHEN 100 * cum >= 99 * total THEN bucket END) AS INT)
+               AS p99_bucket_lo_ms
+    FROM cum
+    """
+
+
+def winsorized_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type event-value mean via winsorization: values are
+    CLIPPED at the p6.25/p93.75 bounds (dyadic fractions 1/16 and
+    15/16 — the interpolation point stays exact in double, which
+    non-dyadic 0.05/0.95 cannot) computed from the deterministic
+    md5-lottery sample, then averaged exactly — the outlier-resistant
+    aggregate a metrics pipeline reports next to (and often instead of)
+    the raw mean.
+
+    Same sampled-boundary discipline as the decile family: the only
+    sorted object is the per-type sample; clipping is a map-only value
+    test; integer micro-units keep both engines identical."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        # floor() before the cast: Spark's double->bigint truncates while
+        # DuckDB's rounds — floor makes both exact and identical
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("v_micro"),
+    )
+    lot = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("win|"), F.col("event_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 1000000
+    )
+    bnds = (
+        e.filter(lot < 500000)
+        .groupBy("event_type")
+        .agg(
+            (F.expr("percentile(v_micro, 0.0625)") * 2).cast("bigint").alias("lo_x2"),
+            (F.expr("percentile(v_micro, 0.9375)") * 2).cast("bigint").alias("hi_x2"),
+        )
+    )
+    clipped = e.join(F.broadcast(bnds), "event_type").withColumn(
+        "w_x2",
+        F.expr(
+            "CASE WHEN 2 * v_micro < lo_x2 THEN lo_x2 "
+            "WHEN 2 * v_micro > hi_x2 THEN hi_x2 ELSE 2 * v_micro END"
+        ),
+    )
+    return (
+        clipped.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("CAST(2 * v_micro < lo_x2 AS BIGINT)")).alias("n_clipped_low"),
+            F.sum(F.expr("CAST(2 * v_micro > hi_x2 AS BIGINT)")).alias("n_clipped_high"),
+            F.expr("sum(w_x2) div (2 * count(*))").alias("winsorized_mean_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def oracle_winsorized_event_value() -> str:
+    return """
+    WITH e AS (
+        SELECT event_id, event_type, CAST(floor(value * 1000000) AS BIGINT) AS v_micro FROM events
+    ), bnds AS (
+        SELECT event_type,
+               CAST(quantile_cont(v_micro, 0.0625) * 2 AS BIGINT) AS lo_x2,
+               CAST(quantile_cont(v_micro, 0.9375) * 2 AS BIGINT) AS hi_x2
+        FROM e
+        WHERE CAST(('0x' || substr(md5('win|' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)
+              % 1000000 < 500000
+        GROUP BY event_type
+    ), clipped AS (
+        SELECT e.event_type, v_micro, lo_x2, hi_x2,
+               CASE WHEN 2 * v_micro < lo_x2 THEN lo_x2
+                    WHEN 2 * v_micro > hi_x2 THEN hi_x2 ELSE 2 * v_micro END AS w_x2
+        FROM e JOIN bnds ON e.event_type = bnds.event_type
+    )
+    SELECT event_type, count(*) AS n_events,
+           CAST(sum(CASE WHEN 2 * v_micro < lo_x2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+           CAST(sum(CASE WHEN 2 * v_micro > hi_x2 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+           CAST(sum(w_x2) // (2 * count(*)) AS BIGINT) AS winsorized_mean_micro
+    FROM clipped GROUP BY event_type ORDER BY event_type
+    """
