@@ -189,6 +189,9 @@ def main() -> None:
         "vocab_growth_curve": llm.vocab_growth_curve,
         "doc_length_bands": llm.doc_length_bands,
         "monthly_seasonal_index": analytics.monthly_seasonal_index,
+        "discount_effectiveness": analytics.discount_effectiveness,
+        "next_click_latency_percentiles": analytics.next_click_latency_percentiles,
+        "winsorized_event_value": analytics.winsorized_event_value,
         # dedup_embedding_cosine is deliberately absent: key-shifted
         # replication duplicates every vector, so LSH buckets grow
         # factor-fold and pair work factor² — that measures the
