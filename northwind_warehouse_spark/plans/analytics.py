@@ -5048,3 +5048,70 @@ def oracle_winsorized_event_value() -> str:
            CAST(sum(w_x2) // (2 * count(*)) AS BIGINT) AS winsorized_mean_micro
     FROM clipped GROUP BY event_type ORDER BY event_type
     """
+
+
+def events_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the daily event-count series per type —
+    the persistence diagnostic that says whether volume is momentum-
+    driven (high positive), mean-reverting (negative), or noise (≈0),
+    and therefore how much a trailing-window anomaly baseline
+    (events_spike_detect) can be trusted.
+
+    The series collapses to (type, day) grain first; the lag pairs come
+    from one window on the same partitioning, and the correlation
+    divides exact integer moments in IEEE double (the
+    cosine_from_parts discipline). Pairs-count published for
+    auditability."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("d")
+    )
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    pairs = daily.withColumn("prev_n", F.lag("n").over(w)).filter(
+        F.col("prev_n").isNotNull()
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum("n").alias("sy"),
+        F.sum("prev_n").alias("sx"),
+        F.sum(F.expr("n * prev_n")).alias("sxy"),
+        F.sum(F.expr("n * n")).alias("syy"),
+        F.sum(F.expr("prev_n * prev_n")).alias("sxx"),
+    )
+    return m.select(
+        "event_type",
+        F.col("np").cast("bigint").alias("n_pairs"),
+        F.expr(
+            """CAST(CAST(np * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS DOUBLE)
+               / sqrt(CAST(CAST(np * sxx - sx * sx AS DECIMAL(38,0)) AS DOUBLE)
+                      * CAST(CAST(np * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) AS DOUBLE))"""
+        ).alias("autocorr_lag1"),
+    ).orderBy("event_type")
+
+
+def oracle_events_autocorr_lag1() -> str:
+    return """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), pairs AS (
+        SELECT event_type, n,
+               lag(n) OVER (PARTITION BY event_type ORDER BY d) AS prev_n
+        FROM daily
+    ), m AS (
+        SELECT event_type, count(*) AS np,
+               CAST(sum(n) AS BIGINT) AS sy, CAST(sum(prev_n) AS BIGINT) AS sx,
+               CAST(sum(n * prev_n) AS BIGINT) AS sxy,
+               CAST(sum(n * n) AS BIGINT) AS syy,
+               CAST(sum(prev_n * prev_n) AS BIGINT) AS sxx
+        FROM pairs WHERE prev_n IS NOT NULL GROUP BY event_type
+    )
+    SELECT event_type, CAST(np AS BIGINT) AS n_pairs,
+           CAST(CAST(np * sxy - CAST(sx AS HUGEINT) * sy AS HUGEINT) AS DOUBLE)
+             / sqrt(CAST(CAST(np * sxx - sx * sx AS HUGEINT) AS DOUBLE)
+                    * CAST(CAST(np * syy - CAST(sy AS HUGEINT) * sy AS HUGEINT) AS DOUBLE))
+               AS autocorr_lag1
+    FROM m ORDER BY event_type
+    """

@@ -4946,3 +4946,54 @@ def oracle_doc_length_bands() -> str:
            CAST(sum(n_chars) AS BIGINT) AS total_chars
     FROM banded GROUP BY source, band ORDER BY source, band
     """
+
+
+def zipf_rank_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law audit (Heaps' companion): the top-50 terms with their
+    frequency rank and the rank×frequency product — approximately
+    constant for natural language, so a flat product column says the
+    corpus is language-like while systematic growth/decay flags
+    synthetic or templated text. The deviation from the rank-1 product
+    is published in exact ppm.
+
+    One term shuffle with map-side partial counts; the ranked top-50 is
+    a bounded total-ordered head."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), "term")
+        .limit(50)
+    )
+    w = Window.orderBy(F.desc("freq"), "term")
+    wt = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("rank_x_freq", F.expr("rank * freq"))
+        .withColumn("c1", F.max(F.when(F.col("rank") == 1, F.col("rank_x_freq"))).over(wt))
+        .withColumn("deviation_ppm", F.expr("1000000 * rank_x_freq div c1 - 1000000"))
+        .select("rank", "term", "freq", "rank_x_freq", "deviation_ppm")
+        .orderBy("rank")
+    )
+
+
+def oracle_zipf_rank_frequency() -> str:
+    return """
+    WITH counts AS (
+        SELECT term, count(*) AS freq FROM (
+            SELECT unnest(string_split(text, ' ')) AS term FROM documents
+        ) GROUP BY term ORDER BY freq DESC, term LIMIT 50
+    ), ranked AS (
+        SELECT term, freq,
+               row_number() OVER (ORDER BY freq DESC, term) AS rank
+        FROM counts
+    )
+    SELECT CAST(rank AS BIGINT) AS rank, term, freq,
+           CAST(rank * freq AS BIGINT) AS rank_x_freq,
+           1000000 * (rank * freq) // max(CASE WHEN rank = 1 THEN rank * freq END) OVER ()
+               - 1000000 AS deviation_ppm
+    FROM ranked ORDER BY rank
+    """
