@@ -5115,3 +5115,48 @@ def oracle_events_autocorr_lag1() -> str:
                AS autocorr_lag1
     FROM m ORDER BY event_type
     """
+
+
+def events_fano_factor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness index: the Fano factor (variance/mean) of the daily
+    event-count series per type, in exact ppm — 1e6 means Poisson-like
+    arrivals, far above means bursty clumping (and therefore wider
+    anomaly bands), far below means scheduled/regular traffic.
+
+    Day-grain collapse first; the dispersion algebra is exact integer
+    cross-multiplication on the per-type aggregate:
+    fano_ppm = n·Σy² − (Σy)² scaled by 1e6 div (n·Σy)."""
+    e = load(spark, sf_dir, "events").select("event_type", F.to_date("ts").alias("d"))
+    daily = e.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("n"))
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("days"),
+        F.sum("n").alias("sy"),
+        F.sum(F.expr("n * n")).alias("syy"),
+    )
+    return m.select(
+        "event_type",
+        F.col("days").cast("bigint").alias("n_days"),
+        F.col("sy").cast("bigint").alias("total_events"),
+        F.expr(
+            """CAST(CAST(days * syy - CAST(sy AS DECIMAL(38,0)) * sy AS DECIMAL(38,0)) * 1000000
+                    div (CAST(days AS DECIMAL(38,0)) * sy) AS BIGINT)"""
+        ).alias("fano_ppm"),
+    ).orderBy("event_type")
+
+
+def oracle_events_fano_factor() -> str:
+    return """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), m AS (
+        SELECT event_type, count(*) AS days,
+               CAST(sum(n) AS BIGINT) AS sy,
+               CAST(sum(n * n) AS BIGINT) AS syy
+        FROM daily GROUP BY event_type
+    )
+    SELECT event_type, CAST(days AS BIGINT) AS n_days, sy AS total_events,
+           CAST(CAST(days * syy - CAST(sy AS HUGEINT) * sy AS HUGEINT) * 1000000
+                // (CAST(days AS HUGEINT) * sy) AS BIGINT) AS fano_ppm
+    FROM m ORDER BY event_type
+    """

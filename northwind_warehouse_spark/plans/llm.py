@@ -4997,3 +4997,63 @@ def oracle_zipf_rank_frequency() -> str:
                - 1000000 AS deviation_ppm
     FROM ranked ORDER BY rank
     """
+
+
+def pack_straddle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack-boundary straddle diagnostic for the concat-then-chunk
+    packer: per source, how many documents cross at least one
+    PACK_BUDGET boundary and the total boundary crossings — straddled
+    documents are the ones whose attention span gets cut (or whose
+    mask needs cross-pack handling), so this rate prices the packer's
+    context damage.
+
+    Same single window cumsum as sequence_pack; crossings per doc are
+    pure arithmetic: (off + n_tok - 1) div B - off div B."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select("source", "doc_id", n_tokens().alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = base.withColumn(
+        "off", F.coalesce(F.sum("n_tok").over(w), F.lit(0)).cast("bigint")
+    ).withColumn(
+        "crossings",
+        F.expr(f"(off + n_tok - 1) div {PACK_BUDGET} - off div {PACK_BUDGET}"),
+    )
+    return (
+        packed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("crossings") > 0).cast("bigint")).alias("n_straddled"),
+            F.sum("crossings").cast("bigint").alias("total_crossings"),
+        )
+        .withColumn("straddle_ppm", F.expr("1000000 * n_straddled div n_docs"))
+        .orderBy("source")
+    )
+
+
+def oracle_pack_straddle_stats() -> str:
+    return f"""
+    WITH base AS (
+        SELECT source, doc_id, {o_n_tokens()} AS n_tok FROM documents
+    ), packed AS (
+        SELECT source, n_tok,
+               coalesce(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        FROM base
+    ), crossed AS (
+        SELECT source,
+               (off + n_tok - 1) // {PACK_BUDGET} - off // {PACK_BUDGET} AS crossings
+        FROM packed
+    )
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddled,
+           CAST(sum(crossings) AS BIGINT) AS total_crossings,
+           1000000 * CAST(sum(CASE WHEN crossings > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               // count(*) AS straddle_ppm
+    FROM crossed GROUP BY source ORDER BY source
+    """
