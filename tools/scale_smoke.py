@@ -192,6 +192,10 @@ def main() -> None:
         "discount_effectiveness": analytics.discount_effectiveness,
         "next_click_latency_percentiles": analytics.next_click_latency_percentiles,
         "winsorized_event_value": analytics.winsorized_event_value,
+        "events_autocorr_lag1": analytics.events_autocorr_lag1,
+        "zipf_rank_frequency": llm.zipf_rank_frequency,
+        "events_fano_factor": analytics.events_fano_factor,
+        "pack_straddle_stats": llm.pack_straddle_stats,
         # dedup_embedding_cosine is deliberately absent: key-shifted
         # replication duplicates every vector, so LSH buckets grow
         # factor-fold and pair work factor² — that measures the
