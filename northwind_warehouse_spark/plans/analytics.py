@@ -2172,7 +2172,7 @@ def oracle_moving_avg_revenue() -> str:
                date_diff('day', DATE '1995-01-01', order_date) AS day_idx
         FROM daily
     )
-    SELECT order_date, day_cents,
+    SELECT order_date, CAST(day_cents AS BIGINT) AS day_cents,
            count(*) OVER w AS ma7_days,
            CAST(sum(day_cents) OVER w AS BIGINT) // count(*) OVER w AS ma7_cents
     FROM idx
@@ -2260,7 +2260,8 @@ def oracle_monthly_revenue_mom() -> str:
         SELECT ym, rev_cents, lag(rev_cents) OVER (ORDER BY ym) AS prev_cents
         FROM monthly
     )
-    SELECT ym, rev_cents, prev_cents,
+    SELECT ym, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(prev_cents AS BIGINT) AS prev_cents,
            CASE WHEN prev_cents IS NULL OR prev_cents = 0 THEN NULL
                 WHEN rev_cents >= prev_cents
                   THEN CAST(CAST(rev_cents - prev_cents AS HUGEINT) * 10000 // prev_cents AS BIGINT)
@@ -2559,12 +2560,12 @@ def oracle_events_interpolate() -> str:
         FROM g
     )
     SELECT hour_ts,
-           CASE WHEN cents IS NOT NULL THEN cents
+           CAST(CASE WHEN cents IS NOT NULL THEN cents
                 WHEN pv IS NULL THEN nv
                 WHEN nv IS NULL THEN pv
                 WHEN nv >= pv THEN pv + ((nv - pv) * (idx - pi)) // (ni - pi)
                 ELSE pv - (((pv - nv) * (idx - pi)) // (ni - pi))
-           END AS cents_filled,
+           END AS BIGINT) AS cents_filled,
            cents IS NULL AS was_interpolated
     FROM x ORDER BY hour_ts
     """
@@ -2671,7 +2672,7 @@ def oracle_revenue_share_of_parent() -> str:
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
     )
-    SELECT region, nation, nation_cents,
+    SELECT region, nation, CAST(nation_cents AS BIGINT) AS nation_cents,
            CAST(CAST(nation_cents AS HUGEINT) * 1000000 // CAST(sum(nation_cents) OVER (PARTITION BY region) AS BIGINT) AS BIGINT) AS share_of_region_ppm,
            CAST(CAST(sum(nation_cents) OVER (PARTITION BY region) AS HUGEINT) * 1000000
                // CAST(sum(nation_cents) OVER () AS BIGINT) AS BIGINT) AS region_share_ppm
@@ -4782,7 +4783,8 @@ def oracle_events_dow_hour_profile() -> str:
         FROM events GROUP BY 1, 2
     )
     SELECT dow, hour, n_events,
-           1000000 * n_events // sum(n_events) OVER (PARTITION BY dow) AS share_of_day_ppm
+           CAST(1000000 * n_events // sum(n_events) OVER (PARTITION BY dow) AS BIGINT)
+               AS share_of_day_ppm
     FROM cells ORDER BY dow, hour
     """
 
@@ -4960,7 +4962,7 @@ def oracle_next_click_latency_percentiles() -> str:
                sum(n) OVER () AS total
         FROM counts
     )
-    SELECT max(total) AS n_matched,
+    SELECT CAST(max(total) AS BIGINT) AS n_matched,
            (SELECT count(*) FROM fwd WHERE micros_to_next_click IS NULL) AS n_unmatched,
            CAST(1 AS BIGINT) << CAST(min(CASE WHEN 10 * cum >= 5 * total THEN bucket END) AS INT)
                AS p50_bucket_lo_ms,
