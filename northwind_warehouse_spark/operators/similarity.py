@@ -26,6 +26,11 @@ from northwind_warehouse_spark.functions.text import SHINGLE_K
 
 N_SEEDS = 8
 N_BANDS = 4  # 2 rows per band
+# Default band-bucket cap for the LSH self-join (ON by default, like the
+# embedding-dedup twin in plans/llm.py): bounds any single degenerate
+# bucket to cap² pair work. Mirrored verbatim in the oracle SQL
+# (plans/llm.py::_SIG_CTE), so capped and oracle results stay identical.
+LSH_MAX_BUCKET = 1000
 
 
 def shingle_arrays(documents: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -97,7 +102,7 @@ def cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int) -> DataFra
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = None
+    sig: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = LSH_MAX_BUCKET
 ) -> DataFrame:
     """Band-bucket self-join → candidate pairs (doc_a < doc_b).
 
@@ -105,9 +110,12 @@ def lsh_candidate_pairs(
     (boilerplate/empty docs collapsing to one signature): buckets larger
     than the cap are dropped before the self-join, bounding any single
     join key to cap² pair work instead of letting one hot bucket emit
-    O(n²). Off by default — the oracled queries run uncapped; turn it on
-    for production corpora (capped buckets are near-certain duplicates of
-    each other anyway and are better handled by exact dedup first)."""
+    O(n²). ON by default (LSH_MAX_BUCKET, same discipline as the
+    embedding-dedup twin) — a corpus-scale boilerplate family collapsing
+    to one band key must never go quadratic; its members are near-certain
+    duplicates better handled by exact dedup first. The oracle SQL
+    (plans/llm.py::_SIG_CTE) mirrors the cap exactly. Pass ``None`` for
+    the uncapped research mode."""
     rows_per_band = N_SEEDS // N_BANDS
     bands = F.array(*[
         F.struct(

@@ -75,11 +75,17 @@ _SIG_CTE = _SHINGLE_CTE + """,
 ) + """
         FROM sharr
     ),
-    bands AS (
+    bands0 AS (
 """ + "\n        UNION ALL\n".join(
     f"        SELECT doc_id, {b} AS band, md5(concat_ws('|', mh{2*b}, mh{2*b+1})) AS bkey FROM sig"
     for b in range(sim.N_BANDS)
-) + """
+) + f"""
+    ),
+    bands AS (
+        -- mirrors lsh_candidate_pairs' default skew cap: degenerate
+        -- buckets (> LSH_MAX_BUCKET rows) are dropped before the join
+        SELECT doc_id, band, bkey FROM bands0
+        QUALIFY count(*) OVER (PARTITION BY band, bkey) <= {sim.LSH_MAX_BUCKET}
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

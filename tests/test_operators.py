@@ -351,12 +351,18 @@ def test_lsh_bucket_cap_defuses_degenerate_bucket(spark):
     rows = [(i, boiler) for i in range(20)] + [(100, near1), (101, near2)]
     d = spark.createDataFrame(rows, ["doc_id", "text"])
     sig = minhash_signatures(shingle_arrays(d))
-    uncapped = lsh_candidate_pairs(sig).collect()
+    uncapped = lsh_candidate_pairs(sig, max_bucket_size=None).collect()
     capped = lsh_candidate_pairs(sig, max_bucket_size=5).collect()
-    # uncapped: 190 boilerplate pairs + the near-dup pair
+    # uncapped (research mode): 190 boilerplate pairs + the near-dup pair
     assert len(uncapped) == 191
     # capped: the degenerate bucket is dropped, the small bucket survives
     assert {(r.doc_a, r.doc_b) for r in capped} == {(100, 101)}
+    # the DEFAULT is capped (round-4 verdict: production skew defuse ON,
+    # mirroring the embedding-dedup twin); below the cap it's lossless
+    from northwind_warehouse_spark.operators.similarity import LSH_MAX_BUCKET
+
+    assert LSH_MAX_BUCKET is not None
+    assert len(lsh_candidate_pairs(sig).collect()) == 191
 
 
 def test_topk_per_group_equals_plain_window(spark):
