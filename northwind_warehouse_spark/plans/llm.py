@@ -2795,13 +2795,15 @@ def boilerplate_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.expr("size(toks) >= 3")
     )
+    # persisted: the trigram explode is the dominant scan and feeds both
+    # the df count and the tag-back join — compute it once
     tri = toks.select(
         "doc_id",
         F.expr(
             "explode(transform(sequence(1, size(toks) - 2), "
             "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])))"
         ).alias("tri"),
-    )
+    ).persist()
     df_counts = tri.groupBy("tri").agg(F.countDistinct("doc_id").alias("df"))
     per = (
         tri.join(df_counts, "tri")
@@ -4627,32 +4629,54 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     naturally skew-resistant (a shingle common to half the corpus can
     never be in a prefix) — and exact Jaccard verification runs on the
     survivors. Shuffles: df count, prefix rank window on hash(doc),
-    candidate equi-join; never all-pairs."""
+    candidate equi-join; never all-pairs.
+
+    Candidate pruning is three-fold and all LOSSLESS (the oracle needs
+    no mirroring — pruned pairs provably cannot reach J >= t): the
+    prefix theorem, the length filter, and PPJoin's POSITION filter —
+    for a match on a prefix token at (1-based) positions pa/pb of the
+    globally rarest-first-sorted docs, overlap <= 1 + min(na-pa, nb-pb);
+    a qualifying pair's FIRST common token always survives the bound,
+    so pairs are never lost. The shingle arrays and the ranked prefix
+    are persisted: each feeds both sides of a self-join plus the
+    verify, and at warehouse scale they'd be checkpointed to the lake
+    instead (SURVEY §4b)."""
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
-    sh_arr = sim.shingle_arrays(d)
-    tok = sh_arr.select("doc_id", F.explode("sh").alias("s"))
+    sh_arr = sim.shingle_arrays(d).persist()
+    # n map-side from the array — no second window over the token relation
+    tok = sh_arr.select(
+        "doc_id", F.size("sh").cast("bigint").alias("n"), F.explode("sh").alias("s")
+    )
     df_t = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
-    ranked = (
+    prefix = (
         tok.join(df_t, "s")
         .withColumn("pos", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(F.expr("pos <= n - ((7 * n + 9) div 10) + 1"))
+        .select("doc_id", "s", "n", "pos")
+        .persist()
     )
-    prefix = ranked.filter(F.expr("pos <= n - ((7 * n + 9) div 10) + 1")).select(
-        "doc_id", "s", "n"
-    )
-    # length filter (also exact): J >= 0.7 forces min(n_a,n_b)/max >= 0.7,
-    # pruning size-mismatched candidates BEFORE the array verify
+    # length filter (also exact): J >= 0.7 forces min(n_a,n_b)/max >= 0.7;
+    # position filter: overlap required is ceil(7(na+nb)/17), overlap
+    # still possible from this match is 1 + min(na-pa, nb-pb)
     cand = (
-        prefix.select(F.col("doc_id").alias("doc_a"), "s", F.col("n").alias("na"))
+        prefix.select(
+            F.col("doc_id").alias("doc_a"), "s",
+            F.col("n").alias("na"), F.col("pos").alias("pa"),
+        )
         .join(
-            prefix.select(F.col("doc_id").alias("doc_b"), "s", F.col("n").alias("nb")), "s"
+            prefix.select(
+                F.col("doc_id").alias("doc_b"), "s",
+                F.col("n").alias("nb"), F.col("pos").alias("pb"),
+            ),
+            "s",
         )
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.expr("7 * greatest(na, nb) <= 10 * least(na, nb)"))
+            & (F.expr("1 + least(na - pa, nb - pb) >= (7 * (na + nb) + 16) div 17"))
         )
         .select("doc_a", "doc_b")
         .distinct()
