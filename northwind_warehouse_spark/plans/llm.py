@@ -3398,6 +3398,142 @@ def oracle_pq_refine_stats() -> str:
     """
 
 
+_PQ_TRAIN_ROUNDS = 2
+
+
+def pq_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-round PQ codebook training: the Lloyd step of
+    pq_refine_stats LOOPED — each round assigns every subvector to its
+    nearest codeword (argmin integer L2, ties to the lowest codeword
+    id), recomputes each non-empty codeword as the element-wise
+    integer mean of its assignees (empty cells keep their old
+    codeword), and reports the total distortion at assignment time and
+    after the update. One row per round.
+
+    The k-means descent invariant is exact in integers and asserted in
+    tests: dist_assign[r+1] <= dist_updated[r] (re-assignment against
+    the updated codebook can only improve the per-cell minimum), and
+    dist_updated[r] <= dist_assign[r] + E where E is the element-row
+    count (the slack of FLOOR-ing the per-cell mean instead of taking
+    the real-valued optimum).
+
+    Scale shape per round — identical to pq_refine_stats: the
+    element-grain corpus table is computed ONCE and persisted across
+    all rounds; the codebook stays a 512-row DataFrame (never
+    collected) that broadcasts into the assignment join; per-cell
+    means are map-side-combined aggregates. Round count is a compile
+    time constant, so the whole loop is one linear DAG — at fleet
+    scale each round would checkpoint its codebook to the lake."""
+    e = load(spark, sf_dir, "embeddings")
+    el = (
+        e.select("vec_id", F.expr(
+            "posexplode(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))"
+        ).alias("i0", "xq"))
+        .select(
+            "vec_id",
+            (F.col("i0") + 1).alias("i"),
+            F.expr(f"CAST(i0 div {sim.PQ_SUB} AS INT)").alias("s"),
+            "xq",
+        )
+        .persist()
+    )
+    cb_el = (
+        sim.pq_codebook(e)
+        .select(F.expr("posexplode(cws)").alias("j", "cw"))
+        .select("j", F.expr("posexplode(cw)").alias("i0", "w"))
+        .select("j", (F.col("i0") + 1).alias("i"), "w")
+    )
+    rows = []
+    for r in range(_PQ_TRAIN_ROUNDS):
+        subd = (
+            el.join(F.broadcast(cb_el), "i")
+            .groupBy("vec_id", "s", "j")
+            .agg(F.expr("CAST(sum((xq - w) * (xq - w)) AS BIGINT)").alias("d"))
+        )
+        best = (
+            subd.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d", "j")).alias("b"))
+            .select("vec_id", "s", F.col("b.d").alias("d"), F.col("b.j").alias("j"))
+        )
+        dist_assign = best.agg(F.expr("CAST(sum(d) AS BIGINT)").alias("dist_assign"))
+        ael = el.join(best.select("vec_id", "s", "j"), ["vec_id", "s"])
+        newc = ael.groupBy("j", "i").agg(
+            F.expr(
+                f"CAST((sum(xq) + {_PQ_XQ_OFF} * count(*)) div count(*) - {_PQ_XQ_OFF} AS BIGINT)"
+            ).alias("w")
+        )
+        cb_next = (
+            cb_el.select("j", "i", F.col("w").alias("w_old"))
+            .join(newc, ["j", "i"], "left")
+            .select("j", "i", F.coalesce("w", "w_old").alias("w"))
+        )
+        dist_updated = ael.join(F.broadcast(cb_next), ["j", "i"]).agg(
+            F.expr("CAST(sum((xq - w) * (xq - w)) AS BIGINT)").alias("dist_updated")
+        )
+        rows.append(
+            dist_assign.crossJoin(dist_updated).select(
+                F.lit(r).cast("bigint").alias("round"), "dist_assign", "dist_updated"
+            )
+        )
+        cb_el = cb_next
+    out = rows[0]
+    for rw in rows[1:]:
+        out = out.unionByName(rw)
+    return out.orderBy("round")
+
+
+def oracle_pq_train_rounds() -> str:
+    parts = [f"""
+    el AS (
+        SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), el2 AS (
+        SELECT vec_id, i, CAST((i - 1) // {sim.PQ_SUB} AS INT) AS s, xq FROM el
+    ), cwsel AS (
+        SELECT vec_id, rn - 1 AS j FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY CAST(('0x' || substr(md5('pq|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                         vec_id) AS rn
+            FROM embeddings)
+        WHERE rn <= {sim.PQ_NC}
+    ), cb0 AS (
+        SELECT c.j, e.i, e.xq AS w FROM cwsel c JOIN el2 e USING (vec_id)
+    )"""]
+    for r in range(_PQ_TRAIN_ROUNDS):
+        parts.append(f""",
+    subd{r} AS (
+        SELECT a.vec_id, a.s, c.j,
+               CAST(sum((a.xq - c.w) * (a.xq - c.w)) AS BIGINT) AS d
+        FROM el2 a JOIN cb{r} c ON a.i = c.i
+        GROUP BY a.vec_id, a.s, c.j
+    ), best{r} AS (
+        SELECT vec_id, s, d, j FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM subd{r}) WHERE rn = 1
+    ), ael{r} AS (
+        SELECT e.vec_id, e.s, e.i, e.xq, b.j
+        FROM el2 e JOIN best{r} b ON e.vec_id = b.vec_id AND e.s = b.s
+    ), newc{r} AS (
+        SELECT j, i,
+               CAST((sum(xq) + {_PQ_XQ_OFF} * count(*)) // count(*) - {_PQ_XQ_OFF} AS BIGINT) AS w
+        FROM ael{r} GROUP BY j, i
+    ), cb{r + 1} AS (
+        SELECT c.j, c.i, coalesce(n.w, c.w) AS w
+        FROM cb{r} c LEFT JOIN newc{r} n ON c.j = n.j AND c.i = n.i
+    ), stat{r} AS (
+        SELECT CAST({r} AS BIGINT) AS round,
+               (SELECT CAST(sum(d) AS BIGINT) FROM best{r}) AS dist_assign,
+               (SELECT CAST(sum((a.xq - c.w) * (a.xq - c.w)) AS BIGINT)
+                FROM ael{r} a JOIN cb{r + 1} c ON a.i = c.i AND a.j = c.j) AS dist_updated
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM stat{r}" for r in range(_PQ_TRAIN_ROUNDS))
+    return (
+        "WITH " + "".join(parts)
+        + f" SELECT round, dist_assign, dist_updated FROM ({union}) ORDER BY round"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Round-4 additions: containment dedup, novelty, fertility, SimHash bands
 # ---------------------------------------------------------------------------

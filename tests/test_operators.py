@@ -910,6 +910,25 @@ def test_pq_refine_descends(spark):
         assert r.dist_new <= r.dist_old + sim.PQ_SUB * r.n_assigned  # floor slack
 
 
+def test_pq_train_rounds_monotone_descent(spark):
+    """The looped Lloyd trainer descends monotonically: re-assignment
+    against the updated codebook is EXACTLY <= the post-update
+    distortion (min over codewords <= the previously-chosen one), and
+    each update step descends up to the integer-floor slack of one per
+    element row."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import _PQ_TRAIN_ROUNDS, pq_train_rounds
+
+    rows = pq_train_rounds(spark, SF_SMOKE).collect()
+    assert [r.round for r in rows] == list(range(_PQ_TRAIN_ROUNDS))
+    n_el = load(spark, SF_SMOKE, "embeddings").count() * 64
+    for r in rows:
+        assert r.dist_updated <= r.dist_assign + n_el  # floor slack
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt.dist_assign <= prev.dist_updated  # exact invariant
+        assert nxt.dist_assign <= prev.dist_assign  # net per-round descent
+
+
 def test_asof_forward_matches_bruteforce(spark):
     """asof_join_forward ≡ min-ts-≥ brute force (cross-join reference)."""
     from northwind_warehouse_spark.catalog import load

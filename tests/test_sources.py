@@ -252,6 +252,15 @@ def test_nanos_timestamp_with_submicro_residue_floors(spark, tmp_path):
     got = load(spark, str(nanos_dir), "events").select(F.unix_micros("ts").alias("us")).collect()
     assert [r.us for r in got] == [want_us]
 
+    # cross-engine: DuckDB truncates ns→µs the same way — the exact
+    # contract the driver's epoch-µs hash depends on
+    import duckdb
+
+    duck = duckdb.sql(
+        f"SELECT epoch_us(ts) FROM '{nanos_dir}/events.parquet'"
+    ).fetchall()
+    assert duck == [(want_us,)]
+
     # branch 2: without nanosAsLong this build rejects nanos — a future
     # Spark that infers a native type instead needs a floor re-check
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")

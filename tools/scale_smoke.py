@@ -140,6 +140,7 @@ def main() -> None:
         "curate_corpus": llm.curate_corpus,
         "winnow_overlap_pairs": llm.winnow_overlap_pairs,
         "pq_refine_stats": llm.pq_refine_stats,
+        "pq_train_rounds": llm.pq_train_rounds,
         # second-wave round-4 additions
         "fact_order_lifecycle": medallion.fact_order_lifecycle,
         "fact_inventory_monthly": medallion.fact_inventory_monthly,
