@@ -106,6 +106,38 @@ def oracle_dedup_minhash_lsh() -> str:
     return f"WITH {_SIG_CTE} SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b"
 
 
+def dedup_minhash_lsh_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_minhash_lsh with the signatures CHECKPOINTED TO THE LAKE
+    between the signature scan and the band self-join — the SURVEY §4b
+    warehouse pattern for corpus-scale dedup: at 100 TB the signature
+    pass is an expensive full-corpus scan you run ONCE, persist as a
+    table, and reuse across every downstream consumer (band join,
+    cross-corpus decontamination, incremental re-dedup of new
+    partitions), instead of re-deriving it inside each query's DAG
+    (what `.persist()` does per-run).
+
+    The checkpoint is a real parquet write + fresh read (lineage cut,
+    not a cache): the self-join's two scans read the compact signature
+    table — 8 fixed-width hex strings per doc, orders of magnitude
+    smaller than the corpus — and the original text is never touched
+    again. Signatures are md5-hex strings, so the roundtrip is
+    lossless and the oracle is byte-identical to dedup_minhash_lsh's."""
+    import hashlib as _hl
+
+    from northwind_warehouse_spark.sources import lake
+
+    d = load(spark, sf_dir, "documents")
+    sig = sim.minhash_signatures(sim.shingle_arrays(d))
+    path = f"/tmp/nws_sig_lake/{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+    lake.write_table(sig, path)
+    sig_lake = lake.read_table(spark, path)
+    return sim.lsh_candidate_pairs(sig_lake).orderBy("doc_a", "doc_b")
+
+
+def oracle_dedup_minhash_lsh_lake() -> str:
+    return oracle_dedup_minhash_lsh()
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact shingle-set Jaccard on the LSH candidate pairs."""
     d = load(spark, sf_dir, "documents")
