@@ -5255,3 +5255,270 @@ def oracle_pack_straddle_stats() -> str:
                // count(*) AS straddle_ppm
     FROM crossed GROUP BY source ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: model-eval lift, CCNet-style terciles, quality canonicals
+# ---------------------------------------------------------------------------
+
+
+def score_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile lift/gains table for the quality classifier against the
+    near-duplicate label — the standard offline eval a curation team
+    runs before trusting a model score as a corpus gate: per descending
+    score decile, how many near-dups does it capture, cumulatively, and
+    at what lift over the base rate?
+
+    The label is LSH candidate-pair membership (the production dedup
+    signal); the score is the deterministic quantized model score (the
+    model_score_filter stub — swap a real classifier unchanged). The
+    decile is score_q div 100000 — the score is already uniform on
+    [0, 1e6), so banding is MAP-ONLY (no boundary computation, no
+    global sort); the cumulative windows run over the 10-row decile
+    aggregate. Lift and capture are exact ppm integer division."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sim.shingle_arrays(d)))
+    dup_ids = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1).cast("bigint"))
+    )
+    scored = (
+        d.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5(F.concat(F.lit("score|"), F.col("text"))), 1, 8), 16, 10)
+                .cast("long") % 1000000
+            ).alias("score_q"),
+        )
+        .join(F.broadcast(dup_ids), "doc_id", "left")
+        .withColumn("is_dup", F.coalesce("is_dup", F.lit(0)).cast("bigint"))
+        .withColumn("decile", F.expr("CAST(9 - (score_q div 100000) AS INT)"))
+    )
+    per = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").cast("bigint").alias("n_dups"),
+    )
+    w_cum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        per.withColumn("cum_dups", F.sum("n_dups").over(w_cum).cast("bigint"))
+        .withColumn("tot_dups", F.sum("n_dups").over(w_all).cast("bigint"))
+        .withColumn("tot_docs", F.sum("n_docs").over(w_all).cast("bigint"))
+        .select(
+            "decile", "n_docs", "n_dups", "cum_dups",
+            F.expr(
+                "CASE WHEN tot_dups = 0 THEN NULL"
+                " ELSE 1000000 * cum_dups div tot_dups END"
+            ).alias("capture_ppm"),
+            F.expr(
+                "CASE WHEN n_docs = 0 OR tot_dups = 0 THEN NULL"
+                " ELSE CAST(CAST(n_dups AS DECIMAL(38,0)) * tot_docs * 1000000"
+                " div (CAST(n_docs AS DECIMAL(38,0)) * tot_dups) AS BIGINT) END"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("decile")
+    )
+
+
+def oracle_score_lift_table() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    dup_ids AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM cand UNION ALL SELECT doc_b FROM cand
+        )
+    ), scored AS (
+        SELECT d.doc_id,
+               CAST(('0x' || substr(md5('score|' || d.text), 1, 8)) AS BIGINT) % 1000000 AS score_q,
+               CASE WHEN u.doc_id IS NULL THEN 0 ELSE 1 END AS is_dup
+        FROM documents d LEFT JOIN dup_ids u ON d.doc_id = u.doc_id
+    ), per AS (
+        SELECT CAST(9 - (score_q // 100000) AS INT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_dup) AS BIGINT) AS n_dups
+        FROM scored GROUP BY 1
+    ), cum AS (
+        SELECT decile, n_docs, n_dups,
+               CAST(sum(n_dups) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_dups,
+               CAST(sum(n_dups) OVER () AS BIGINT) AS tot_dups,
+               CAST(sum(n_docs) OVER () AS BIGINT) AS tot_docs
+        FROM per
+    )
+    SELECT decile, n_docs, n_dups, cum_dups,
+           CASE WHEN tot_dups = 0 THEN NULL
+                ELSE CAST(1000000 * cum_dups // tot_dups AS BIGINT) END AS capture_ppm,
+           CASE WHEN n_docs = 0 OR tot_dups = 0 THEN NULL
+                ELSE CAST(CAST(n_dups AS HUGEINT) * tot_docs * 1000000
+                     // (CAST(n_docs AS HUGEINT) * tot_dups) AS BIGINT) END AS lift_ppm
+    FROM cum ORDER BY decile
+    """
+
+
+def lm_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail quality banding: per source, rank
+    documents by their corpus-LM score (mean unigram frequency ppm —
+    the unigram half of bigram_lm_quality) and split into EXACT RANK
+    terciles — bucket = 3*(rank-1) div n, so thirds are integer-exact
+    (interpolated 1/3-percentiles are NOT cross-engine stable; rank
+    arithmetic is). Per (source, band): docs, tokens, mean score.
+
+    Scale shape: one term-keyed shuffle for frequencies (AQE handles
+    the stopword skew), one per-doc agg, one rank window PARTITIONED BY
+    SOURCE (never global), a band-grain rollup."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("term"))
+    tot = tok.agg(F.count(F.lit(1)).alias("total_tok"))
+    uni_ppm = (
+        tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.expr(
+                "CAST(CAST(cnt AS DECIMAL(38,0)) * 1000000 div total_tok AS BIGINT)"
+            ).alias("tok_ppm"),
+        )
+    )
+    per_doc = (
+        tok.join(uni_ppm, "term")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("tok_ppm").alias("sum_ppm"))
+        .select("doc_id", "source", "n_tok", F.expr("sum_ppm div n_tok").alias("score"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    banded = (
+        per_doc.withColumn("rnk", F.row_number().over(w))
+        .withColumn("n_src", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .withColumn(
+            "band",
+            F.expr(
+                "CASE 3 * (rnk - 1) div n_src WHEN 0 THEN 'head'"
+                " WHEN 1 THEN 'middle' ELSE 'tail' END"
+            ),
+        )
+    )
+    return (
+        banded.groupBy("source", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.expr("CAST(sum(score) div count(*) AS BIGINT)").alias("mean_score_ppm"),
+        )
+        .orderBy("source", "band")
+    )
+
+
+def oracle_lm_quality_terciles() -> str:
+    return """
+    WITH tok AS (
+        SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS total_tok FROM tok
+    ), unip AS (
+        SELECT term, CAST(CAST(count(*) AS HUGEINT) * 1000000 // max(total_tok) AS BIGINT) AS tok_ppm
+        FROM tok CROSS JOIN tot GROUP BY term
+    ), per_doc AS (
+        SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tok,
+               CAST(CAST(sum(tok_ppm) AS BIGINT) // count(*) AS BIGINT) AS score
+        FROM tok JOIN unip USING (term) GROUP BY doc_id, source
+    ), banded AS (
+        SELECT source, n_tok, score,
+               CASE 3 * (row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) - 1)
+                    // count(*) OVER (PARTITION BY source)
+                    WHEN 0 THEN 'head' WHEN 1 THEN 'middle' ELSE 'tail' END AS band
+        FROM per_doc
+    )
+    SELECT source, band, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(CAST(sum(score) AS BIGINT) // count(*) AS BIGINT) AS mean_score_ppm
+    FROM banded GROUP BY source, band ORDER BY source, band
+    """
+
+
+def dedup_canonical_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-representative selection by QUALITY instead of min-id:
+    for every near-duplicate cluster (connected components over the LSH
+    pair graph, size >= 2), keep the member with the highest model
+    score (ties to the lowest doc_id) — what a production dedup
+    actually ships, since the canonical copy should be the best one,
+    not the earliest-crawled one. Complements dedup_clusters (min-id
+    canonical) and dedup_cluster_size_histogram.
+
+    Scale shape: the component labels are O(diameter) label-propagation
+    rounds (operators/components.py); the representative pick is one
+    window PARTITIONED BY CLUSTER over cluster-member rows only —
+    pair-graph-sized, never corpus-sized."""
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sim.shingle_arrays(d)))
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    scored = d.select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("score|"), F.col("text"))), 1, 8), 16, 10)
+            .cast("long") % 1000000
+        ).alias("score_q"),
+    )
+    members = comp.select(F.col("node").alias("doc_id"), "comp").join(scored, "doc_id")
+    w = Window.partitionBy("comp").orderBy(F.desc("score_q"), "doc_id")
+    return (
+        members.withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "cluster_size", F.count(F.lit(1)).over(Window.partitionBy("comp")).cast("bigint")
+        )
+        .filter(F.col("rnk") == 1)
+        .select(
+            F.col("comp").alias("cluster_id"),
+            F.col("doc_id").alias("canonical_doc_id"),
+            "cluster_size",
+            F.col("score_q").alias("canonical_score_q"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def oracle_dedup_canonical_by_quality() -> str:
+    return f"""
+    WITH RECURSIVE {_SIG_CTE},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND e.v <> r.u
+    ),
+    comp AS (
+        SELECT u AS node, min(v) AS comp
+        FROM (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+        GROUP BY u
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5('score|' || text), 1, 8)) AS BIGINT) % 1000000 AS score_q
+        FROM documents
+    ),
+    members AS (
+        SELECT c.node AS doc_id, c.comp, s.score_q
+        FROM comp c JOIN scored s ON s.doc_id = c.node
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY comp ORDER BY score_q DESC, doc_id) AS rnk,
+               CAST(count(*) OVER (PARTITION BY comp) AS BIGINT) AS cluster_size
+        FROM members
+    )
+    SELECT comp AS cluster_id, doc_id AS canonical_doc_id, cluster_size,
+           score_q AS canonical_score_q
+    FROM ranked WHERE rnk = 1 ORDER BY cluster_id
+    """

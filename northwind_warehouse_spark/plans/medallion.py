@@ -1877,3 +1877,51 @@ def oracle_scd6_users() -> str:
                 THEN 'Y' ELSE 'N' END AS is_current_version
     FROM scd2 ORDER BY user_id, version_no
     """
+
+
+ASOF_TOLERANCE_US = 3_600_000_000  # 1 hour max staleness
+
+
+def asof_events_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a STALENESS TOLERANCE (pandas merge_asof
+    ``tolerance`` / kdb wj semantics): each purchase takes the latest
+    preceding click of the same user ONLY if it happened within the
+    last hour; older matches are nulled and flagged unmatched — the
+    semantics a session-attribution pipeline needs when a week-old
+    click must not claim credit.
+
+    Built as a map-only post-filter on asof_events' union+window plan:
+    the tolerance check is pure row arithmetic on the matched
+    timestamps, so the plan cost is identical to the unbounded as-of."""
+    base = asof_events(spark, sf_dir)
+    within = F.expr(
+        f"click_event_id IS NOT NULL"
+        f" AND unix_micros(purchase_ts) - unix_micros(click_ts) <= {ASOF_TOLERANCE_US}"
+    )
+    return base.select(
+        "purchase_event_id",
+        "user_id",
+        "purchase_ts",
+        F.when(within, F.col("click_event_id")).alias("click_event_id"),
+        F.when(within, F.expr("unix_micros(purchase_ts) - unix_micros(click_ts)"))
+        .cast("bigint")
+        .alias("staleness_us"),
+        within.alias("matched"),
+    ).orderBy("purchase_event_id")
+
+
+def oracle_asof_events_tolerance() -> str:
+    inner = oracle_asof_events()
+    return f"""
+    WITH base AS ({inner})
+    SELECT purchase_event_id, user_id, purchase_ts,
+           CASE WHEN click_event_id IS NOT NULL
+                     AND epoch_us(purchase_ts) - epoch_us(click_ts) <= {ASOF_TOLERANCE_US}
+                THEN click_event_id END AS click_event_id,
+           CASE WHEN click_event_id IS NOT NULL
+                     AND epoch_us(purchase_ts) - epoch_us(click_ts) <= {ASOF_TOLERANCE_US}
+                THEN epoch_us(purchase_ts) - epoch_us(click_ts) END AS staleness_us,
+           click_event_id IS NOT NULL
+               AND epoch_us(purchase_ts) - epoch_us(click_ts) <= {ASOF_TOLERANCE_US} AS matched
+    FROM base ORDER BY purchase_event_id
+    """

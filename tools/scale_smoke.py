@@ -177,6 +177,9 @@ def main() -> None:
         "order_backlog_daily": analytics.order_backlog_daily,
         "dedup_savings_by_source": llm.dedup_savings_by_source,
         "dup_quality_correlation": llm.dup_quality_correlation,
+        "score_lift_table": llm.score_lift_table,
+        "lm_quality_terciles": llm.lm_quality_terciles,
+        "dedup_canonical_by_quality": llm.dedup_canonical_by_quality,
         "dedup_prefix_filter_join": llm.dedup_prefix_filter_join,
         "events_funnel_timebound": analytics.events_funnel_timebound,
         "dedup_consensus_pairs": llm.dedup_consensus_pairs,
