@@ -5162,3 +5162,166 @@ def oracle_events_fano_factor() -> str:
                 // (CAST(days AS HUGEINT) * sy) AS BIGINT) AS fano_ppm
     FROM m ORDER BY event_type
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: jackknife CI, CUSUM drift detection
+# ---------------------------------------------------------------------------
+
+_JK_BUCKETS = 16
+
+
+def jackknife_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-a-group jackknife for the mean order value — the
+    cluster-friendly bootstrap alternative (one pass, B bucket
+    aggregates, no resampling joins): orders hash deterministically
+    into 16 groups, each leave-one-group-out mean is exact integer
+    cents, and the spread statistic B·Σloo² − (Σloo)² (= B² × the
+    population variance of the LOO means, the jackknife SE's exact
+    integer core) is published alongside the min/max LOO means.
+
+    Scale shape: ONE map-side-combined groupBy over the fact (16
+    groups), then all algebra on a 16-row aggregate via tiny windows —
+    the same one-pass profile as a plain mean, which is the entire
+    point of the grouped jackknife at 100 TB."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    per = (
+        o.withColumn("bucket", _ppm_lottery("jk|", "o_orderkey") % _JK_BUCKETS)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").cast("bigint").alias("s"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # NOTE: aliases must not collide case-insensitively with n/s — Spark's
+    # default resolver treats withColumn("N", ...) as REPLACING column "n"
+    loo = (
+        per.withColumn("tot_n", F.sum("n").over(w_all).cast("bigint"))
+        .withColumn("tot_s", F.sum("s").over(w_all).cast("bigint"))
+        .select(
+            "tot_n", "tot_s",
+            F.expr("(tot_s - s) div (tot_n - n)").alias("loo_mean_cents"),
+        )
+    )
+    return loo.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.expr("CAST(max(tot_s) div max(tot_n) AS BIGINT)").alias("grand_mean_cents"),
+        F.min("loo_mean_cents").alias("loo_min_cents"),
+        F.max("loo_mean_cents").alias("loo_max_cents"),
+        F.expr(
+            f"CAST({_JK_BUCKETS} * sum(loo_mean_cents * loo_mean_cents)"
+            f" - sum(loo_mean_cents) * sum(loo_mean_cents) AS BIGINT)"
+        ).alias("jk_spread_scaled"),
+    )
+
+
+def oracle_jackknife_mean_ci() -> str:
+    return f"""
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), per AS (
+        SELECT {_o_ppm_lottery('jk|', 'o_orderkey')} % {_JK_BUCKETS} AS bucket,
+               CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS s
+        FROM o GROUP BY 1
+    ), loo AS (
+        SELECT CAST(sum(n) OVER () AS BIGINT) AS tot_n,
+               CAST(sum(s) OVER () AS BIGINT) AS tot_s,
+               CAST((CAST(sum(s) OVER () AS BIGINT) - s)
+                    // (CAST(sum(n) OVER () AS BIGINT) - n) AS BIGINT) AS loo_mean_cents
+        FROM per
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(max(tot_s) // max(tot_n) AS BIGINT) AS grand_mean_cents,
+           min(loo_mean_cents) AS loo_min_cents,
+           max(loo_mean_cents) AS loo_max_cents,
+           CAST({_JK_BUCKETS} * CAST(sum(loo_mean_cents * loo_mean_cents) AS BIGINT)
+                - CAST(sum(loo_mean_cents) AS BIGINT) * CAST(sum(loo_mean_cents) AS BIGINT)
+                AS BIGINT) AS jk_spread_scaled
+    FROM loo
+    """
+
+
+def events_cusum_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type over the hourly count
+    series: cumulative scaled deviations C_t = Σ(n_hours·x − total),
+    maximum drawup max_t(C_t − min_{s≤t} C_s) (with C_0 = 0), and the
+    first hour achieving it — the changepoint statistic that catches
+    SLOW drifts a per-hour z-score (events_spike_detect) misses.
+    All integer-exact: deviations are scaled by n_hours instead of
+    dividing by it.
+
+    Scale shape: the fact collapses to (type, hour) grain in one
+    shuffle; every window is PARTITIONED BY event_type over the
+    hour-grain aggregate (bounded rows per type), never over raw
+    events."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    w_type = Window.partitionBy("event_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_cum = Window.partitionBy("event_type").orderBy("hour_ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    scored = (
+        hourly.withColumn("n_hours", F.count(F.lit(1)).over(w_type).cast("bigint"))
+        .withColumn("total", F.sum("x").over(w_type).cast("bigint"))
+        .withColumn("dev", F.expr("n_hours * x - total"))
+        .withColumn("cum", F.sum("dev").over(w_cum).cast("bigint"))
+        .withColumn("runmin", F.least(F.min("cum").over(w_cum), F.lit(0)).cast("bigint"))
+        .withColumn("drawup", F.expr("cum - runmin"))
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(F.desc("drawup"), "hour_ts")
+    return (
+        scored.withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type", "n_hours", "total",
+            F.col("drawup").alias("max_drawup_scaled"),
+            F.col("hour_ts").alias("detect_hour"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def oracle_events_cusum_detect() -> str:
+    return """
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS hour_ts,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ), scored AS (
+        SELECT event_type, hour_ts, x,
+               CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_hours,
+               CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS total
+        FROM hourly
+    ), cums AS (
+        SELECT *,
+               CAST(sum(n_hours * x - total) OVER (
+                   PARTITION BY event_type ORDER BY hour_ts ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum
+        FROM scored
+    ), draw AS (
+        SELECT *,
+               least(CAST(min(cum) OVER (
+                   PARTITION BY event_type ORDER BY hour_ts ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT), 0) AS runmin
+        FROM cums
+    ), ranked AS (
+        SELECT event_type, n_hours, total, cum - runmin AS drawup, hour_ts,
+               row_number() OVER (PARTITION BY event_type ORDER BY cum - runmin DESC, hour_ts) AS rk
+        FROM draw
+    )
+    SELECT event_type, n_hours, total,
+           CAST(drawup AS BIGINT) AS max_drawup_scaled,
+           hour_ts AS detect_hour
+    FROM ranked WHERE rk = 1 ORDER BY event_type
+    """

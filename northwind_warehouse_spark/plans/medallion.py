@@ -1925,3 +1925,137 @@ def oracle_asof_events_tolerance() -> str:
                AND epoch_us(purchase_ts) - epoch_us(click_ts) <= {ASOF_TOLERANCE_US} AS matched
     FROM base ORDER BY purchase_event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-5 additions: FK integrity matrix, snapshot diff
+# ---------------------------------------------------------------------------
+
+_FK_RELS = (
+    ("customer.c_nationkey -> nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey -> supplier.s_suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("nation.n_regionkey -> region.r_regionkey", "nation", "n_regionkey", "region", "r_regionkey"),
+    ("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("supplier.s_nationkey -> nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def fk_integrity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit of EVERY FK relation in the schema
+    in one result: per relation, fact rows, orphans (no matching dim
+    key), and orphan ppm — the whole-warehouse generalization of
+    dq_checks' per-table tests, and the report a nightly conformance
+    job publishes (reference: dbt relationship tests across
+    models/source.yml).
+
+    Scale shape: each relation is ONE left join + ONE tiny agg; dim
+    sides broadcast (the lineitem->orders leg legitimately shuffles —
+    both sides are fact-sized, exactly the case bucketing co-locates
+    at warehouse scale). The 7 single-row aggregates union into the
+    final matrix; nothing is collected."""
+    outs = []
+    for relname, ft, fk, dt, dk in _FK_RELS:
+        fact = load(spark, sf_dir, ft).select(F.col(fk).alias("_fk"))
+        dim = load(spark, sf_dir, dt).select(F.col(dk).alias("_dk")).distinct()
+        if dt != "orders":
+            dim = F.broadcast(dim)
+        j = fact.join(dim, F.col("_fk") == F.col("_dk"), "left")
+        outs.append(
+            j.agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("_dk").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_orphans"),
+            ).select(F.lit(relname).alias("relation"), "n_rows", "n_orphans")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.withColumn(
+        "orphan_ppm", F.expr("1000000 * n_orphans div n_rows")
+    ).orderBy("relation")
+
+
+def oracle_fk_integrity_matrix() -> str:
+    parts = []
+    for relname, ft, fk, dt, dk in _FK_RELS:
+        parts.append(f"""
+        SELECT '{relname}' AS relation,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN d.{dk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+        FROM {ft} f LEFT JOIN (SELECT DISTINCT {dk} FROM {dt}) d ON f.{fk} = d.{dk}""")
+    union = " UNION ALL ".join(parts)
+    return f"""
+    WITH rels AS ({union})
+    SELECT relation, n_rows, n_orphans,
+           CAST(1000000 * n_orphans // n_rows AS BIGINT) AS orphan_ppm
+    FROM rels ORDER BY relation
+    """
+
+
+SNAP_D1 = "2024-01-10 00:00:00"
+SNAP_D2 = "2024-01-20 00:00:00"
+
+
+def snapshot_diff_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot dimension diff: the per-user latest state
+    as of two snapshot dates, classified added / changed / unchanged —
+    the reconciliation report a warehouse publishes alongside its SCD
+    loads (dbt snapshot diffing; the change stream never deletes, so
+    'removed' cannot occur and is deliberately absent).
+
+    Scale shape: each snapshot is one latest-by-key window over the
+    cutoff-filtered change stream (the predicate pushes to the scan);
+    the diff is one user-keyed join of two user-grain tables; the
+    output is a 3-row class rollup."""
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+
+    def state_at(cutoff: str, alias: str) -> DataFrame:
+        snap = latest_by_key(
+            e.filter(F.col("ts") <= F.lit(cutoff).cast("timestamp")),
+            ["user_id"],
+            [F.desc("ts"), F.desc("event_id")],
+        )
+        return snap.select(
+            "user_id", surrogate_key("event_type", num_str("value")).alias(alias)
+        )
+
+    s1 = state_at(SNAP_D1, "h1")
+    s2 = state_at(SNAP_D2, "h2")
+    classed = s2.join(s1, "user_id", "left").select(
+        F.when(F.col("h1").isNull(), F.lit("added"))
+        .when(F.col("h1") != F.col("h2"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("change_class")
+    )
+    return (
+        classed.groupBy("change_class")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("change_class")
+    )
+
+
+def oracle_snapshot_diff_users() -> str:
+    rh = oracle_surrogate_key("event_type", oracle_num_str("value"))
+    return f"""
+    WITH s1 AS (
+        SELECT user_id, {rh} AS h1 FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts <= TIMESTAMP '{SNAP_D1}'
+        ) WHERE rn = 1
+    ), s2 AS (
+        SELECT user_id, {rh} AS h2 FROM (
+            SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE ts <= TIMESTAMP '{SNAP_D2}'
+        ) WHERE rn = 1
+    ), j AS (
+        SELECT s2.user_id, s1.h1, s2.h2 FROM s2 LEFT JOIN s1 ON s1.user_id = s2.user_id
+    )
+    SELECT CASE WHEN h1 IS NULL THEN 'added'
+                WHEN h1 <> h2 THEN 'changed'
+                ELSE 'unchanged' END AS change_class,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM j GROUP BY 1 ORDER BY 1
+    """

@@ -196,6 +196,11 @@ def main() -> None:
         "discount_effectiveness": analytics.discount_effectiveness,
         "next_click_latency_percentiles": analytics.next_click_latency_percentiles,
         "winsorized_event_value": analytics.winsorized_event_value,
+        "fk_integrity_matrix": medallion.fk_integrity_matrix,
+        "snapshot_diff_users": medallion.snapshot_diff_users,
+        "jackknife_mean_ci": analytics.jackknife_mean_ci,
+        "events_cusum_detect": analytics.events_cusum_detect,
+        "asof_events_tolerance": medallion.asof_events_tolerance,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
