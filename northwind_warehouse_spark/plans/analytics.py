@@ -5325,3 +5325,149 @@ def oracle_events_cusum_detect() -> str:
            hour_ts AS detect_hour
     FROM ranked WHERE rk = 1 ORDER BY event_type
     """
+
+
+def seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deseasonalized revenue anomaly detection: each (year, month)'s
+    revenue minus its CALENDAR-MONTH mean (the additive seasonal
+    expectation), flagged when the residual exceeds 3 robust MADs —
+    monthly_seasonal_index's companion that answers "was THIS January
+    abnormal for a January?". All integer-exact: month means are floor
+    division, the median/MAD of residuals use the doubled/quadrupled
+    units trick (interpolated medians of integers land on halves).
+
+    Scale shape: the fact collapses to (year, month) grain in one
+    shuffle; everything after runs on <= a few hundred monthly rows
+    (global tiny-aggregate windows, the revenue_share_of_parent
+    pattern)."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    monthly = o.groupBy("yr", "mo").agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    w_mo = Window.partitionBy("mo").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    resid = (
+        monthly.withColumn(
+            "mo_mean",
+            F.expr("CAST(sum(rev_cents) OVER (PARTITION BY mo"
+                   " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"
+                   " div count(*) OVER (PARTITION BY mo"
+                   " ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)"),
+        )
+        .withColumn("residual", F.expr("rev_cents - mo_mean"))
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    med = resid.agg((F.expr("percentile(residual, 0.5)") * 2).cast("bigint").alias("med_x2"))
+    dev = resid.crossJoin(F.broadcast(med)).withColumn(
+        "d2", F.abs(2 * F.col("residual") - F.col("med_x2"))
+    )
+    mad = dev.agg((F.expr("percentile(d2, 0.5)") * 2).cast("bigint").alias("mad_x4"))
+    return (
+        dev.crossJoin(F.broadcast(mad))
+        .select(
+            "yr", "mo", "rev_cents", "mo_mean", "residual",
+            F.expr("2 * d2 > 3 * mad_x4").alias("is_outlier"),
+        )
+        .orderBy("yr", "mo")
+    )
+
+
+def oracle_seasonal_residual_outliers() -> str:
+    return """
+    WITH o AS (
+        SELECT year(cast(o_orderdate as date)) AS yr,
+               month(cast(o_orderdate as date)) AS mo,
+               CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), monthly AS (
+        SELECT yr, mo, CAST(sum(cents) AS BIGINT) AS rev_cents FROM o GROUP BY yr, mo
+    ), resid AS (
+        SELECT yr, mo, rev_cents,
+               CAST(CAST(sum(rev_cents) OVER (PARTITION BY mo) AS BIGINT)
+                    // count(*) OVER (PARTITION BY mo) AS BIGINT) AS mo_mean,
+               rev_cents - CAST(CAST(sum(rev_cents) OVER (PARTITION BY mo) AS BIGINT)
+                    // count(*) OVER (PARTITION BY mo) AS BIGINT) AS residual
+        FROM monthly
+    ), med AS (
+        SELECT CAST(quantile_cont(residual, 0.5) * 2 AS BIGINT) AS med_x2 FROM resid
+    ), dev AS (
+        SELECT r.*, abs(2 * residual - med_x2) AS d2 FROM resid r CROSS JOIN med
+    ), mad AS (
+        SELECT CAST(quantile_cont(d2, 0.5) * 2 AS BIGINT) AS mad_x4 FROM dev
+    )
+    SELECT yr, mo, rev_cents, mo_mean, residual,
+           2 * d2 > 3 * mad_x4 AS is_outlier
+    FROM dev CROSS JOIN mad ORDER BY yr, mo
+    """
+
+
+def supplier_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year market-share shift per supplier nation: each
+    nation's exact-ppm share of annual supply revenue and its delta vs
+    the prior year — the drill a procurement review opens with. Revenue
+    is the discounted extended price in exact cents.
+
+    Scale shape: lineitem reduces to (nation, year) grain in one
+    shuffle (supplier and nation dims broadcast into the scan); the
+    share and lag windows run over the tiny nation x year aggregate."""
+    from pyspark.sql.window import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.year("l_shipdate").alias("yr"),
+        disc_price("l_extendedprice", "l_discount").alias("dp"),
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    per = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), "yr")
+        # exact decimal sum, floored to cents ONCE (per-row truncation
+        # would diverge from the oracle's sum-then-cast)
+        .agg(F.expr("CAST(floor(sum(dp) * 100) AS BIGINT)").alias("rev_cents"))
+    )
+    w_yr = Window.partitionBy("yr").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_lag = Window.partitionBy("nation").orderBy("yr")
+    return (
+        per.withColumn("yr_total", F.sum("rev_cents").over(w_yr).cast("bigint"))
+        .withColumn(
+            "share_ppm",
+            F.expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 div yr_total AS BIGINT)"),
+        )
+        .withColumn("prev_share_ppm", F.lag("share_ppm").over(w_lag))
+        .select(
+            "nation", "yr", "rev_cents", "share_ppm", "prev_share_ppm",
+            F.expr("share_ppm - prev_share_ppm").alias("share_shift_ppm"),
+        )
+        .orderBy("nation", "yr")
+    )
+
+
+def oracle_supplier_share_shift() -> str:
+    return f"""
+    WITH per AS (
+        SELECT n_name AS nation, year(cast(l_shipdate as date)) AS yr,
+               CAST(floor(sum({o_disc_price('l_extendedprice', 'l_discount')}) * 100) AS BIGINT) AS rev_cents
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name, year(cast(l_shipdate as date))
+    ), shares AS (
+        SELECT nation, yr, rev_cents,
+               CAST(CAST(rev_cents AS HUGEINT) * 1000000
+                    // CAST(sum(rev_cents) OVER (PARTITION BY yr) AS BIGINT) AS BIGINT) AS share_ppm
+        FROM per
+    )
+    SELECT nation, yr, rev_cents, share_ppm,
+           lag(share_ppm) OVER (PARTITION BY nation ORDER BY yr) AS prev_share_ppm,
+           share_ppm - lag(share_ppm) OVER (PARTITION BY nation ORDER BY yr) AS share_shift_ppm
+    FROM shares ORDER BY nation, yr
+    """

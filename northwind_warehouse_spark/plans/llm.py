@@ -5522,3 +5522,151 @@ def oracle_dedup_canonical_by_quality() -> str:
            score_q AS canonical_score_q
     FROM ranked WHERE rnk = 1 ORDER BY cluster_id
     """
+
+
+_KNN_GRAPH_K = 3
+_KNN_CELL_CAP = 1000  # skew defuse: a degenerate cell is bounded to cap² pair work
+
+
+def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-local kNN graph statistics: every vector's top-3 cosine
+    neighbors WITHIN ITS OWN IVF CELL (the bounded candidate set — the
+    build step of graph ANN indexes like NN-descent seeded from a
+    coarse quantizer), rolled up per cell with the RECIPROCAL-edge
+    fraction — the standard health metric for a kNN graph (low
+    reciprocity ⇒ hub-dominated cells, poor index quality).
+
+    Scale shape: cell assignment is map-only (broadcast centroids);
+    pair generation is a cell-keyed equi-self-join capped at
+    _KNN_CELL_CAP members per cell (same skew discipline as the LSH
+    band cap, mirrored in the oracle); the top-k window partitions by
+    source vector; the rollup is cell-grain. Never all-pairs."""
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
+
+    e = load(spark, sf_dir, "embeddings")
+    assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS)
+    capped = sim.cap_buckets(assigned, ["cell_id"], _KNN_CELL_CAP)
+    a = capped.select(
+        "cell_id", F.col("vec_id").alias("src"),
+        F.col("embedding").alias("va"), F.col("n2").alias("na2"),
+    )
+    b = capped.select(
+        "cell_id", F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("vb"), F.col("n2").alias("nb2"),
+    )
+    scored = (
+        a.join(b, "cell_id")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "cell_id", "src", "dst",
+            dot_q("va", "vb").alias("dot"), "na2", "nb2",
+        )
+        .withColumn("cosine", cosine_from_parts("dot", "na2", "nb2"))
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
+    edges = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _KNN_GRAPH_K)
+        .select("cell_id", "src", "dst")
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    marked = edges.join(rev, ["src", "dst"], "left")
+    n_vec = capped.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        marked.groupBy("cell_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum(F.when(F.col("has_rev").isNotNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_reciprocal"),
+        )
+        .join(F.broadcast(n_vec), "cell_id")
+        .select(
+            "cell_id", "n_vectors", "n_edges", "n_reciprocal",
+            F.expr("1000000 * n_reciprocal div n_edges").alias("reciprocal_ppm"),
+        )
+        .orderBy("cell_id")
+    )
+
+
+def oracle_knn_graph_cell_local() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM el
+    ),
+    n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+    ),
+    cdot AS (
+        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
+        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {IVF_N_CENTROIDS}
+        GROUP BY a.vec_id, c.vec_id
+    ),
+    ccos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
+        FROM cdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN n2 nc ON nc.vec_id = d.cent_id
+    ),
+    assign0 AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+            FROM ccos
+        ) WHERE rk = 1
+    ),
+    assign AS (
+        SELECT vec_id, cell_id FROM assign0
+        QUALIFY count(*) OVER (PARTITION BY cell_id) <= {_KNN_CELL_CAP}
+    ),
+    pairs AS (
+        SELECT a.cell_id, a.vec_id AS src, b.vec_id AS dst
+        FROM assign a JOIN assign b
+          ON b.cell_id = a.cell_id AND b.vec_id <> a.vec_id
+    ),
+    dots AS (
+        SELECT p.cell_id, p.src, p.dst, CAST(sum(qa.xq * qb.xq) AS BIGINT) AS dot
+        FROM pairs p
+        JOIN q qa ON qa.vec_id = p.src
+        JOIN q qb ON qb.vec_id = p.dst AND qb.i = qa.i
+        GROUP BY p.cell_id, p.src, p.dst
+    ),
+    scored AS (
+        SELECT cell_id, src, dst,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM dots
+        JOIN n2 na ON na.vec_id = src
+        JOIN n2 nb ON nb.vec_id = dst
+    ),
+    edges AS (
+        SELECT cell_id, src, dst FROM (
+            SELECT *, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst) AS rk
+            FROM scored
+        ) WHERE rk <= {_KNN_GRAPH_K}
+    ),
+    marked AS (
+        SELECT e.cell_id, e.src, e.dst,
+               CASE WHEN r.src IS NULL THEN 0 ELSE 1 END AS has_rev
+        FROM edges e
+        LEFT JOIN edges r ON r.src = e.dst AND r.dst = e.src
+    ),
+    nv AS (
+        SELECT cell_id, CAST(count(*) AS BIGINT) AS n_vectors FROM assign GROUP BY cell_id
+    )
+    SELECT m.cell_id, nv.n_vectors,
+           CAST(count(*) AS BIGINT) AS n_edges,
+           CAST(sum(has_rev) AS BIGINT) AS n_reciprocal,
+           CAST(1000000 * sum(has_rev) // count(*) AS BIGINT) AS reciprocal_ppm
+    FROM marked m JOIN nv ON nv.cell_id = m.cell_id
+    GROUP BY m.cell_id, nv.n_vectors ORDER BY m.cell_id
+    """

@@ -2059,3 +2059,66 @@ def oracle_snapshot_diff_users() -> str:
            CAST(count(*) AS BIGINT) AS n_users
     FROM j GROUP BY 1 ORDER BY 1
     """
+
+
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving data audit: events are split by ARRIVAL order
+    (event_id, the load sequence) into an already-loaded batch (the
+    first 80% of the id range) and an incoming batch; an incoming event
+    is LATE when its EVENT TIME ts is at or before the loaded batch's
+    high watermark — exactly the rows an incremental HWM load
+    (incremental_hwm) would silently skip and a streaming job would
+    hold a watermark open for. Per event type: incoming count, late
+    count, late ppm, and the worst lateness in whole seconds.
+
+    Scale shape: the split bound and the watermark are 1-row broadcast
+    aggregates; lateness classification is map-only on the incoming
+    scan; the rollup is event-type-grain."""
+    e = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    mx = e.agg(F.max("event_id").alias("max_id"))
+    tagged = e.crossJoin(F.broadcast(mx))
+    wm = tagged.filter(F.expr("5 * event_id < 4 * (max_id + 1)")).agg(
+        F.max("ts").alias("wm_ts")
+    )
+    incoming = tagged.filter(F.expr("5 * event_id >= 4 * (max_id + 1)"))
+    return (
+        incoming.crossJoin(F.broadcast(wm))
+        .withColumn("is_late", (F.col("ts") <= F.col("wm_ts")).cast("bigint"))
+        .withColumn(
+            "late_secs",
+            F.expr("CASE WHEN ts <= wm_ts THEN"
+                   " (unix_micros(wm_ts) - unix_micros(ts)) div 1000000 END"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum("is_late").cast("bigint").alias("n_late"),
+            F.max("late_secs").alias("max_late_secs"),
+        )
+        .withColumn("late_ppm", F.expr("1000000 * n_late div n_incoming"))
+        .orderBy("event_type")
+    )
+
+
+def oracle_late_arrival_audit() -> str:
+    return """
+    WITH mx AS (
+        SELECT max(event_id) AS max_id FROM events
+    ), wm AS (
+        SELECT max(ts) AS wm_ts FROM events CROSS JOIN mx
+        WHERE 5 * event_id < 4 * (max_id + 1)
+    ), incoming AS (
+        SELECT e.event_type, e.ts, wm.wm_ts,
+               CASE WHEN e.ts <= wm.wm_ts THEN 1 ELSE 0 END AS is_late,
+               CASE WHEN e.ts <= wm.wm_ts
+                    THEN (epoch_us(wm.wm_ts) - epoch_us(e.ts)) // 1000000 END AS late_secs
+        FROM events e CROSS JOIN mx CROSS JOIN wm
+        WHERE 5 * e.event_id >= 4 * (max_id + 1)
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_incoming,
+           CAST(sum(is_late) AS BIGINT) AS n_late,
+           CAST(max(late_secs) AS BIGINT) AS max_late_secs,
+           CAST(1000000 * sum(is_late) // count(*) AS BIGINT) AS late_ppm
+    FROM incoming GROUP BY event_type ORDER BY event_type
+    """

@@ -201,6 +201,10 @@ def main() -> None:
         "jackknife_mean_ci": analytics.jackknife_mean_ci,
         "events_cusum_detect": analytics.events_cusum_detect,
         "asof_events_tolerance": medallion.asof_events_tolerance,
+        "seasonal_residual_outliers": analytics.seasonal_residual_outliers,
+        "supplier_share_shift": analytics.supplier_share_shift,
+        "late_arrival_audit": medallion.late_arrival_audit,
+        "knn_graph_cell_local": llm.knn_graph_cell_local,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
