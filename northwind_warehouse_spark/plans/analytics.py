@@ -5471,3 +5471,72 @@ def oracle_supplier_share_shift() -> str:
            share_ppm - lag(share_ppm) OVER (PARTITION BY nation ORDER BY yr) AS share_shift_ppm
     FROM shares ORDER BY nation, yr
     """
+
+
+def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped price-response audit: per part brand, the Pearson
+    correlation between line discount (integer pct) and quantity —
+    the first-look elasticity screen a pricing team runs. Moments are
+    exact BIGINT (discount 0-10, quantity bounded, products stay tiny);
+    only the final correlation divides in IEEE double with sqrt
+    correctly rounded in both engines (the cosine_from_parts
+    discipline). Zero-variance groups publish NULL.
+
+    Scale shape: lineitem reduces to brand grain in ONE map-side-
+    combined shuffle (part dim broadcasts into the scan); the
+    correlation algebra runs on the brand-sized aggregate."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (dec2("l_discount") * 100).cast("bigint").alias("x"),
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("y"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(F.col("p_brand").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("x").cast("bigint").alias("sx"),
+            F.sum("y").cast("bigint").alias("sy"),
+            F.expr("CAST(sum(x * x) AS BIGINT)").alias("sxx"),
+            F.expr("CAST(sum(y * y) AS BIGINT)").alias("syy"),
+            F.expr("CAST(sum(x * y) AS BIGINT)").alias("sxy"),
+        )
+    )
+    return m.select(
+        "brand", "n_lines",
+        F.expr(
+            """CASE WHEN n_lines * sxx - sx * sx = 0 OR n_lines * syy - sy * sy = 0
+                    THEN NULL
+                    ELSE CAST(n_lines * sxy - sx * sy AS DOUBLE)
+                         / sqrt(CAST(n_lines * sxx - sx * sx AS DOUBLE)
+                                * CAST(n_lines * syy - sy * sy AS DOUBLE)) END"""
+        ).alias("corr_disc_qty"),
+    ).orderBy("brand")
+
+
+def oracle_discount_quantity_elasticity() -> str:
+    return """
+    WITH li AS (
+        SELECT l_partkey,
+               CAST(cast(l_discount as decimal(12,2)) * 100 AS BIGINT) AS x,
+               CAST(floor(l_quantity) AS BIGINT) AS y
+        FROM lineitem
+    ), m AS (
+        SELECT p_brand AS brand,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * x) AS BIGINT) AS sxx,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(x * y) AS BIGINT) AS sxy
+        FROM li JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand
+    )
+    SELECT brand, n_lines,
+           CASE WHEN n_lines * sxx - sx * sx = 0 OR n_lines * syy - sy * sy = 0
+                THEN NULL
+                ELSE CAST(n_lines * sxy - sx * sy AS DOUBLE)
+                     / sqrt(CAST(n_lines * sxx - sx * sx AS DOUBLE)
+                            * CAST(n_lines * syy - sy * sy AS DOUBLE)) END AS corr_disc_qty
+    FROM m ORDER BY brand
+    """

@@ -5670,3 +5670,153 @@ def oracle_knn_graph_cell_local() -> str:
     FROM marked m JOIN nv ON nv.cell_id = m.cell_id
     GROUP BY m.cell_id, nv.n_vectors ORDER BY m.cell_id
     """
+
+
+def label_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-class separation matrix for the labeled embedding corpus:
+    the cosine between every pair of label centroids — the
+    embedding-quality eval that tells you whether classes are linearly
+    separable before you train a probe (high off-diagonal cosine ⇒
+    entangled classes). Centroids are element-wise integer floor-means
+    (the _PQ_XQ_OFF shift keeps div exact for negative sums); the dot
+    products are exact BIGINT; only the final cosine divides in double.
+
+    Scale shape: ONE map-side-combined shuffle to (label, dim) grain
+    (k·dim rows — never corpus-sized state), then all-pairs over the
+    ~k² label pairs, which is label-count-bounded, not corpus-bounded."""
+    e = load(spark, sf_dir, "embeddings")
+    el = e.select(
+        "label",
+        F.expr(
+            "posexplode(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))"
+        ).alias("i", "xq"),
+    )
+    cent = el.groupBy("label", "i").agg(
+        F.expr(
+            f"CAST((sum(xq) + {_PQ_XQ_OFF} * count(*)) div count(*) - {_PQ_XQ_OFF} AS BIGINT)"
+        ).alias("c")
+    )
+    n2 = cent.groupBy("label").agg(F.expr("CAST(sum(c * c) AS BIGINT)").alias("n2"))
+    a = cent.select(F.col("label").alias("label_a"), "i", F.col("c").alias("ca"))
+    b = cent.select(F.col("label").alias("label_b"), "i", F.col("c").alias("cb"))
+    dots = (
+        a.join(b, "i")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(F.expr("CAST(sum(ca * cb) AS BIGINT)").alias("dot"))
+    )
+    na = n2.select(F.col("label").alias("label_a"), F.col("n2").alias("n2a"))
+    nb = n2.select(F.col("label").alias("label_b"), F.col("n2").alias("n2b"))
+    return (
+        dots.join(F.broadcast(na), "label_a")
+        .join(F.broadcast(nb), "label_b")
+        .select(
+            "label_a", "label_b", "dot",
+            F.expr(
+                "CAST(dot AS DOUBLE) / sqrt(CAST(n2a AS DOUBLE) * CAST(n2b AS DOUBLE))"
+            ).alias("centroid_cosine"),
+        )
+        .orderBy("label_a", "label_b")
+    )
+
+
+def oracle_label_centroid_separation() -> str:
+    return f"""
+    WITH el AS (
+        SELECT label,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), cent AS (
+        SELECT label, i,
+               CAST((sum(xq) + {_PQ_XQ_OFF} * count(*)) // count(*) - {_PQ_XQ_OFF} AS BIGINT) AS c
+        FROM el GROUP BY label, i
+    ), n2 AS (
+        SELECT label, CAST(sum(c * c) AS BIGINT) AS n2 FROM cent GROUP BY label
+    ), dots AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(sum(a.c * b.c) AS BIGINT) AS dot
+        FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, dot,
+           CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS centroid_cosine
+    FROM dots
+    JOIN n2 na ON na.label = label_a
+    JOIN n2 nb ON nb.label = label_b
+    ORDER BY label_a, label_b
+    """
+
+
+def lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-parameter sweep from ONE signature pass: candidate
+    volume under the production 4-band×2-row banding vs the stricter
+    2-band×4-row banding — the tuning table you consult before
+    deploying a dedup index (more bands ⇒ higher recall, more
+    candidates; the 2×4 pair set is provably a SUBSET of 4×2's, and
+    n_common asserts that containment on real data). Uncapped on both
+    configs: tuning wants the true volumes, not the defused ones.
+
+    Scale shape: signatures are computed once and persisted; each
+    config is a band-bucket equi-self-join + distinct — the same
+    bounded discipline as production, just counted instead of
+    verified."""
+    d = load(spark, sf_dir, "documents")
+    sig = sim.minhash_signatures(sim.shingle_arrays(d)).persist()
+    pairs_4x2 = sim.lsh_candidate_pairs(sig, max_bucket_size=None)
+    bands_2x4 = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("band"),
+                    F.md5(F.concat_ws("|", "mh0", "mh1", "mh2", "mh3")).alias("bkey"),
+                ),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.md5(F.concat_ws("|", "mh4", "mh5", "mh6", "mh7")).alias("bkey"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    a = bands_2x4.alias("a")
+    b = bands_2x4.alias("b")
+    pairs_2x4 = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    n_a = pairs_4x2.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_4x2"))
+    n_b = pairs_2x4.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_2x4"))
+    n_c = (
+        pairs_2x4.join(pairs_4x2, ["doc_a", "doc_b"], "left_semi")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    return n_a.crossJoin(n_b).crossJoin(n_c)
+
+
+def oracle_lsh_band_tuning() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    cand_4x2 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands0 a JOIN bands0 b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id
+    ),
+    bands_2x4 AS (
+        SELECT doc_id, 0 AS band, md5(concat_ws('|', mh0, mh1, mh2, mh3)) AS bkey FROM sig
+        UNION ALL
+        SELECT doc_id, 1, md5(concat_ws('|', mh4, mh5, mh6, mh7)) FROM sig
+    ),
+    cand_2x4 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands_2x4 a JOIN bands_2x4 b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand_4x2) AS n_pairs_4x2,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_2x4) AS n_pairs_2x4,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand_2x4 c
+             WHERE EXISTS (SELECT 1 FROM cand_4x2 p
+                           WHERE p.doc_a = c.doc_a AND p.doc_b = c.doc_b)) AS n_common
+    """

@@ -2061,26 +2061,33 @@ def oracle_snapshot_diff_users() -> str:
     """
 
 
-def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Late-arriving data audit: events are split by ARRIVAL order
-    (event_id, the load sequence) into an already-loaded batch (the
-    first 80% of the id range) and an incoming batch; an incoming event
-    is LATE when its EVENT TIME ts is at or before the loaded batch's
-    high watermark — exactly the rows an incremental HWM load
-    (incremental_hwm) would silently skip and a streaming job would
-    hold a watermark open for. Per event type: incoming count, late
-    count, late ppm, and the worst lateness in whole seconds.
+_LATE_LOTTERY = (
+    "CAST(conv(substring(md5(concat('late|', CAST(event_id AS STRING))), 1, 8), 16, 10)"
+    " AS BIGINT) % 1000000"
+)
+_O_LATE_LOTTERY = (
+    "CAST(('0x' || substr(md5('late|' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 1000000"
+)
 
-    Scale shape: the split bound and the watermark are 1-row broadcast
-    aggregates; lateness classification is map-only on the incoming
+
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arriving data audit: a deterministic md5 lottery splits
+    events into an already-loaded batch (80%) and an incoming batch —
+    the lottery simulates OUT-OF-ORDER ARRIVAL (the fixture stream is
+    time-ordered by id, so an id-prefix split would see zero lateness);
+    an incoming event is LATE when its EVENT TIME ts is at or before
+    the loaded batch's high watermark — exactly the rows an incremental
+    HWM load (incremental_hwm) would silently skip and a streaming job
+    would hold a watermark open for. Per event type: incoming count,
+    late count, late ppm, and the worst lateness in whole seconds.
+
+    Scale shape: the watermark is a 1-row broadcast aggregate of the
+    loaded scan; lateness classification is map-only on the incoming
     scan; the rollup is event-type-grain."""
     e = load(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    mx = e.agg(F.max("event_id").alias("max_id"))
-    tagged = e.crossJoin(F.broadcast(mx))
-    wm = tagged.filter(F.expr("5 * event_id < 4 * (max_id + 1)")).agg(
-        F.max("ts").alias("wm_ts")
-    )
-    incoming = tagged.filter(F.expr("5 * event_id >= 4 * (max_id + 1)"))
+    wm = e.filter(F.expr(f"{_LATE_LOTTERY} < 800000")).agg(F.max("ts").alias("wm_ts"))
+    incoming = e.filter(F.expr(f"{_LATE_LOTTERY} >= 800000"))
     return (
         incoming.crossJoin(F.broadcast(wm))
         .withColumn("is_late", (F.col("ts") <= F.col("wm_ts")).cast("bigint"))
@@ -2101,19 +2108,16 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def oracle_late_arrival_audit() -> str:
-    return """
-    WITH mx AS (
-        SELECT max(event_id) AS max_id FROM events
-    ), wm AS (
-        SELECT max(ts) AS wm_ts FROM events CROSS JOIN mx
-        WHERE 5 * event_id < 4 * (max_id + 1)
+    return f"""
+    WITH wm AS (
+        SELECT max(ts) AS wm_ts FROM events WHERE {_O_LATE_LOTTERY} < 800000
     ), incoming AS (
         SELECT e.event_type, e.ts, wm.wm_ts,
                CASE WHEN e.ts <= wm.wm_ts THEN 1 ELSE 0 END AS is_late,
                CASE WHEN e.ts <= wm.wm_ts
                     THEN (epoch_us(wm.wm_ts) - epoch_us(e.ts)) // 1000000 END AS late_secs
-        FROM events e CROSS JOIN mx CROSS JOIN wm
-        WHERE 5 * e.event_id >= 4 * (max_id + 1)
+        FROM events e CROSS JOIN wm
+        WHERE {_O_LATE_LOTTERY} >= 800000
     )
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n_incoming,

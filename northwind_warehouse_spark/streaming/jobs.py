@@ -501,3 +501,27 @@ def debounce_stream(events: DataFrame, threshold_seconds: int = 3600) -> DataFra
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def classify_late_stream(incoming: DataFrame, watermark_row: DataFrame) -> DataFrame:
+    """Ingest-time late-data tagging: mark each incoming event against
+    the batch-computed loaded-batch watermark — the streaming
+    deployment of plans/medallion.py::late_arrival_audit's
+    classification stage, so late rows can be routed to a catch-up
+    partition instead of being silently skipped by the HWM load.
+
+    Stream-static broadcast of a ONE-ROW watermark table, map-only
+    arithmetic after it: stateless (no Spark watermark, no growing
+    state — the bound lives in the static side, which the batch
+    pipeline refreshes between restarts, like the dedup fingerprints
+    and the admission thresholds)."""
+    return incoming.crossJoin(F.broadcast(watermark_row)).select(
+        "event_id",
+        "event_type",
+        "ts",
+        (F.col("ts") <= F.col("wm_ts")).alias("is_late"),
+        F.expr(
+            "CASE WHEN ts <= wm_ts THEN"
+            " (unix_micros(wm_ts) - unix_micros(ts)) div 1000000 END"
+        ).alias("late_secs"),
+    )

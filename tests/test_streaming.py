@@ -489,3 +489,34 @@ def test_debounce_stream_matches_batch(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_classify_late_stream_matches_batch(spark, tmp_path):
+    """Streaming late-data tagging ≡ the batch classification: the
+    incoming 20% tail streamed against the loaded batch's 1-row
+    watermark yields exactly the batch audit's per-row labels."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.streaming.jobs import (
+        classify_late_stream, run_to_memory, stream_events,
+    )
+
+    from northwind_warehouse_spark.plans.medallion import _LATE_LOTTERY
+
+    e = load(spark, SF_SMOKE, "events").select("event_id", "ts", "event_type")
+    wm = e.filter(F.expr(f"{_LATE_LOTTERY} < 800000")).agg(F.max("ts").alias("wm_ts"))
+    incoming = e.filter(F.expr(f"{_LATE_LOTTERY} >= 800000"))
+    src = str(tmp_path / "late_incoming")
+    incoming.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = classify_late_stream(stream_events(spark, src), wm)
+    run_to_memory(stream, "late_tagged", str(tmp_path / "ckpt_late"))
+
+    got = {tuple(r) for r in spark.table("late_tagged").collect()}
+    want = {
+        tuple(r)
+        for r in classify_late_stream(incoming, wm).collect()
+    }
+    assert got == want and len(got) > 0
+    # the lottery split guarantees genuinely late rows (the loaded 80%
+    # reaches the end of the time range, so most incoming rows precede it)
+    assert any(r[3] for r in got)

@@ -205,6 +205,9 @@ def main() -> None:
         "supplier_share_shift": analytics.supplier_share_shift,
         "late_arrival_audit": medallion.late_arrival_audit,
         "knn_graph_cell_local": llm.knn_graph_cell_local,
+        "discount_quantity_elasticity": analytics.discount_quantity_elasticity,
+        "label_centroid_separation": llm.label_centroid_separation,
+        "lsh_band_tuning": llm.lsh_band_tuning,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
