@@ -5540,3 +5540,75 @@ def oracle_discount_quantity_elasticity() -> str:
                             * CAST(n_lines * syy - sy * sy AS DOUBLE)) END AS corr_disc_qty
     FROM m ORDER BY brand
     """
+
+
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: customers grouped by FIRST-ORDER month, then
+    each cohort's cumulative revenue per customer at every month offset
+    — the lifetime-value table subscription/retention analytics is
+    built on (retention_cohorts' revenue-weighted sibling). Exact
+    cents; the per-customer LTV is floor division by the fixed cohort
+    size.
+
+    Scale shape: one per-customer min() shuffle for cohorts, one
+    (cohort, offset) rollup, a broadcast of cohort sizes, and the
+    cumulative window runs per cohort over the tiny cohort x offset
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first = o.groupBy("o_custkey").agg(F.min("m").alias("cm"))
+    sizes = first.groupBy("cm").agg(F.count(F.lit(1)).alias("n_customers"))
+    per = (
+        o.join(first, "o_custkey")
+        .groupBy("cm", (F.col("m") - F.col("cm")).alias("month_offset"))
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = Window.partitionBy("cm").orderBy("month_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        per.withColumn("cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint"))
+        .join(F.broadcast(sizes), "cm")
+        .select(
+            F.expr("CAST(cm div 12 AS INT)").alias("cohort_year"),
+            F.expr("CAST(cm % 12 + 1 AS INT)").alias("cohort_month"),
+            "month_offset", "n_customers", "rev_cents", "cum_rev_cents",
+            F.expr("cum_rev_cents div n_customers").alias("cum_ltv_cents_per_cust"),
+        )
+        .orderBy("cohort_year", "cohort_month", "month_offset")
+    )
+
+
+def oracle_cohort_ltv_curve() -> str:
+    return """
+    WITH o AS (
+        SELECT o_custkey,
+               year(cast(o_orderdate as date)) * 12 + month(cast(o_orderdate as date)) - 1 AS m,
+               CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), first_m AS (
+        SELECT o_custkey, min(m) AS cm FROM o GROUP BY o_custkey
+    ), sizes AS (
+        SELECT cm, CAST(count(*) AS BIGINT) AS n_customers FROM first_m GROUP BY cm
+    ), per AS (
+        SELECT f.cm, o.m - f.cm AS month_offset, CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM o JOIN first_m f ON o.o_custkey = f.o_custkey
+        GROUP BY f.cm, o.m - f.cm
+    ), cum AS (
+        SELECT cm, month_offset, rev_cents,
+               CAST(sum(rev_cents) OVER (PARTITION BY cm ORDER BY month_offset
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_cents
+        FROM per
+    )
+    SELECT CAST(cm // 12 AS INT) AS cohort_year,
+           CAST(cm % 12 + 1 AS INT) AS cohort_month,
+           month_offset, n_customers, rev_cents, cum_rev_cents,
+           CAST(cum_rev_cents // n_customers AS BIGINT) AS cum_ltv_cents_per_cust
+    FROM cum JOIN sizes USING (cm)
+    ORDER BY cohort_year, cohort_month, month_offset
+    """

@@ -5820,3 +5820,122 @@ def oracle_lsh_band_tuning() -> str:
              WHERE EXISTS (SELECT 1 FROM cand_4x2 p
                            WHERE p.doc_a = c.doc_a AND p.doc_b = c.doc_b)) AS n_common
     """
+
+
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-aware exact dedup: lowercase, strip punctuation,
+    collapse whitespace, THEN fingerprint — the canonical
+    normalize-then-hash pass that catches the re-encoded/re-punctuated
+    duplicates raw md5 misses (the single highest-yield cheap upgrade
+    to exact dedup on web corpora). n_raw_variants counts how many
+    DISTINCT raw texts each normalized group collapses — the measure of
+    what normalization bought over dedup_exact.
+
+    Scale shape: identical to dedup_exact — map-only normalization into
+    one hash-keyed map-side-combined groupBy."""
+    d = load(spark, sf_dir, "documents")
+    norm = F.expr(
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' '), ' +', ' '))"
+    )
+    return (
+        d.select(F.md5(norm).alias("fingerprint"), "doc_id", F.md5("text").alias("raw_fp"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("raw_fp").alias("n_raw_variants"),
+        )
+        .orderBy("keep_doc_id")
+    )
+
+
+def oracle_dedup_exact_normalized() -> str:
+    return """
+    WITH n AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                       ' +', ' ', 'g'))) AS fingerprint,
+               md5(text) AS raw_fp
+        FROM documents
+    )
+    SELECT fingerprint, min(doc_id) AS keep_doc_id,
+           count(*) AS n_copies,
+           CAST(count(DISTINCT raw_fp) AS BIGINT) AS n_raw_variants
+    FROM n GROUP BY fingerprint ORDER BY keep_doc_id
+    """
+
+
+_DISTINCTIVE_MIN_CNT = 5
+
+
+def distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: the top-3 terms by LIFT (term
+    share within the source vs its share corpus-wide, exact ppm) among
+    terms seen >= 5 times in the source — the domain-signature report a
+    mixture-weighting or contamination review starts from
+    (vocab_top_terms tells you what is COMMON; this tells you what is
+    CHARACTERISTIC).
+
+    Scale shape: one term-keyed shuffle for (source, term) counts, one
+    more for global term counts (both map-side combined), source-sized
+    token totals broadcast, and the rank window partitions BY SOURCE
+    over candidate terms only."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    per_src = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt_src"))
+    glob = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt_all"))
+    src_tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("tokens_src"))
+    all_tot = tok.agg(F.count(F.lit(1)).alias("total_tokens"))
+    lifted = (
+        per_src.filter(F.col("cnt_src") >= _DISTINCTIVE_MIN_CNT)
+        .join(glob, "term")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(all_tot))
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                "CAST(CAST(cnt_src AS DECIMAL(38,0)) * total_tokens * 1000000"
+                " div (CAST(cnt_all AS DECIMAL(38,0)) * tokens_src) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("lift_ppm"), "term")
+    return (
+        lifted.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("source", "term", "cnt_src", "cnt_all", "lift_ppm", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+def oracle_distinctive_terms_by_source() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS term FROM documents
+    ), per_src AS (
+        SELECT source, term, CAST(count(*) AS BIGINT) AS cnt_src
+        FROM tok GROUP BY source, term
+    ), gterms AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS cnt_all FROM tok GROUP BY term
+    ), src_tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS tokens_src FROM tok GROUP BY source
+    ), all_tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS total_tokens FROM tok
+    ), lifted AS (
+        SELECT p.source, p.term, p.cnt_src, g.cnt_all,
+               CAST(CAST(p.cnt_src AS HUGEINT) * a.total_tokens * 1000000
+                    // (CAST(g.cnt_all AS HUGEINT) * s.tokens_src) AS BIGINT) AS lift_ppm
+        FROM per_src p
+        JOIN gterms g ON g.term = p.term
+        JOIN src_tot s ON s.source = p.source
+        CROSS JOIN all_tot a
+        WHERE p.cnt_src >= {_DISTINCTIVE_MIN_CNT}
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY source ORDER BY lift_ppm DESC, term) AS rnk
+        FROM lifted
+    )
+    SELECT source, term, cnt_src, cnt_all, lift_ppm, rnk
+    FROM ranked WHERE rnk <= 3 ORDER BY source, rnk
+    """

@@ -2126,3 +2126,73 @@ def oracle_late_arrival_audit() -> str:
            CAST(1000000 * sum(is_late) // count(*) AS BIGINT) AS late_ppm
     FROM incoming GROUP BY event_type ORDER BY event_type
     """
+
+
+def dim_date_fiscal445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-4-5 fiscal calendar attributes over the dim_date spine —
+    the retail-calendar variant every merchandising warehouse carries
+    next to the Gregorian dim_date: fiscal year starts Feb 1; weeks
+    number from the FY start; periods follow the repeating 4-4-5 week
+    pattern (weeks 1-4 → P1, 5-8 → P2, 9-13 → P3, ...), quarters are
+    13-week blocks, and the occasional 53rd week folds into P12/Q4.
+    Pure integer CASE arithmetic, map-only over the spine."""
+    spine = spark.sql(
+        f"SELECT explode(sequence(to_date('{DATE_START}'), to_date('{DATE_END}'), interval 1 day)) AS full_date"
+    )
+    return (
+        spine.withColumn(
+            "fy_start",
+            F.expr(
+                "CASE WHEN month(full_date) >= 2 THEN make_date(year(full_date), 2, 1)"
+                " ELSE make_date(year(full_date) - 1, 2, 1) END"
+            ),
+        )
+        .withColumn("fiscal_year", F.expr("CAST(year(fy_start) AS INT)"))
+        .withColumn("day_in_fy", F.expr("CAST(datediff(full_date, fy_start) AS INT)"))
+        .withColumn("fiscal_week", F.expr("CAST(day_in_fy div 7 + 1 AS INT)"))
+        .withColumn("wk0", F.expr("fiscal_week - 1"))
+        .withColumn("fq0", F.expr("least(wk0 div 13, 3)"))
+        .withColumn("wq", F.expr("wk0 - 13 * fq0"))
+        .select(
+            F.expr(
+                "CAST(year(full_date)*10000 + month(full_date)*100 + day(full_date) AS INT)"
+            ).alias("date_key"),
+            "full_date",
+            "fiscal_year",
+            "fiscal_week",
+            F.expr(
+                "CAST(3 * fq0 + CASE WHEN wq < 4 THEN 1 WHEN wq < 8 THEN 2 ELSE 3 END AS INT)"
+            ).alias("fiscal_period"),
+            F.expr("CAST(fq0 + 1 AS INT)").alias("fiscal_quarter"),
+            F.expr("fiscal_week = 53").alias("is_week53"),
+        )
+        .orderBy("full_date")
+    )
+
+
+def oracle_dim_date_fiscal445() -> str:
+    return f"""
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '{DATE_START}', DATE '{DATE_END}', INTERVAL 1 DAY))::DATE AS full_date
+    ), fy AS (
+        SELECT full_date,
+               CASE WHEN month(full_date) >= 2 THEN make_date(year(full_date), 2, 1)
+                    ELSE make_date(year(full_date) - 1, 2, 1) END AS fy_start
+        FROM spine
+    ), wk AS (
+        SELECT full_date, fy_start,
+               CAST(year(fy_start) AS INT) AS fiscal_year,
+               CAST(date_diff('day', fy_start, full_date) // 7 + 1 AS INT) AS fiscal_week
+        FROM fy
+    ), q AS (
+        SELECT *, least((fiscal_week - 1) // 13, 3) AS fq0,
+               (fiscal_week - 1) - 13 * least((fiscal_week - 1) // 13, 3) AS wq
+        FROM wk
+    )
+    SELECT CAST(year(full_date)*10000 + month(full_date)*100 + day(full_date) AS INT) AS date_key,
+           full_date, fiscal_year, fiscal_week,
+           CAST(3 * fq0 + CASE WHEN wq < 4 THEN 1 WHEN wq < 8 THEN 2 ELSE 3 END AS INT) AS fiscal_period,
+           CAST(fq0 + 1 AS INT) AS fiscal_quarter,
+           fiscal_week = 53 AS is_week53
+    FROM q ORDER BY full_date
+    """

@@ -208,6 +208,9 @@ def main() -> None:
         "discount_quantity_elasticity": analytics.discount_quantity_elasticity,
         "label_centroid_separation": llm.label_centroid_separation,
         "lsh_band_tuning": llm.lsh_band_tuning,
+        "dedup_exact_normalized": llm.dedup_exact_normalized,
+        "distinctive_terms_by_source": llm.distinctive_terms_by_source,
+        "cohort_ltv_curve": analytics.cohort_ltv_curve,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
