@@ -5612,3 +5612,131 @@ def oracle_cohort_ltv_curve() -> str:
     FROM cum JOIN sizes USING (cm)
     ORDER BY cohort_year, cohort_month, month_offset
     """
+
+
+def xyz_parts_variability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XYZ demand-variability classification (ABC analysis' standard
+    companion — abc_parts ranks by value, XYZ by PREDICTABILITY): per
+    part, the squared coefficient of variation of monthly shipped
+    quantity in exact ppm — CV² = (n·Σq² − (Σq)²)/(Σq)², pure integer
+    cross-multiplication — classed X (steady, CV² < 0.25), Y (< 1.0),
+    Z (erratic). Published as the class rollup with CV² dispersion
+    bounds.
+
+    Scale shape: lineitem reduces to (part, month) then part grain in
+    two map-side-combined shuffles; the class rollup is 3 rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("ym"),
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+    )
+    monthly = li.groupBy("l_partkey", "ym").agg(F.sum("qty").cast("bigint").alias("q"))
+    per_part = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("q").cast("bigint").alias("s"),
+        F.expr("CAST(sum(q * q) AS BIGINT)").alias("ss"),
+    )
+    classed = per_part.withColumn(
+        "cv2_ppm",
+        F.expr("CAST(CAST(n_months * ss - s * s AS DECIMAL(38,0)) * 1000000 div (s * s) AS BIGINT)"),
+    ).withColumn(
+        "xyz_class",
+        F.expr(
+            "CASE WHEN cv2_ppm < 250000 THEN 'X' WHEN cv2_ppm < 1000000 THEN 'Y' ELSE 'Z' END"
+        ),
+    )
+    return (
+        classed.groupBy("xyz_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.min("cv2_ppm").alias("min_cv2_ppm"),
+            F.max("cv2_ppm").alias("max_cv2_ppm"),
+            F.expr("CAST(sum(cv2_ppm) div count(*) AS BIGINT)").alias("mean_cv2_ppm"),
+        )
+        .orderBy("xyz_class")
+    )
+
+
+def oracle_xyz_parts_variability() -> str:
+    return """
+    WITH li AS (
+        SELECT l_partkey,
+               year(cast(l_shipdate as date)) * 12 + month(cast(l_shipdate as date)) - 1 AS ym,
+               CAST(floor(l_quantity) AS BIGINT) AS qty
+        FROM lineitem
+    ), monthly AS (
+        SELECT l_partkey, ym, CAST(sum(qty) AS BIGINT) AS q FROM li GROUP BY l_partkey, ym
+    ), per_part AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_months,
+               CAST(sum(q) AS BIGINT) AS s, CAST(sum(q * q) AS BIGINT) AS ss
+        FROM monthly GROUP BY l_partkey
+    ), classed AS (
+        SELECT *,
+               CAST(CAST(n_months * ss - s * s AS HUGEINT) * 1000000 // (s * s) AS BIGINT) AS cv2_ppm
+        FROM per_part
+    )
+    SELECT CASE WHEN cv2_ppm < 250000 THEN 'X' WHEN cv2_ppm < 1000000 THEN 'Y' ELSE 'Z' END AS xyz_class,
+           CAST(count(*) AS BIGINT) AS n_parts,
+           min(cv2_ppm) AS min_cv2_ppm, max(cv2_ppm) AS max_cv2_ppm,
+           CAST(CAST(sum(cv2_ppm) AS BIGINT) // count(*) AS BIGINT) AS mean_cv2_ppm
+    FROM classed GROUP BY 1 ORDER BY 1
+    """
+
+
+def sample_extrapolation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-calibration audit: per nation, the TRUE revenue next to
+    the estimate extrapolated from the deterministic 50% md5 lottery
+    (est = 2 × sample sum), with the absolute error in exact ppm — the
+    measure-don't-guess table that tells you how far lottery-sampled
+    dashboards drift from the full scan, per group, before you ship
+    them at 100 TB.
+
+    Scale shape: ONE fact scan computes both sides (the sample sum is a
+    conditional aggregate, not a second pass); dims broadcast; the
+    error algebra runs on the nation-sized rollup."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    in_sample = _ppm_lottery("sx|", "o_orderkey") < _QSAMPLE_PPM
+    per = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.sum("cents").cast("bigint").alias("true_cents"),
+            F.sum(F.when(in_sample, F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("sample_cents"),
+        )
+    )
+    return per.select(
+        "nation", "true_cents",
+        F.expr("2 * sample_cents").alias("est_cents"),
+        F.expr(
+            "CAST(CAST(abs(2 * sample_cents - true_cents) AS DECIMAL(38,0)) * 1000000"
+            " div true_cents AS BIGINT)"
+        ).alias("abs_err_ppm"),
+    ).orderBy("nation")
+
+
+def oracle_sample_extrapolation_error() -> str:
+    return f"""
+    WITH per AS (
+        SELECT n_name AS nation,
+               CAST(sum(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)) AS BIGINT) AS true_cents,
+               CAST(sum(CASE WHEN {_o_ppm_lottery('sx|', 'o_orderkey')} < {_QSAMPLE_PPM}
+                        THEN CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS sample_cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_name
+    )
+    SELECT nation, true_cents,
+           2 * sample_cents AS est_cents,
+           CAST(CAST(abs(2 * sample_cents - true_cents) AS HUGEINT) * 1000000
+                // true_cents AS BIGINT) AS abs_err_ppm
+    FROM per ORDER BY nation
+    """

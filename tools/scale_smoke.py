@@ -211,6 +211,9 @@ def main() -> None:
         "dedup_exact_normalized": llm.dedup_exact_normalized,
         "distinctive_terms_by_source": llm.distinctive_terms_by_source,
         "cohort_ltv_curve": analytics.cohort_ltv_curve,
+        "xyz_parts_variability": analytics.xyz_parts_variability,
+        "sample_extrapolation_error": analytics.sample_extrapolation_error,
+        "dim_date_fiscal445": medallion.dim_date_fiscal445,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
