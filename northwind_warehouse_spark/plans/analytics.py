@@ -5740,3 +5740,48 @@ def oracle_sample_extrapolation_error() -> str:
                 // true_cents AS BIGINT) AS abs_err_ppm
     FROM per ORDER BY nation
     """
+
+
+def tax_reconciliation_annual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Finance reconciliation: per ship-year, net revenue (discounted
+    extended price), gross charge (net × (1+tax)), and the implied tax
+    collected — with the effective tax rate in exact ppm — the tie-out
+    a controller runs between the revenue and tax ledgers. All sums are
+    exact DECIMAL, floored to cents ONCE at publication (the
+    cross-engine money discipline).
+
+    Scale shape: one map-side-combined year-grain rollup of the fact;
+    the rate algebra runs on ≤ a handful of year rows."""
+    li = load(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("yr"),
+        disc_price("l_extendedprice", "l_discount").alias("dp"),
+        charge("l_extendedprice", "l_discount", "l_tax").alias("ch"),
+    )
+    per = li.groupBy("yr").agg(
+        F.expr("CAST(floor(sum(dp) * 100) AS BIGINT)").alias("net_cents"),
+        F.expr("CAST(floor(sum(ch) * 100) AS BIGINT)").alias("gross_cents"),
+    )
+    return per.select(
+        "yr", "net_cents", "gross_cents",
+        F.expr("gross_cents - net_cents").alias("tax_cents"),
+        F.expr(
+            "CAST(CAST(gross_cents - net_cents AS DECIMAL(38,0)) * 1000000"
+            " div net_cents AS BIGINT)"
+        ).alias("effective_tax_ppm"),
+    ).orderBy("yr")
+
+
+def oracle_tax_reconciliation_annual() -> str:
+    return f"""
+    WITH per AS (
+        SELECT year(cast(l_shipdate as date)) AS yr,
+               CAST(floor(sum({o_disc_price('l_extendedprice', 'l_discount')}) * 100) AS BIGINT) AS net_cents,
+               CAST(floor(sum({o_charge('l_extendedprice', 'l_discount', 'l_tax')}) * 100) AS BIGINT) AS gross_cents
+        FROM lineitem GROUP BY 1
+    )
+    SELECT yr, net_cents, gross_cents,
+           gross_cents - net_cents AS tax_cents,
+           CAST(CAST(gross_cents - net_cents AS HUGEINT) * 1000000 // net_cents AS BIGINT)
+               AS effective_tax_ppm
+    FROM per ORDER BY yr
+    """

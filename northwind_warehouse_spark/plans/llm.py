@@ -5939,3 +5939,60 @@ def oracle_distinctive_terms_by_source() -> str:
     SELECT source, term, cnt_src, cnt_all, lift_ppm, rnk
     FROM ranked WHERE rnk <= 3 ORDER BY source, rnk
     """
+
+
+def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle document-frequency skew profile: how many distinct
+    shingles fall in each log2 df band, and what share of total shingle
+    OCCURRENCES that band carries — the tuning table behind every
+    blocked-join threshold in this repo (the prefix-filter theorem,
+    the winnow rarity cap, the MinHash bucket cap all hinge on the df
+    tail; this measures it instead of guessing). HDR log2 banding —
+    no percentiles, no global sort.
+
+    Scale shape: one shingle-keyed map-side-combined count, one
+    band-grain rollup, tiny windows over <= ~40 band rows."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    tok = sim.shingle_arrays(d).select(F.explode("sh").alias("s"))
+    dft = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    bands = (
+        dft.withColumn("df_band", F.expr("CAST(length(bin(df)) - 1 AS INT)"))
+        .groupBy("df_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum("df").cast("bigint").alias("occurrences"),
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        bands.withColumn("total_occ", F.sum("occurrences").over(w_all).cast("bigint"))
+        .select(
+            "df_band", "n_shingles", "occurrences",
+            F.expr(
+                "CAST(CAST(occurrences AS DECIMAL(38,0)) * 1000000 div total_occ AS BIGINT)"
+            ).alias("occ_share_ppm"),
+        )
+        .orderBy("df_band")
+    )
+
+
+def oracle_shingle_df_profile() -> str:
+    return f"""
+    WITH {_SHINGLE_CTE},
+    tok AS (
+        SELECT unnest(sh) AS s FROM sharr
+    ), dft AS (
+        SELECT s, CAST(count(*) AS BIGINT) AS df FROM tok GROUP BY s
+    ), bands AS (
+        SELECT CAST(length(bin(df)) - 1 AS INT) AS df_band,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(df) AS BIGINT) AS occurrences
+        FROM dft GROUP BY 1
+    )
+    SELECT df_band, n_shingles, occurrences,
+           CAST(CAST(occurrences AS HUGEINT) * 1000000
+                // CAST(sum(occurrences) OVER () AS BIGINT) AS BIGINT) AS occ_share_ppm
+    FROM bands ORDER BY df_band
+    """

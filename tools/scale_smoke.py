@@ -214,6 +214,8 @@ def main() -> None:
         "xyz_parts_variability": analytics.xyz_parts_variability,
         "sample_extrapolation_error": analytics.sample_extrapolation_error,
         "dim_date_fiscal445": medallion.dim_date_fiscal445,
+        "shingle_df_profile": llm.shingle_df_profile,
+        "tax_reconciliation_annual": analytics.tax_reconciliation_annual,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
