@@ -5785,3 +5785,130 @@ def oracle_tax_reconciliation_annual() -> str:
                AS effective_tax_ppm
     FROM per ORDER BY yr
     """
+
+
+def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: exact Jaccard of the DISTINCT-user sets
+    between every pair of event types — the set-similarity readout a
+    product team uses to see which behaviors share an audience (the
+    warehouse-side sibling of the corpus overlap matrix). Counts are
+    exact; the ratio is the 4dp integer-division double.
+
+    Scale shape: events reduce to distinct (type, user) in one shuffle;
+    the pair intersection is a user-keyed equi-self-join (type-pair
+    fan-out is |types|²-bounded per user, and |types| is small by
+    construction); union sizes come from broadcast per-type counts."""
+    e = load(spark, sf_dir, "events").select("event_type", "user_id").distinct()
+    sizes = e.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    a = e.select(F.col("event_type").alias("type_a"), "user_id")
+    b = e.select(F.col("event_type").alias("type_b"), "user_id")
+    inter = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("na"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a", "type_b",
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.expr("CAST(na + nb - n_inter AS BIGINT)").alias("n_union"),
+            F.expr(
+                "CAST((10000 * n_inter) div (na + nb - n_inter) AS DOUBLE) / 10000.0"
+            ).alias("jaccard_4dp"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+def oracle_event_type_user_overlap() -> str:
+    return """
+    WITH e AS (
+        SELECT DISTINCT event_type, user_id FROM events
+    ), sizes AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM e GROUP BY event_type
+    ), inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_inter
+        FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT type_a, type_b, n_inter,
+           CAST(sa.n_users + sb.n_users - n_inter AS BIGINT) AS n_union,
+           CAST((10000 * n_inter) // (sa.n_users + sb.n_users - n_inter) AS DOUBLE) / 10000.0
+               AS jaccard_4dp
+    FROM inter
+    JOIN sizes sa ON sa.event_type = type_a
+    JOIN sizes sb ON sb.event_type = type_b
+    ORDER BY type_a, type_b
+    """
+
+
+def nation_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-GROUP sampled-boundary quartile banding: each nation's order
+    values are banded by that NATION'S OWN quartile boundaries (dyadic
+    0.25/0.5/0.75 — interpolation is cross-engine exact on integer
+    cents), with boundaries computed from the deterministic 50% lottery
+    sample and broadcast back — the stratified generalization of
+    equi_depth_histogram's global plan: no global sort, no per-group
+    ntile, boundaries are a nation-sized table.
+
+    Scale shape: one sampled scan → nation-grain percentile agg
+    (group-sized, not fact-sized) → broadcast join → map-only band
+    assignment → (nation, band) rollup."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    tagged = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(F.col("n_name").alias("nation"), "o_orderkey", "cents")
+    )
+    bnds = (
+        tagged.filter(_ppm_lottery("nqb|", "o_orderkey") < _QSAMPLE_PPM)
+        .groupBy("nation")
+        .agg(
+            F.array(
+                *[F.expr(f"percentile(cents, {q})") for q in (0.25, 0.5, 0.75)]
+            ).alias("bnds")
+        )
+    )
+    return (
+        tagged.join(F.broadcast(bnds), "nation")
+        .withColumn("band", F.expr("CAST(1 + size(filter(bnds, b -> cents > b)) AS INT)"))
+        .groupBy("nation", "band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("cents").alias("lo_cents"),
+            F.max("cents").alias("hi_cents"),
+        )
+        .orderBy("nation", "band")
+    )
+
+
+def oracle_nation_quantile_bands() -> str:
+    qlist = ", ".join(f"quantile_cont(cents, {q})" for q in (0.25, 0.5, 0.75))
+    return f"""
+    WITH tagged AS (
+        SELECT n_name AS nation, o_orderkey,
+               CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+    ), b AS (
+        SELECT nation, [{qlist}] AS bnds
+        FROM tagged WHERE {_o_ppm_lottery('nqb|', 'o_orderkey')} < {_QSAMPLE_PPM}
+        GROUP BY nation
+    )
+    SELECT t.nation, CAST(1 + len(list_filter(b.bnds, x -> t.cents > x)) AS INT) AS band,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           min(t.cents) AS lo_cents, max(t.cents) AS hi_cents
+    FROM tagged t JOIN b ON b.nation = t.nation
+    GROUP BY t.nation, 2 ORDER BY t.nation, band
+    """

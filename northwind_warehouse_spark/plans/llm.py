@@ -5996,3 +5996,218 @@ def oracle_shingle_df_profile() -> str:
                 // CAST(sum(occurrences) OVER () AS BIGINT) AS BIGINT) AS occ_share_ppm
     FROM bands ORDER BY df_band
     """
+
+
+def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval — THE production ANN serving pattern: the
+    compressed PQ/ADC index shortlists top-20 per query (cheap table
+    lookups over 4-int codes), then EXACT cosine re-ranks the shortlist
+    to a final top-5. The index never needs to be perfectly accurate,
+    only to not drop the true neighbors out of the shortlist — recall
+    is bought at stage 1, precision at stage 2, and stage 2 touches 20
+    vectors per query instead of the corpus.
+
+    Scale shape: stage 1 is pq_adc_topk's plan (one scan of the codes);
+    stage 2 joins the query×20 shortlist back to raw vectors — a
+    shortlist-sized join, corpus-independent."""
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.functions.vectors import (
+        cosine_from_parts,
+        dot_q,
+        norm2_q,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    shortlist = sim.pq_adc_topk(e, n_queries=10, k=20).select("query_id", "neighbor_id")
+    base = e.select("vec_id", "embedding", norm2_q("embedding").alias("n2"))
+    q = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("n2").alias("qn2"),
+    )
+    n = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nvec"),
+        F.col("n2").alias("nn2"),
+    )
+    scored = (
+        shortlist.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select(
+            "query_id", "neighbor_id",
+            dot_q("qvec", "nvec").alias("dot"), "qn2", "nn2",
+        )
+        .withColumn("cosine", cosine_from_parts("dot", "qn2", "nn2"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        scored.withColumn("rerank_pos", F.row_number().over(w))
+        .filter(F.col("rerank_pos") <= 5)
+        .select("query_id", "neighbor_id", "cosine", "rerank_pos")
+        .orderBy("query_id", "rerank_pos")
+    )
+
+
+def oracle_ann_pq_rerank_topk() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), cw AS (
+        SELECT vec_id, rn - 1 AS j FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY CAST(('0x' || substr(md5('pq|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                         vec_id) AS rn
+            FROM embeddings)
+        WHERE rn <= {sim.PQ_NC}
+    ), cwel AS (
+        SELECT cw.j, el.i, el.xq FROM cw JOIN el USING (vec_id)
+    ), subd AS (
+        SELECT a.vec_id, (a.i - 1) // {sim.PQ_SUB} AS s, c.j,
+               CAST(sum((a.xq - c.xq) * (a.xq - c.xq)) AS BIGINT) AS d
+        FROM el a JOIN cwel c ON a.i = c.i
+        GROUP BY a.vec_id, (a.i - 1) // {sim.PQ_SUB}, c.j
+    ), codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM subd)
+        WHERE rn = 1
+    ), adist AS (
+        SELECT qd.vec_id AS query_id, c.vec_id AS neighbor_id,
+               CAST(sum(qd.d) AS BIGINT) AS adist
+        FROM codes c JOIN subd qd ON qd.s = c.s AND qd.j = c.code
+        WHERE qd.vec_id < 10 AND c.vec_id <> qd.vec_id
+        GROUP BY qd.vec_id, c.vec_id
+    ), shortl AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+            FROM adist) WHERE rn <= 20
+    ), n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM el GROUP BY vec_id
+    ), dots AS (
+        SELECT s.query_id, s.neighbor_id, CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+        FROM shortl s
+        JOIN el a ON a.vec_id = s.query_id
+        JOIN el b ON b.vec_id = s.neighbor_id AND b.i = a.i
+        GROUP BY s.query_id, s.neighbor_id
+    ), cosd AS (
+        SELECT d.query_id, d.neighbor_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM dots d
+        JOIN n2 na ON na.vec_id = d.query_id
+        JOIN n2 nb ON nb.vec_id = d.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rerank_pos FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rerank_pos
+        FROM cosd) WHERE rerank_pos <= 5
+    ORDER BY query_id, rerank_pos
+    """
+
+
+_INC_LOTTERY = (
+    "CAST(conv(substring(md5(concat('inc|', CAST(doc_id AS STRING))), 1, 8), 16, 10)"
+    " AS BIGINT) % 1000000"
+)
+_O_INC_LOTTERY = (
+    "CAST(('0x' || substr(md5('inc|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 1000000"
+)
+
+
+def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup verdicts — the operational shape every
+    production dedup actually runs (full-corpus re-dedup is a one-time
+    backfill): an md5 lottery splits the corpus into the EXISTING 80%
+    and a NEW 20% batch, and each new doc gets a verdict in priority
+    order: exact_dup_corpus (fingerprint already in the corpus) >
+    near_dup_corpus (LSH pair with an existing doc) > near_dup_batch
+    (LSH pair only with other new docs) > novel.
+
+    Scale shape: fingerprints and LSH pairs come from the existing
+    capped machinery over ONE corpus pass; the verdicts are two
+    broadcast-friendly semi-join flags plus one pair-derived flag —
+    new-batch-sized, never corpus-pair-sized."""
+    d = load(spark, sf_dir, "documents")
+    is_new = F.expr(f"{_INC_LOTTERY} >= 800000")
+    fp = d.select("doc_id", F.md5("text").alias("fp"), is_new.alias("is_new"))
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sim.shingle_arrays(d)))
+    new_docs = fp.filter(F.col("is_new")).select("doc_id", "fp")
+    corpus_fps = fp.filter(~F.col("is_new")).select("fp").distinct()
+    exact = (
+        new_docs.join(F.broadcast(corpus_fps), "fp", "left_semi")
+        .select("doc_id").withColumn("f_exact", F.lit(1))
+    )
+    tag = fp.select("doc_id", "is_new")
+    pa = pairs.join(tag.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("is_new", "new_a"), "doc_a")
+    pab = pa.join(tag.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("is_new", "new_b"), "doc_b")
+    near_corpus = (
+        pab.filter(F.col("new_a") & ~F.col("new_b")).select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pab.filter(F.col("new_b") & ~F.col("new_a")).select(F.col("doc_b").alias("doc_id")))
+        .distinct().withColumn("f_near_corpus", F.lit(1))
+    )
+    near_batch = (
+        pab.filter(F.col("new_a") & F.col("new_b"))
+        .select(F.col("doc_a").alias("doc_id"))
+        .unionAll(pab.filter(F.col("new_a") & F.col("new_b")).select(F.col("doc_b").alias("doc_id")))
+        .distinct().withColumn("f_near_batch", F.lit(1))
+    )
+    return (
+        new_docs.select("doc_id")
+        .join(F.broadcast(exact), "doc_id", "left")
+        .join(F.broadcast(near_corpus), "doc_id", "left")
+        .join(F.broadcast(near_batch), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "CASE WHEN f_exact IS NOT NULL THEN 'exact_dup_corpus'"
+                " WHEN f_near_corpus IS NOT NULL THEN 'near_dup_corpus'"
+                " WHEN f_near_batch IS NOT NULL THEN 'near_dup_batch'"
+                " ELSE 'novel' END"
+            ).alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_dedup_incremental_new_batch() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    tagged AS (
+        SELECT doc_id, md5(text) AS fp,
+               {_O_INC_LOTTERY} >= 800000 AS is_new
+        FROM documents
+    ),
+    new_docs AS (SELECT doc_id, fp FROM tagged WHERE is_new),
+    corpus_fps AS (SELECT DISTINCT fp FROM tagged WHERE NOT is_new),
+    pair_flags AS (
+        SELECT c.doc_a, c.doc_b, ta.is_new AS new_a, tb.is_new AS new_b
+        FROM cand c
+        JOIN tagged ta ON ta.doc_id = c.doc_a
+        JOIN tagged tb ON tb.doc_id = c.doc_b
+    ),
+    near_corpus AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pair_flags WHERE new_a AND NOT new_b
+            UNION ALL
+            SELECT doc_b FROM pair_flags WHERE new_b AND NOT new_a
+        )
+    ),
+    near_batch AS (
+        SELECT DISTINCT doc_id FROM (
+            SELECT doc_a AS doc_id FROM pair_flags WHERE new_a AND new_b
+            UNION ALL
+            SELECT doc_b FROM pair_flags WHERE new_a AND new_b
+        )
+    )
+    SELECT n.doc_id,
+           CASE WHEN EXISTS (SELECT 1 FROM corpus_fps c WHERE c.fp = n.fp)
+                    THEN 'exact_dup_corpus'
+                WHEN EXISTS (SELECT 1 FROM near_corpus x WHERE x.doc_id = n.doc_id)
+                    THEN 'near_dup_corpus'
+                WHEN EXISTS (SELECT 1 FROM near_batch x WHERE x.doc_id = n.doc_id)
+                    THEN 'near_dup_batch'
+                ELSE 'novel' END AS verdict
+    FROM new_docs n ORDER BY n.doc_id
+    """

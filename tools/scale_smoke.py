@@ -216,6 +216,10 @@ def main() -> None:
         "dim_date_fiscal445": medallion.dim_date_fiscal445,
         "shingle_df_profile": llm.shingle_df_profile,
         "tax_reconciliation_annual": analytics.tax_reconciliation_annual,
+        "ann_pq_rerank_topk": llm.ann_pq_rerank_topk,
+        "dedup_incremental_new_batch": llm.dedup_incremental_new_batch,
+        "event_type_user_overlap": analytics.event_type_user_overlap,
+        "nation_quantile_bands": analytics.nation_quantile_bands,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
