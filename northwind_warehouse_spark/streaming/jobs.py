@@ -525,3 +525,47 @@ def classify_late_stream(incoming: DataFrame, watermark_row: DataFrame) -> DataF
             " (unix_micros(wm_ts) - unix_micros(ts)) div 1000000 END"
         ).alias("late_secs"),
     )
+
+
+def quality_band_stream(incoming: DataFrame, band_bounds: DataFrame) -> DataFrame:
+    """Ingest-time quality banding: tag each incoming document
+    head/middle/tail using the BATCH-computed per-source score bounds —
+    the streaming deployment of plans/llm.py::lm_quality_terciles'
+    banding stage. Rank terciles are corpus-relative, so the stream
+    cannot recompute them; instead the batch pipeline publishes the
+    numeric bounds (a sources-sized static table, refreshed between
+    restarts) and the stream applies them as pure thresholds.
+
+    Stream-static broadcast join + map-only CASE; stateless. The score
+    here is the deterministic md5-quantized model score so the
+    classification is engine-exact and testable."""
+    scored = incoming.withColumn(
+        "score_q",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("score|"), F.col("text"))), 1, 8), 16, 10)
+            .cast("long") % 1000000
+        ),
+    )
+    return scored.join(F.broadcast(band_bounds), "source").select(
+        "doc_id", "source", "score_q",
+        F.expr(
+            "CASE WHEN score_q >= head_min THEN 'head'"
+            " WHEN score_q >= middle_min THEN 'middle' ELSE 'tail' END"
+        ).alias("band"),
+    )
+
+
+def fk_orphan_stream(incoming_orders: DataFrame, customer_keys: DataFrame) -> DataFrame:
+    """Ingest-time referential-integrity quarantine: route incoming
+    orders whose customer key has no match in the (static, batch-
+    refreshed) dim to the orphan stream — the streaming deployment of
+    plans/medallion.py::fk_integrity_matrix's orders→customer relation,
+    applied at the door instead of audited after the fact.
+
+    Stream-static broadcast LEFT ANTI join on the key-only dim
+    projection; stateless (membership lives in the static side)."""
+    return incoming_orders.join(
+        F.broadcast(customer_keys.select("c_custkey").distinct()),
+        incoming_orders["o_custkey"] == F.col("c_custkey"),
+        "left_anti",
+    )

@@ -520,3 +520,66 @@ def test_classify_late_stream_matches_batch(spark, tmp_path):
     # the lottery split guarantees genuinely late rows (the loaded 80%
     # reaches the end of the time range, so most incoming rows precede it)
     assert any(r[3] for r in got)
+
+
+def test_quality_band_stream_matches_batch(spark, tmp_path):
+    """Streaming head/middle/tail banding with batch-published bounds ≡
+    applying the same bounds in batch — the threshold-deployment
+    invariant (rank terciles are corpus-relative; the stream applies
+    the published numeric bounds)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.streaming.jobs import (
+        quality_band_stream, run_to_memory, stream_documents,
+    )
+
+    docs = load(spark, SF_SMOKE, "documents")
+    scored = docs.withColumn(
+        "score_q",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("score|"), F.col("text"))), 1, 8), 16, 10)
+            .cast("long") % 1000000
+        ),
+    )
+    # batch-side bounds: min score of the top third / top two thirds per source
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(F.desc("score_q"), "doc_id")
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n_src", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    bounds = ranked.groupBy("source").agg(
+        F.min(F.when(F.expr("3 * (rnk - 1) div n_src = 0"), F.col("score_q"))).alias("head_min"),
+        F.min(F.when(F.expr("3 * (rnk - 1) div n_src <= 1"), F.col("score_q"))).alias("middle_min"),
+    )
+    src = str(tmp_path / "qband_docs")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = quality_band_stream(stream_documents(spark, src), bounds)
+    run_to_memory(stream, "qband", str(tmp_path / "ckpt_qband"))
+
+    got = {tuple(r) for r in spark.table("qband").collect()}
+    want = {tuple(r) for r in quality_band_stream(docs, bounds).collect()}
+    assert got == want and len(got) > 0
+    bands = {r[3] for r in got}
+    assert bands == {"head", "middle", "tail"}
+
+
+def test_fk_orphan_stream_matches_batch(spark, tmp_path):
+    """Streaming FK quarantine ≡ the batch anti-join: orders streamed
+    against a customer dim missing half its keys quarantine exactly the
+    batch-computed orphans."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.streaming.jobs import fk_orphan_stream, run_to_memory
+
+    orders = load(spark, SF_SMOKE, "orders").select("o_orderkey", "o_custkey")
+    half_dim = load(spark, SF_SMOKE, "customer").filter(F.col("c_custkey") % 2 == 0)
+    src = str(tmp_path / "fk_orders")
+    orders.coalesce(1).write.mode("overwrite").parquet(src)
+    stream_orders = (
+        spark.readStream.schema(orders.schema).parquet(src)
+    )
+    stream = fk_orphan_stream(stream_orders, half_dim)
+    run_to_memory(stream, "fk_orphans", str(tmp_path / "ckpt_fko"), output_mode="append")
+
+    got = {r["o_orderkey"] for r in spark.table("fk_orphans").collect()}
+    want = {r["o_orderkey"] for r in fk_orphan_stream(orders, half_dim).collect()}
+    assert got == want and len(got) > 0
