@@ -5912,3 +5912,66 @@ def oracle_nation_quantile_bands() -> str:
     FROM tagged t JOIN b ON b.nation = t.nation
     GROUP BY t.nation, 2 ORDER BY t.nation, band
     """
+
+
+def events_burst_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak-load windows: the top-3 busiest SLIDING 3-hour windows per
+    event type (RANGE window over the integer hour index, so calendar
+    gaps count as empty hours, not skipped rows) — the capacity-planning
+    readout next to the anomaly detectors (spike = vs baseline,
+    cusum = drift; this = absolute peaks).
+
+    Scale shape: the fact collapses to (type, hour) grain in one
+    shuffle; the sliding sum and the rank both partition BY TYPE over
+    the hour-grain aggregate."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.expr("CAST(unix_micros(date_trunc('hour', ts)) div 3600000000 AS BIGINT)").alias("hidx"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w3 = (
+        Window.partitionBy("event_type").orderBy("hidx").rangeBetween(-2, 0)
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.desc("n_3h"), "hidx"
+    )
+    return (
+        hourly.withColumn("n_3h", F.sum("n").over(w3).cast("bigint"))
+        .withColumn("rk", F.row_number().over(w_pick))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "event_type",
+            F.expr("timestamp_micros(hidx * 3600000000)").alias("window_end_hour"),
+            "n_3h",
+            F.col("rk").cast("int").alias("rk"),
+        )
+        .orderBy("event_type", "rk")
+    )
+
+
+def oracle_events_burst_windows() -> str:
+    return """
+    WITH hourly AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) // 3600000000 AS hidx,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ), slid AS (
+        SELECT event_type, hidx,
+               CAST(sum(n) OVER (PARTITION BY event_type ORDER BY hidx
+                    RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_3h
+        FROM hourly
+    ), ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY n_3h DESC, hidx) AS rk
+        FROM slid
+    )
+    SELECT event_type,
+           make_timestamp(hidx * 3600000000) AS window_end_hour,
+           n_3h, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3 ORDER BY event_type, rk
+    """

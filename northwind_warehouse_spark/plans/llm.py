@@ -6211,3 +6211,144 @@ def oracle_dedup_incremental_new_batch() -> str:
                 ELSE 'novel' END AS verdict
     FROM new_docs n ORDER BY n.doc_id
     """
+
+
+def lsh_bucket_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH band-bucket occupancy profile: how many buckets fall in each
+    log2 size band and what share of the total candidate PAIR WORK
+    (Σ sz·(sz−1)/2) each band carries — the direct health metric for
+    the banding scheme and the empirical justification for the
+    LSH_MAX_BUCKET cap (pair work concentrating in a few huge buckets
+    is exactly the degenerate case the cap defuses). Uncapped on
+    purpose: this query MEASURES the skew the production join removes.
+
+    Scale shape: signatures → band explode → (band, bkey) sizes in one
+    map-side-combined shuffle; HDR banding and shares are tiny-window
+    arithmetic over ≤ ~40 rows."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    sig = sim.minhash_signatures(sim.shingle_arrays(d))
+    rows_per_band = sim.N_SEEDS // sim.N_BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[
+                F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)
+            ])).alias("bkey"),
+        )
+        for b in range(sim.N_BANDS)
+    ])
+    sizes = (
+        sig.select(F.explode(bands).alias("bb"))
+        .select(F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+        .groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    hdr = (
+        sizes.withColumn("sz_band", F.expr("CAST(length(bin(sz)) - 1 AS INT)"))
+        .groupBy("sz_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.expr("CAST(sum(sz * (sz - 1) div 2) AS BIGINT)").alias("pair_work"),
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        hdr.withColumn("total_work", F.sum("pair_work").over(w_all).cast("bigint"))
+        .select(
+            "sz_band", "n_buckets", "pair_work",
+            F.expr(
+                "CASE WHEN total_work = 0 THEN NULL ELSE"
+                " CAST(CAST(pair_work AS DECIMAL(38,0)) * 1000000 div total_work AS BIGINT) END"
+            ).alias("work_share_ppm"),
+        )
+        .orderBy("sz_band")
+    )
+
+
+def oracle_lsh_bucket_occupancy() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    sizes AS (
+        SELECT band, bkey, CAST(count(*) AS BIGINT) AS sz
+        FROM bands0 GROUP BY band, bkey
+    ), hdr AS (
+        SELECT CAST(length(bin(sz)) - 1 AS INT) AS sz_band,
+               CAST(count(*) AS BIGINT) AS n_buckets,
+               CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS pair_work
+        FROM sizes GROUP BY 1
+    )
+    SELECT sz_band, n_buckets, pair_work,
+           CASE WHEN CAST(sum(pair_work) OVER () AS BIGINT) = 0 THEN NULL
+                ELSE CAST(CAST(pair_work AS HUGEINT) * 1000000
+                     // CAST(sum(pair_work) OVER () AS BIGINT) AS BIGINT) END AS work_share_ppm
+    FROM hdr ORDER BY sz_band
+    """
+
+
+_LONG_SENT_TOKENS = 30
+
+
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-grain quality profile per source: sentence counts, mean
+    sentences per doc, mean tokens per sentence, and the share of
+    run-on sentences (> 30 tokens) — the readability layer of the
+    quality stack (text_quality measures characters and tokens; this
+    measures STRUCTURE, the signal that separates prose from
+    boilerplate lists and log spam). Sentences split on '. ' —
+    deterministic and engine-identical.
+
+    Scale shape: map-only per-doc sentence arrays via higher-order
+    functions (no sentence-grain explode), one source-grain rollup."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.expr("size(split(text, '\\\\. '))").cast("bigint").alias("n_sent"),
+        F.expr(
+            "aggregate(transform(split(text, '\\\\. '), s -> size(split(s, ' '))),"
+            " CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+        ).alias("sent_tokens"),
+        F.expr(
+            f"CAST(size(filter(transform(split(text, '\\\\. '), s -> size(split(s, ' '))),"
+            f" t -> t > {_LONG_SENT_TOKENS})) AS BIGINT)"
+        ).alias("n_long"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_sent").cast("bigint").alias("total_sentences"),
+            F.sum("sent_tokens").cast("bigint").alias("total_tokens"),
+            F.sum("n_long").cast("bigint").alias("n_long_sentences"),
+        )
+        .select(
+            "source", "n_docs", "total_sentences",
+            F.expr("total_sentences div n_docs").alias("mean_sent_per_doc"),
+            F.expr("total_tokens div total_sentences").alias("mean_tokens_per_sent"),
+            F.expr("1000000 * n_long_sentences div total_sentences").alias("long_sent_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_sentence_stats() -> str:
+    return f"""
+    WITH per_doc AS (
+        SELECT source,
+               CAST(len(string_split(text, '. ')) AS BIGINT) AS n_sent,
+               CAST(list_sum(list_transform(string_split(text, '. '),
+                    s -> len(string_split(s, ' ')))) AS BIGINT) AS sent_tokens,
+               CAST(len(list_filter(list_transform(string_split(text, '. '),
+                    s -> len(string_split(s, ' '))), t -> t > {_LONG_SENT_TOKENS})) AS BIGINT) AS n_long
+        FROM documents
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_sent) AS BIGINT) AS total_sentences,
+           CAST(CAST(sum(n_sent) AS BIGINT) // count(*) AS BIGINT) AS mean_sent_per_doc,
+           CAST(CAST(sum(sent_tokens) AS BIGINT) // CAST(sum(n_sent) AS BIGINT) AS BIGINT)
+               AS mean_tokens_per_sent,
+           CAST(1000000 * CAST(sum(n_long) AS BIGINT) // CAST(sum(n_sent) AS BIGINT) AS BIGINT)
+               AS long_sent_ppm
+    FROM per_doc GROUP BY source ORDER BY source
+    """

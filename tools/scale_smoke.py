@@ -220,6 +220,9 @@ def main() -> None:
         "dedup_incremental_new_batch": llm.dedup_incremental_new_batch,
         "event_type_user_overlap": analytics.event_type_user_overlap,
         "nation_quantile_bands": analytics.nation_quantile_bands,
+        "lsh_bucket_occupancy": llm.lsh_bucket_occupancy,
+        "sentence_stats": llm.sentence_stats,
+        "events_burst_windows": analytics.events_burst_windows,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
