@@ -2196,3 +2196,34 @@ def oracle_dim_date_fiscal445() -> str:
            fiscal_week = 53 AS is_week53
     FROM q ORDER BY full_date
     """
+
+
+def stg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staging conform for the events change stream — completes §2A's
+    one-stg-per-raw-source parity (reference: models/staging/stg_*.sql
+    rename/type/row-hash discipline): business names, a derived
+    event_date partition column (what the bronze ingest partitions by),
+    the op flag, and the change-detection row hash the SCD2 build keys
+    on. Map-only; the ts conform (nanos→µs, UTC pin) already happened
+    in catalog.load."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("event_type"),
+        F.col("ts").alias("event_ts"),
+        F.to_date("ts").alias("event_date"),
+        F.col("value").alias("event_value"),
+        F.lit("I").alias("op"),
+        surrogate_key("user_id", "event_type", num_str("value")).alias("row_hash"),
+    )
+
+
+def oracle_stg_events() -> str:
+    rh = oracle_surrogate_key("user_id", "event_type", oracle_num_str("value"))
+    return f"""
+    SELECT event_id, user_id, event_type, ts AS event_ts,
+           CAST(ts AS DATE) AS event_date, value AS event_value,
+           'I' AS op, {rh} AS row_hash
+    FROM events
+    """
