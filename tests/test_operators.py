@@ -1222,3 +1222,94 @@ def test_consensus_contains_every_detector_pair(spark):
     for p in sh:
         assert p in cons and cons[p].by_simhash == 1
     assert any(r.n_detectors >= 2 for r in cons.values())
+
+
+def test_lsh_band_tuning_containment_invariant(spark):
+    """Stricter banding (2 bands x 4 rows) must produce a SUBSET of the
+    looser 4x2 candidates: a 4-row band match implies both constituent
+    2-row bands match. n_common == n_pairs_2x4 asserts it on real data."""
+    from northwind_warehouse_spark.plans.llm import lsh_band_tuning
+
+    r = lsh_band_tuning(spark, SF_SMOKE).collect()[0]
+    assert r.n_common == r.n_pairs_2x4
+    assert r.n_pairs_2x4 <= r.n_pairs_4x2
+
+
+def test_pq_rerank_recall_not_worse_than_adc(spark):
+    """Two-stage retrieval's whole point: exact rerank of the ADC
+    top-20 shortlist must recover at least as many true top-5
+    neighbors as trusting the raw ADC top-5."""
+    from northwind_warehouse_spark.operators.similarity import (
+        ann_bruteforce_topk, pq_adc_topk,
+    )
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import ann_pq_rerank_topk
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    truth = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_bruteforce_topk(e, n_queries=10, k=5).collect()
+    }
+    adc5 = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_adc_topk(e, n_queries=10, k=5).collect()
+    }
+    rerank5 = {
+        (r.query_id, r.neighbor_id)
+        for r in ann_pq_rerank_topk(spark, SF_SMOKE).collect()
+    }
+    assert len(rerank5 & truth) >= len(adc5 & truth)
+    assert len(rerank5 & truth) > 0
+
+
+def test_incremental_dedup_verdicts_partition_new_batch(spark):
+    """Every new-batch doc gets exactly one verdict, and the exact-dup
+    verdicts agree with an independent fingerprint check."""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import (
+        _INC_LOTTERY, dedup_incremental_new_batch,
+    )
+
+    out = dedup_incremental_new_batch(spark, SF_SMOKE)
+    rows = out.collect()
+    d = load(spark, SF_SMOKE, "documents")
+    n_new = d.filter(F.expr(f"{_INC_LOTTERY} >= 800000")).count()
+    assert len(rows) == n_new
+    assert len({r.doc_id for r in rows}) == n_new
+    verdicts = {r.verdict for r in rows}
+    assert verdicts <= {"exact_dup_corpus", "near_dup_corpus", "near_dup_batch", "novel"}
+    # independent exact-dup check
+    fp = d.select("doc_id", F.md5("text").alias("fp"),
+                  F.expr(f"{_INC_LOTTERY} >= 800000").alias("is_new"))
+    corpus = {r.fp for r in fp.filter(~F.col("is_new")).collect()}
+    new_fp = {r.doc_id: r.fp for r in fp.filter(F.col("is_new")).collect()}
+    for r in rows:
+        if new_fp[r.doc_id] in corpus:
+            assert r.verdict == "exact_dup_corpus", r
+
+
+def test_cusum_drawup_dominates_single_deviation(spark):
+    """The CUSUM max drawup is >= the largest single positive scaled
+    deviation (a one-hour drawup is itself a drawup), and >= 0."""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.analytics import events_cusum_detect
+
+    out = {r.event_type: r for r in events_cusum_detect(spark, SF_SMOKE).collect()}
+    hourly = (
+        load(spark, SF_SMOKE, "events")
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    stats = (
+        hourly.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("tot"), F.max("x").alias("mx"))
+        .collect()
+    )
+    for s in stats:
+        r = out[s.event_type]
+        assert r.max_drawup_scaled >= 0
+        assert r.max_drawup_scaled >= s.n * s.mx - s.tot  # best single hour
