@@ -5975,3 +5975,147 @@ def oracle_events_burst_windows() -> str:
            n_3h, CAST(rk AS INT) AS rk
     FROM ranked WHERE rk <= 3 ORDER BY event_type, rk
     """
+
+
+def drill_across_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball drill-across: two fact tables (orders revenue, events
+    activity) AGGREGATED SEPARATELY to the conformed customer-segment
+    grain, then joined on the conformed attribute — never a
+    fact-to-fact row join (the classic drill-across discipline; the
+    events stream's user_id is a customer key, verified subset). Per
+    market segment: buyers + exact-cents revenue from one fact, active
+    users + event counts from the other, and events-per-buyer ppm.
+
+    Scale shape: each fact reduces independently in one
+    map-side-combined shuffle (dim broadcast into both); the
+    drill-across join is segment-sized."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    e = load(spark, sf_dir, "events").select("user_id", "event_id")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.countDistinct("o_custkey").alias("n_buyers"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+    )
+    act = (
+        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.countDistinct("user_id").alias("n_active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    return (
+        rev.join(act, "mktsegment", "full_outer")
+        .select(
+            "mktsegment",
+            F.coalesce("n_buyers", F.lit(0)).cast("bigint").alias("n_buyers"),
+            F.coalesce("rev_cents", F.lit(0)).cast("bigint").alias("rev_cents"),
+            F.coalesce("n_active_users", F.lit(0)).cast("bigint").alias("n_active_users"),
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.expr(
+                "CASE WHEN coalesce(n_buyers, 0) = 0 THEN NULL"
+                " ELSE 1000000 * coalesce(n_events, 0) div n_buyers END"
+            ).alias("events_per_buyer_ppm"),
+        )
+        .orderBy("mktsegment")
+    )
+
+
+def oracle_drill_across_customer_360() -> str:
+    return """
+    WITH rev AS (
+        SELECT c_mktsegment AS mktsegment,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_buyers,
+               CAST(sum(CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+    ), act AS (
+        SELECT c_mktsegment AS mktsegment,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_mktsegment
+    )
+    SELECT coalesce(rev.mktsegment, act.mktsegment) AS mktsegment,
+           CAST(coalesce(n_buyers, 0) AS BIGINT) AS n_buyers,
+           CAST(coalesce(rev_cents, 0) AS BIGINT) AS rev_cents,
+           CAST(coalesce(n_active_users, 0) AS BIGINT) AS n_active_users,
+           CAST(coalesce(n_events, 0) AS BIGINT) AS n_events,
+           CASE WHEN coalesce(n_buyers, 0) = 0 THEN NULL
+                ELSE CAST(1000000 * coalesce(n_events, 0) // n_buyers AS BIGINT) END
+               AS events_per_buyer_ppm
+    FROM rev FULL OUTER JOIN act ON rev.mktsegment = act.mktsegment
+    ORDER BY mktsegment
+    """
+
+
+def role_playing_date_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Role-playing date dimension: ONE dim_date spine joined twice
+    into the same fact under two roles (order date, ship date) — the
+    Kimball pattern for multi-date facts — computing per ship-year how
+    many lines crossed a month boundary between ordering and shipping
+    and the exact mean latency in days.
+
+    Scale shape: lineitem⋈orders shuffles on the order key (both
+    fact-sized — the case bucketing co-locates at warehouse scale);
+    both date-role joins BROADCAST the same tiny spine; the rollup is
+    year×flag-sized."""
+    from northwind_warehouse_spark.plans.medallion import dim_date
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    dd = dim_date(spark, sf_dir)
+    dd_o = dd.select(
+        F.col("full_date").alias("od"),
+        (F.col("year") * 12 + F.col("month")).alias("om"),
+    )
+    dd_s = dd.select(
+        F.col("full_date").alias("sd"),
+        (F.col("year") * 12 + F.col("month")).alias("sm"),
+        F.col("year").alias("ship_year"),
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dd_o), F.to_date("o_orderdate") == F.col("od"))
+        .join(F.broadcast(dd_s), F.to_date("l_shipdate") == F.col("sd"))
+        .withColumn("crossed_month", F.col("sm") > F.col("om"))
+        .withColumn("lat_days", F.datediff("sd", "od").cast("bigint"))
+        .groupBy("ship_year", "crossed_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("lat_days").cast("bigint").alias("total_latency_days"),
+        )
+        .withColumn("mean_latency_days", F.expr("total_latency_days div n_lines"))
+        .orderBy("ship_year", "crossed_month")
+    )
+
+
+def oracle_role_playing_date_latency() -> str:
+    from northwind_warehouse_spark.plans.medallion import DATE_END, DATE_START
+
+    return f"""
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '{DATE_START}', DATE '{DATE_END}', INTERVAL 1 DAY))::DATE AS full_date
+    ), dd AS (
+        SELECT full_date, year(full_date) * 12 + month(full_date) AS m, year(full_date) AS yr
+        FROM spine
+    )
+    SELECT ds.yr AS ship_year,
+           ds.m > do_.m AS crossed_month,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(sum(date_diff('day', do_.full_date, ds.full_date)) AS BIGINT) AS total_latency_days,
+           CAST(CAST(sum(date_diff('day', do_.full_date, ds.full_date)) AS BIGINT)
+                // count(*) AS BIGINT) AS mean_latency_days
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN dd do_ ON CAST(o_orderdate AS DATE) = do_.full_date
+    JOIN dd ds ON CAST(l_shipdate AS DATE) = ds.full_date
+    GROUP BY ds.yr, ds.m > do_.m
+    ORDER BY ship_year, crossed_month
+    """

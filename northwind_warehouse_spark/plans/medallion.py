@@ -2227,3 +2227,42 @@ def oracle_stg_events() -> str:
            'I' AS op, {rh} AS row_hash
     FROM events
     """
+
+
+def scd4_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 4 — the current/history TABLE SPLIT that completes the
+    repo's SCD taxonomy (2, 3, 4, 6): the full version history lives in
+    an append-only history table while a compact current table carries
+    only each key's live row — the shape that lets the hot current dim
+    BROADCAST into every fact join while history stays scan-only.
+    Published as one labeled relation (table_role = 'current' |
+    'history') so the split is hash-checkable in a single result.
+
+    Scale shape: one scd2 build (windowed change detection), a filter
+    for the current slice, a union — no extra shuffles over the
+    history side."""
+    scd2 = scd2_users(spark, sf_dir)
+    cols = [
+        "user_id", "version_no", "event_type", "value",
+        "effective_date", "expiry_date",
+    ]
+    history = scd2.select(F.lit("history").alias("table_role"), *cols)
+    current = scd2.filter(F.col("is_active") == "Y").select(
+        F.lit("current").alias("table_role"), *cols
+    )
+    return history.unionByName(current).orderBy("table_role", "user_id", "version_no")
+
+
+def oracle_scd4_users() -> str:
+    inner = oracle_scd2_users()
+    return f"""
+    WITH scd2 AS ({inner})
+    SELECT 'history' AS table_role, user_id, version_no, event_type, value,
+           effective_date, expiry_date
+    FROM scd2
+    UNION ALL
+    SELECT 'current', user_id, version_no, event_type, value,
+           effective_date, expiry_date
+    FROM scd2 WHERE is_active = 'Y'
+    ORDER BY table_role, user_id, version_no
+    """

@@ -223,6 +223,9 @@ def main() -> None:
         "lsh_bucket_occupancy": llm.lsh_bucket_occupancy,
         "sentence_stats": llm.sentence_stats,
         "events_burst_windows": analytics.events_burst_windows,
+        "scd4_users": medallion.scd4_users,
+        "drill_across_customer_360": analytics.drill_across_customer_360,
+        "role_playing_date_latency": analytics.role_playing_date_latency,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
