@@ -10,9 +10,14 @@ checksum over every output column — unlike count(), Catalyst cannot
 prune the final projections, so all result expressions really run.
 
 Methodology: one un-timed warmup execution per query (JIT/codegen
-compile, parquet footer cache, broadcast build), then the timed run —
-i.e. steady-state latency, the number that matters for a long-lived
-warehouse session where plans are compiled once and run repeatedly.
+compile, parquet footer cache, broadcast build), then THREE timed
+passes over the whole set — per-query MEDIAN is the headline number
+(single-run timings on a shared sandbox swing ±30%, which round 5
+showed can masquerade as a regression). The JSON records the per-pass
+totals ("runs"), their median ("median"), and the per-query medians
+("queries"); "value" = sum of per-query medians — steady-state latency
+for a long-lived warehouse session where plans are compiled once and
+run repeatedly.
 """
 
 from __future__ import annotations
@@ -61,14 +66,23 @@ def main() -> None:
             F.bit_xor(F.xxhash64(*[F.col(c) for c in df.columns])).alias("cs")
         ).collect()[0].cs
 
-    timings: dict[str, float] = {}
-    for name in names:
-        force(qs[name](spark, sf_dir))  # warmup: codegen + footers + broadcasts
-        t0 = time.perf_counter()
-        cs = force(qs[name](spark, sf_dir))
-        timings[name] = round(time.perf_counter() - t0, 3)
-        assert cs is None or isinstance(cs, int)
+    N_RUNS = 3
+    for name in names:  # warmup pass: codegen + footers + broadcasts
+        force(qs[name](spark, sf_dir))
+    per_query_runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(N_RUNS):
+        for name in names:
+            t0 = time.perf_counter()
+            cs = force(qs[name](spark, sf_dir))
+            per_query_runs[name].append(round(time.perf_counter() - t0, 3))
+            assert cs is None or isinstance(cs, int)
 
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        return s[len(s) // 2] if len(s) % 2 else (s[len(s) // 2 - 1] + s[len(s) // 2]) / 2
+
+    timings = {n: round(median(r), 3) for n, r in per_query_runs.items()}
+    run_totals = [round(sum(per_query_runs[n][i] for n in names), 3) for i in range(N_RUNS)]
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -76,6 +90,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "runs": run_totals,
+        "median": round(median(run_totals), 3),
+        "queries_runs": per_query_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

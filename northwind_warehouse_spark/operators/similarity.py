@@ -127,11 +127,14 @@ def lsh_candidate_pairs(
     exploded = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
         id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
     )
-    # self-join reads this twice; persist so signatures are computed once
-    # (at warehouse scale you'd checkpoint signatures to the lake instead)
-    exploded = exploded.persist()
     if max_bucket_size is not None:
         exploded = cap_buckets(exploded, ["band", "bkey"], max_bucket_size)
+    # self-join reads this twice; persist the CAPPED relation so both the
+    # signature pass AND the cap's count window run once, not once per
+    # join side (persisting before the cap doubled the window's
+    # sort+exchange — the round-5 bench regression). At warehouse scale
+    # you'd checkpoint signatures to the lake instead.
+    exploded = exploded.persist()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

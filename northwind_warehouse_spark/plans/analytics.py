@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from northwind_warehouse_spark.catalog import load
+from northwind_warehouse_spark.operators.joins import maybe_broadcast
 from northwind_warehouse_spark.functions.money import (
     charge,
     davg2,
@@ -79,7 +80,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
+        .join(maybe_broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum2(disc_price(), "revenue"))
         .orderBy(F.desc("revenue"), "l_orderkey")
@@ -119,8 +120,8 @@ def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s), (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
@@ -186,7 +187,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
         .agg(dsum2(disc_price(), "revenue"))
@@ -224,7 +225,7 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     per_cust = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "c_custkey", "c_name")
         .agg(dsum2(dec2("o_totalprice"), "total_spend"))
@@ -261,7 +262,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     base = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("n_name", F.year("o_orderdate").alias("order_year"), "o_totalprice")
     )
@@ -341,7 +342,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-09-01")) & (F.col("l_shipdate") < F.lit("1997-10-01"))
     ).select("l_partkey", "l_extendedprice", "l_discount")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_type")
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
     agg = joined.agg(
         F.sum(F.when(F.col("p_type") == "PROMO", disc_price()).otherwise(F.lit(0).cast("decimal(18,4)"))).alias("promo"),
         F.sum(disc_price()).alias("total"),
@@ -389,7 +390,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty")
         .orderBy(F.desc("total_qty"), "o_orderkey")
         .limit(20)
@@ -420,7 +421,7 @@ def q16_parts_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand", "p_type", "p_size")
     l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -491,8 +492,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp_nation = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .join(F.broadcast(cust_nation), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
@@ -530,7 +531,7 @@ def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
     r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     base = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("r_name", "c_mktsegment", "o_totalprice")
@@ -565,7 +566,7 @@ def monthly_revenue_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderdate")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             "n_name",
@@ -606,7 +607,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises OR-of-ANDs pushdown and a broadcast part join."""
     l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
-    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    joined = l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
     cond = (
         ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 15) & (F.col("l_quantity") >= 10))
         | ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 20))
@@ -637,7 +638,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     joined = (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
@@ -804,7 +805,7 @@ def repeat_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     both = y96.intersect(y97)
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
     return (
-        both.join(F.broadcast(c), both.o_custkey == c.c_custkey)
+        both.join(maybe_broadcast(c), both.o_custkey == c.c_custkey)
         .select(F.col("o_custkey").alias("customer_id"), "c_name", "c_mktsegment")
         .orderBy("customer_id")
     )
@@ -873,7 +874,7 @@ def median_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cents = (dec2("o_totalprice") * 100).cast("bigint")
     return (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("n_name", cents.alias("cents"))
         .groupBy("n_name")
@@ -1025,7 +1026,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    offers_eu = offers.join(F.broadcast(s_eu), offers.l_suppkey == s_eu.s_suppkey)
+    offers_eu = offers.join(maybe_broadcast(s_eu), offers.l_suppkey == s_eu.s_suppkey)
     best = offers_eu.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_microcents").alias("best_unit")
     )
@@ -1038,7 +1039,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (offers_eu.l_partkey == best.b_partkey)
             & (offers_eu.unit_microcents == best.best_unit),
         )
-        .join(F.broadcast(p), offers_eu.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p), offers_eu.l_partkey == p.p_partkey)
         .select(
             "p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name",
             "unit_microcents",
@@ -1096,9 +1097,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decimal(18,4)"
     )
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name", "profit_year")
         .agg(dsum2(amount, "sum_profit"))
@@ -1252,7 +1253,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), rev.rev_dec == mx.max_dec)
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select(
             "s_suppkey", "s_name",
             F.round(F.col("rev_dec"), 2).cast("double").alias("total_revenue"),
@@ -1323,7 +1324,7 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1997-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
     ).select("l_partkey", "l_suppkey", "l_quantity")
     heavy = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .groupBy("l_suppkey", "l_partkey")
         .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"))
         .filter(F.col("sum_qty") > 50)
@@ -1374,7 +1375,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")), "left_anti")
     )
     return (
-        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        blamed.join(maybe_broadcast(s), blamed.l_suppkey == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
@@ -1420,7 +1421,7 @@ def events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.expr("sequence(h0, h1, interval 1 hour)")).alias("hour_ts")
     )
     types = e.select("event_type").distinct()
-    grid = spine.crossJoin(F.broadcast(types))
+    grid = spine.crossJoin(maybe_broadcast(types))
     return (
         grid.join(F.broadcast(agg), ["event_type", "hour_ts"], "left")
         .select(
@@ -1468,7 +1469,7 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select("n_name", "o_orderpriority", "o_totalprice")
     )
@@ -1728,7 +1729,7 @@ def customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg((F.sum(dec2("o_totalprice")) * 100).cast("bigint").alias("spend_cents"))
     )
-    j = spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey).select(
+    j = spend.join(maybe_broadcast(c), spend.o_custkey == c.c_custkey).select(
         F.col("o_custkey").alias("customer_id"), "c_nationkey", "spend_cents"
     )
     from pyspark.sql.window import Window
@@ -2443,7 +2444,7 @@ def nation_order_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     j = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(F.col("n_name").alias("nation"), "o_orderkey", "od")
     )
@@ -2639,7 +2640,7 @@ def revenue_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     per_nation = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
@@ -2753,7 +2754,7 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
         # read 4× (total, both self-join sides, marginals); persist so the
@@ -2840,7 +2841,7 @@ def pareto_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cents = (dec2("o_totalprice") * 100).cast("bigint")
     spend = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("n_name", "o_custkey")
         .agg(F.sum(cents).alias("cents"))
@@ -3029,7 +3030,7 @@ def interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("gap_days", F.datediff("o_orderdate", "prev_date").cast("bigint"))
     )
     return (
-        gaps.join(F.broadcast(c), gaps.o_custkey == c.c_custkey)
+        gaps.join(maybe_broadcast(c), gaps.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("n_gaps"),
@@ -3679,7 +3680,7 @@ def bloom_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     truth = checked.join(
-        F.broadcast(c.withColumn("is_member", F.lit(1))),
+        maybe_broadcast(c.withColumn("is_member", F.lit(1))),
         checked.o_custkey == F.col("c_custkey"),
         "left",
     ).select("o_orderkey", "bloom_pass", F.coalesce("is_member", F.lit(0)).alias("is_member"))
@@ -3918,7 +3919,7 @@ def revenue_trend_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     monthly = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .select(
             "n_name",
@@ -4227,7 +4228,7 @@ def segment_priority_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     cells = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("c_mktsegment", "o_orderpriority")
         .agg(F.count(F.lit(1)).alias("obs"))
     )
@@ -4304,7 +4305,7 @@ def market_concentration_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     r = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
     per_nation = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("r_name", "n_name")
@@ -4610,7 +4611,7 @@ def price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     base = (
         l.filter(F.year("l_shipdate").isin(_PVM_Y0, _PVM_Y1))
-        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .select(
             "p_brand",
             F.year("l_shipdate").alias("yr"),
@@ -5425,7 +5426,7 @@ def supplier_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     per = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(maybe_broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), "yr")
         # exact decimal sum, floored to cents ONCE (per-row truncation
@@ -5492,7 +5493,7 @@ def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     m = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(maybe_broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(F.col("p_brand").alias("brand"))
         .agg(
             F.count(F.lit(1)).alias("n_lines"),
@@ -5701,7 +5702,7 @@ def sample_extrapolation_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     in_sample = _ppm_lottery("sx|", "o_orderkey") < _QSAMPLE_PPM
     per = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
@@ -5866,7 +5867,7 @@ def nation_quantile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     tagged = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .select(F.col("n_name").alias("nation"), "o_orderkey", "cents")
     )
@@ -5995,7 +5996,7 @@ def drill_across_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e = load(spark, sf_dir, "events").select("user_id", "event_id")
     rev = (
-        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.countDistinct("o_custkey").alias("n_buyers"),
@@ -6003,7 +6004,7 @@ def drill_across_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     act = (
-        e.join(F.broadcast(c), e.user_id == c.c_custkey)
+        e.join(maybe_broadcast(c), e.user_id == c.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
             F.countDistinct("user_id").alias("n_active_users"),

@@ -19,6 +19,7 @@ from northwind_warehouse_spark.functions.text import (
     ratio_4dp,
     stopword_count,
 )
+from northwind_warehouse_spark.operators.joins import maybe_broadcast
 from northwind_warehouse_spark.operators import similarity as sim
 from northwind_warehouse_spark.operators.multimodal import (
     documents_as_binary,
@@ -128,7 +129,14 @@ def dedup_minhash_lsh_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     sig = sim.minhash_signatures(sim.shingle_arrays(d))
-    path = f"/tmp/nws_sig_lake/{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+    # keyed by (applicationId, sf_dir): per-session isolation — a
+    # concurrent session on the same sf_dir can neither overwrite this
+    # checkpoint mid-read nor serve us a stale one from changed source
+    # data (a real deployment would key by source-table version instead)
+    path = (
+        f"/tmp/nws_sig_lake/{spark.sparkContext.applicationId}/"
+        f"{_hl.md5(sf_dir.encode()).hexdigest()[:12]}"
+    )
     lake.write_table(sig, path)
     sig_lake = lake.read_table(spark, path)
     return sim.lsh_candidate_pairs(sig_lake).orderBy("doc_a", "doc_b")
@@ -586,7 +594,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("qn2"),
     )
     cand = base.join(
-        F.broadcast(q),
+        maybe_broadcast(q),
         (F.col("bucket_id") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cand.select(
@@ -946,7 +954,7 @@ def dedup_cross_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("source_a"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("source_b"))
-    tagged = pairs.join(F.broadcast(sa), "doc_a").join(F.broadcast(sb), "doc_b")
+    tagged = pairs.join(maybe_broadcast(sa), "doc_a").join(maybe_broadcast(sb), "doc_b")
     in_a = F.col("source_a").isin(*_INCOMING_SOURCES)
     in_b = F.col("source_b").isin(*_INCOMING_SOURCES)
     contaminated = (
@@ -1929,7 +1937,7 @@ def knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("qn2"),
     )
     scored = (
-        base.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        base.join(maybe_broadcast(q), F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "true_label",
@@ -6032,7 +6040,7 @@ def ann_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n2").alias("nn2"),
     )
     scored = (
-        shortlist.join(F.broadcast(q), "query_id")
+        shortlist.join(maybe_broadcast(q), "query_id")
         .join(n, "neighbor_id")
         .select(
             "query_id", "neighbor_id",
@@ -6136,7 +6144,7 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_docs = fp.filter(F.col("is_new")).select("doc_id", "fp")
     corpus_fps = fp.filter(~F.col("is_new")).select("fp").distinct()
     exact = (
-        new_docs.join(F.broadcast(corpus_fps), "fp", "left_semi")
+        new_docs.join(maybe_broadcast(corpus_fps), "fp", "left_semi")
         .select("doc_id").withColumn("f_exact", F.lit(1))
     )
     tag = fp.select("doc_id", "is_new")
@@ -6155,7 +6163,7 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         new_docs.select("doc_id")
-        .join(F.broadcast(exact), "doc_id", "left")
+        .join(maybe_broadcast(exact), "doc_id", "left")
         .join(F.broadcast(near_corpus), "doc_id", "left")
         .join(F.broadcast(near_batch), "doc_id", "left")
         .select(

@@ -29,6 +29,7 @@ from northwind_warehouse_spark.functions.money import (
     o_disc_price,
     o_dround2,
 )
+from northwind_warehouse_spark.operators.joins import maybe_broadcast
 from northwind_warehouse_spark.operators.asof import asof_join_backward
 from northwind_warehouse_spark.operators.dedup import latest_by_key
 from northwind_warehouse_spark.operators.incremental import high_watermark_filter
@@ -457,7 +458,7 @@ def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = dim_customer(spark, sf_dir).select("customer_id", "customer_sk", "nation_name", "region_name")
     fallback = surrogate_key(F.lit(0))
     return (
-        o.join(F.broadcast(d), o.o_custkey == d.customer_id, "left")
+        o.join(maybe_broadcast(d), o.o_custkey == d.customer_id, "left")
         .select(
             F.col("o_orderkey").alias("order_id"),
             F.coalesce("customer_sk", fallback).alias("customer_sk"),
@@ -500,8 +501,8 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = dim_supplier(spark, sf_dir).select("supplier_id", "supplier_sk", "supplier_name", "nation_name")
     fallback = surrogate_key(F.lit(0))
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.part_id, "left")
-        .join(F.broadcast(s), l.l_suppkey == s.supplier_id, "left")
+        l.join(maybe_broadcast(p), l.l_partkey == p.part_id, "left")
+        .join(maybe_broadcast(s), l.l_suppkey == s.supplier_id, "left")
         .select(
             F.col("l_orderkey").alias("order_id"),
             F.col("l_linenumber").alias("line_number"),
@@ -738,7 +739,7 @@ def fact_resolve_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     stale_dim = full_dim.filter(F.col("customer_id") % 3 != 0)
     fallback = surrogate_key(F.lit(0))
     stale = (
-        o.join(F.broadcast(stale_dim), o.o_custkey == stale_dim.customer_id, "left")
+        o.join(maybe_broadcast(stale_dim), o.o_custkey == stale_dim.customer_id, "left")
         .select(
             F.col("o_orderkey").alias("order_id"),
             F.col("o_custkey").alias("customer_id"),
@@ -754,7 +755,7 @@ def fact_resolve_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     failed = stale.filter(F.col("customer_sk") == fallback).drop("customer_sk")
     rejoined = (
-        failed.join(F.broadcast(full_dim), "customer_id", "left")
+        failed.join(maybe_broadcast(full_dim), "customer_id", "left")
         .select(
             "order_id",
             "customer_id",
@@ -891,7 +892,7 @@ def quarantine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("_fk_custkey")
     )
     flagged = o.join(
-        F.broadcast(c), o.o_custkey == F.col("_fk_custkey"), "left"
+        maybe_broadcast(c), o.o_custkey == F.col("_fk_custkey"), "left"
     )
     rules = [
         ("custkey_not_null", F.col("o_custkey").isNotNull()),
@@ -1119,7 +1120,7 @@ def _multisource_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         p.join(bridge, p.p_partkey == bridge.l_partkey)
-        .join(F.broadcast(s), bridge.l_suppkey == s.s_suppkey)
+        .join(maybe_broadcast(s), bridge.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .withColumn(
             "max_processed_date",
@@ -1256,7 +1257,7 @@ def hierarchy_unroll(spark: SparkSession, sf_dir: str) -> DataFrame:
     finished = [cur.filter(F.col("anc").isNull())]
     frontier = cur.filter(F.col("anc").isNotNull()).localCheckpoint()
     while not frontier.isEmpty():
-        stepped = frontier.join(F.broadcast(parents), "anc").select(
+        stepped = frontier.join(maybe_broadcast(parents), "anc").select(
             "customer_id",
             F.col("anc_parent").alias("anc"),
             (F.col("depth") + 1).alias("depth"),
@@ -1511,7 +1512,7 @@ def fact_inventory_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_shipdate", "l_quantity")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     monthly = (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
         .select(
             "p_brand",
             F.trunc(F.col("l_shipdate").cast("date"), "month").alias("month_start"),
@@ -1735,7 +1736,7 @@ def bom_explosion(spark: SparkSession, sf_dir: str) -> DataFrame:
     frontier = out[0]
     while True:
         stepped = (
-            frontier.join(F.broadcast(parents), "ancestor_id")
+            frontier.join(maybe_broadcast(parents), "ancestor_id")
             .filter(F.col("next_anc").isNotNull())
             .select(
                 "component_id",
@@ -1951,16 +1952,20 @@ def fk_integrity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     models/source.yml).
 
     Scale shape: each relation is ONE left join + ONE tiny agg; dim
-    sides broadcast (the lineitem->orders leg legitimately shuffles —
-    both sides are fact-sized, exactly the case bucketing co-locates
-    at warehouse scale). The 7 single-row aggregates union into the
-    final matrix; nothing is collected."""
+    sides broadcast only while small (size-gated maybe_broadcast —
+    customer/part/supplier key sets grow with SF, so at warehouse
+    scale AQE picks the strategy; the lineitem->orders leg
+    legitimately shuffles — both sides are fact-sized, exactly the
+    case bucketing co-locates at warehouse scale). The 7 single-row
+    aggregates union into the final matrix; nothing is collected."""
     outs = []
     for relname, ft, fk, dt, dk in _FK_RELS:
         fact = load(spark, sf_dir, ft).select(F.col(fk).alias("_fk"))
         dim = load(spark, sf_dir, dt).select(F.col(dk).alias("_dk")).distinct()
-        if dt != "orders":
-            dim = F.broadcast(dim)
+        if dt in ("nation", "region"):
+            dim = F.broadcast(dim)  # bounded by construction (25 / 5 rows)
+        elif dt != "orders":
+            dim = maybe_broadcast(dim)
         j = fact.join(dim, F.col("_fk") == F.col("_dk"), "left")
         outs.append(
             j.agg(

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from northwind_warehouse_spark.catalog import load
 from northwind_warehouse_spark.functions.hashing import num_str, surrogate_key
+from northwind_warehouse_spark.operators.joins import maybe_broadcast
 from northwind_warehouse_spark.operators.incremental import (
     AuditControl, high_watermark_filter,
 )
@@ -129,7 +130,7 @@ class WarehousePipeline:
             F.col("nation_name").alias("_nn"), F.col("region_name").alias("_rn"),
         )
         repaired = (
-            failed.join(F.broadcast(dim), failed.customer_id == F.col("_cid"), "left")
+            failed.join(maybe_broadcast(dim), failed.customer_id == F.col("_cid"), "left")
             .withColumn("customer_sk", F.coalesce("_sk", dummy_sk))
             .withColumn("nation_name", F.coalesce("_nn", F.lit("Not Found")))
             .withColumn("region_name", F.coalesce("_rn", F.lit("Not Found")))

@@ -182,6 +182,57 @@ def test_deglobalized_queries_have_no_unpartitioned_window(spark):
             )
 
 
+def test_no_hard_broadcast_hint_on_growing_tables():
+    """100-TB broadcast discipline (round-5 verdict #1): a hard
+    F.broadcast hint OVERRIDES AQE's size check, so no plan may hard-hint
+    an SF-growing base table (customer/part/supplier/orders/lineitem/
+    events/documents/embeddings) or a projection of one — those sides go
+    through operators.joins.maybe_broadcast (hint only under the
+    optimizer's size estimate; bare join → AQE decides otherwise).
+    Bounded relations (nation, region, date spines, aggregates,
+    codebooks) may keep the plain hint."""
+    from tools.broadcast_lint import find_violations
+
+    v = find_violations()
+    assert not v, "hard broadcast hints on growing tables:\n" + "\n".join(v)
+
+
+def test_maybe_broadcast_gates_on_size(spark):
+    """maybe_broadcast hints under the byte bound and returns the plan
+    UNHINTED above it (so AQE, not the hint, decides at scale)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.joins import maybe_broadcast, plan_size_bytes
+
+    c = load(spark, SF_SMOKE, "customer")
+    size = plan_size_bytes(c)
+    assert size and size > 0
+
+    hinted = maybe_broadcast(c, max_bytes=size + 1)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
+
+    unhinted = maybe_broadcast(c, max_bytes=size - 1)
+    assert "ResolvedHint" not in unhinted._jdf.queryExecution().analyzed().toString()
+
+
+def test_smoke_sf_dims_still_broadcast_via_gate(spark):
+    """At test SF every gated fact⋈dim still ENDS UP a
+    BroadcastHashJoin: raw dims (q5's customer/supplier) are under the
+    size bound so the gate hints them; derived dims (fact_lineitem's
+    dim_part/dim_supplier) have useless non-CBO join estimates so the
+    gate declines — and AQE converts the SMJ to BHJ from RUNTIME sizes,
+    which is precisely the at-scale contract. Checked on the AQE-final
+    plan (the section before '== Initial Plan ==')."""
+    from northwind_warehouse_spark.plans.analytics import q5_local_revenue
+    from northwind_warehouse_spark.plans.medallion import fact_lineitem
+
+    for fn in (q5_local_revenue, fact_lineitem):
+        df = fn(spark, SF_SMOKE)
+        df.collect()  # finalize the adaptive plan
+        final = _plan(df).split("== Initial Plan ==")[0]
+        assert "BroadcastHashJoin" in final, fn.__name__
+        assert "SortMergeJoin" not in final, fn.__name__
+
+
 def test_no_cartesian_product_in_any_registered_plan(spark):
     """Global plan discipline: NO registered query may plan a
     CartesianProduct — the unbounded cross join that is always a
