@@ -5375,8 +5375,17 @@ def lm_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic is). Per (source, band): docs, tokens, mean score.
 
     Scale shape: one term-keyed shuffle for frequencies (AQE handles
-    the stopword skew), one per-doc agg, one rank window PARTITIONED BY
-    SOURCE (never global), a band-grain rollup."""
+    the stopword skew), one per-doc agg, then SCORE-BUCKET-PARTITIONED
+    exact ranking (the skyline_parts trick): scores are ppm integers in
+    [0, 1e6], so bucket = score div 1000 gives ≤1001 value-range
+    buckets per source; rank = (broadcast prefix count of
+    higher-score buckets) + row_number WITHIN (source, bucket) —
+    provably equal to the global per-source rank (same-score rows land
+    in the same bucket, ordering is identical), but the widest window
+    partition is one source's 1000-ppm score slice instead of the
+    whole source (a handful of sources made that a near-global sort —
+    the round-5 SCALING worst row at 3.7×). The oracle keeps the plain
+    per-source rank formulation — the rewrite is value-identical."""
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
@@ -5398,10 +5407,20 @@ def lm_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("tok_ppm").alias("sum_ppm"))
         .select("doc_id", "source", "n_tok", F.expr("sum_ppm div n_tok").alias("score"))
     )
-    w = Window.partitionBy("source").orderBy(F.desc("score"), "doc_id")
+    scored = per_doc.withColumn("bkt", F.expr("score div 1000"))
+    bkt_counts = scored.groupBy("source", "bkt").agg(F.count(F.lit(1)).alias("n_bkt"))
+    wb = Window.partitionBy("source").orderBy(F.desc("bkt"))
+    pref = bkt_counts.withColumn(
+        "prefix", F.sum("n_bkt").over(wb) - F.col("n_bkt")
+    ).select("source", "bkt", "prefix")
+    n_src = bkt_counts.groupBy("source").agg(
+        F.sum("n_bkt").cast("bigint").alias("n_src")
+    )
+    w = Window.partitionBy("source", "bkt").orderBy(F.desc("score"), "doc_id")
     banded = (
-        per_doc.withColumn("rnk", F.row_number().over(w))
-        .withColumn("n_src", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        scored.join(F.broadcast(pref), ["source", "bkt"])
+        .join(F.broadcast(n_src), "source")
+        .withColumn("rnk", F.row_number().over(w) + F.col("prefix"))
         .withColumn(
             "band",
             F.expr(
@@ -5533,7 +5552,44 @@ def oracle_dedup_canonical_by_quality() -> str:
 
 
 _KNN_GRAPH_K = 3
-_KNN_CELL_CAP = 1000  # skew defuse: a degenerate cell is bounded to cap² pair work
+# IVF cells SCALE WITH THE CORPUS: n_centroids = max(8, ceil(n / TARGET))
+# keeps mean occupancy ≈ TARGET at any data volume (a fixed centroid
+# count would grow cells linearly with the corpus — the round-5 scale
+# cliff). The CAP is a per-cell SAMPLE bound, not a drop: an IVF cell is
+# the entire population of a region of vector space, so over-cap cells
+# are sampled to the cap by a deterministic md5 lottery (oracle-mirrored)
+# — dropping them (the LSH-band policy, right for degenerate duplicate
+# families) would silently EMPTY the kNN graph once every cell filled.
+_KNN_TARGET_CELL = 128
+_KNN_CELL_CAP = 256
+_KNN_NCENTS_SQL = (
+    f"(SELECT greatest(8, CAST((count(*) + {_KNN_TARGET_CELL - 1}) "
+    f"// {_KNN_TARGET_CELL} AS BIGINT)) FROM embeddings)"
+)
+
+
+def _knn_sample_to_cap(assigned: DataFrame) -> DataFrame:
+    """Deterministic sample-to-cap per cell: rank members by an md5
+    lottery (ties to vec_id) and keep the first _KNN_CELL_CAP. One hash
+    exchange on cell_id — data that is about to self-join on the same
+    key anyway. Mirrored verbatim in the oracle's QUALIFY."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cell_id").orderBy("lot", "vec_id")
+    return (
+        assigned.withColumn(
+            "lot",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("knncap|"), F.col("vec_id").cast("string"))), 1, 8
+                ),
+                16, 10,
+            ).cast("long"),
+        )
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= _KNN_CELL_CAP)
+        .drop("lot", "_rk")
+    )
 
 
 def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5544,18 +5600,24 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction — the standard health metric for a kNN graph (low
     reciprocity ⇒ hub-dominated cells, poor index quality).
 
-    Scale shape: cell assignment is map-only (broadcast centroids);
-    pair generation is a cell-keyed equi-self-join capped at
-    _KNN_CELL_CAP members per cell (same skew discipline as the LSH
-    band cap, mirrored in the oracle); the top-k window partitions by
-    source vector; the rollup is cell-grain. Never all-pairs."""
+    Scale shape: the centroid count GROWS with the corpus (mean
+    occupancy pinned at _KNN_TARGET_CELL — n is one parquet
+    metadata-count job, mirrored as a scalar subquery in the oracle);
+    cell assignment is map-only (broadcast centroids); over-cap cells
+    are SAMPLED to _KNN_CELL_CAP by a deterministic lottery (a cell is
+    a population — never dropped); pair generation is a cell-keyed
+    equi-self-join bounded at cap² per cell; the top-k window
+    partitions by source vector; the rollup is cell-grain. Never
+    all-pairs, non-empty at any scale."""
     from pyspark.sql.window import Window
 
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
 
     e = load(spark, sf_dir, "embeddings")
-    assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS)
-    capped = sim.cap_buckets(assigned, ["cell_id"], _KNN_CELL_CAP)
+    n = e.count()  # parquet metadata count — one cheap job
+    n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
+    assigned = sim.ivf_assign(e, n_centroids=n_cents)
+    capped = _knn_sample_to_cap(assigned)
     a = capped.select(
         "cell_id", F.col("vec_id").alias("src"),
         F.col("embedding").alias("va"), F.col("n2").alias("na2"),
@@ -5617,7 +5679,7 @@ def oracle_knn_graph_cell_local() -> str:
     ),
     cdot AS (
         SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
-        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {IVF_N_CENTROIDS}
+        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {_KNN_NCENTS_SQL}
         GROUP BY a.vec_id, c.vec_id
     ),
     ccos AS (
@@ -5634,8 +5696,14 @@ def oracle_knn_graph_cell_local() -> str:
         ) WHERE rk = 1
     ),
     assign AS (
+        -- sample-to-cap, NOT drop: over-cap cells keep their first
+        -- _KNN_CELL_CAP members by deterministic md5 lottery
         SELECT vec_id, cell_id FROM assign0
-        QUALIFY count(*) OVER (PARTITION BY cell_id) <= {_KNN_CELL_CAP}
+        QUALIFY row_number() OVER (
+            PARTITION BY cell_id
+            ORDER BY CAST(('0x' || substr(md5('knncap|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                     vec_id
+        ) <= {_KNN_CELL_CAP}
     ),
     pairs AS (
         SELECT a.cell_id, a.vec_id AS src, b.vec_id AS dst

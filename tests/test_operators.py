@@ -365,6 +365,28 @@ def test_lsh_bucket_cap_defuses_degenerate_bucket(spark):
     assert len(lsh_candidate_pairs(sig).collect()) == 191
 
 
+def test_knn_cell_cap_samples_never_drops(spark):
+    """The IVF-cell cap is a SAMPLE, not a drop (round-6 cap-policy
+    audit): a cell is the population of a vector-space region, so an
+    over-cap cell must keep exactly _KNN_CELL_CAP deterministic members
+    — if the LSH drop policy were applied here the kNN graph would go
+    EMPTY once cells fill (the round-5 scale cliff)."""
+    from northwind_warehouse_spark.plans.llm import _KNN_CELL_CAP, _knn_sample_to_cap
+
+    big, small = _KNN_CELL_CAP + 50, 5
+    rows = [(0, i) for i in range(big)] + [(1, 10_000 + i) for i in range(small)]
+    df = spark.createDataFrame(rows, ["cell_id", "vec_id"])
+    out = _knn_sample_to_cap(df)
+    by_cell = {
+        r.cell_id: r.n for r in out.groupBy("cell_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert by_cell == {0: _KNN_CELL_CAP, 1: small}  # sampled, NOT emptied
+    # deterministic: the same lottery picks the same members
+    ids1 = sorted(r.vec_id for r in out.collect())
+    ids2 = sorted(r.vec_id for r in _knn_sample_to_cap(df).collect())
+    assert ids1 == ids2
+
+
 def test_topk_per_group_equals_plain_window(spark):
     from northwind_warehouse_spark.operators.dedup import topk_per_group
     from pyspark.sql.window import Window
