@@ -335,6 +335,76 @@ def ivf_assign(
     )
 
 
+def ivf_probe_cells(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    centroids_from: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe IVF shortlist: each vector's ``n_probe`` nearest
+    (max-cosine) centroid cells, exploded to one row per probe with
+    ``probe_rank`` 1..n_probe.
+
+    Same MAP-ONLY shape as :func:`ivf_assign` — one broadcast centroid
+    array, a higher-order sort per row, zero shuffle over the input —
+    and the same tie rule (cosine desc, then lowest cent_id), so
+    probe_rank=1 reproduces the ivf_assign cell exactly.
+
+    ``centroids_from`` supplies the corpus whose first ``n_centroids``
+    vectors are the centroids (default: ``embeddings`` itself); pass the
+    full corpus there and ONLY the query batch as ``embeddings`` — the
+    production shape, where probes are computed per query, not per
+    corpus row. Multi-probe is what keeps recall up when n_centroids is
+    scaled with the corpus: a query near a cell boundary searches its P
+    nearest cells instead of just the one it lands in, at ~P/n_centroids
+    of the corpus scanned."""
+    from northwind_warehouse_spark.functions.vectors import Q, norm2_q
+
+    src = centroids_from if centroids_from is not None else embeddings
+    base = embeddings.select(F.col(id_col), F.col(vec_col), norm2_q(vec_col).alias("n2"))
+    cents = (
+        src.select(F.col(id_col), F.col(vec_col), norm2_q(vec_col).alias("n2"))
+        .filter(F.col(id_col) < n_centroids)
+        .select(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col).alias("cent_id"),
+                        F.col(vec_col).alias("cvec"),
+                        F.col("n2").alias("cn2"),
+                    )
+                )
+            ).alias("cents")
+        )
+    )
+    ranked = base.crossJoin(F.broadcast(cents)).withColumn(
+        "top_cells",
+        F.expr(
+            f"""slice(array_sort(transform(cents, c -> struct(
+                CAST(aggregate(zip_with({vec_col}, c.cvec, {Q}),
+                               CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+                  / sqrt(CAST(n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos,
+                c.cent_id AS cent_id)),
+                (l, r) -> CASE WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1
+                               WHEN l.cent_id < r.cent_id THEN -1
+                               WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END),
+                1, {n_probe})"""
+        ),
+    )
+    return ranked.select(
+        F.col(id_col), F.col(vec_col), F.col("n2"),
+        F.posexplode("top_cells").alias("_pr0", "_pc"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "n2",
+        (F.col("_pr0") + 1).cast("bigint").alias("probe_rank"),
+        F.col("_pc.cent_id").alias("cell_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the compressed-index ANN path
 # ---------------------------------------------------------------------------

@@ -1270,6 +1270,273 @@ def oracle_ann_ivf_topk() -> str:
     """
 
 
+# multi-probe demo constants: 2× the single-probe centroid count (so
+# cells are HALF the size and single-probe recall visibly degrades),
+# P=2 probes, a 10-query batch disjoint from the centroid ids
+_MP_N_CENTROIDS = 16
+_MP_NPROBE = 2
+_MP_QUERY_LO, _MP_QUERY_HI = 16, 26
+
+# shared oracle scaffolding: quantized elements, norms, centroid ranks
+_MP_BASE_CTES = f"""
+    el AS (
+        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM el
+    ),
+    n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+    ),
+    cdot AS (
+        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
+        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {_MP_N_CENTROIDS}
+        GROUP BY a.vec_id, c.vec_id
+    ),
+    ccos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
+        FROM cdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN n2 nc ON nc.vec_id = d.cent_id
+    ),
+    rankedc AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+        FROM ccos
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell_id FROM rankedc WHERE rk = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cent_id AS cell_id, CAST(rk AS BIGINT) AS probe_rank
+        FROM rankedc
+        WHERE rk <= {_MP_NPROBE}
+          AND vec_id >= {_MP_QUERY_LO} AND vec_id < {_MP_QUERY_HI}
+    ),
+    cand AS (
+        SELECT qp.query_id, qp.cell_id, qp.probe_rank, ca.vec_id AS neighbor_id
+        FROM qprobe qp JOIN assign ca
+          ON ca.cell_id = qp.cell_id AND ca.vec_id <> qp.query_id
+    )
+"""
+
+
+def _mp_query_probes(spark: SparkSession, sf_dir: str):
+    """(assigned corpus, query probe rows) shared by the two multi-probe
+    plans. Probes are computed for the 10-query batch ONLY (the
+    production shape — centroids still come from the full corpus)."""
+    e = load(spark, sf_dir, "embeddings")
+    assigned = sim.ivf_assign(e, n_centroids=_MP_N_CENTROIDS)
+    q = sim.ivf_probe_cells(
+        e.filter((F.col("vec_id") >= _MP_QUERY_LO) & (F.col("vec_id") < _MP_QUERY_HI)),
+        n_centroids=_MP_N_CENTROIDS,
+        n_probe=_MP_NPROBE,
+        centroids_from=e,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("n2").alias("qn2"),
+        "probe_rank",
+        F.col("cell_id").alias("qcell"),
+    )
+    return assigned, q
+
+
+def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN top-3: each query searches its _MP_NPROBE
+    nearest cells (operators/similarity.py::ivf_probe_cells) instead of
+    only the one it lands in — the standard recall repair when the
+    centroid count is scaled up with the corpus (here 2× the
+    single-probe demo, so cells are half-sized and boundary effects are
+    real). The probe list is a 20-row broadcast; the corpus is scanned
+    once for assignment and the candidate join touches ~P/n_centroids
+    of it. Never all-pairs; recall gain is measured by
+    ann_ivf_multiprobe_recall."""
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
+
+    assigned, q = _mp_query_probes(spark, sf_dir)
+    cand = assigned.join(
+        F.broadcast(q),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("qcell").alias("cell_id"),
+        "probe_rank",
+        F.col("vec_id").alias("neighbor_id"),
+        dot_q("qvec", "embedding").alias("dot"),
+        F.col("qn2").alias("n2a"),
+        F.col("n2").alias("n2b"),
+    ).withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 3)
+        .select("query_id", "cell_id", "probe_rank", "neighbor_id", "cosine", "nn_rank")
+        .orderBy("query_id", "nn_rank")
+    )
+
+
+def oracle_ann_ivf_multiprobe_topk() -> str:
+    return f"""
+    WITH {_MP_BASE_CTES},
+    dots AS (
+        SELECT p.query_id, p.cell_id, p.probe_rank, p.neighbor_id,
+               CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+        FROM cand p
+        JOIN q a ON a.vec_id = p.query_id
+        JOIN q b ON b.vec_id = p.neighbor_id AND b.i = a.i
+        GROUP BY p.query_id, p.cell_id, p.probe_rank, p.neighbor_id
+    ),
+    scored AS (
+        SELECT query_id, cell_id, probe_rank, neighbor_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM dots
+        JOIN n2 na ON na.vec_id = query_id
+        JOIN n2 nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS nn_rank
+        FROM scored
+    )
+    SELECT query_id, cell_id, probe_rank, neighbor_id, cosine, nn_rank
+    FROM ranked WHERE nn_rank <= 3 ORDER BY query_id, nn_rank
+    """
+
+
+def ann_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the multi-probe index: per query, recall@3 of
+    single-probe (probe_rank=1 candidates only) vs multi-probe against
+    the brute-force ground truth. Uses the identity
+    |top3(candidates) ∩ truth| = |candidates ∩ truth| (a global-top-3
+    vector in the candidate set always makes the candidate top-3, since
+    nothing can outscore it), so hits are counted by candidate
+    MEMBERSHIP — no second top-k pass, and recall_multi ≥ recall_single
+    is structural (candidate superset). The gate demonstrates the
+    round-6 claim: recall survives n_centroids scaling when P>1 cells
+    are probed."""
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
+
+    assigned, qp = _mp_query_probes(spark, sf_dir)
+    pairs = assigned.join(
+        F.broadcast(qp.select("query_id", "probe_rank", "qcell")),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "probe_rank")
+
+    e = load(spark, sf_dir, "embeddings")
+    from northwind_warehouse_spark.functions.vectors import norm2_q
+
+    base = e.select("vec_id", "embedding", norm2_q("embedding").alias("n2"))
+    tq = base.filter(
+        (F.col("vec_id") >= _MP_QUERY_LO) & (F.col("vec_id") < _MP_QUERY_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("n2").alias("qn2"),
+    )
+    tscored = base.join(F.broadcast(tq), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot_q("qvec", "embedding").alias("dot"),
+        F.col("qn2").alias("n2a"),
+        F.col("n2").alias("n2b"),
+    ).withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    truth = (
+        tscored.withColumn("nn_rank", F.row_number().over(wt))
+        .filter(F.col("nn_rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+
+    hit_s = truth.join(
+        F.broadcast(pairs.filter(F.col("probe_rank") == 1).select("query_id", "neighbor_id")),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits_single"))
+    hit_m = truth.join(
+        F.broadcast(pairs.select("query_id", "neighbor_id").distinct()),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits_multi"))
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        n_true.join(hit_s, "query_id", "left")
+        .join(hit_m, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_hits_single", F.lit(0)).cast("bigint").alias("n_hits_single"),
+            F.coalesce("n_hits_multi", F.lit(0)).cast("bigint").alias("n_hits_multi"),
+        )
+        .withColumn("recall_single_ppm", F.expr("n_hits_single * 1000000 div n_true"))
+        .withColumn("recall_multi_ppm", F.expr("n_hits_multi * 1000000 div n_true"))
+        .orderBy("query_id")
+    )
+
+
+def oracle_ann_ivf_multiprobe_recall() -> str:
+    return f"""
+    WITH {_MP_BASE_CTES},
+    tdots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+        FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+        WHERE a.vec_id >= {_MP_QUERY_LO} AND a.vec_id < {_MP_QUERY_HI}
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    tscored AS (
+        SELECT query_id, neighbor_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM tdots
+        JOIN n2 na ON na.vec_id = query_id
+        JOIN n2 nb ON nb.vec_id = neighbor_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM tscored
+        ) WHERE rk <= 3
+    ),
+    n_true_t AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM truth GROUP BY query_id
+    ),
+    hs AS (
+        SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits_single
+        FROM truth t
+        WHERE EXISTS (
+            SELECT 1 FROM cand c
+            WHERE c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+              AND c.probe_rank = 1
+        )
+        GROUP BY t.query_id
+    ),
+    hm AS (
+        SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits_multi
+        FROM truth t
+        WHERE EXISTS (
+            SELECT 1 FROM cand c
+            WHERE c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        )
+        GROUP BY t.query_id
+    )
+    SELECT n_true_t.query_id, n_true,
+           CAST(coalesce(n_hits_single, 0) AS BIGINT) AS n_hits_single,
+           CAST(coalesce(n_hits_multi, 0) AS BIGINT) AS n_hits_multi,
+           CAST(coalesce(n_hits_single, 0) * 1000000 // n_true AS BIGINT) AS recall_single_ppm,
+           CAST(coalesce(n_hits_multi, 0) * 1000000 // n_true AS BIGINT) AS recall_multi_ppm
+    FROM n_true_t
+    LEFT JOIN hs ON hs.query_id = n_true_t.query_id
+    LEFT JOIN hm ON hm.query_id = n_true_t.query_id
+    ORDER BY 1
+    """
+
+
 def collapse_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization: collapse consecutive duplicate tokens (the
     classic crawl-artifact cleanup, e.g. 'batch batch batch' → 'batch').

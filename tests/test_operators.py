@@ -365,6 +365,18 @@ def test_lsh_bucket_cap_defuses_degenerate_bucket(spark):
     assert len(lsh_candidate_pairs(sig).collect()) == 191
 
 
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe IVF (round-6): probing the P nearest cells can only
+    ADD candidates, so per-query recall@3 must dominate single-probe —
+    and the gate must actually find neighbors (non-degenerate)."""
+    from northwind_warehouse_spark.plans.llm import ann_ivf_multiprobe_recall
+
+    rows = ann_ivf_multiprobe_recall(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.n_hits_multi >= r.n_hits_single for r in rows)
+    assert sum(r.n_hits_multi for r in rows) > 0
+
+
 def test_knn_cell_cap_samples_never_drops(spark):
     """The IVF-cell cap is a SAMPLE, not a drop (round-6 cap-policy
     audit): a cell is the population of a vector-space region, so an

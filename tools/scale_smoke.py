@@ -109,6 +109,7 @@ def main() -> None:
         "dedup_clusters": llm.dedup_clusters,
         "bpe_pair_stats": llm.bpe_pair_stats,
         "ann_ivf_topk": llm.ann_ivf_topk,
+        "ann_ivf_multiprobe_topk": llm.ann_ivf_multiprobe_topk,
         "interval_join_attribution": analytics.interval_join_attribution,
         "sequence_pack": llm.sequence_pack,
         "tfidf_top_terms": llm.tfidf_top_terms,
