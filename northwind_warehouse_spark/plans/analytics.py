@@ -6120,3 +6120,276 @@ def oracle_role_playing_date_latency() -> str:
     GROUP BY ds.yr, ds.m > do_.m
     ORDER BY ship_year, crossed_month
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: rolling windows, revenue splits, pricing audits
+# ---------------------------------------------------------------------------
+
+
+def revenue_rolling_28d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """28-day rolling revenue over the DAILY rollup: per order day, the
+    day's revenue and the trailing-28-day sum via a RANGE frame on the
+    day ordinal (calendar-aware — gaps in the order calendar shrink the
+    window's row count but never its day span).
+
+    Scale shape: the fact reduces to DAY GRAIN (bounded by the calendar,
+    ~2.5k rows for 7 years) before the window, so the unpartitioned
+    RANGE frame runs on a calendar-sized series at any SF — the same
+    bounded-object discipline as monthly_revenue_mom."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("order_date"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    daily = o.groupBy("order_date").agg(F.sum("cents").alias("rev_cents"))
+    day_no = F.datediff("order_date", F.lit("1992-01-01").cast("date"))
+    w = Window.orderBy("day_no").rangeBetween(-27, 0)
+    return (
+        daily.withColumn("day_no", day_no)
+        .withColumn("rolling_28d_cents", F.sum("rev_cents").over(w).cast("bigint"))
+        .select("order_date", "rev_cents", "rolling_28d_cents")
+        .orderBy("order_date")
+    )
+
+
+def oracle_revenue_rolling_28d() -> str:
+    return """
+    WITH daily AS (
+        SELECT cast(o_orderdate AS DATE) AS order_date,
+               CAST(sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    ), ranged AS (
+        SELECT order_date, rev_cents,
+               date_diff('day', DATE '1992-01-01', order_date) AS day_no
+        FROM daily
+    )
+    SELECT order_date, rev_cents,
+           CAST(sum(rev_cents) OVER (
+               ORDER BY day_no RANGE BETWEEN 27 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_28d_cents
+    FROM ranged ORDER BY order_date
+    """
+
+
+def new_vs_returning_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue split into NEW-customer revenue (orders placed in
+    the customer's first-ever order month) vs RETURNING revenue — the
+    growth-quality decomposition behind customer_growth_accounting's
+    count view, in exact cents with the new share in basis points.
+
+    Scale shape: one hash(custkey) shuffle for first-month, a broadcast-
+    free month rollup (the per-order flag join shuffles on custkey,
+    co-partitioned with the first-month agg); windows never touch the
+    fact."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("ym"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_ym = o.groupBy("o_custkey").agg(F.min("ym").alias("first_ym"))
+    flagged = o.join(first_ym, "o_custkey").withColumn(
+        "is_new", F.col("ym") == F.col("first_ym")
+    )
+    return (
+        flagged.groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("is_new"), F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("new_cents"),
+            F.sum(F.when(~F.col("is_new"), F.col("cents")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("returning_cents"),
+        )
+        .withColumn(
+            "new_share_bp",
+            F.expr(
+                "CAST(CAST(new_cents AS DECIMAL(38,0)) * 10000 div (new_cents + returning_cents) AS BIGINT)"
+            ),
+        )
+        .orderBy("ym")
+    )
+
+
+def oracle_new_vs_returning_revenue() -> str:
+    return """
+    WITH o AS (
+        SELECT o_custkey,
+               strftime(cast(o_orderdate AS DATE), '%Y-%m') AS ym,
+               CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), fm AS (
+        SELECT o_custkey, min(ym) AS first_ym FROM o GROUP BY o_custkey
+    ), flagged AS (
+        SELECT o.ym, o.cents, (o.ym = fm.first_ym) AS is_new
+        FROM o JOIN fm USING (o_custkey)
+    ), agg AS (
+        SELECT ym,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN is_new THEN cents ELSE 0 END) AS BIGINT) AS new_cents,
+               CAST(sum(CASE WHEN is_new THEN 0 ELSE cents END) AS BIGINT) AS returning_cents
+        FROM flagged GROUP BY ym
+    )
+    SELECT ym, n_orders, new_cents, returning_cents,
+           CAST(CAST(new_cents AS HUGEINT) * 10000 // (new_cents + returning_cents) AS BIGINT) AS new_share_bp
+    FROM agg ORDER BY ym
+    """
+
+
+def price_point_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Psychological-price-point audit: distribution of order totals by
+    their CENTS ending (.00, .99, .95, .50, other) in exact ppm — the
+    Benford-family sibling that detects hand-entered or synthetic
+    amounts (organic totals spread cents ~uniformly; spikes at .00
+    betray manual entry, spikes at .99 betray price-list pass-through).
+
+    Scale shape: one map pass to the 5-bucket grain (map-side combined),
+    a broadcast single-row total — nothing entity-sized anywhere."""
+    o = load(spark, sf_dir, "orders").select(
+        ((dec2("o_totalprice") * 100).cast("bigint") % 100).alias("cents_mod")
+    )
+    bucketed = o.select(
+        F.expr(
+            """CASE cents_mod WHEN 0 THEN '00' WHEN 99 THEN '99'
+                   WHEN 95 THEN '95' WHEN 50 THEN '50'
+                   ELSE 'other' END"""
+        ).alias("cents_ending")
+    )
+    agg = bucketed.groupBy("cents_ending").agg(F.count(F.lit(1)).alias("n_orders"))
+    tot = agg.agg(F.sum("n_orders").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "cents_ending",
+            "n_orders",
+            F.expr("CAST(n_orders * 1000000 div total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("cents_ending")
+    )
+
+
+def oracle_price_point_bias() -> str:
+    return """
+    WITH b AS (
+        SELECT CASE CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) % 100
+                   WHEN 0 THEN '00' WHEN 99 THEN '99'
+                   WHEN 95 THEN '95' WHEN 50 THEN '50'
+                   ELSE 'other' END AS cents_ending
+        FROM orders
+    ), agg AS (
+        SELECT cents_ending, CAST(count(*) AS BIGINT) AS n_orders FROM b GROUP BY 1
+    ), tot AS (SELECT sum(n_orders) AS total FROM agg)
+    SELECT cents_ending, n_orders,
+           CAST(n_orders * 1000000 // total AS BIGINT) AS share_ppm
+    FROM agg CROSS JOIN tot ORDER BY cents_ending
+    """
+
+
+def event_type_gini_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral diversity: Gini impurity of the user's
+    event-type mix, 1 − Σ(cᵢ/n)², in EXACT ppm — the rational-arithmetic
+    diversity index (entropy needs a transcendental log that drifts
+    between engines; Gini is integer-exact). 0 = single-type user,
+    → 1 − 1/k = uniform across k types.
+
+    Scale shape: one hash(user, type) count (map-side combined), one
+    user-grain rollup — both linear; no windows, no broadcast of
+    anything user-sized."""
+    e = load(spark, sf_dir, "events")
+    per_type = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_type.groupBy("user_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_events"),
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum(F.expr("c * c")).cast("bigint").alias("ss"),
+        )
+        .withColumn(
+            "gini_ppm",
+            F.expr("CAST(1000000 - (1000000 * ss) div (n_events * n_events) AS BIGINT)"),
+        )
+        .select("user_id", "n_events", "n_types", "gini_ppm")
+        .orderBy("user_id")
+    )
+
+
+def oracle_event_type_gini_by_user() -> str:
+    return """
+    WITH pt AS (
+        SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+        FROM events GROUP BY user_id, event_type
+    ), agg AS (
+        SELECT user_id,
+               CAST(sum(c) AS BIGINT) AS n_events,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(c * c) AS BIGINT) AS ss
+        FROM pt GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_types,
+           CAST(1000000 - (1000000 * ss) // (n_events * n_events) AS BIGINT) AS gini_ppm
+    FROM agg ORDER BY user_id
+    """
+
+
+def supplier_on_time_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier on-time-delivery scorecard: per supplier, the share of
+    lineitems shipped within 30 days of the order date (exact ppm),
+    with nation context — the SCM KPI a procurement dashboard ranks
+    vendors by.
+
+    Scale shape: ONE fact⋈fact hash(orderkey) shuffle (bucketing
+    co-locates it at warehouse scale), a supplier-grain rollup, then
+    the size-gated supplier/nation decoration joins on the rollup —
+    dims join AFTER aggregation, so they see |suppliers| rows, not
+    |lineitems|."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lat = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_suppkey", (F.datediff("sd", "od") <= 30).alias("on_time")
+    )
+    per_supp = lat.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.when(F.col("on_time"), 1).otherwise(0)).cast("bigint").alias("n_on_time"),
+    )
+    return (
+        per_supp.join(maybe_broadcast(s), per_supp.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("s_suppkey").alias("supplier_id"),
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "n_lines",
+            "n_on_time",
+            F.expr("CAST(n_on_time * 1000000 div n_lines AS BIGINT)").alias("on_time_ppm"),
+        )
+        .orderBy("supplier_id")
+    )
+
+
+def oracle_supplier_on_time_ship() -> str:
+    return """
+    WITH lat AS (
+        SELECT l_suppkey,
+               (date_diff('day', cast(o_orderdate AS DATE), cast(l_shipdate AS DATE)) <= 30) AS on_time
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), per_supp AS (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN on_time THEN 1 ELSE 0 END) AS BIGINT) AS n_on_time
+        FROM lat GROUP BY l_suppkey
+    )
+    SELECT s_suppkey AS supplier_id, s_name, n_name AS nation, n_lines, n_on_time,
+           CAST(n_on_time * 1000000 // n_lines AS BIGINT) AS on_time_ppm
+    FROM per_supp
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    ORDER BY supplier_id
+    """

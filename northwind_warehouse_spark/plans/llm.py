@@ -6695,3 +6695,155 @@ def oracle_sentence_stats() -> str:
                AS long_sent_ppm
     FROM per_doc GROUP BY source ORDER BY source
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: split leakage, hapax quality
+# ---------------------------------------------------------------------------
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val CONTAMINATION-BY-NEAR-DUP audit: how many MinHash
+    candidate pairs CROSS the train/val split boundary — the leak that
+    silently inflates eval scores when a val document's near-duplicate
+    sits in train (exact-dup decontamination alone misses it). Pairs
+    are classed train-train / cross-split / val-val with exact ppm
+    shares; 'cross-split' is the number to drive to zero (by moving
+    whole near-dup CLUSTERS to one side — dedup_clusters gives the
+    cluster ids).
+
+    Scale shape: the candidate join is the capped LSH band self-join
+    (never all-pairs); the split flag is a pure hash of doc_id
+    (train_val_split's bucket), joined onto pair endpoints as two
+    size-gated id→flag lookups; the rollup is 3 rows."""
+    d = load(spark, sf_dir, "documents")
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sim.shingle_arrays(d)))
+    split = d.select(
+        "doc_id",
+        F.when(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint") % 100 < 90,
+            F.lit("train"),
+        ).otherwise(F.lit("val")).alias("split"),
+    )
+    tagged = (
+        pairs.join(
+            maybe_broadcast(split.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))),
+            "doc_a",
+        )
+        .join(
+            maybe_broadcast(split.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))),
+            "doc_b",
+        )
+        .select(
+            F.expr(
+                """CASE WHEN sa = 'train' AND sb = 'train' THEN 'train-train'
+                        WHEN sa = 'val' AND sb = 'val' THEN 'val-val'
+                        ELSE 'cross-split' END"""
+            ).alias("pair_class")
+        )
+    )
+    agg = tagged.groupBy("pair_class").agg(F.count(F.lit(1)).alias("n_pairs"))
+    tot = agg.agg(F.sum("n_pairs").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "pair_class",
+            "n_pairs",
+            F.expr("CAST(n_pairs * 1000000 div total AS BIGINT)").alias("share_ppm"),
+        )
+        .orderBy("pair_class")
+    )
+
+
+def oracle_split_leakage_audit() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    split AS (
+        SELECT doc_id,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 90
+                    THEN 'train' ELSE 'val' END AS split
+        FROM documents
+    ),
+    tagged AS (
+        SELECT CASE WHEN a.split = 'train' AND b.split = 'train' THEN 'train-train'
+                    WHEN a.split = 'val' AND b.split = 'val' THEN 'val-val'
+                    ELSE 'cross-split' END AS pair_class
+        FROM cand
+        JOIN split a ON a.doc_id = cand.doc_a
+        JOIN split b ON b.doc_id = cand.doc_b
+    ),
+    agg AS (
+        SELECT pair_class, CAST(count(*) AS BIGINT) AS n_pairs FROM tagged GROUP BY 1
+    ), tot AS (SELECT sum(n_pairs) AS total FROM agg)
+    SELECT pair_class, n_pairs,
+           CAST(n_pairs * 1000000 // total AS BIGINT) AS share_ppm
+    FROM agg CROSS JOIN tot ORDER BY pair_class
+    """
+
+
+def hapax_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document hapax ratio: the share of a doc's tokens that are
+    CORPUS hapax legomena (document frequency 1 across the whole
+    corpus), in exact ppm, banded high/mid/low — a strong garbage
+    detector (OCR noise, random ids, mojibake are corpus-unique;
+    natural text re-uses vocabulary), complementing the term-REPETITION
+    side of repetition_quality with a term-NOVELTY side.
+
+    Scale shape: one hash(term) document-frequency shuffle over
+    DISTINCT (doc, term) (map-side combined; stopword skew impossible —
+    hapax means df=1), one hash(doc) rollup; the df relation joins on
+    term, never broadcast (vocabulary grows with the corpus)."""
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    doc_term = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    df_t = doc_term.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (
+        doc_term.join(df_t, "term")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tok"),
+            F.sum(F.when(F.col("df") == 1, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_hapax_tok"),
+        )
+    )
+    return (
+        per_doc.withColumn(
+            "hapax_ppm", F.expr("CAST(n_hapax_tok * 1000000 div n_tok AS BIGINT)")
+        )
+        .withColumn(
+            "novelty_band",
+            F.expr(
+                """CASE WHEN hapax_ppm >= 500000 THEN 'high'
+                        WHEN hapax_ppm >= 100000 THEN 'mid'
+                        ELSE 'low' END"""
+            ),
+        )
+        .select("doc_id", "n_tok", "n_hapax_tok", "hapax_ppm", "novelty_band")
+        .orderBy("doc_id")
+    )
+
+
+def oracle_hapax_ratio_quality() -> str:
+    return """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dt AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS c
+        FROM tok GROUP BY doc_id, term
+    ), dft AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM dt GROUP BY term
+    ), per_doc AS (
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_tok,
+               CAST(sum(CASE WHEN df = 1 THEN c ELSE 0 END) AS BIGINT) AS n_hapax_tok
+        FROM dt JOIN dft USING (term) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, n_hapax_tok,
+           CAST(n_hapax_tok * 1000000 // n_tok AS BIGINT) AS hapax_ppm,
+           CASE WHEN n_hapax_tok * 1000000 // n_tok >= 500000 THEN 'high'
+                WHEN n_hapax_tok * 1000000 // n_tok >= 100000 THEN 'mid'
+                ELSE 'low' END AS novelty_band
+    FROM per_doc ORDER BY doc_id
+    """

@@ -2271,3 +2271,66 @@ def oracle_scd4_users() -> str:
     FROM scd2 WHERE is_active = 'Y'
     ORDER BY table_role, user_id, version_no
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-6 additions: mini-dimension
+# ---------------------------------------------------------------------------
+
+_MINIDIM_BAND = """CASE WHEN bal < 0 THEN 'negative'
+                        WHEN bal < 2500 THEN 'low'
+                        WHEN bal < 5000 THEN 'mid'
+                        WHEN bal < 7500 THEN 'high'
+                        ELSE 'top' END"""
+
+
+def dim_customer_minidim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball MINI-DIMENSION: the rapidly-changing customer attributes
+    (market segment, account-balance band) split into their own tiny
+    own-keyed dimension — the design that stops balance ticks from
+    SCD2-versioning the whole customer row (reference:
+    models/dwh/dim_customer.sql, whose SCD2 churn this offloads;
+    completes the repo's Kimball taxonomy next to SCD2/3/4/6, junk,
+    role-playing and drill-across). One row per OBSERVED combination
+    with its md5 surrogate key and member profile; the fact would carry
+    (customer_sk, minidim_sk) and this table is bounded by
+    segments × bands — broadcastable at ANY warehouse scale.
+
+    Scale shape: banding is a map pass (balance compared in exact
+    DECIMAL — double comparisons at band edges would be engine-lottery),
+    one map-side-combined groupBy to the ≤25-row grain; nothing
+    customer-sized survives the aggregation."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_mktsegment", F.col("c_acctbal").cast("decimal(12,2)").alias("bal")
+    )
+    banded = c.select(
+        "c_mktsegment", F.expr(_MINIDIM_BAND).alias("balance_band")
+    )
+    return (
+        banded.groupBy("c_mktsegment", "balance_band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .select(
+            F.md5(F.concat_ws("||", "c_mktsegment", "balance_band")).alias("minidim_sk"),
+            F.col("c_mktsegment").alias("mktsegment"),
+            "balance_band",
+            "n_customers",
+        )
+        .orderBy("mktsegment", "balance_band")
+    )
+
+
+def oracle_dim_customer_minidim() -> str:
+    band = _MINIDIM_BAND
+    return f"""
+    WITH banded AS (
+        SELECT c_mktsegment,
+               {band} AS balance_band
+        FROM (SELECT c_mktsegment, cast(c_acctbal AS DECIMAL(12,2)) AS bal FROM customer)
+    ), agg AS (
+        SELECT c_mktsegment, balance_band, CAST(count(*) AS BIGINT) AS n_customers
+        FROM banded GROUP BY 1, 2
+    )
+    SELECT md5(concat_ws('||', c_mktsegment, balance_band)) AS minidim_sk,
+           c_mktsegment AS mktsegment, balance_band, n_customers
+    FROM agg ORDER BY mktsegment, balance_band
+    """

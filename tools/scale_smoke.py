@@ -227,6 +227,15 @@ def main() -> None:
         "scd4_users": medallion.scd4_users,
         "drill_across_customer_360": analytics.drill_across_customer_360,
         "role_playing_date_latency": analytics.role_playing_date_latency,
+        # round-6 additions
+        "dim_customer_minidim": medallion.dim_customer_minidim,
+        "revenue_rolling_28d": analytics.revenue_rolling_28d,
+        "new_vs_returning_revenue": analytics.new_vs_returning_revenue,
+        "price_point_bias": analytics.price_point_bias,
+        "event_type_gini_by_user": analytics.event_type_gini_by_user,
+        "supplier_on_time_ship": analytics.supplier_on_time_ship,
+        "split_leakage_audit": llm.split_leakage_audit,
+        "hapax_ratio_quality": llm.hapax_ratio_quality,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
