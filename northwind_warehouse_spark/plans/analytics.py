@@ -6393,3 +6393,139 @@ def oracle_supplier_on_time_ship() -> str:
     JOIN nation ON n_nationkey = s_nationkey
     ORDER BY supplier_id
     """
+
+
+def dead_stock_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-stock report: parts with NO shipment in the trailing 90 days
+    of the order calendar (or never shipped at all) with brand context
+    and idle age — the inventory-ops complement to abc_parts (movement
+    value) and xyz_parts_variability (movement stability).
+
+    Scale shape: one map-side-combined max per part over lineitem, a
+    single-row calendar-max broadcast, then the part dim joins the
+    PART-GRAIN result through the size gate (left join so never-sold
+    parts surface too — the worst dead stock is the kind with no fact
+    rows at all)."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = l.groupBy("l_partkey").agg(F.max("sd").alias("last_ship_date"))
+    maxd = l.agg(F.max("sd").alias("maxd"))
+    aged = (
+        maybe_broadcast(p)
+        .join(per_part, p.p_partkey == per_part.l_partkey, "left")
+        .crossJoin(F.broadcast(maxd))
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            "p_brand",
+            "last_ship_date",
+            F.datediff("maxd", "last_ship_date").cast("bigint").alias("days_idle"),
+        )
+    )
+    return (
+        aged.filter(F.col("last_ship_date").isNull() | (F.col("days_idle") > 90))
+        .withColumn(
+            "stock_status",
+            F.expr("CASE WHEN last_ship_date IS NULL THEN 'never_shipped' ELSE 'stale' END"),
+        )
+        .orderBy("part_id")
+    )
+
+
+def oracle_dead_stock_parts() -> str:
+    return """
+    WITH per_part AS (
+        SELECT l_partkey, max(cast(l_shipdate AS DATE)) AS last_ship_date
+        FROM lineitem GROUP BY l_partkey
+    ), maxd AS (
+        SELECT max(cast(l_shipdate AS DATE)) AS maxd FROM lineitem
+    ), aged AS (
+        SELECT p_partkey AS part_id, p_brand, last_ship_date,
+               CAST(date_diff('day', last_ship_date, maxd) AS BIGINT) AS days_idle
+        FROM part
+        LEFT JOIN per_part ON l_partkey = p_partkey
+        CROSS JOIN maxd
+    )
+    SELECT part_id, p_brand, last_ship_date, days_idle,
+           CASE WHEN last_ship_date IS NULL THEN 'never_shipped' ELSE 'stale' END AS stock_status
+    FROM aged
+    WHERE last_ship_date IS NULL OR days_idle > 90
+    ORDER BY part_id
+    """
+
+
+def revenue_by_customer_tenure_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lifecycle economics: revenue split by the customer's TENURE at
+    order time — months since their first-ever order, banded first-month
+    / 1-6 / 7-12 / 13+ — the compact answer to 'does revenue come from
+    acquisition or from aged relationships', complementing
+    cohort_ltv_curve's full cohort×age matrix with a 4-row executive
+    cut. Month arithmetic is integer (y·12+m), exact ppm shares.
+
+    Scale shape: one hash(custkey) shuffle for the first-order month,
+    re-used by the co-partitioned flag join; the band rollup is 4 rows;
+    the total is a broadcast single row."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (
+            F.year(F.col("o_orderdate").cast("date")) * 12
+            + F.month(F.col("o_orderdate").cast("date"))
+        ).alias("m"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_m = o.groupBy("o_custkey").agg(F.min("m").alias("first_m"))
+    banded = (
+        o.join(first_m, "o_custkey")
+        .select(
+            F.expr(
+                """CASE WHEN m = first_m THEN '00_first_month'
+                        WHEN m - first_m <= 6 THEN '01_months_1_6'
+                        WHEN m - first_m <= 12 THEN '02_months_7_12'
+                        ELSE '03_months_13_plus' END"""
+            ).alias("tenure_band"),
+            "cents",
+        )
+    )
+    agg = banded.groupBy("tenure_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    tot = agg.agg(F.sum("rev_cents").cast("bigint").alias("total_cents"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "rev_share_ppm",
+            F.expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 div total_cents AS BIGINT)"),
+        )
+        .select("tenure_band", "n_orders", "rev_cents", "rev_share_ppm")
+        .orderBy("tenure_band")
+    )
+
+
+def oracle_revenue_by_customer_tenure_band() -> str:
+    return """
+    WITH o AS (
+        SELECT o_custkey,
+               year(cast(o_orderdate AS DATE)) * 12 + month(cast(o_orderdate AS DATE)) AS m,
+               CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), fm AS (
+        SELECT o_custkey, min(m) AS first_m FROM o GROUP BY o_custkey
+    ), banded AS (
+        SELECT CASE WHEN m = first_m THEN '00_first_month'
+                    WHEN m - first_m <= 6 THEN '01_months_1_6'
+                    WHEN m - first_m <= 12 THEN '02_months_7_12'
+                    ELSE '03_months_13_plus' END AS tenure_band,
+               cents
+        FROM o JOIN fm USING (o_custkey)
+    ), agg AS (
+        SELECT tenure_band,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM banded GROUP BY tenure_band
+    ), tot AS (SELECT CAST(sum(rev_cents) AS BIGINT) AS total_cents FROM agg)
+    SELECT tenure_band, n_orders, rev_cents,
+           CAST(CAST(rev_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS rev_share_ppm
+    FROM agg CROSS JOIN tot ORDER BY tenure_band
+    """

@@ -1440,7 +1440,7 @@ def ann_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("qvec"),
         F.col("n2").alias("qn2"),
     )
-    tscored = base.join(F.broadcast(tq), F.col("vec_id") != F.col("query_id")).select(
+    tscored = base.join(maybe_broadcast(tq), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
         dot_q("qvec", "embedding").alias("dot"),
@@ -6846,4 +6846,281 @@ def oracle_hapax_ratio_quality() -> str:
                 WHEN n_hapax_tok * 1000000 // n_tok >= 100000 THEN 'mid'
                 ELSE 'low' END AS novelty_band
     FROM per_doc ORDER BY doc_id
+    """
+
+
+def dedup_cluster_chain_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chain-risk audit of near-dup clusters: per connected component of
+    the LSH pair graph, how COMPLETE is the direct-evidence graph —
+    2·direct_pairs / (n·(n−1)) in exact ppm. A component whose members
+    are pairwise-connected ('complete') is a true duplicate family; one
+    held together by a sparse chain ('chained') is the classic
+    transitive-merge hazard (A~B~C where A and C share nothing —
+    usually boilerplate bridging unrelated docs), the clusters a
+    production dedup re-verifies before dropping members.
+
+    Scale shape: components are the O(diameter) label-propagation
+    rounds (operators/components.py); the audit itself is two
+    component-grain aggregates (members, direct edges) and a join —
+    pair-graph-sized, never corpus-sized."""
+    from northwind_warehouse_spark.operators.components import connected_components
+
+    d = load(spark, sf_dir, "documents")
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sim.shingle_arrays(d))).persist()
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    members = comp.groupBy("comp").agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    edges = (
+        pairs.join(comp.select(F.col("node").alias("doc_a"), "comp"), "doc_a")
+        .groupBy("comp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_direct_pairs"))
+    )
+    return (
+        members.join(edges, "comp")
+        .withColumn(
+            "completeness_ppm",
+            F.expr(
+                "CAST(2000000 * n_direct_pairs div (n_members * (n_members - 1)) AS BIGINT)"
+            ),
+        )
+        .withColumn(
+            "topology",
+            F.expr(
+                """CASE WHEN 2 * n_direct_pairs = n_members * (n_members - 1) THEN 'complete'
+                        WHEN 2000000 * n_direct_pairs div (n_members * (n_members - 1)) >= 500000 THEN 'dense'
+                        ELSE 'chained' END"""
+            ),
+        )
+        .select(
+            F.col("comp").alias("cluster_id"),
+            "n_members",
+            "n_direct_pairs",
+            "completeness_ppm",
+            "topology",
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def oracle_dedup_cluster_chain_audit() -> str:
+    return f"""
+    WITH RECURSIVE {_SIG_CTE},
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM cand
+        UNION
+        SELECT doc_b, doc_a FROM cand
+    ),
+    reach(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u AND e.v <> r.u
+    ),
+    comp AS (
+        SELECT u AS node, min(v) AS comp
+        FROM (SELECT u, v FROM reach UNION SELECT u, u FROM edges)
+        GROUP BY u
+    ),
+    members AS (
+        SELECT comp, CAST(count(*) AS BIGINT) AS n_members FROM comp GROUP BY comp
+    ),
+    de AS (
+        SELECT c.comp, CAST(count(*) AS BIGINT) AS n_direct_pairs
+        FROM cand JOIN comp c ON c.node = cand.doc_a
+        GROUP BY c.comp
+    )
+    SELECT m.comp AS cluster_id, n_members, n_direct_pairs,
+           CAST(2000000 * n_direct_pairs // (n_members * (n_members - 1)) AS BIGINT) AS completeness_ppm,
+           CASE WHEN 2 * n_direct_pairs = n_members * (n_members - 1) THEN 'complete'
+                WHEN 2000000 * n_direct_pairs // (n_members * (n_members - 1)) >= 500000 THEN 'dense'
+                ELSE 'chained' END AS topology
+    FROM members m JOIN de ON de.comp = m.comp
+    ORDER BY cluster_id
+    """
+
+
+def embedding_dim_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension variance profile of the embedding corpus: each
+    dimension's share of total variance in exact ppm plus its variance
+    rank — the feature-audit that reveals collapsed dimensions (share
+    ≈ 0 ⇒ the encoder wastes capacity) and dominant ones (a few dims
+    carrying most variance ⇒ anisotropy, the thing whitening fixes).
+    Exactness: variance numerators are n·Σx² − (Σx)² on quantized
+    integers, carried in DECIMAL(38,0)/HUGEINT — no doubles anywhere.
+
+    Scale shape: ONE map-side-combined shuffle to (dim) grain — 64 rows
+    of (n, Σx, Σx²) regardless of corpus size; the rank window runs on
+    the 64-row profile."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    el = e.select(
+        F.posexplode(
+            F.expr(
+                "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+            )
+        ).alias("i", "xq")
+    )
+    per_dim = el.groupBy("i").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xq").cast("bigint").alias("s"),
+        F.sum(F.expr("xq * xq")).cast("bigint").alias("ss"),
+    )
+    num = per_dim.select(
+        F.col("i").alias("dim_idx"),
+        F.expr(
+            "CAST(n AS DECIMAL(38,0)) * ss - CAST(s AS DECIMAL(38,0)) * s"
+        ).alias("var_num"),
+    )
+    tot = num.agg(F.sum("var_num").alias("tot"))
+    w = Window.orderBy(F.desc("var_num"), "dim_idx")
+    return (
+        num.crossJoin(F.broadcast(tot))
+        .withColumn("share_ppm", F.expr("CAST(var_num * 1000000 div tot AS BIGINT)"))
+        .withColumn("var_rank", F.row_number().over(w).cast("bigint"))
+        .select("dim_idx", "share_ppm", "var_rank")
+        .orderBy("dim_idx")
+    )
+
+
+def oracle_embedding_dim_variance() -> str:
+    return """
+    WITH el AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM embeddings
+    ), per_dim AS (
+        SELECT i, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(xq) AS BIGINT) AS s,
+               CAST(sum(xq * xq) AS BIGINT) AS ss
+        FROM el GROUP BY i
+    ), num AS (
+        SELECT i AS dim_idx,
+               CAST(n AS HUGEINT) * ss - CAST(s AS HUGEINT) * s AS var_num
+        FROM per_dim
+    ), tot AS (SELECT sum(var_num) AS tot FROM num)
+    SELECT dim_idx,
+           CAST(var_num * 1000000 // tot AS BIGINT) AS share_ppm,
+           CAST(row_number() OVER (ORDER BY var_num DESC, dim_idx) AS BIGINT) AS var_rank
+    FROM num CROSS JOIN tot
+    ORDER BY dim_idx
+    """
+
+
+def collocation_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical collocation mining: the top-20 adjacent token pairs
+    by LIFT — observed bigram frequency over the independence
+    expectation, c_ab·N / (c_a·c_b), in exact ppm (min support 5) —
+    the classic phrase detector (word2vec-style phrase merging,
+    tokenizer multi-word candidates). Complements bpe_pair_stats
+    (raw frequency) with an association STRENGTH ranking: 'of the' is
+    frequent but low-lift; a true collocation is both.
+
+    Scale shape: bigram and unigram counts are two map-side-combined
+    shuffles; the lift join is term-keyed (stopword skew handled by
+    AQE); the final top-20 sorts only the min-support-filtered
+    collocation table (vocabulary-bounded, never corpus-bounded)."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split("text", " ").alias("w"))
+    uni = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    n_tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
+    bg = (
+        toks.filter(F.size("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(0, size(w) - 2), i -> struct(w[i] AS a, w[i+1] AS b))")
+            ).alias("p")
+        )
+        .select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_ab"))
+        .filter(F.col("c_ab") >= 5)
+    )
+    ua = uni.select(F.col("t").alias("a"), F.col("c").alias("c_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("c").alias("c_b"))
+    return (
+        bg.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_tot))
+        .withColumn(
+            "lift_ppm",
+            F.expr("CAST(CAST(c_ab AS DECIMAL(38,0)) * n * 1000000 div (c_a * c_b) AS BIGINT)"),
+        )
+        .select("a", "b", "c_ab", "c_a", "c_b", "lift_ppm")
+        .orderBy(F.desc("lift_ppm"), "a", "b")
+        .limit(20)
+    )
+
+
+def oracle_collocation_lift_top() -> str:
+    return """
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS w FROM documents
+    ), uni AS (
+        SELECT unnest(w) AS t FROM toks
+    ), uc AS (
+        SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t
+    ), ntot AS (
+        SELECT CAST(sum(c) AS BIGINT) AS n FROM uc
+    ), bg0 AS (
+        SELECT unnest(list_transform(generate_series(1, len(w) - 1), i -> [w[i], w[i+1]])) AS p
+        FROM toks
+    ), bg AS (
+        SELECT p[1] AS a, p[2] AS b, CAST(count(*) AS BIGINT) AS c_ab
+        FROM bg0 GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT a, b, c_ab, ua.c AS c_a, ub.c AS c_b,
+           CAST(CAST(c_ab AS HUGEINT) * n * 1000000 // (ua.c * ub.c) AS BIGINT) AS lift_ppm
+    FROM bg
+    JOIN uc ua ON ua.t = a
+    JOIN uc ub ON ub.t = b
+    CROSS JOIN ntot
+    ORDER BY lift_ppm DESC, a, b
+    LIMIT 20
+    """
+
+
+def label_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance audit of the labeled embedding corpus: per label,
+    member count, share in exact ppm, and absolute deviation from the
+    uniform share — the pre-training check that decides whether a probe
+    needs reweighting/stratified sampling (severe imbalance makes
+    accuracy a lying metric).
+
+    Scale shape: one map-side-combined count to label grain; the
+    uniform baseline is arithmetic on the label-count row — nothing
+    corpus-sized anywhere."""
+    e = load(spark, sf_dir, "embeddings")
+    per_label = e.groupBy("label").agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    tot = per_label.agg(
+        F.sum("n_vectors").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    return (
+        per_label.crossJoin(F.broadcast(tot))
+        .withColumn("share_ppm", F.expr("CAST(n_vectors * 1000000 div n_total AS BIGINT)"))
+        .withColumn(
+            "dev_from_uniform_ppm",
+            F.expr("CAST(abs(n_vectors * 1000000 div n_total - 1000000 div k) AS BIGINT)"),
+        )
+        .select("label", "n_vectors", "share_ppm", "dev_from_uniform_ppm")
+        .orderBy("label")
+    )
+
+
+def oracle_label_balance_audit() -> str:
+    return """
+    WITH per_label AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vectors
+        FROM embeddings GROUP BY label
+    ), tot AS (
+        SELECT CAST(sum(n_vectors) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS k
+        FROM per_label
+    )
+    SELECT label, n_vectors,
+           CAST(n_vectors * 1000000 // n_total AS BIGINT) AS share_ppm,
+           CAST(abs(n_vectors * 1000000 // n_total - 1000000 // k) AS BIGINT) AS dev_from_uniform_ppm
+    FROM per_label CROSS JOIN tot
+    ORDER BY label
     """

@@ -236,6 +236,12 @@ def main() -> None:
         "supplier_on_time_ship": analytics.supplier_on_time_ship,
         "split_leakage_audit": llm.split_leakage_audit,
         "hapax_ratio_quality": llm.hapax_ratio_quality,
+        "dedup_cluster_chain_audit": llm.dedup_cluster_chain_audit,
+        "embedding_dim_variance": llm.embedding_dim_variance,
+        "collocation_lift_top": llm.collocation_lift_top,
+        "label_balance_audit": llm.label_balance_audit,
+        "dead_stock_parts": analytics.dead_stock_parts,
+        "revenue_by_customer_tenure_band": analytics.revenue_by_customer_tenure_band,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
