@@ -88,17 +88,22 @@ def cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int) -> DataFra
     shared skew defuse for bucket self-joins. A degenerate bucket
     (boilerplate docs / zero vectors collapsing to one signature) would
     otherwise emit O(size²) pairs from a single join key; capping bounds
-    any key to cap² pair work. The count window is partitioned on the
-    bucket keys, so this is one hash exchange on data that was about to
-    shuffle on the same keys anyway — effectively free."""
-    from pyspark.sql.window import Window
+    any key to cap² pair work.
 
-    w = Window.partitionBy(*keys)
-    return (
-        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bsz") <= max_bucket_size)
+    Physical shape (round 6): over-cap keys come from a MAP-SIDE-COMBINED
+    count aggregate — only (key, count) pairs cross the wire, never the
+    rows — and the rows are removed by a left-anti join on that (tiny:
+    ≤ n/cap keys) relation, which AQE plans as a broadcast anti-join in
+    practice. This replaces the former count-window, whose per-key SORT
+    of the full relation executed on the corpus rows (and, before the
+    round-6 persist reorder, ran once per self-join side)."""
+    over = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") > max_bucket_size)
         .drop("_bsz")
     )
+    return df.join(over, keys, "left_anti")
 
 
 def lsh_candidate_pairs(

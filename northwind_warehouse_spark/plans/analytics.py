@@ -6529,3 +6529,152 @@ def oracle_revenue_by_customer_tenure_band() -> str:
            CAST(CAST(rev_cents AS HUGEINT) * 1000000 // total_cents AS BIGINT) AS rev_share_ppm
     FROM agg CROSS JOIN tot ORDER BY tenure_band
     """
+
+
+def fiscal_period_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sales flash on the 4-4-5 RETAIL calendar: orders rolled up to
+    (fiscal_year, fiscal_period) through the dim_date_fiscal445 spine —
+    the merchandising view where periods are comparable 4/4/5-week
+    blocks instead of ragged Gregorian months (reference: the dbt_date
+    spine macro family the fiscal dim re-expresses).
+
+    Scale shape: the spine is calendar-bounded (one row per day) so its
+    hard broadcast is safe at any SF; the fact joins map-side and rolls
+    up to ≤ years×12 rows."""
+    from northwind_warehouse_spark.plans import medallion
+
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cal = medallion.dim_date_fiscal445(spark, sf_dir).select(
+        "full_date", "fiscal_year", "fiscal_period"
+    )
+    return (
+        o.join(F.broadcast(cal), o.od == cal.full_date)
+        .groupBy("fiscal_year", "fiscal_period")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+        .orderBy("fiscal_year", "fiscal_period")
+    )
+
+
+def oracle_fiscal_period_sales() -> str:
+    from northwind_warehouse_spark.plans import medallion
+
+    return f"""
+    WITH fiscal AS ({medallion.oracle_dim_date_fiscal445()})
+    SELECT fiscal_year, fiscal_period,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders JOIN fiscal ON cast(o_orderdate AS DATE) = full_date
+    GROUP BY fiscal_year, fiscal_period
+    ORDER BY fiscal_year, fiscal_period
+    """
+
+
+def order_size_value_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D order profile: contingency matrix of LINES-PER-ORDER band ×
+    ORDER-VALUE band with exact ppm shares — the shape-of-demand view
+    (are big-ticket orders many-line or single-line?) that a 1-D
+    histogram can't answer.
+
+    Scale shape: one hash(orderkey) line count (map-side combined,
+    co-partitioned join with orders), a ≤16-row matrix rollup, one
+    broadcast total."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    nl = l.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    banded = o.join(nl, o.o_orderkey == nl.l_orderkey).select(
+        F.expr(
+            """CASE WHEN n_lines <= 2 THEN '1-2' WHEN n_lines <= 4 THEN '3-4'
+                    WHEN n_lines <= 6 THEN '5-6' ELSE '7+' END"""
+        ).alias("lines_band"),
+        F.expr(
+            """CASE WHEN cents < 10000000 THEN 'lt_100k'
+                    WHEN cents < 20000000 THEN '100k_200k'
+                    WHEN cents < 30000000 THEN '200k_300k'
+                    ELSE 'ge_300k' END"""
+        ).alias("value_band"),
+    )
+    agg = banded.groupBy("lines_band", "value_band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    tot = agg.agg(F.sum("n_orders").cast("bigint").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("share_ppm", F.expr("CAST(n_orders * 1000000 div total AS BIGINT)"))
+        .select("lines_band", "value_band", "n_orders", "share_ppm")
+        .orderBy("lines_band", "value_band")
+    )
+
+
+def oracle_order_size_value_matrix() -> str:
+    return """
+    WITH nl AS (
+        SELECT l_orderkey, count(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+    ), banded AS (
+        SELECT CASE WHEN n_lines <= 2 THEN '1-2' WHEN n_lines <= 4 THEN '3-4'
+                    WHEN n_lines <= 6 THEN '5-6' ELSE '7+' END AS lines_band,
+               CASE WHEN CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) < 10000000 THEN 'lt_100k'
+                    WHEN CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) < 20000000 THEN '100k_200k'
+                    WHEN CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) < 30000000 THEN '200k_300k'
+                    ELSE 'ge_300k' END AS value_band
+        FROM orders JOIN nl ON l_orderkey = o_orderkey
+    ), agg AS (
+        SELECT lines_band, value_band, CAST(count(*) AS BIGINT) AS n_orders
+        FROM banded GROUP BY 1, 2
+    ), tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS total FROM agg)
+    SELECT lines_band, value_band, n_orders,
+           CAST(n_orders * 1000000 // total AS BIGINT) AS share_ppm
+    FROM agg CROSS JOIN tot
+    ORDER BY lines_band, value_band
+    """
+
+
+def events_value_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ value profile of the event stream: per event type, null /
+    zero / negative counts and integer floor-cents min/max — the
+    column-profile the dbt schema tests don't cover (they assert
+    not-null; this MEASURES the distribution so drift is visible
+    before it breaks a downstream sum). Doubles never cross the oracle
+    raw: extrema are floored to cents on both sides.
+
+    Scale shape: one map-side-combined pass to event-type grain."""
+    e = load(spark, sf_dir, "events")
+    cents = F.expr("CAST(FLOOR(CAST(value AS DOUBLE) * 100.0) AS BIGINT)")
+    return (
+        e.select("event_type", F.col("value"), cents.alias("vc"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+            F.sum(F.when(F.col("vc") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+            F.sum(F.when(F.col("vc") < 0, 1).otherwise(0)).cast("bigint").alias("n_negative"),
+            F.min("vc").cast("bigint").alias("min_cents"),
+            F.max("vc").cast("bigint").alias("max_cents"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def oracle_events_value_profile() -> str:
+    return """
+    WITH v AS (
+        SELECT event_type, value,
+               CAST(floor(CAST(value AS DOUBLE) * 100.0) AS BIGINT) AS vc
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(sum(CASE WHEN vc = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+           CAST(sum(CASE WHEN vc < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+           CAST(min(vc) AS BIGINT) AS min_cents,
+           CAST(max(vc) AS BIGINT) AS max_cents
+    FROM v GROUP BY event_type ORDER BY event_type
+    """

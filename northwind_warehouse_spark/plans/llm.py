@@ -664,7 +664,11 @@ def dedup_embedding_cosine(
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q, norm2_q
 
     e = load(spark, sf_dir, "embeddings")
-    buckets = sim.cap_buckets(sim.lsh_buckets(e), ["bucket_id"], max_bucket_size)
+    # persist the slim (vec_id, bucket_id) relation: the 8 hyperplane
+    # projections are the expensive part, and it feeds the cap's count
+    # aggregate plus BOTH self-join sides — one projection pass total
+    raw_buckets = sim.lsh_buckets(e).persist()
+    buckets = sim.cap_buckets(raw_buckets, ["bucket_id"], max_bucket_size)
     a = buckets.select(F.col("vec_id").alias("vec_a"), F.col("bucket_id").alias("b_a"))
     b = buckets.select(F.col("vec_id").alias("vec_b"), F.col("bucket_id").alias("b_b"))
     pairs = a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("vec_a") < F.col("vec_b"))).select(
@@ -7123,4 +7127,155 @@ def oracle_label_balance_audit() -> str:
            CAST(abs(n_vectors * 1000000 // n_total - 1000000 // k) AS BIGINT) AS dev_from_uniform_ppm
     FROM per_label CROSS JOIN tot
     ORDER BY label
+    """
+
+
+def candidate_jaccard_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate-quality histogram: verified shingle-Jaccard of
+    every MinHash candidate pair, banded by decile — the calibration
+    view that shows how much of the candidate stream is real
+    (J ≥ 0.7) vs band-collision noise, i.e. the measured precision the
+    banding scheme buys BEFORE any threshold filter (complements
+    lsh_band_tuning's analytic S-curve with observed data).
+
+    Scale shape: candidates come from the capped band join (never
+    all-pairs); the exact-Jaccard verify is the established two-join
+    array_intersect; the histogram is a ≤10-row rollup."""
+    d = load(spark, sf_dir, "documents")
+    sh_arr = sim.shingle_arrays(d).persist()
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sh_arr))
+    jac = sim.pair_jaccard(sh_arr, pairs)
+    return (
+        jac.select(
+            F.expr(
+                "CAST(least((1000000 * n_inter div n_union) div 100000, 9) AS BIGINT)"
+            ).alias("jaccard_decile")
+        )
+        .groupBy("jaccard_decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("jaccard_decile")
+    )
+
+
+def oracle_candidate_jaccard_histogram() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    jac AS (
+        SELECT CAST(least((1000000 * len(list_intersect(sa.sh, sb.sh))
+                           // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))))
+                          // 100000, 9) AS BIGINT) AS jaccard_decile
+        FROM cand c
+        JOIN sharr sa ON sa.doc_id = c.doc_a
+        JOIN sharr sb ON sb.doc_id = c.doc_b
+    )
+    SELECT jaccard_decile, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM jac GROUP BY jaccard_decile ORDER BY jaccard_decile
+    """
+
+
+def token_length_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token char-length histogram (capped at 15+): tokenizer
+    diagnostics — a heavy long-token tail means mojibake, URLs or
+    concatenation artifacts that explode subword fertility (the
+    aggregate view behind tokenizer_fertility's per-doc numbers).
+
+    Scale shape: one map-side-combined count to the ≤15-row length
+    grain; one broadcast total row."""
+    d = load(spark, sf_dir, "documents")
+    lens = d.select(
+        F.explode(F.split("text", " ")).alias("t")
+    ).select(F.least(F.length("t"), F.lit(15)).cast("bigint").alias("len_band"))
+    agg = lens.groupBy("len_band").agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"))
+    tot = agg.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("share_ppm", F.expr("CAST(n_tokens * 1000000 div total AS BIGINT)"))
+        .select("len_band", "n_tokens", "share_ppm")
+        .orderBy("len_band")
+    )
+
+
+def oracle_token_length_profile() -> str:
+    return """
+    WITH lens AS (
+        SELECT least(length(unnest(string_split(text, ' '))), 15) AS len_band
+        FROM documents
+    ), agg AS (
+        SELECT CAST(len_band AS BIGINT) AS len_band, CAST(count(*) AS BIGINT) AS n_tokens
+        FROM lens GROUP BY 1
+    ), tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM agg)
+    SELECT len_band, n_tokens,
+           CAST(n_tokens * 1000000 // total AS BIGINT) AS share_ppm
+    FROM agg CROSS JOIN tot ORDER BY len_band
+    """
+
+
+def int8_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization ERROR audit: per vector, the max and mean
+    absolute reconstruction error of the symmetric int8 codes, in
+    q127 units (|x·127 − code·scale| on the quantized integers — all
+    arithmetic exact, so the audit itself can't add noise). The
+    accept/reject gate for shipping a 4×-compressed ANN index:
+    embedding_quantize_int8 builds the codes; this measures what they
+    cost.
+
+    Scale shape: map-only higher-order folds, zero shuffles before the
+    presentation sort."""
+    q = "CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)"
+    e = load(spark, sf_dir, "embeddings")
+    xq = e.select("vec_id", F.expr(f"transform(embedding, x -> {q})").alias("xq"))
+    scaled = xq.select(
+        "vec_id",
+        F.size("xq").cast("bigint").alias("n_dims"),
+        F.expr("aggregate(xq, CAST(0 AS BIGINT), (m, v) -> greatest(m, abs(v)))").alias("scale_q"),
+        "xq",
+    )
+    # err per component (q127 units): |v*127 - code*scale_q| with the same
+    # sign-split truncation as embedding_quantize_int8's codes
+    err_arr = """CASE WHEN scale_q = 0 THEN transform(xq, v -> CAST(0 AS BIGINT))
+                      ELSE transform(xq, v -> abs(v * 127 -
+                           (CASE WHEN v >= 0 THEN (v * 127) div scale_q
+                                 ELSE -((-v * 127) div scale_q) END) * scale_q))
+                 END"""
+    return (
+        scaled.withColumn("errs", F.expr(err_arr))
+        .select(
+            "vec_id",
+            "n_dims",
+            "scale_q",
+            F.expr("aggregate(errs, CAST(0 AS BIGINT), (m, v) -> greatest(m, v))").alias(
+                "max_err_q127"
+            ),
+            F.expr(
+                "CAST(aggregate(errs, CAST(0 AS BIGINT), (acc, v) -> acc + v) div size(errs) AS BIGINT)"
+            ).alias("mean_err_q127"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def oracle_int8_reconstruction_error() -> str:
+    return """
+    WITH el AS (
+        SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS v
+        FROM embeddings
+    ), scaled AS (
+        SELECT vec_id, CAST(count(*) AS BIGINT) AS n_dims,
+               CAST(max(abs(v)) AS BIGINT) AS scale_q
+        FROM el GROUP BY vec_id
+    ), errs AS (
+        SELECT el.vec_id,
+               CASE WHEN scale_q = 0 THEN 0
+                    ELSE abs(v * 127 -
+                         (CASE WHEN v >= 0 THEN (v * 127) // scale_q
+                               ELSE -((-v * 127) // scale_q) END) * scale_q)
+               END AS err
+        FROM el JOIN scaled ON scaled.vec_id = el.vec_id
+    )
+    SELECT s.vec_id, s.n_dims, s.scale_q,
+           CAST(max(err) AS BIGINT) AS max_err_q127,
+           CAST(CAST(sum(err) AS BIGINT) // count(*) AS BIGINT) AS mean_err_q127
+    FROM errs e JOIN scaled s ON s.vec_id = e.vec_id
+    GROUP BY s.vec_id, s.n_dims, s.scale_q
+    ORDER BY s.vec_id
     """

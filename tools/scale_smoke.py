@@ -242,6 +242,12 @@ def main() -> None:
         "label_balance_audit": llm.label_balance_audit,
         "dead_stock_parts": analytics.dead_stock_parts,
         "revenue_by_customer_tenure_band": analytics.revenue_by_customer_tenure_band,
+        "fiscal_period_sales": analytics.fiscal_period_sales,
+        "order_size_value_matrix": analytics.order_size_value_matrix,
+        "events_value_profile": analytics.events_value_profile,
+        "candidate_jaccard_histogram": llm.candidate_jaccard_histogram,
+        "token_length_profile": llm.token_length_profile,
+        "int8_reconstruction_error": llm.int8_reconstruction_error,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
