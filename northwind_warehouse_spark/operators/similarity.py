@@ -106,6 +106,24 @@ def cap_buckets(df: DataFrame, keys: list[str], max_bucket_size: int) -> DataFra
     return df.join(over, keys, "left_anti")
 
 
+def band_rows(sig: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exploded (id, band, bkey) relation from a MinHash signature —
+    the banding step shared by the candidate join and the banding
+    diagnostics (band_agreement_histogram, lsh_bucket_occupancy).
+    Map-only."""
+    rows_per_band = N_SEEDS // N_BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias("bkey"),
+        )
+        for b in range(N_BANDS)
+    ])
+    return sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
+        id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
+    )
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, id_col: str = "doc_id", max_bucket_size: int | None = LSH_MAX_BUCKET
 ) -> DataFrame:
@@ -121,17 +139,7 @@ def lsh_candidate_pairs(
     duplicates better handled by exact dedup first. The oracle SQL
     (plans/llm.py::_SIG_CTE) mirrors the cap exactly. Pass ``None`` for
     the uncapped research mode."""
-    rows_per_band = N_SEEDS // N_BANDS
-    bands = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws("|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias("bkey"),
-        )
-        for b in range(N_BANDS)
-    ])
-    exploded = sig.select(F.col(id_col), F.explode(bands).alias("bb")).select(
-        id_col, F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey")
-    )
+    exploded = band_rows(sig, id_col)
     if max_bucket_size is not None:
         exploded = cap_buckets(exploded, ["band", "bkey"], max_bucket_size)
     # self-join reads this twice; persist the CAPPED relation so both the

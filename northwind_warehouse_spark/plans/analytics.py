@@ -6678,3 +6678,216 @@ def oracle_events_value_profile() -> str:
            CAST(max(vc) AS BIGINT) AS max_cents
     FROM v GROUP BY event_type ORDER BY event_type
     """
+
+
+def fiscal_yoy_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year comparable-period sales on the 4-4-5 calendar:
+    each fiscal period against the SAME period last year (the whole
+    point of 4-4-5 — periods are week-aligned and comparable), delta in
+    sign-split exact basis points.
+
+    Scale shape: builds on fiscal_period_sales' period-grain rollup
+    (≤ years×12 rows); the lag window partitions by fiscal_period over
+    a years-long series — bounded by the calendar, never by the fact."""
+    from pyspark.sql.window import Window
+
+    per_period = fiscal_period_sales(spark, sf_dir)
+    w = Window.partitionBy("fiscal_period").orderBy("fiscal_year")
+    return (
+        per_period.withColumn("prev_year_cents", F.lag("rev_cents").over(w))
+        .withColumn(
+            "yoy_bp",
+            F.expr(
+                """CASE WHEN prev_year_cents IS NULL OR prev_year_cents = 0 THEN NULL
+                        WHEN rev_cents >= prev_year_cents
+                          THEN CAST(CAST(rev_cents - prev_year_cents AS DECIMAL(38,0)) * 10000 div prev_year_cents AS BIGINT)
+                        ELSE -CAST(CAST(prev_year_cents - rev_cents AS DECIMAL(38,0)) * 10000 div prev_year_cents AS BIGINT)
+                   END"""
+            ),
+        )
+        .select("fiscal_year", "fiscal_period", "rev_cents", "prev_year_cents", "yoy_bp")
+        .orderBy("fiscal_year", "fiscal_period")
+    )
+
+
+def oracle_fiscal_yoy_sales() -> str:
+    base = oracle_fiscal_period_sales()
+    return f"""
+    WITH per_period AS ({base}),
+    lagged AS (
+        SELECT fiscal_year, fiscal_period, rev_cents,
+               lag(rev_cents) OVER (PARTITION BY fiscal_period ORDER BY fiscal_year) AS prev_year_cents
+        FROM per_period
+    )
+    SELECT fiscal_year, fiscal_period, rev_cents, prev_year_cents,
+           CASE WHEN prev_year_cents IS NULL OR prev_year_cents = 0 THEN NULL
+                WHEN rev_cents >= prev_year_cents
+                  THEN CAST(CAST(rev_cents - prev_year_cents AS HUGEINT) * 10000 // prev_year_cents AS BIGINT)
+                ELSE -CAST(CAST(prev_year_cents - rev_cents AS HUGEINT) * 10000 // prev_year_cents AS BIGINT)
+           END AS yoy_bp
+    FROM lagged ORDER BY fiscal_year, fiscal_period
+    """
+
+
+def events_bot_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot-traffic heuristic: per user, events per ACTIVE MINUTE (×100,
+    integer-exact) and event-type diversity; flagged when the rate is
+    ≥ 3 events/min across their active minutes AND they use ≤ 2 event
+    types — the high-rate/low-diversity signature that separates
+    scripted traffic from humans. All arithmetic integer (µs epochs,
+    distinct minute buckets), so the flag hashes identically
+    cross-engine.
+
+    Scale shape: one (user, minute) distinct pre-aggregation (map-side
+    expand) + one user-grain rollup; no windows, nothing broadcast."""
+    e = load(spark, sf_dir, "events")
+    base = e.select(
+        "user_id",
+        "event_type",
+        (F.unix_micros("ts") / F.lit(60_000_000)).cast("bigint").alias("minute_bucket"),
+    )
+    per_user = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("minute_bucket").cast("bigint").alias("n_active_minutes"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+    )
+    return (
+        per_user.withColumn(
+            "rate_x100", F.expr("CAST(100 * n_events div n_active_minutes AS BIGINT)")
+        )
+        .withColumn("bot_flag", F.expr("rate_x100 >= 300 AND n_types <= 2"))
+        .select("user_id", "n_events", "n_active_minutes", "n_types", "rate_x100", "bot_flag")
+        .orderBy("user_id")
+    )
+
+
+def oracle_events_bot_heuristic() -> str:
+    return """
+    WITH base AS (
+        SELECT user_id, event_type,
+               CAST(epoch_us(ts) // 60000000 AS BIGINT) AS minute_bucket
+        FROM events
+    ), per_user AS (
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT minute_bucket) AS BIGINT) AS n_active_minutes,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        FROM base GROUP BY user_id
+    )
+    SELECT user_id, n_events, n_active_minutes, n_types,
+           CAST(100 * n_events // n_active_minutes AS BIGINT) AS rate_x100,
+           (100 * n_events // n_active_minutes >= 300 AND n_types <= 2) AS bot_flag
+    FROM per_user ORDER BY user_id
+    """
+
+
+def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return-rate league table: per part brand, returned lineitems
+    (l_returnflag = 'R') as an exact ppm of lines and of revenue cents
+    — the product-quality complement to q10's customer-centric returned
+    revenue.
+
+    Scale shape: the fact aggregates to brand grain AFTER a size-gated
+    part join (brand is the only part column read — pruned scan); two
+    exact ppm divisions on the ≤|brands| rollup."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.col("l_returnflag") == "R").alias("ret"),
+        (dec2("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.sum(F.when(F.col("ret"), 1).otherwise(0)).cast("bigint").alias("n_returned"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+            F.sum(F.when(F.col("ret"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("returned_cents"),
+        )
+        .withColumn("return_line_ppm", F.expr("CAST(n_returned * 1000000 div n_lines AS BIGINT)"))
+        .withColumn(
+            "return_value_ppm",
+            F.expr("CAST(CAST(returned_cents AS DECIMAL(38,0)) * 1000000 div rev_cents AS BIGINT)"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def oracle_brand_return_rates() -> str:
+    return """
+    WITH l AS (
+        SELECT l_partkey, (l_returnflag = 'R') AS ret,
+               CAST(cast(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM lineitem
+    ), agg AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(sum(CASE WHEN ret THEN 1 ELSE 0 END) AS BIGINT) AS n_returned,
+               CAST(sum(cents) AS BIGINT) AS rev_cents,
+               CAST(sum(CASE WHEN ret THEN cents ELSE 0 END) AS BIGINT) AS returned_cents
+        FROM l JOIN part ON p_partkey = l_partkey
+        GROUP BY p_brand
+    )
+    SELECT p_brand, n_lines, n_returned, rev_cents, returned_cents,
+           CAST(n_returned * 1000000 // n_lines AS BIGINT) AS return_line_ppm,
+           CAST(CAST(returned_cents AS HUGEINT) * 1000000 // rev_cents AS BIGINT) AS return_value_ppm
+    FROM agg ORDER BY p_brand
+    """
+
+
+def events_stickiness_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per month: Σdaily-actives over the month
+    divided by (days-with-activity × monthly-actives), in exact ppm —
+    the engagement-quality ratio (1e6 ⇒ every monthly user active every
+    active day; low ⇒ drive-by usage), composed from the same distinct
+    pre-aggregations events_daily_active uses.
+
+    Scale shape: two distinct pre-aggregations — (day, user) and
+    (month, user) — both map-side expanded; the ratio computes on
+    month-grain rows."""
+    e = load(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").alias("d"),
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM").alias("ym"),
+        "user_id",
+    )
+    dau = e.groupBy("ym", "d").agg(F.countDistinct("user_id").alias("dau"))
+    dau_m = dau.groupBy("ym").agg(
+        F.sum("dau").cast("bigint").alias("sum_dau"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_days"),
+    )
+    mau = e.groupBy("ym").agg(F.countDistinct("user_id").cast("bigint").alias("mau"))
+    return (
+        dau_m.join(mau, "ym")
+        .withColumn(
+            "stickiness_ppm",
+            F.expr("CAST(sum_dau * 1000000 div (n_active_days * mau) AS BIGINT)"),
+        )
+        .select("ym", "sum_dau", "n_active_days", "mau", "stickiness_ppm")
+        .orderBy("ym")
+    )
+
+
+def oracle_events_stickiness_monthly() -> str:
+    return """
+    WITH e AS (
+        SELECT cast(ts AS DATE) AS d,
+               strftime(cast(ts AS DATE), '%Y-%m') AS ym,
+               user_id
+        FROM events
+    ), dau AS (
+        SELECT ym, d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM e GROUP BY ym, d
+    ), dau_m AS (
+        SELECT ym, CAST(sum(dau) AS BIGINT) AS sum_dau,
+               CAST(count(*) AS BIGINT) AS n_active_days
+        FROM dau GROUP BY ym
+    ), mau AS (
+        SELECT ym, CAST(count(DISTINCT user_id) AS BIGINT) AS mau FROM e GROUP BY ym
+    )
+    SELECT ym, sum_dau, n_active_days, mau,
+           CAST(sum_dau * 1000000 // (n_active_days * mau) AS BIGINT) AS stickiness_ppm
+    FROM dau_m JOIN mau USING (ym) ORDER BY ym
+    """

@@ -7279,3 +7279,49 @@ def oracle_int8_reconstruction_error() -> str:
     GROUP BY s.vec_id, s.n_dims, s.scale_q
     ORDER BY s.vec_id
     """
+
+
+def band_agreement_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evidence-strength histogram for MinHash candidates: per candidate
+    pair, how many of the 4 bands agreed (1..4), rolled up to a ≤4-row
+    histogram — pairs found by one band are borderline (J near the
+    S-curve knee); 4-band agreement means near-identical docs. The
+    observed companion to lsh_band_tuning's analytic collision curve,
+    at pair grain instead of threshold grain.
+
+    Scale shape: the band self-join is the same capped bucket join as
+    lsh_candidate_pairs (shared band_rows operator, never all-pairs);
+    the per-pair count and histogram are candidate-sized."""
+    d = load(spark, sf_dir, "documents")
+    sig = sim.minhash_signatures(sim.shingle_arrays(d))
+    bands = sim.cap_buckets(
+        sim.band_rows(sig), ["band", "bkey"], sim.LSH_MAX_BUCKET
+    ).persist()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    per_pair = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands_matched"))
+    )
+    return (
+        per_pair.groupBy("n_bands_matched")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy("n_bands_matched")
+    )
+
+
+def oracle_band_agreement_histogram() -> str:
+    return f"""
+    WITH {_SIG_CTE},
+    per_pair AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(count(*) AS BIGINT) AS n_bands_matched
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+        WHERE a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT n_bands_matched, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM per_pair GROUP BY n_bands_matched ORDER BY n_bands_matched
+    """

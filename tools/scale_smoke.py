@@ -248,6 +248,11 @@ def main() -> None:
         "candidate_jaccard_histogram": llm.candidate_jaccard_histogram,
         "token_length_profile": llm.token_length_profile,
         "int8_reconstruction_error": llm.int8_reconstruction_error,
+        "fiscal_yoy_sales": analytics.fiscal_yoy_sales,
+        "events_bot_heuristic": analytics.events_bot_heuristic,
+        "brand_return_rates": analytics.brand_return_rates,
+        "events_stickiness_monthly": analytics.events_stickiness_monthly,
+        "band_agreement_histogram": llm.band_agreement_histogram,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
