@@ -6891,3 +6891,62 @@ def oracle_events_stickiness_monthly() -> str:
            CAST(sum_dau * 1000000 // (n_active_days * mau) AS BIGINT) AS stickiness_ppm
     FROM dau_m JOIN mau USING (ym) ORDER BY ym
     """
+
+
+def purchase_breadth_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assortment-breadth segmentation: customers banded by how many
+    DISTINCT part brands they have ever purchased (1-2 / 3-5 / 6-9 /
+    10+), with exact ppm of the buying population — the cross-sell
+    ceiling view (narrow-basket customers are the expansion target;
+    broad ones the loyalty target).
+
+    Scale shape: one (customer, brand) distinct pre-aggregation over
+    the fact⋈orders⋈part joins (part through the size gate), one
+    customer-grain count, a 4-row band rollup + broadcast total."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    cb = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(p), l.l_partkey == p.p_partkey)
+        .select("o_custkey", "p_brand")
+        .distinct()
+    )
+    breadth = cb.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_brands"))
+    banded = breadth.select(
+        F.expr(
+            """CASE WHEN n_brands <= 2 THEN '1-2' WHEN n_brands <= 5 THEN '3-5'
+                    WHEN n_brands <= 9 THEN '6-9' ELSE '10+' END"""
+        ).alias("breadth_band")
+    )
+    agg = banded.groupBy("breadth_band").agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    tot = agg.agg(F.sum("n_customers").cast("bigint").alias("total"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .withColumn("share_ppm", F.expr("CAST(n_customers * 1000000 div total AS BIGINT)"))
+        .select("breadth_band", "n_customers", "share_ppm")
+        .orderBy("breadth_band")
+    )
+
+
+def oracle_purchase_breadth_bands() -> str:
+    return """
+    WITH cb AS (
+        SELECT DISTINCT o_custkey, p_brand
+        FROM lineitem
+        JOIN orders ON o_orderkey = l_orderkey
+        JOIN part ON p_partkey = l_partkey
+    ), breadth AS (
+        SELECT o_custkey, count(*) AS n_brands FROM cb GROUP BY o_custkey
+    ), banded AS (
+        SELECT CASE WHEN n_brands <= 2 THEN '1-2' WHEN n_brands <= 5 THEN '3-5'
+                    WHEN n_brands <= 9 THEN '6-9' ELSE '10+' END AS breadth_band
+        FROM breadth
+    ), agg AS (
+        SELECT breadth_band, CAST(count(*) AS BIGINT) AS n_customers
+        FROM banded GROUP BY breadth_band
+    ), tot AS (SELECT CAST(sum(n_customers) AS BIGINT) AS total FROM agg)
+    SELECT breadth_band, n_customers,
+           CAST(n_customers * 1000000 // total AS BIGINT) AS share_ppm
+    FROM agg CROSS JOIN tot ORDER BY breadth_band
+    """

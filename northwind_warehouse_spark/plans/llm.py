@@ -7325,3 +7325,117 @@ def oracle_band_agreement_histogram() -> str:
     SELECT n_bands_matched, CAST(count(*) AS BIGINT) AS n_pairs
     FROM per_pair GROUP BY n_bands_matched ORDER BY n_bands_matched
     """
+
+
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation FUNNEL REPORT: per (source, verdict), documents and
+    tokens with within-source ppm shares — the one-page artifact a data
+    lead reads after every corpus build ('what did each gate cost, per
+    source?'), rolled up from curate_corpus's per-doc first-failing-
+    stage verdicts. A source losing most of its tokens to 'boilerplate'
+    needs a crawler fix, not a bigger budget.
+
+    Scale shape: curate_corpus's funnel (aggregates + spread joins, no
+    windows) followed by a verdict-grain rollup and a tiny per-source
+    total broadcast."""
+    verdicts = curate_corpus(spark, sf_dir)
+    agg = verdicts.groupBy("source", "verdict").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+    )
+    tot = verdicts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("src_docs")
+    )
+    return (
+        agg.join(F.broadcast(tot), "source")
+        .withColumn("doc_share_ppm", F.expr("CAST(n_docs * 1000000 div src_docs AS BIGINT)"))
+        .select("source", "verdict", "n_docs", "n_tokens", "doc_share_ppm")
+        .orderBy("source", "verdict")
+    )
+
+
+def oracle_curation_funnel_report() -> str:
+    base = oracle_curate_corpus()
+    return f"""
+    WITH verdicts AS ({base}),
+    agg AS (
+        SELECT source, verdict,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+        FROM verdicts GROUP BY source, verdict
+    ),
+    tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS src_docs FROM verdicts GROUP BY source
+    )
+    SELECT source, verdict, n_docs, n_tokens,
+           CAST(n_docs * 1000000 // src_docs AS BIGINT) AS doc_share_ppm
+    FROM agg JOIN tot USING (source)
+    ORDER BY source, verdict
+    """
+
+
+def stopword_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-level stopword-density drift: per source, total tokens,
+    stopword tokens, and density in exact ppm, plus the low/normal/high
+    band against the corpus-wide density — the feed-health check that
+    catches a source whose extraction started dropping (or injecting)
+    function words long before per-doc quality scores move.
+
+    Scale shape: token and stopword counts are map-only per row
+    (higher-order filters over the split array — no explode), one
+    map-side-combined rollup to source grain, one corpus-total
+    broadcast row."""
+    from northwind_warehouse_spark.functions.text import n_tokens, stopword_count
+
+    d = load(spark, sf_dir, "documents")
+    base = d.select(
+        "source", n_tokens().alias("n_tok"), stopword_count().alias("n_stop")
+    )
+    per_src = base.groupBy("source").agg(
+        F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        F.sum("n_stop").cast("bigint").alias("n_stopwords"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").cast("bigint").alias("t_tok"),
+        F.sum("n_stopwords").cast("bigint").alias("t_stop"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("density_ppm", F.expr("CAST(n_stopwords * 1000000 div n_tokens AS BIGINT)"))
+        .withColumn("corpus_ppm", F.expr("CAST(t_stop * 1000000 div t_tok AS BIGINT)"))
+        .withColumn(
+            "density_band",
+            F.expr(
+                """CASE WHEN density_ppm * 10 < corpus_ppm * 8 THEN 'low'
+                        WHEN density_ppm * 10 > corpus_ppm * 12 THEN 'high'
+                        ELSE 'normal' END"""
+            ),
+        )
+        .select("source", "n_tokens", "n_stopwords", "density_ppm", "corpus_ppm", "density_band")
+        .orderBy("source")
+    )
+
+
+def oracle_stopword_profile_by_source() -> str:
+    return f"""
+    WITH base AS (
+        SELECT source, {o_n_tokens()} AS n_tok, {o_stopword_count()} AS n_stop
+        FROM documents
+    ), per_src AS (
+        SELECT source,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(n_stop) AS BIGINT) AS n_stopwords
+        FROM base GROUP BY source
+    ), tot AS (
+        SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tok,
+               CAST(sum(n_stopwords) AS BIGINT) AS t_stop
+        FROM per_src
+    )
+    SELECT source, n_tokens, n_stopwords,
+           CAST(n_stopwords * 1000000 // n_tokens AS BIGINT) AS density_ppm,
+           CAST(t_stop * 1000000 // t_tok AS BIGINT) AS corpus_ppm,
+           CASE WHEN n_stopwords * 1000000 // n_tokens * 10 < t_stop * 1000000 // t_tok * 8 THEN 'low'
+                WHEN n_stopwords * 1000000 // n_tokens * 10 > t_stop * 1000000 // t_tok * 12 THEN 'high'
+                ELSE 'normal' END AS density_band
+    FROM per_src CROSS JOIN tot ORDER BY source
+    """

@@ -253,6 +253,9 @@ def main() -> None:
         "brand_return_rates": analytics.brand_return_rates,
         "events_stickiness_monthly": analytics.events_stickiness_monthly,
         "band_agreement_histogram": llm.band_agreement_histogram,
+        "curation_funnel_report": llm.curation_funnel_report,
+        "stopword_profile_by_source": llm.stopword_profile_by_source,
+        "purchase_breadth_bands": analytics.purchase_breadth_bands,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
