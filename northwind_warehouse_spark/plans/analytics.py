@@ -6950,3 +6950,90 @@ def oracle_purchase_breadth_bands() -> str:
            CAST(n_customers * 1000000 // total AS BIGINT) AS share_ppm
     FROM agg CROSS JOIN tot ORDER BY breadth_band
     """
+
+
+def session_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-SESSION event-type affinity: for every event-type pair,
+    how many sessions contain BOTH, with exact lift ppm against the
+    independence expectation — basket_affinity's mechanics applied to
+    the behavioral basket (a 30-min session) instead of the purchase
+    basket; high-lift pairs are the flows product analytics turns into
+    funnels.
+
+    Scale shape: sessionization shares one hash(user) exchange
+    (operators/sessionize.py); the distinct (session, type) relation is
+    bounded by sessions × |types|; the pair self-join fans out per
+    session by at most |types|² (constant), never corpus²; marginals
+    and the session total are tiny broadcasts."""
+    from northwind_warehouse_spark.operators.sessionize import sessionize
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    s = sessionize(e, "user_id", "ts", gap_seconds=1800, tiebreak_cols=("event_id",))
+    st = s.select("user_id", "session_idx", "event_type").distinct()
+    n_sessions = st.select("user_id", "session_idx").distinct().agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions")
+    )
+    marg = st.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    a = st.select("user_id", "session_idx", F.col("event_type").alias("type_a"))
+    b = st.select("user_id", "session_idx", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, ["user_id", "session_idx"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_cooccur"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("c").alias("c_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("c").alias("c_b"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .withColumn(
+            "lift_ppm",
+            F.expr(
+                "CAST(CAST(n_cooccur AS DECIMAL(38,0)) * n_sessions * 1000000 div (c_a * c_b) AS BIGINT)"
+            ),
+        )
+        .select("type_a", "type_b", "n_cooccur", "c_a", "c_b", "lift_ppm")
+        .orderBy("type_a", "type_b")
+    )
+
+
+def oracle_session_type_affinity() -> str:
+    return """
+    WITH seq AS (
+        SELECT user_id, event_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN prev_ts IS NULL
+                        OR (epoch_us(ts) - epoch_us(prev_ts)) > 1800 * 1000000
+                   THEN 1 ELSE 0 END AS is_new
+        FROM seq
+    ), sessions AS (
+        SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+        FROM flagged
+    ), st AS (
+        SELECT DISTINCT user_id, session_idx, event_type FROM sessions
+    ), ns AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions
+        FROM (SELECT DISTINCT user_id, session_idx FROM st)
+    ), marg AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS c FROM st GROUP BY event_type
+    ), pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_cooccur
+        FROM st a JOIN st b
+          ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+         AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_cooccur, ma.c AS c_a, mb.c AS c_b,
+           CAST(CAST(n_cooccur AS HUGEINT) * n_sessions * 1000000 // (ma.c * mb.c) AS BIGINT) AS lift_ppm
+    FROM pairs
+    JOIN marg ma ON ma.event_type = type_a
+    JOIN marg mb ON mb.event_type = type_b
+    CROSS JOIN ns
+    ORDER BY type_a, type_b
+    """

@@ -7439,3 +7439,148 @@ def oracle_stopword_profile_by_source() -> str:
                 ELSE 'normal' END AS density_band
     FROM per_src CROSS JOIN tot ORDER BY source
     """
+
+
+def doc_embedding_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modality alignment DQ: do the text corpus and the embedding
+    store cover the same ids? One row of exact counts — matched,
+    doc-without-vector (un-embedded backlog), vector-without-doc
+    (orphaned index entries to GC) — the join-health check every
+    multimodal pipeline runs before training reads both sides.
+
+    Scale shape: one full-outer id join on two id-only projections
+    (pruned scans), folded to a single row."""
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("did"))
+    e = load(spark, sf_dir, "embeddings").select(F.col("vec_id").alias("vid"))
+    j = d.join(e, d.did == e.vid, "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("did").isNotNull() & F.col("vid").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_matched"),
+        F.sum(F.when(F.col("vid").isNull(), 1).otherwise(0)).cast("bigint").alias("n_doc_only"),
+        F.sum(F.when(F.col("did").isNull(), 1).otherwise(0)).cast("bigint").alias("n_vec_only"),
+    ).withColumn(
+        "matched_ppm",
+        F.expr(
+            "CAST(n_matched * 1000000 div (n_matched + n_doc_only + n_vec_only) AS BIGINT)"
+        ),
+    )
+
+
+def oracle_doc_embedding_coverage() -> str:
+    return """
+    WITH j AS (
+        SELECT doc_id AS did, vec_id AS vid
+        FROM documents FULL OUTER JOIN embeddings ON doc_id = vec_id
+    ), agg AS (
+        SELECT CAST(sum(CASE WHEN did IS NOT NULL AND vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+               CAST(sum(CASE WHEN vid IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_doc_only,
+               CAST(sum(CASE WHEN did IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_vec_only
+        FROM j
+    )
+    SELECT n_matched, n_doc_only, n_vec_only,
+           CAST(n_matched * 1000000 // (n_matched + n_doc_only + n_vec_only) AS BIGINT) AS matched_ppm
+    FROM agg
+    """
+
+
+_TV_TOP_TERMS = 50
+
+
+def source_vocab_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-pair vocabulary drift: TOTAL-VARIATION distance between
+    each pair of sources' term distributions, restricted to the corpus
+    top-50 terms plus an 'other' residual bucket — exact ppm integer
+    arithmetic (TV is the rational alternative to KL/JS divergence,
+    whose logs drift between engines). 0 ⇒ identical feeds; large ⇒ a
+    source drifted (or never matched) — the pairwise complement to
+    distinctive_terms_by_source's per-term lifts.
+
+    Scale shape: term counts are one map-side-combined shuffle; the
+    top-50 selection sorts the vocabulary aggregate (never the corpus);
+    the share matrix is sources×51 rows scaffolded by a broadcast cross
+    join so missing terms read as 0; the pair fold is sources²-bounded.
+    """
+    d = load(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("t"))
+    top = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "t")
+        .limit(_TV_TOP_TERMS)
+        .select("t")
+    )
+    src_tot = tok.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n_tok"))
+    counts = (
+        tok.join(F.broadcast(top), "t")
+        .groupBy("source", "t")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = src_tot.crossJoin(F.broadcast(top))
+    shares = (
+        grid.join(counts, ["source", "t"], "left")
+        .select(
+            "source",
+            "t",
+            F.expr("CAST(coalesce(c, 0) * 1000000 div n_tok AS BIGINT)").alias("ppm"),
+        )
+    )
+    other = shares.groupBy("source").agg(
+        (F.lit(1000000) - F.sum("ppm")).cast("bigint").alias("other_ppm")
+    )
+    sa = shares.select(F.col("source").alias("source_a"), "t", F.col("ppm").alias("pa"))
+    sb = shares.select(F.col("source").alias("source_b"), "t", F.col("ppm").alias("pb"))
+    top_tv = (
+        sa.join(sb, "t")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.sum(F.expr("abs(pa - pb)")).cast("bigint").alias("sum_abs"))
+    )
+    oa = other.select(F.col("source").alias("source_a"), F.col("other_ppm").alias("oa"))
+    ob = other.select(F.col("source").alias("source_b"), F.col("other_ppm").alias("ob"))
+    return (
+        top_tv.join(F.broadcast(oa), "source_a")
+        .join(F.broadcast(ob), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.expr("CAST((sum_abs + abs(oa - ob)) div 2 AS BIGINT)").alias("tv_ppm"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def oracle_source_vocab_tv_distance() -> str:
+    return f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+    ), top AS (
+        SELECT t FROM (
+            SELECT t, count(*) AS c FROM tok GROUP BY t
+            ORDER BY c DESC, t LIMIT {_TV_TOP_TERMS}
+        )
+    ), src_tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tok FROM tok GROUP BY source
+    ), counts AS (
+        SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        FROM tok JOIN top USING (t) GROUP BY source, t
+    ), shares AS (
+        SELECT st.source, top.t,
+               CAST(coalesce(c, 0) * 1000000 // n_tok AS BIGINT) AS ppm
+        FROM src_tot st CROSS JOIN top
+        LEFT JOIN counts ON counts.source = st.source AND counts.t = top.t
+    ), other AS (
+        SELECT source, CAST(1000000 - sum(ppm) AS BIGINT) AS other_ppm
+        FROM shares GROUP BY source
+    ), top_tv AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(sum(abs(a.ppm - b.ppm)) AS BIGINT) AS sum_abs
+        FROM shares a JOIN shares b ON a.t = b.t AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           CAST((sum_abs + abs(oa.other_ppm - ob.other_ppm)) // 2 AS BIGINT) AS tv_ppm
+    FROM top_tv
+    JOIN other oa ON oa.source = source_a
+    JOIN other ob ON ob.source = source_b
+    ORDER BY source_a, source_b
+    """

@@ -256,6 +256,9 @@ def main() -> None:
         "curation_funnel_report": llm.curation_funnel_report,
         "stopword_profile_by_source": llm.stopword_profile_by_source,
         "purchase_breadth_bands": analytics.purchase_breadth_bands,
+        "session_type_affinity": analytics.session_type_affinity,
+        "doc_embedding_coverage": llm.doc_embedding_coverage,
+        "source_vocab_tv_distance": llm.source_vocab_tv_distance,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
