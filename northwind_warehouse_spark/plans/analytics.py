@@ -7037,3 +7037,125 @@ def oracle_session_type_affinity() -> str:
     CROSS JOIN ns
     ORDER BY type_a, type_b
     """
+
+
+def quarter_end_loading(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-end loading audit: the share of each quarter's revenue
+    booked in its LAST 7 DAYS vs the uniform-calendar expectation
+    (7 / days-in-quarter) — the hockey-stick / sandbagging detector a
+    revenue-recognition audit runs. All ratios exact ppm; the excess is
+    signed ppm.
+
+    Scale shape: one map pass tags each order with its quarter and
+    last-7-day flag (pure date arithmetic), one map-side-combined
+    rollup to quarter grain."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    tagged = o.select(
+        F.expr("year(od)").alias("yr"),
+        F.expr("quarter(od)").alias("qtr"),
+        F.expr("make_date(year(od), (quarter(od) - 1) * 3 + 1, 1)").alias("qstart"),
+        "od",
+        "cents",
+    ).select(
+        "yr", "qtr", "od", "cents",
+        F.expr("date_sub(add_months(qstart, 3), 1)").alias("qend"),
+        F.expr("datediff(date_sub(add_months(qstart, 3), 1), qstart) + 1").alias("days_in_q"),
+    )
+    return (
+        tagged.groupBy("yr", "qtr")
+        .agg(
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+            F.sum(F.when(F.expr("od >= date_sub(qend, 6)"), F.col("cents")).otherwise(0))
+            .cast("bigint")
+            .alias("last7_cents"),
+            F.max("days_in_q").cast("bigint").alias("days_in_q"),
+        )
+        .withColumn(
+            "last7_share_ppm",
+            F.expr("CAST(CAST(last7_cents AS DECIMAL(38,0)) * 1000000 div rev_cents AS BIGINT)"),
+        )
+        .withColumn("expected_ppm", F.expr("CAST(7000000 div days_in_q AS BIGINT)"))
+        .withColumn("excess_ppm", F.expr("CAST(last7_share_ppm - expected_ppm AS BIGINT)"))
+        .select(
+            "yr", "qtr", "rev_cents", "last7_cents", "days_in_q",
+            "last7_share_ppm", "expected_ppm", "excess_ppm",
+        )
+        .orderBy("yr", "qtr")
+    )
+
+
+def oracle_quarter_end_loading() -> str:
+    return """
+    WITH o AS (
+        SELECT cast(o_orderdate AS DATE) AS od,
+               CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), tagged AS (
+        SELECT year(od) AS yr, quarter(od) AS qtr, od, cents,
+               make_date(year(od), (quarter(od) - 1) * 3 + 1, 1)
+                   + INTERVAL 3 MONTH - INTERVAL 1 DAY AS qend,
+               date_diff('day', make_date(year(od), (quarter(od) - 1) * 3 + 1, 1),
+                         make_date(year(od), (quarter(od) - 1) * 3 + 1, 1)
+                             + INTERVAL 3 MONTH - INTERVAL 1 DAY) + 1 AS days_in_q
+        FROM o
+    ), agg AS (
+        SELECT yr, qtr,
+               CAST(sum(cents) AS BIGINT) AS rev_cents,
+               CAST(sum(CASE WHEN od >= qend - INTERVAL 6 DAY THEN cents ELSE 0 END) AS BIGINT) AS last7_cents,
+               CAST(max(days_in_q) AS BIGINT) AS days_in_q
+        FROM tagged GROUP BY yr, qtr
+    )
+    SELECT yr, qtr, rev_cents, last7_cents, days_in_q,
+           CAST(CAST(last7_cents AS HUGEINT) * 1000000 // rev_cents AS BIGINT) AS last7_share_ppm,
+           CAST(7000000 // days_in_q AS BIGINT) AS expected_ppm,
+           CAST(CAST(last7_cents AS HUGEINT) * 1000000 // rev_cents
+                - 7000000 // days_in_q AS BIGINT) AS excess_ppm
+    FROM agg ORDER BY yr, qtr
+    """
+
+
+def sole_source_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-risk audit: parts whose OBSERVED order history shows
+    exactly one supplier — the single-point-of-failure list procurement
+    reviews after every vendor incident (one supplier in the data means
+    no proven alternative, whatever the catalog claims).
+
+    Scale shape: one distinct (part, supplier) pre-aggregation over the
+    fact (map-side expand), a part-grain count, and the part dim joined
+    through the size gate AFTER aggregation."""
+    l = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    per_part = l.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.min("l_suppkey").cast("bigint").alias("sole_supplier_id"),
+    )
+    return (
+        per_part.filter(F.col("n_suppliers") == 1)
+        .join(maybe_broadcast(p), per_part.l_partkey == p.p_partkey)
+        .select(
+            F.col("p_partkey").alias("part_id"),
+            "p_brand",
+            "sole_supplier_id",
+        )
+        .orderBy("part_id")
+    )
+
+
+def oracle_sole_source_parts() -> str:
+    return """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), per_part AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(min(l_suppkey) AS BIGINT) AS sole_supplier_id
+        FROM ps GROUP BY l_partkey
+    )
+    SELECT p_partkey AS part_id, p_brand, sole_supplier_id
+    FROM per_part JOIN part ON p_partkey = l_partkey
+    WHERE n_suppliers = 1
+    ORDER BY part_id
+    """

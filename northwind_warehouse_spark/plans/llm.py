@@ -7584,3 +7584,53 @@ def oracle_source_vocab_tv_distance() -> str:
     JOIN other ob ON ob.source = source_b
     ORDER BY source_a, source_b
     """
+
+
+def knn_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN label-purity probe: for each multi-probe query, how many of
+    its top-3 retrieved neighbors share the query's label — the
+    classifier-free embedding-quality eval (high purity ⇒ the space
+    clusters by label ⇒ a kNN classifier will work; low purity with
+    good recall ⇒ the EMBEDDING, not the index, is the problem).
+    Composes the multi-probe index with the labeled corpus.
+
+    Scale shape: the multi-probe top-k plan (bounded candidates) plus
+    two label-lookup joins through the size gate; output is
+    query-grain."""
+    mp = ann_ivf_multiprobe_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    e = load(spark, sf_dir, "embeddings")
+    labels = e.select("vec_id", "label")
+    ql = labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"))
+    nl = labels.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label"))
+    return (
+        mp.join(maybe_broadcast(ql), "query_id")
+        .join(maybe_broadcast(nl), "neighbor_id")
+        .groupBy("query_id", "query_label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_neighbors"),
+            F.sum(F.when(F.col("neighbor_label") == F.col("query_label"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_same_label"),
+        )
+        .withColumn(
+            "purity_ppm", F.expr("CAST(n_same_label * 1000000 div n_neighbors AS BIGINT)")
+        )
+        .select("query_id", "query_label", "n_neighbors", "n_same_label", "purity_ppm")
+        .orderBy("query_id")
+    )
+
+
+def oracle_knn_label_purity() -> str:
+    base = oracle_ann_ivf_multiprobe_topk()
+    return f"""
+    WITH mp AS ({base})
+    SELECT query_id, eq.label AS query_label,
+           CAST(count(*) AS BIGINT) AS n_neighbors,
+           CAST(sum(CASE WHEN en.label = eq.label THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label,
+           CAST(sum(CASE WHEN en.label = eq.label THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS purity_ppm
+    FROM mp
+    JOIN embeddings eq ON eq.vec_id = mp.query_id
+    JOIN embeddings en ON en.vec_id = mp.neighbor_id
+    GROUP BY query_id, eq.label
+    ORDER BY query_id
+    """

@@ -259,6 +259,9 @@ def main() -> None:
         "session_type_affinity": analytics.session_type_affinity,
         "doc_embedding_coverage": llm.doc_embedding_coverage,
         "source_vocab_tv_distance": llm.source_vocab_tv_distance,
+        "knn_label_purity": llm.knn_label_purity,
+        "quarter_end_loading": analytics.quarter_end_loading,
+        "sole_source_parts": analytics.sole_source_parts,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
