@@ -7159,3 +7159,222 @@ def oracle_sole_source_parts() -> str:
     WHERE n_suppliers = 1
     ORDER BY part_id
     """
+
+
+def orders_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonality: order count and revenue share per
+    weekday (0=Sunday on both engines: Spark dayofweek()-1 ≡ DuckDB
+    date_part('dow')), plus the revenue-vs-order-count excess — the
+    signed ppm gap that shows whether some weekdays carry BIGGER orders,
+    not just more of them (the monthly_seasonal_index twin at week
+    grain).
+
+    Scale shape: one map pass projects (dow, cents) straight off the
+    scan, one 7-row map-side-combined rollup; the shares are a
+    7-row window."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        (F.dayofweek("o_orderdate") - 1).cast("bigint").alias("dow"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    agg = o.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("rev_cents"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        agg.withColumn("_tot_n", F.sum("n_orders").over(w_all))
+        .withColumn("_tot_rev", F.sum("rev_cents").over(w_all))
+        .select(
+            "dow", "n_orders", "rev_cents",
+            F.expr("CAST(CAST(n_orders AS DECIMAL(38,0)) * 1000000 div _tot_n AS BIGINT)")
+            .alias("order_share_ppm"),
+            F.expr("CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 div _tot_rev AS BIGINT)")
+            .alias("rev_share_ppm"),
+            F.expr(
+                "CAST(CAST(rev_cents AS DECIMAL(38,0)) * 1000000 div _tot_rev"
+                " - CAST(n_orders AS DECIMAL(38,0)) * 1000000 div _tot_n AS BIGINT)"
+            ).alias("size_excess_ppm"),
+        )
+        .orderBy("dow")
+    )
+
+
+def oracle_orders_dow_seasonality() -> str:
+    return """
+    WITH o AS (
+        SELECT date_part('dow', o_orderdate) AS dow,
+               CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), agg AS (
+        SELECT CAST(dow AS BIGINT) AS dow,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM o GROUP BY 1
+    )
+    SELECT dow, n_orders, rev_cents,
+           CAST(CAST(n_orders AS HUGEINT) * 1000000 // CAST(sum(n_orders) OVER () AS BIGINT) AS BIGINT) AS order_share_ppm,
+           CAST(CAST(rev_cents AS HUGEINT) * 1000000 // CAST(sum(rev_cents) OVER () AS BIGINT) AS BIGINT) AS rev_share_ppm,
+           CAST(CAST(rev_cents AS HUGEINT) * 1000000 // CAST(sum(rev_cents) OVER () AS BIGINT)
+                - CAST(n_orders AS HUGEINT) * 1000000 // CAST(sum(n_orders) OVER () AS BIGINT) AS BIGINT) AS size_excess_ppm
+    FROM agg ORDER BY dow
+    """
+
+
+def supplier_risk_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-risk screen: every supplier with its account balance,
+    observed revenue exposure (discounted lineitem revenue routed
+    through it), breadth (distinct parts), sole-source burden (parts
+    for which it is the ONLY observed supplier), and a negative-balance
+    flag — the procurement risk register combining finance
+    (s_acctbal < 0) with operational criticality (sole-source parts).
+
+    Scale shape: two fact rollups (supplier grain; distinct
+    (part,supplier) → part grain → supplier grain), both map-side
+    combined; the supplier dim joins through the size gate. Exposure
+    sums exact decimals and floors to cents ONCE per supplier."""
+    s = load(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name",
+        (dec2("s_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey", disc_price().alias("dp"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        # exact decimal sum, floored to cents ONCE (Spark's decimal→bigint
+        # cast truncates while DuckDB's rounds — floor() is identical on both)
+        F.expr("CAST(floor(sum(dp) * 100) AS BIGINT)").alias("exposure_cents"),
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts"),
+    )
+    ps = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    sole = (
+        ps.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("_ns"), F.min("l_suppkey").alias("_supp"))
+        .filter(F.col("_ns") == 1)
+        .groupBy("_supp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sole_parts"))
+    )
+    return (
+        maybe_broadcast(s)
+        .join(per_supp, s.s_suppkey == per_supp.l_suppkey, "inner")
+        .join(sole, s.s_suppkey == sole._supp, "left")
+        .select(
+            F.col("s_suppkey").alias("supplier_id"),
+            "s_name",
+            "acctbal_cents",
+            "exposure_cents",
+            "n_parts",
+            F.coalesce(F.col("n_sole_parts"), F.lit(0)).cast("bigint").alias("n_sole_parts"),
+            F.when(F.col("acctbal_cents") < 0, "Y").otherwise("N").alias("neg_balance"),
+        )
+        .orderBy("supplier_id")
+    )
+
+
+def oracle_supplier_risk_screen() -> str:
+    return f"""
+    WITH per_supp AS (
+        SELECT l_suppkey,
+               CAST(floor(sum({o_disc_price()}) * 100) AS BIGINT) AS exposure_cents,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        FROM lineitem GROUP BY l_suppkey
+    ), ps AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), sole AS (
+        SELECT _supp, CAST(count(*) AS BIGINT) AS n_sole_parts FROM (
+            SELECT l_partkey, count(*) AS _ns, min(l_suppkey) AS _supp
+            FROM ps GROUP BY l_partkey
+        ) WHERE _ns = 1 GROUP BY _supp
+    )
+    SELECT s_suppkey AS supplier_id, s_name,
+           CAST(cast(s_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS acctbal_cents,
+           exposure_cents, n_parts,
+           CAST(coalesce(n_sole_parts, 0) AS BIGINT) AS n_sole_parts,
+           CASE WHEN cast(s_acctbal AS DECIMAL(12,2)) < 0 THEN 'Y' ELSE 'N' END AS neg_balance
+    FROM supplier
+    JOIN per_supp ON l_suppkey = s_suppkey
+    LEFT JOIN sole ON _supp = s_suppkey
+    ORDER BY supplier_id
+    """
+
+
+def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item affinity top-3: for every part, its 3 strongest basket
+    companions by squared co-occurrence cosine — cos²(a,b) =
+    co(a,b)² / (n_a · n_b) in exact integer ppm (squaring keeps the
+    score in integers; it is order-equivalent to cosine). The
+    recommendation-list complement to basket_affinity's global
+    brand-pair lift table.
+
+    Scale shape: pair fan-out is per-order (bounded by lines-per-order²,
+    a small constant — never parts²); the (a,b) rollup is map-side
+    combined; marginals join through the size gate (part-cardinality =
+    SF-growing); min-support co ≥ 2 prunes the noise tail before the
+    per-part top-k window (partition bounded by a part's distinct
+    companions)."""
+    from pyspark.sql.window import Window
+
+    op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    # read three times (both self-join sides + marginals): persist the slim
+    # distinct relation so the scan+distinct runs once
+    op = op.persist()
+    marg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("part_a") != F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
+    scored = (
+        pairs.join(maybe_broadcast(ma), "part_a")
+        .join(maybe_broadcast(mb), "part_b")
+        .withColumn(
+            "cos2_ppm",
+            F.expr(
+                "CAST(CAST(n_co AS DECIMAL(38,0)) * n_co * 1000000"
+                " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)"
+            ),
+        )
+    )
+    w = Window.partitionBy("part_a").orderBy(
+        F.desc("cos2_ppm"), F.desc("n_co"), F.col("part_b")
+    )
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 3)
+        .select("part_a", "part_b", "n_co", "n_a", "n_b", "cos2_ppm", "nn_rank")
+        .orderBy("part_a", "nn_rank")
+    )
+
+
+def oracle_part_cooccurrence_topk() -> str:
+    return """
+    WITH op AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), marg AS (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY l_partkey
+    ), pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, CAST(count(*) AS BIGINT) AS n_co
+        FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ), scored AS (
+        SELECT part_a, part_b, n_co, ma.n AS n_a, mb.n AS n_b,
+               CAST(CAST(n_co AS HUGEINT) * n_co * 1000000
+                    // (CAST(ma.n AS HUGEINT) * mb.n) AS BIGINT) AS cos2_ppm
+        FROM pairs
+        JOIN marg ma ON ma.l_partkey = part_a
+        JOIN marg mb ON mb.l_partkey = part_b
+    )
+    SELECT part_a, part_b, n_co, n_a, n_b, cos2_ppm, nn_rank FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY part_a ORDER BY cos2_ppm DESC, n_co DESC, part_b
+        ) AS nn_rank
+        FROM scored
+    ) WHERE nn_rank <= 3
+    ORDER BY part_a, nn_rank
+    """

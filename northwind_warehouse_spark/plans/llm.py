@@ -7634,3 +7634,156 @@ def oracle_knn_label_purity() -> str:
     GROUP BY query_id, eq.label
     ORDER BY query_id
     """
+
+
+def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-occupancy profile: cells bucketed into log2 size bands
+    with cell counts, vector counts, min/max cell size, and each band's
+    share of the corpus — the coarse-quantizer health metric that
+    validates the occupancy-targeting policy (n_centroids =
+    max(8, ceil(n / _KNN_TARGET_CELL)) pins MEAN occupancy, this query
+    shows the DISTRIBUTION around it; a heavy top band means hot cells
+    and unbalanced ANN probes). The lsh_bucket_occupancy twin for the
+    IVF family — measured UNCAPPED on purpose: it audits the skew the
+    kNN-graph sample-to-cap policy then bounds.
+
+    Scale shape: n is one parquet metadata count (oracle-mirrored as a
+    scalar subquery); assignment is map-only (broadcast centroid
+    array); one cell-grain rollup, then band arithmetic over ≤ ~40
+    rows."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()  # parquet metadata count — one cheap job
+    n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
+    sizes = (
+        sim.ivf_assign(e, n_centroids=n_cents)
+        .groupBy("cell_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+    )
+    hdr = (
+        sizes.withColumn("sz_band", F.expr("CAST(length(bin(sz)) - 1 AS INT)"))
+        .groupBy("sz_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.sum("sz").cast("bigint").alias("n_vectors"),
+            F.min("sz").cast("bigint").alias("min_sz"),
+            F.max("sz").cast("bigint").alias("max_sz"),
+        )
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        hdr.withColumn("_tot", F.sum("n_vectors").over(w_all))
+        .select(
+            "sz_band", "n_cells", "n_vectors", "min_sz", "max_sz",
+            F.expr("CAST(CAST(n_vectors AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)")
+            .alias("vec_share_ppm"),
+        )
+        .orderBy("sz_band")
+    )
+
+
+def oracle_ivf_cell_occupancy() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM el
+    ),
+    n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+    ),
+    cdot AS (
+        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
+        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {_KNN_NCENTS_SQL}
+        GROUP BY a.vec_id, c.vec_id
+    ),
+    ccos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
+        FROM cdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN n2 nc ON nc.vec_id = d.cent_id
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+            FROM ccos
+        ) WHERE rk = 1
+    ),
+    sizes AS (
+        SELECT cell_id, count(*) AS sz FROM assign GROUP BY cell_id
+    ),
+    hdr AS (
+        SELECT CAST(length(bin(sz)) - 1 AS INT) AS sz_band,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(sum(sz) AS BIGINT) AS n_vectors,
+               CAST(min(sz) AS BIGINT) AS min_sz,
+               CAST(max(sz) AS BIGINT) AS max_sz
+        FROM sizes GROUP BY 1
+    )
+    SELECT sz_band, n_cells, n_vectors, min_sz, max_sz,
+           CAST(CAST(n_vectors AS HUGEINT) * 1000000
+                // CAST(sum(n_vectors) OVER () AS BIGINT) AS BIGINT) AS vec_share_ppm
+    FROM hdr ORDER BY sz_band
+    """
+
+
+def simhash_bit_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash bit-balance audit: per fingerprint bit, the fraction of
+    documents with that bit SET (exact ppm) and its signed deviation
+    from the ideal 50% — skewed bits carry less than one bit of
+    discriminating power, so a heavy deviation means the hash family is
+    wasting fingerprint width and hamming thresholds are miscalibrated.
+    The fingerprint-quality complement to dedup_simhash (which emits
+    the fingerprints) and simhash_hamming_pairs (which consumes them).
+
+    Scale shape: fingerprints are the map-only 32-bit fold; the bit
+    explode is ×32 on ONE BIGINT column (not the text), and the rollup
+    is 32 groups, map-side combined."""
+    d = load(spark, sf_dir, "documents")
+    fp = sim.simhash32(d)
+    bits = fp.select(
+        "simhash", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("bit")
+    ).select(
+        F.col("bit").cast("bigint").alias("bit"),
+        F.expr("CAST(shiftright(simhash, CAST(bit AS INT)) & 1 AS BIGINT)").alias("isset"),
+    )
+    return (
+        bits.groupBy("bit")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("isset").cast("bigint").alias("n_set"),
+        )
+        .withColumn(
+            "set_ppm",
+            F.expr("CAST(CAST(n_set AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"),
+        )
+        .withColumn("dev_ppm", F.expr("CAST(set_ppm - 500000 AS BIGINT)"))
+        .select("bit", "n_docs", "n_set", "set_ppm", "dev_ppm")
+        .orderBy("bit")
+    )
+
+
+def oracle_simhash_bit_balance() -> str:
+    fp = oracle_dedup_simhash()
+    return f"""
+    WITH fp AS ({fp}),
+    bits AS (
+        SELECT t.bit, CAST((simhash >> CAST(t.bit AS INT)) & 1 AS BIGINT) AS isset
+        FROM fp CROSS JOIN (SELECT CAST(range AS BIGINT) AS bit FROM range(32)) t
+    ),
+    agg AS (
+        SELECT bit,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(isset) AS BIGINT) AS n_set
+        FROM bits GROUP BY bit
+    )
+    SELECT bit, n_docs, n_set,
+           CAST(CAST(n_set AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS set_ppm,
+           CAST(CAST(n_set AS HUGEINT) * 1000000 // n_docs - 500000 AS BIGINT) AS dev_ppm
+    FROM agg ORDER BY bit
+    """

@@ -2334,3 +2334,68 @@ def oracle_dim_customer_minidim() -> str:
            c_mktsegment AS mktsegment, balance_band, n_customers
     FROM agg ORDER BY mktsegment, balance_band
     """
+
+
+def scd2_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 re-grain compaction: collapse ADJACENT versions that agree
+    on the retained attribute (event_type) into single validity spans —
+    the maintenance job run when the business decides an attribute
+    (here: value) was over-tracked and the dimension should be
+    compacted to the coarser change grain. Classic gaps-and-islands:
+    a change flag per version, a running sum to number spans, one
+    span-grain rollup keeping the merged validity range.
+
+    Scale shape: shares the dimension's own hash(user_id) partitioning
+    — the lag window, the running sum, and the span rollup are all
+    per-key (bounded partitions), one exchange total on top of the
+    SCD2 build."""
+    from pyspark.sql.window import Window
+
+    d = scd2_users(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("version_no")
+    flagged = d.withColumn(
+        "_chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            1,
+        ).otherwise(0),
+    )
+    spans = flagged.withColumn("span_no", F.sum("_chg").over(w).cast("bigint"))
+    return (
+        spans.groupBy("user_id", "span_no")
+        .agg(
+            F.min("event_type").alias("event_type"),
+            F.count(F.lit(1)).cast("bigint").alias("n_versions"),
+            F.min("effective_date").alias("effective_date"),
+            F.max("expiry_date").alias("expiry_date"),
+            F.max("is_active").alias("is_active"),
+        )
+        .orderBy("user_id", "span_no")
+    )
+
+
+def oracle_scd2_compaction() -> str:
+    inner = oracle_scd2_users()
+    return f"""
+    WITH scd2 AS ({inner}),
+    fl AS (
+        SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+                         OR lag(event_type) OVER w <> event_type
+                       THEN 1 ELSE 0 END AS _chg
+        FROM scd2
+        WINDOW w AS (PARTITION BY user_id ORDER BY version_no)
+    ),
+    sp AS (
+        SELECT *, CAST(sum(_chg) OVER (PARTITION BY user_id ORDER BY version_no) AS BIGINT) AS span_no
+        FROM fl
+    )
+    SELECT user_id, span_no,
+           min(event_type) AS event_type,
+           CAST(count(*) AS BIGINT) AS n_versions,
+           min(effective_date) AS effective_date,
+           max(expiry_date) AS expiry_date,
+           max(is_active) AS is_active
+    FROM sp GROUP BY user_id, span_no
+    ORDER BY user_id, span_no
+    """

@@ -262,6 +262,12 @@ def main() -> None:
         "knn_label_purity": llm.knn_label_purity,
         "quarter_end_loading": analytics.quarter_end_loading,
         "sole_source_parts": analytics.sole_source_parts,
+        "orders_dow_seasonality": analytics.orders_dow_seasonality,
+        "supplier_risk_screen": analytics.supplier_risk_screen,
+        "part_cooccurrence_topk": analytics.part_cooccurrence_topk,
+        "scd2_compaction": medallion.scd2_compaction,
+        "ivf_cell_occupancy": llm.ivf_cell_occupancy,
+        "simhash_bit_balance": llm.simhash_bit_balance,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
