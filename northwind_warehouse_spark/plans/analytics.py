@@ -7378,3 +7378,167 @@ def oracle_part_cooccurrence_topk() -> str:
     ) WHERE nn_rank <= 3
     ORDER BY part_a, nn_rank
     """
+
+
+def order_status_drift_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical-drift monitor on o_orderstatus: each month's status
+    mix (exact ppm) against the all-time mix, with the signed per-cell
+    deviation — the DQ alarm for upstream state-machine changes (a
+    month where 'P' share jumps means fulfilment stalled or the feed
+    started emitting a new lifecycle). Same TV-distance family as
+    source_vocab_tv_distance, applied to a warehouse status column.
+
+    Scale shape: one (month, status) map-side-combined rollup off the
+    scan; shares are windows over the ≤ |months|·|statuses| aggregate,
+    never over base rows."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint").alias("ym"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    agg = o.groupBy("ym", "status").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w_m = Window.partitionBy("ym")
+    w_s = Window.partitionBy("status")
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        agg.withColumn("_tot_m", F.sum("n").over(w_m))
+        .withColumn("_tot_s", F.sum("n").over(w_s))
+        .withColumn("_tot", F.sum("n").over(w_all))
+        .select(
+            "ym", "status", "n",
+            F.expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div _tot_m AS BIGINT)")
+            .alias("share_ppm"),
+            F.expr("CAST(CAST(_tot_s AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)")
+            .alias("global_share_ppm"),
+            F.expr(
+                "CAST(CAST(n AS DECIMAL(38,0)) * 1000000 div _tot_m"
+                " - CAST(_tot_s AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("ym", "status")
+    )
+
+
+def oracle_order_status_drift_monthly() -> str:
+    return """
+    WITH o AS (
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+               o_orderstatus AS status
+        FROM orders
+    ), agg AS (
+        SELECT ym, status, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY ym, status
+    )
+    SELECT ym, status, n,
+           CAST(CAST(n AS HUGEINT) * 1000000
+                // CAST(sum(n) OVER (PARTITION BY ym) AS BIGINT) AS BIGINT) AS share_ppm,
+           CAST(CAST(sum(n) OVER (PARTITION BY status) AS HUGEINT) * 1000000
+                // CAST(sum(n) OVER () AS BIGINT) AS BIGINT) AS global_share_ppm,
+           CAST(CAST(n AS HUGEINT) * 1000000
+                // CAST(sum(n) OVER (PARTITION BY ym) AS BIGINT)
+                - CAST(sum(n) OVER (PARTITION BY status) AS HUGEINT) * 1000000
+                // CAST(sum(n) OVER () AS BIGINT) AS BIGINT) AS dev_ppm
+    FROM agg ORDER BY ym, status
+    """
+
+
+def acctbal_spend_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balance-vs-behavior segmentation: per nation, customers placed in
+    quadrants by account balance and observed spend relative to the
+    NATION MEAN (integer cross-multiplication — acctbal·n > Σacctbal —
+    so no division crosses the oracle), with each quadrant's customer
+    count and exact-ppm share of nation revenue. The finance-meets-
+    behavior view (e.g. 'low balance, high spend' = credit risk).
+
+    Scale shape: customer-grain spend rollup (map-side combined), a
+    bounded nation join (hard broadcast — 25 rows), nation totals as a
+    ≤|nations| aggregate joined back through the size gate; no
+    unbounded windows."""
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey",
+        (dec2("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+    )
+    sp = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum((dec2("o_totalprice") * 100).cast("bigint")).cast("bigint")
+            .alias("spend_cents")
+        )
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pc = (
+        c.join(sp, c.c_custkey == sp.o_custkey, "left")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            "n_name", "bal_cents",
+            F.coalesce(F.col("spend_cents"), F.lit(0)).cast("bigint").alias("spend_cents"),
+        )
+    )
+    nat = pc.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("bal_cents").cast("bigint").alias("tot_bal"),
+        F.sum("spend_cents").cast("bigint").alias("tot_spend"),
+    )
+    q = (
+        pc.join(maybe_broadcast(nat), "n_name")
+        .withColumn(
+            "quadrant",
+            F.expr(
+                "concat(CASE WHEN CAST(bal_cents AS DECIMAL(38,0)) * n_cust > tot_bal"
+                " THEN 'HB' ELSE 'LB' END, '-',"
+                " CASE WHEN CAST(spend_cents AS DECIMAL(38,0)) * n_cust > tot_spend"
+                " THEN 'HS' ELSE 'LS' END)"
+            ),
+        )
+    )
+    return (
+        q.groupBy("n_name", "quadrant")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum("spend_cents").cast("bigint").alias("spend_cents"),
+            F.min("tot_spend").alias("_ts"),
+        )
+        .select(
+            "n_name", "quadrant", "n_customers", "spend_cents",
+            F.expr("CAST(CAST(spend_cents AS DECIMAL(38,0)) * 1000000 div _ts AS BIGINT)")
+            .alias("spend_share_ppm"),
+        )
+        .orderBy("n_name", "quadrant")
+    )
+
+
+def oracle_acctbal_spend_quadrants() -> str:
+    return """
+    WITH sp AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS spend_cents
+        FROM orders GROUP BY o_custkey
+    ), pc AS (
+        SELECT n_name,
+               CAST(cast(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS bal_cents,
+               CAST(coalesce(spend_cents, 0) AS BIGINT) AS spend_cents
+        FROM customer
+        LEFT JOIN sp ON o_custkey = c_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+    ), nat AS (
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(bal_cents) AS BIGINT) AS tot_bal,
+               CAST(sum(spend_cents) AS BIGINT) AS tot_spend
+        FROM pc GROUP BY n_name
+    ), q AS (
+        SELECT pc.n_name, pc.spend_cents, nat.tot_spend,
+               concat(CASE WHEN CAST(bal_cents AS HUGEINT) * n_cust > tot_bal
+                           THEN 'HB' ELSE 'LB' END, '-',
+                      CASE WHEN CAST(pc.spend_cents AS HUGEINT) * n_cust > tot_spend
+                           THEN 'HS' ELSE 'LS' END) AS quadrant
+        FROM pc JOIN nat USING (n_name)
+    )
+    SELECT n_name, quadrant,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(spend_cents) AS BIGINT) AS spend_cents,
+           CAST(CAST(sum(spend_cents) AS HUGEINT) * 1000000 // min(tot_spend) AS BIGINT) AS spend_share_ppm
+    FROM q GROUP BY n_name, quadrant
+    ORDER BY n_name, quadrant
+    """

@@ -7787,3 +7787,179 @@ def oracle_simhash_bit_balance() -> str:
            CAST(CAST(n_set AS HUGEINT) * 1000000 // n_docs - 500000 AS BIGINT) AS dev_ppm
     FROM agg ORDER BY bit
     """
+
+
+def pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook-utilization audit: per subspace, how the corpus
+    distributes over the codewords (count + exact-ppm share per
+    (subspace, code)) — dead or starved codewords mean the codebook
+    wastes index bits and ADC distances lose resolution; the
+    quantizer-health twin of ivf_cell_occupancy for the compressed
+    index. Reads the REAL encode path (operators/similarity.py::
+    pq_codebook → pq_encode), so a trained codebook changes this
+    table, not the plan.
+
+    Scale shape: encode is map-only (one-row broadcast codebook); the
+    rollup is PQ_M×PQ_NC ≤ 32 groups, map-side combined; shares are
+    windows over the 32-row aggregate."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "embeddings")
+    cb = sim.pq_codebook(e)
+    enc = sim.pq_encode(e, cb)
+    codes = enc.select(F.posexplode("codes").alias("s", "code"))
+    agg = codes.groupBy(
+        F.col("s").cast("bigint").alias("s"), F.col("code").cast("bigint").alias("code")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_vectors"))
+    w_s = Window.partitionBy("s")
+    return (
+        agg.withColumn("_tot", F.sum("n_vectors").over(w_s))
+        .select(
+            "s", "code", "n_vectors",
+            F.expr("CAST(CAST(n_vectors AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)")
+            .alias("share_ppm"),
+        )
+        .orderBy("s", "code")
+    )
+
+
+def oracle_pq_code_utilization() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ), cw AS (
+        SELECT vec_id, rn - 1 AS j FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY CAST(('0x' || substr(md5('pq|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                         vec_id) AS rn
+            FROM embeddings)
+        WHERE rn <= {sim.PQ_NC}
+    ), cwel AS (
+        SELECT cw.j, el.i, el.xq FROM cw JOIN el USING (vec_id)
+    ), subd AS (
+        SELECT a.vec_id, (a.i - 1) // {sim.PQ_SUB} AS s, c.j,
+               CAST(sum((a.xq - c.xq) * (a.xq - c.xq)) AS BIGINT) AS d
+        FROM el a JOIN cwel c ON a.i = c.i
+        GROUP BY a.vec_id, (a.i - 1) // {sim.PQ_SUB}, c.j
+    ), codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM subd)
+        WHERE rn = 1
+    ), agg AS (
+        SELECT CAST(s AS BIGINT) AS s, CAST(code AS BIGINT) AS code,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM codes GROUP BY 1, 2
+    )
+    SELECT s, code, n_vectors,
+           CAST(CAST(n_vectors AS HUGEINT) * 1000000
+                // CAST(sum(n_vectors) OVER (PARTITION BY s) AS BIGINT) AS BIGINT) AS share_ppm
+    FROM agg ORDER BY s, code
+    """
+
+
+_COS_HIST_SAMPLE = 64  # deterministic md5-lottery sample → 2016 pairs
+_COS_HIST_BANDS = 20   # band = floor(cosine · 20): 0.05-wide bands
+
+
+def embedding_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus isotropy profile: the distribution of pairwise cosines
+    over a deterministic md5-lottery sample of vectors, banded at 0.05
+    (band = floor(cos·20)) with exact-ppm shares — the anisotropy/
+    hubness sanity check run before trusting cosine thresholds for
+    semantic dedup or ANN recall targets (a mass pile-up near band 19
+    means a collapsed embedding space where every threshold is
+    meaningless). Cosines are IEEE-identical cross-engine (exact int64
+    dot/norms → one sqrt + divide).
+
+    Scale shape: the sample is a TakeOrdered over the lottery column
+    (never a full sort materialized); pair fan-out is sample², a
+    constant (2016 pairs); the band rollup is ≤ 41 groups."""
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q, norm2_q
+
+    e = load(spark, sf_dir, "embeddings")
+    base = e.select(
+        "vec_id", "embedding", norm2_q("embedding").alias("n2"),
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("cos|"), F.col("vec_id").cast("string"))), 1, 8),
+            16, 10,
+        ).cast("long").alias("lot"),
+    )
+    samp = base.orderBy("lot", "vec_id").limit(_COS_HIST_SAMPLE)
+    a = samp.select(
+        F.col("vec_id").alias("ida"), F.col("embedding").alias("va"), F.col("n2").alias("na2")
+    )
+    b = samp.select(
+        F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"), F.col("n2").alias("nb2")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("ida") < F.col("idb"))
+        .select(dot_q("va", "vb").alias("dot"), "na2", "nb2")
+        .withColumn("cosine", cosine_from_parts("dot", "na2", "nb2"))
+        .select(F.expr(f"CAST(floor(cosine * {_COS_HIST_BANDS}) AS INT)").alias("band"))
+    )
+    agg = pairs.groupBy("band").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        agg.withColumn("_tot", F.sum("n_pairs").over(w_all))
+        .select(
+            "band", "n_pairs",
+            F.expr("CAST(CAST(n_pairs AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)")
+            .alias("share_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+def oracle_embedding_cosine_histogram() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM el
+    ),
+    n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+    ),
+    samp AS (
+        SELECT vec_id FROM embeddings
+        QUALIFY row_number() OVER (
+            ORDER BY CAST(('0x' || substr(md5('cos|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                     vec_id
+        ) <= {_COS_HIST_SAMPLE}
+    ),
+    pairs AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb
+        FROM samp a JOIN samp b ON a.vec_id < b.vec_id
+    ),
+    dots AS (
+        SELECT p.ida, p.idb, CAST(sum(qa.xq * qb.xq) AS BIGINT) AS dot
+        FROM pairs p
+        JOIN q qa ON qa.vec_id = p.ida
+        JOIN q qb ON qb.vec_id = p.idb AND qb.i = qa.i
+        GROUP BY p.ida, p.idb
+    ),
+    banded AS (
+        SELECT CAST(floor(CAST(dot AS DOUBLE)
+                          / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE))
+                          * {_COS_HIST_BANDS}) AS INT) AS band
+        FROM dots
+        JOIN n2 na ON na.vec_id = ida
+        JOIN n2 nb ON nb.vec_id = idb
+    ),
+    agg AS (
+        SELECT band, CAST(count(*) AS BIGINT) AS n_pairs FROM banded GROUP BY band
+    )
+    SELECT band, n_pairs,
+           CAST(CAST(n_pairs AS HUGEINT) * 1000000
+                // CAST(sum(n_pairs) OVER () AS BIGINT) AS BIGINT) AS share_ppm
+    FROM agg ORDER BY band
+    """

@@ -2399,3 +2399,50 @@ def oracle_scd2_compaction() -> str:
     FROM sp GROUP BY user_id, span_no
     ORDER BY user_id, span_no
     """
+
+
+def dim_date_month_shrunken(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball SHRUNKEN dimension: the month-grain rollup of dim_date
+    (month_key, calendar attributes, day/weekend counts, month span)
+    for facts declared at monthly grain (fact_inventory_monthly) —
+    conformed BY CONSTRUCTION because it aggregates the same spine
+    dim_date projects, never a second calendar source.
+
+    Scale shape: the spine is generated, bounded (~3k rows), map-only;
+    one ≤|months| rollup."""
+    spine = spark.sql(
+        f"SELECT explode(sequence(to_date('{DATE_START}'), to_date('{DATE_END}'), interval 1 day)) AS full_date"
+    )
+    return (
+        spine.groupBy(
+            (F.year("full_date") * 100 + F.month("full_date")).cast("int").alias("month_key")
+        )
+        .agg(
+            F.min(F.year("full_date")).cast("int").alias("year"),
+            F.min(F.quarter("full_date")).cast("int").alias("quarter"),
+            F.min(F.month("full_date")).cast("int").alias("month"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.sum((F.weekday("full_date") >= 5).cast("bigint")).cast("bigint")
+            .alias("n_weekend_days"),
+            F.min("full_date").alias("first_date"),
+            F.max("full_date").alias("last_date"),
+        )
+        .orderBy("month_key")
+    )
+
+
+def oracle_dim_date_month_shrunken() -> str:
+    return f"""
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '{DATE_START}', DATE '{DATE_END}', INTERVAL 1 DAY))::DATE AS full_date
+    )
+    SELECT CAST(year(full_date)*100 + month(full_date) AS INT) AS month_key,
+           CAST(min(year(full_date)) AS INT) AS year,
+           CAST(min(quarter(full_date)) AS INT) AS quarter,
+           CAST(min(month(full_date)) AS INT) AS month,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(CASE WHEN isodow(full_date) >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_weekend_days,
+           min(full_date) AS first_date,
+           max(full_date) AS last_date
+    FROM spine GROUP BY 1 ORDER BY month_key
+    """

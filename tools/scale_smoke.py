@@ -268,6 +268,11 @@ def main() -> None:
         "scd2_compaction": medallion.scd2_compaction,
         "ivf_cell_occupancy": llm.ivf_cell_occupancy,
         "simhash_bit_balance": llm.simhash_bit_balance,
+        "dim_date_month_shrunken": medallion.dim_date_month_shrunken,
+        "order_status_drift_monthly": analytics.order_status_drift_monthly,
+        "acctbal_spend_quadrants": analytics.acctbal_spend_quadrants,
+        "pq_code_utilization": llm.pq_code_utilization,
+        "embedding_cosine_histogram": llm.embedding_cosine_histogram,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
