@@ -7542,3 +7542,226 @@ def oracle_acctbal_spend_quadrants() -> str:
     FROM q GROUP BY n_name, quadrant
     ORDER BY n_name, quadrant
     """
+
+
+def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-border trade balance per nation: discounted revenue
+    flowing OUT (as the supplier's nation) and IN (as the customer's
+    nation) across nation borders, with the signed net — the
+    macro-level rollup q7's filtered nation-pair drilldown belongs to.
+    Domestic flows (same nation both sides) are excluded on both
+    engines.
+
+    Scale shape: one fact pass through size-gated customer/supplier
+    joins and the bounded nation dim; the union fans each flow row to
+    its two nation roles BEFORE the ≤|nations| rollup (map-side
+    combined); exact decimal sums floored to cents once per nation."""
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", disc_price().alias("dp"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    flows = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select("c_nationkey", "s_nationkey", "dp")
+    )
+    sides = flows.select(
+        F.col("s_nationkey").alias("nationkey"), F.col("dp").alias("exp_dp"),
+        F.lit(None).cast("decimal(18,4)").alias("imp_dp"),
+    ).unionByName(
+        flows.select(
+            F.col("c_nationkey").alias("nationkey"),
+            F.lit(None).cast("decimal(18,4)").alias("exp_dp"),
+            F.col("dp").alias("imp_dp"),
+        )
+    )
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sides.groupBy("nationkey")
+        .agg(
+            F.expr("CAST(floor(coalesce(sum(exp_dp), 0) * 100) AS BIGINT)").alias("export_cents"),
+            F.expr("CAST(floor(coalesce(sum(imp_dp), 0) * 100) AS BIGINT)").alias("import_cents"),
+        )
+        .join(F.broadcast(n), F.col("nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name", "export_cents", "import_cents",
+            F.expr("CAST(export_cents - import_cents AS BIGINT)").alias("net_cents"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def oracle_nation_trade_balance() -> str:
+    return f"""
+    WITH flows AS (
+        SELECT c_nationkey, s_nationkey, {o_disc_price()} AS dp
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey
+    ), sides AS (
+        SELECT s_nationkey AS nationkey, dp AS exp_dp, NULL AS imp_dp FROM flows
+        UNION ALL
+        SELECT c_nationkey AS nationkey, NULL AS exp_dp, dp AS imp_dp FROM flows
+    ), agg AS (
+        SELECT nationkey,
+               CAST(floor(coalesce(sum(exp_dp), 0) * 100) AS BIGINT) AS export_cents,
+               CAST(floor(coalesce(sum(imp_dp), 0) * 100) AS BIGINT) AS import_cents
+        FROM sides GROUP BY nationkey
+    )
+    SELECT n_name, export_cents, import_cents,
+           CAST(export_cents - import_cents AS BIGINT) AS net_cents
+    FROM agg JOIN nation ON nationkey = n_nationkey
+    ORDER BY n_name
+    """
+
+
+def spend_tier_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year spend-tier migration matrix: each active customer
+    is tiered High/Low against THAT YEAR'S mean spend (integer
+    cross-multiplication — spend·n_active > Σspend — so no division
+    crosses the oracle), then consecutive years are joined per customer
+    to count H→H / H→L / L→H / L→L persistence plus churn-outs (tier_to
+    'X' when the customer is absent the next year). The customer-equity
+    counterpart of retention_cohorts' count-based matrix.
+
+    Scale shape: one (customer, year) rollup off the orders scan;
+    year totals are a ≤|years| aggregate joined back through the size
+    gate; the migration join is customer-keyed equi (year+1), map-side
+    combined rollup to the 4×|years| matrix."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cy = o.groupBy("o_custkey", "yr").agg(F.sum("cents").cast("bigint").alias("spend"))
+    ytot = cy.groupBy("yr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum("spend").cast("bigint").alias("tot_spend"),
+    )
+    tiers = cy.join(maybe_broadcast(ytot), "yr").select(
+        "o_custkey", "yr",
+        F.expr(
+            "CASE WHEN CAST(spend AS DECIMAL(38,0)) * n_active > tot_spend THEN 'H' ELSE 'L' END"
+        ).alias("tier"),
+    )
+    nxt = tiers.select(
+        F.col("o_custkey").alias("ck"), (F.col("yr") - 1).alias("yr_from"),
+        F.col("tier").alias("tier_to"),
+    )
+    moves = (
+        tiers.join(nxt, (tiers.o_custkey == nxt.ck) & (tiers.yr == nxt.yr_from), "left")
+        .select(
+            F.col("yr").alias("year_from"),
+            F.col("tier").alias("tier_from"),
+            F.coalesce(F.col("tier_to"), F.lit("X")).alias("tier_to"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("year_from", "tier_from")
+    return (
+        moves.groupBy("year_from", "tier_from", "tier_to")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .withColumn("_tot", F.sum("n_customers").over(w))
+        .select(
+            "year_from", "tier_from", "tier_to", "n_customers",
+            F.expr("CAST(CAST(n_customers AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)")
+            .alias("share_ppm"),
+        )
+        .orderBy("year_from", "tier_from", "tier_to")
+    )
+
+
+def oracle_spend_tier_migration() -> str:
+    return """
+    WITH cy AS (
+        SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS spend
+        FROM orders GROUP BY o_custkey, 2
+    ), ytot AS (
+        SELECT yr, CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(spend) AS BIGINT) AS tot_spend
+        FROM cy GROUP BY yr
+    ), tiers AS (
+        SELECT o_custkey, cy.yr,
+               CASE WHEN CAST(spend AS HUGEINT) * n_active > tot_spend THEN 'H' ELSE 'L' END AS tier
+        FROM cy JOIN ytot ON ytot.yr = cy.yr
+    ), moves AS (
+        SELECT a.yr AS year_from, a.tier AS tier_from,
+               coalesce(b.tier, 'X') AS tier_to
+        FROM tiers a
+        LEFT JOIN tiers b ON b.o_custkey = a.o_custkey AND b.yr = a.yr + 1
+    ), agg AS (
+        SELECT year_from, tier_from, tier_to, CAST(count(*) AS BIGINT) AS n_customers
+        FROM moves GROUP BY 1, 2, 3
+    )
+    SELECT year_from, tier_from, tier_to, n_customers,
+           CAST(CAST(n_customers AS HUGEINT) * 1000000
+                // CAST(sum(n_customers) OVER (PARTITION BY year_from, tier_from) AS BIGINT) AS BIGINT) AS share_ppm
+    FROM agg ORDER BY year_from, tier_from, tier_to
+    """
+
+
+def retail_price_realization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-realization audit per brand: the exact-ppm ratio of sold
+    value (Σ extendedprice) to list value (Σ quantity·retailprice),
+    plus the count of lines sold ABOVE list — the merchandising view of
+    how much of the catalog price the market actually pays (realization
+    < 1e6 means systematic discounting off list; above-list lines mean
+    stale catalog prices).
+
+    Scale shape: the fact aggregates to brand grain after a size-gated
+    part join (two columns read from part); both money sums are exact
+    decimals floored to cents once per brand."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+        dec2("l_extendedprice").alias("ext"),
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", dec2("p_retailprice").alias("rp"))
+    j = l.join(maybe_broadcast(p), l.l_partkey == p.p_partkey).select(
+        "p_brand", "qty", "ext",
+        F.expr("CAST(qty AS DECIMAL(18,0)) * rp").alias("list_val"),
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.expr("CAST(floor(sum(ext) * 100) AS BIGINT)").alias("sold_cents"),
+            F.expr("CAST(floor(sum(list_val) * 100) AS BIGINT)").alias("list_cents"),
+            F.sum(F.when(F.col("ext") > F.col("list_val"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_above_list"),
+        )
+        .withColumn(
+            "realization_ppm",
+            F.expr("CAST(CAST(sold_cents AS DECIMAL(38,0)) * 1000000 div list_cents AS BIGINT)"),
+        )
+        .select("p_brand", "n_lines", "sold_cents", "list_cents", "n_above_list", "realization_ppm")
+        .orderBy("p_brand")
+    )
+
+
+def oracle_retail_price_realization() -> str:
+    return """
+    WITH j AS (
+        SELECT p_brand,
+               CAST(floor(l_quantity) AS BIGINT) AS qty,
+               cast(l_extendedprice AS DECIMAL(12,2)) AS ext,
+               CAST(CAST(floor(l_quantity) AS DECIMAL(18,0))
+                    * cast(p_retailprice AS DECIMAL(12,2)) AS DECIMAL(32,2)) AS list_val
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(floor(sum(ext) * 100) AS BIGINT) AS sold_cents,
+           CAST(floor(sum(list_val) * 100) AS BIGINT) AS list_cents,
+           CAST(sum(CASE WHEN ext > list_val THEN 1 ELSE 0 END) AS BIGINT) AS n_above_list,
+           CAST(CAST(CAST(floor(sum(ext) * 100) AS BIGINT) AS HUGEINT) * 1000000
+                // CAST(floor(sum(list_val) * 100) AS BIGINT) AS BIGINT) AS realization_ppm
+    FROM j GROUP BY p_brand ORDER BY p_brand
+    """

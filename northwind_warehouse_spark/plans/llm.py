@@ -7963,3 +7963,147 @@ def oracle_embedding_cosine_histogram() -> str:
                 // CAST(sum(n_pairs) OVER () AS BIGINT) AS BIGINT) AS share_ppm
     FROM agg ORDER BY band
     """
+
+
+def charset_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition per source: alpha / digit / space /
+    other shares of all characters in exact ppm — the curation screen
+    that separates prose corpora from tables, code dumps and
+    number-heavy spam BEFORE tokenization (a source with digit share
+    over ~10% is rarely natural language). Counts via length deltas of
+    class-stripped text — map-only, no per-char explode.
+
+    Scale shape: four regexp_replace projections per row (JVM
+    codegen), one ≤|sources| rollup; ppm division on the aggregate."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[A-Za-z]", "")))
+        .cast("bigint").alias("n_alpha"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+        .cast("bigint").alias("n_digit"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
+        .cast("bigint").alias("n_space"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_alpha").cast("bigint").alias("n_alpha"),
+            F.sum("n_digit").cast("bigint").alias("n_digit"),
+            F.sum("n_space").cast("bigint").alias("n_space"),
+        )
+        .select(
+            "source", "n_docs", "n_chars",
+            F.expr("CAST(CAST(n_alpha AS DECIMAL(38,0)) * 1000000 div n_chars AS BIGINT)")
+            .alias("alpha_ppm"),
+            F.expr("CAST(CAST(n_digit AS DECIMAL(38,0)) * 1000000 div n_chars AS BIGINT)")
+            .alias("digit_ppm"),
+            F.expr("CAST(CAST(n_space AS DECIMAL(38,0)) * 1000000 div n_chars AS BIGINT)")
+            .alias("space_ppm"),
+            F.expr(
+                "CAST(1000000 - CAST(n_alpha AS DECIMAL(38,0)) * 1000000 div n_chars"
+                " - CAST(n_digit AS DECIMAL(38,0)) * 1000000 div n_chars"
+                " - CAST(n_space AS DECIMAL(38,0)) * 1000000 div n_chars AS BIGINT)"
+            ).alias("other_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_charset_profile_by_source() -> str:
+    return """
+    WITH per_doc AS (
+        SELECT source,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+               CAST(length(text) - length(regexp_replace(text, ' ', '', 'g')) AS BIGINT) AS n_space
+        FROM documents
+    ), agg AS (
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(n_alpha) AS BIGINT) AS n_alpha,
+               CAST(sum(n_digit) AS BIGINT) AS n_digit,
+               CAST(sum(n_space) AS BIGINT) AS n_space
+        FROM per_doc GROUP BY source
+    )
+    SELECT source, n_docs, n_chars,
+           CAST(CAST(n_alpha AS HUGEINT) * 1000000 // n_chars AS BIGINT) AS alpha_ppm,
+           CAST(CAST(n_digit AS HUGEINT) * 1000000 // n_chars AS BIGINT) AS digit_ppm,
+           CAST(CAST(n_space AS HUGEINT) * 1000000 // n_chars AS BIGINT) AS space_ppm,
+           CAST(1000000 - CAST(n_alpha AS HUGEINT) * 1000000 // n_chars
+                - CAST(n_digit AS HUGEINT) * 1000000 // n_chars
+                - CAST(n_space AS HUGEINT) * 1000000 // n_chars AS BIGINT) AS other_ppm
+    FROM agg ORDER BY source
+    """
+
+
+_FP_WIDTHS = (16, 24, 32)  # hash-prefix widths (bits) under audit
+
+
+def fingerprint_collision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-width risk audit: for each candidate fingerprint width
+    (16/24/32 bits of the document md5), the distinct-prefix count and
+    the share of documents involved in a collision — the birthday-bound
+    measurement that tells you how wide dedup fingerprints and shingle
+    hashes must be BEFORE a corpus-scale run (a width fine at 60k docs
+    saturates at 6B; this query is how the width knob is justified,
+    e.g. simhash_fp's 32-vs-60-bit guidance).
+
+    Scale shape: one md5 projection, a ×|widths| explode of ONE short
+    string column, a (width, prefix) map-side-combined rollup, then a
+    ≤|widths| aggregate."""
+    d = load(spark, sf_dir, "documents")
+    widths = F.array(*[F.lit(w) for w in _FP_WIDTHS])
+    prefixed = (
+        d.select(F.md5("text").alias("h"))
+        .select(F.explode(widths).alias("width_bits"), "h")
+        .select(
+            F.col("width_bits").cast("bigint").alias("width_bits"),
+            F.expr("substring(h, 1, CAST(width_bits div 4 AS INT))").alias("pfx"),
+        )
+    )
+    buckets = prefixed.groupBy("width_bits", "pfx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return (
+        buckets.groupBy("width_bits")
+        .agg(
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_prefixes"),
+            F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0))
+            .cast("bigint")
+            .alias("n_docs_colliding"),
+        )
+        .withColumn(
+            "collision_ppm",
+            F.expr("CAST(CAST(n_docs_colliding AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)"),
+        )
+        .orderBy("width_bits")
+    )
+
+
+def oracle_fingerprint_collision_audit() -> str:
+    widths = ", ".join(str(w) for w in _FP_WIDTHS)
+    return f"""
+    WITH prefixed AS (
+        SELECT CAST(t.w AS BIGINT) AS width_bits,
+               substr(md5(text), 1, CAST(t.w // 4 AS INT)) AS pfx
+        FROM documents
+        CROSS JOIN (SELECT unnest([{widths}]) AS w) t
+    ), buckets AS (
+        SELECT width_bits, pfx, CAST(count(*) AS BIGINT) AS sz
+        FROM prefixed GROUP BY width_bits, pfx
+    )
+    SELECT width_bits,
+           CAST(sum(sz) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_distinct_prefixes,
+           CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS n_docs_colliding,
+           CAST(CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS HUGEINT) * 1000000
+                // CAST(sum(sz) AS BIGINT) AS BIGINT) AS collision_ppm
+    FROM buckets GROUP BY width_bits ORDER BY width_bits
+    """

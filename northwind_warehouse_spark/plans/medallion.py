@@ -2446,3 +2446,87 @@ def oracle_dim_date_month_shrunken() -> str:
            max(full_date) AS last_date
     FROM spine GROUP BY 1 ORDER BY month_key
     """
+
+
+def inferred_member_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inferred-member REPAIR: the second half of the early-arriving-
+    fact protocol — when the late dimension feed lands (the simulated
+    c_custkey % 7 == 3 slice), placeholder rows from
+    dim_customer_inferred are overwritten with real attributes
+    (member_type='repaired') and late rows never referenced by a fact
+    are plain inserts (member_type='late_insert'). The post-repair
+    dimension is emitted so the SCD-style merge semantics are the
+    deliverable, not just an action list.
+
+    Scale shape: the repair is one key-equi left join of the dim
+    against the late batch plus one anti-join for the inserts — both
+    size-gated; no windows."""
+    base = dim_customer_inferred(spark, sf_dir)
+    late = (
+        load(spark, sf_dir, "customer")
+        .filter(F.expr("c_custkey % 7 = 3"))
+        .select(
+            F.col("c_custkey").alias("lk"),
+            F.col("c_name").alias("late_name"),
+            F.col("c_mktsegment").alias("late_segment"),
+        )
+    )
+    repaired = (
+        base.join(maybe_broadcast(late), base.c_custkey == F.col("lk"), "left")
+        .select(
+            "c_custkey",
+            F.when(
+                (F.col("member_type") == "inferred") & F.col("lk").isNotNull(),
+                F.col("late_name"),
+            ).otherwise(F.col("customer_name")).alias("customer_name"),
+            F.when(
+                (F.col("member_type") == "inferred") & F.col("lk").isNotNull(),
+                F.col("late_segment"),
+            ).otherwise(F.col("segment")).alias("segment"),
+            F.when(
+                (F.col("member_type") == "inferred") & F.col("lk").isNotNull(),
+                F.lit("repaired"),
+            ).otherwise(F.col("member_type")).alias("member_type"),
+        )
+    )
+    inserts = (
+        late.join(base.select("c_custkey"), F.col("lk") == F.col("c_custkey"), "left_anti")
+        .select(
+            F.col("lk").alias("c_custkey"),
+            F.col("late_name").alias("customer_name"),
+            F.col("late_segment").alias("segment"),
+            F.lit("late_insert").alias("member_type"),
+        )
+    )
+    return repaired.unionByName(inserts).orderBy("c_custkey")
+
+
+def oracle_inferred_member_repair() -> str:
+    inner = oracle_dim_customer_inferred()
+    return f"""
+    WITH base AS ({inner}),
+    late AS (
+        SELECT c_custkey AS lk, c_name AS late_name, c_mktsegment AS late_segment
+        FROM customer WHERE c_custkey % 7 = 3
+    ),
+    repaired AS (
+        SELECT base.c_custkey,
+               CASE WHEN member_type = 'inferred' AND lk IS NOT NULL
+                    THEN late_name ELSE customer_name END AS customer_name,
+               CASE WHEN member_type = 'inferred' AND lk IS NOT NULL
+                    THEN late_segment ELSE segment END AS segment,
+               CASE WHEN member_type = 'inferred' AND lk IS NOT NULL
+                    THEN 'repaired' ELSE member_type END AS member_type
+        FROM base LEFT JOIN late ON base.c_custkey = lk
+    ),
+    inserts AS (
+        SELECT lk AS c_custkey, late_name AS customer_name,
+               late_segment AS segment, 'late_insert' AS member_type
+        FROM late
+        WHERE lk NOT IN (SELECT c_custkey FROM base)
+    )
+    SELECT * FROM repaired
+    UNION ALL
+    SELECT * FROM inserts
+    ORDER BY c_custkey
+    """

@@ -273,6 +273,12 @@ def main() -> None:
         "acctbal_spend_quadrants": analytics.acctbal_spend_quadrants,
         "pq_code_utilization": llm.pq_code_utilization,
         "embedding_cosine_histogram": llm.embedding_cosine_histogram,
+        "nation_trade_balance": analytics.nation_trade_balance,
+        "spend_tier_migration": analytics.spend_tier_migration,
+        "retail_price_realization": analytics.retail_price_realization,
+        "charset_profile_by_source": llm.charset_profile_by_source,
+        "fingerprint_collision_audit": llm.fingerprint_collision_audit,
+        "inferred_member_repair": medallion.inferred_member_repair,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
