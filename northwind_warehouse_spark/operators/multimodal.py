@@ -216,3 +216,49 @@ def model_score_documents(
     if batch_hint:
         out = out.repartition(batch_hint)
     return out.mapInPandas(run, SCORE_SCHEMA)
+
+
+SEGMENT_LEN = 256  # waveform-surrogate chars per segment
+
+AUDIO_SEGMENT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("seg_idx", LongType()),
+    StructField("n_chars", LongType()),
+    StructField("energy", LongType()),
+    StructField("seg_md5", StringType()),
+])
+
+
+def segment_audio(binary_df: DataFrame, seg_len: int = SEGMENT_LEN,
+                  id_col: str = "doc_id", blob_col: str = "content") -> DataFrame:
+    """mapInPandas audio-segmentation stage (1→N fan-out): fixed-length
+    windows over the decoded waveform with a per-segment energy feature
+    — the VAD/loudness-gate shape of an audio curation pipeline
+    (segment → featurize → filter), sharing the batch plumbing of
+    sample_frames.
+
+    Decode is STUBBED (no audio libs in this container): the 'waveform'
+    is the blob decoded as utf-8 text, segments are seg_len-char
+    windows, and 'energy' is the byte-sum of each segment's md5 digest
+    — deterministic, and restatable from scratch in SQL so even the
+    stub path is value-checked per segment. A real deployment swaps the
+    decode + energy lines for e.g. soundfile + RMS; schema, fan-out and
+    batch iteration are unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "seg_idx": [], "n_chars": [], "energy": [], "seg_md5": []}
+            for doc_id, blob in zip(pdf[id_col], pdf[blob_col]):
+                wave = bytes(blob).decode("utf-8")
+                n_segs = (len(wave) + seg_len - 1) // seg_len
+                for i in range(n_segs):
+                    seg = wave[i * seg_len:(i + 1) * seg_len]
+                    digest = hashlib.md5(seg.encode("utf-8")).digest()
+                    out["doc_id"].append(int(doc_id))
+                    out["seg_idx"].append(i)
+                    out["n_chars"].append(len(seg))
+                    out["energy"].append(sum(digest))
+                    out["seg_md5"].append(digest.hex())
+            yield pd.DataFrame(out)
+
+    return binary_df.mapInPandas(run, AUDIO_SEGMENT_SCHEMA)

@@ -7765,3 +7765,133 @@ def oracle_retail_price_realization() -> str:
                 // CAST(floor(sum(list_val) * 100) AS BIGINT) AS BIGINT) AS realization_ppm
     FROM j GROUP BY p_brand ORDER BY p_brand
     """
+
+
+def brand_repeat_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product loyalty per brand: of the (customer, part) pairs that
+    ever transacted, the exact-ppm share that purchased the SAME part
+    in two or more distinct orders — the repeat-purchase rate that
+    separates staple brands from one-shot brands (basket_affinity finds
+    what sells together; this finds what sells AGAIN).
+
+    Scale shape: one distinct (customer, part, order) projection off
+    the fact⋈orders join, a (customer, part) rollup, a size-gated part
+    join for the brand, then a ≤|brands| aggregate."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cpo = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select("o_custkey", "l_partkey", "l_orderkey")
+        .distinct()
+    )
+    cp = cpo.groupBy("o_custkey", "l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        cp.join(maybe_broadcast(p), cp.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_repeat_pairs"),
+        )
+        .withColumn(
+            "repeat_ppm",
+            F.expr("CAST(CAST(n_repeat_pairs AS DECIMAL(38,0)) * 1000000 div n_pairs AS BIGINT)"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def oracle_brand_repeat_purchase() -> str:
+    return """
+    WITH cpo AS (
+        SELECT DISTINCT o_custkey, l_partkey, l_orderkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), cp AS (
+        SELECT o_custkey, l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+        FROM cpo GROUP BY o_custkey, l_partkey
+    )
+    SELECT p_brand,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeat_pairs,
+           CAST(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+                // count(*) AS BIGINT) AS repeat_ppm
+    FROM cp JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand ORDER BY p_brand
+    """
+
+
+def part_supplier_price_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Procurement price-spread audit: for every multi-sourced part,
+    each supplier's observed unit price (Σ extendedprice cents · 1000
+    div Σ quantity — exact integer milli-cents, no raw division crosses
+    the oracle), rolled up to the part's min/max supplier price and
+    the spread in ppm of the min — the savings-potential list a buyer
+    works top-down (complement of sole_source_parts, which lists the
+    parts with NO alternative).
+
+    Scale shape: one (part, supplier) rollup off the scan (map-side
+    combined), then a part-grain rollup; no windows, no dim join
+    needed."""
+    l = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        dec2("l_extendedprice").alias("ext"),
+        F.expr("CAST(floor(l_quantity) AS BIGINT)").alias("qty"),
+    )
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.expr("CAST(floor(sum(ext) * 100) AS BIGINT)").alias("ext_cents"),
+        F.sum("qty").cast("bigint").alias("qty"),
+    ).withColumn(
+        "price_milli",
+        F.expr("CAST(CAST(ext_cents AS DECIMAL(38,0)) * 1000 div qty AS BIGINT)"),
+    )
+    return (
+        ps.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            F.min("price_milli").cast("bigint").alias("min_price_milli"),
+            F.max("price_milli").cast("bigint").alias("max_price_milli"),
+        )
+        .filter(F.col("n_suppliers") >= 2)
+        .withColumn(
+            "spread_ppm",
+            F.expr(
+                "CAST(CAST(max_price_milli - min_price_milli AS DECIMAL(38,0)) * 1000000"
+                " div min_price_milli AS BIGINT)"
+            ),
+        )
+        .select(
+            F.col("l_partkey").alias("part_id"),
+            "n_suppliers", "min_price_milli", "max_price_milli", "spread_ppm",
+        )
+        .orderBy("part_id")
+    )
+
+
+def oracle_part_supplier_price_spread() -> str:
+    return """
+    WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(floor(sum(cast(l_extendedprice AS DECIMAL(12,2))) * 100) AS BIGINT) AS ext_cents,
+               CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), priced AS (
+        SELECT l_partkey,
+               CAST(CAST(ext_cents AS HUGEINT) * 1000 // qty AS BIGINT) AS price_milli
+        FROM ps
+    ), agg AS (
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(min(price_milli) AS BIGINT) AS min_price_milli,
+               CAST(max(price_milli) AS BIGINT) AS max_price_milli
+        FROM priced GROUP BY l_partkey
+    )
+    SELECT l_partkey AS part_id, n_suppliers, min_price_milli, max_price_milli,
+           CAST(CAST(max_price_milli - min_price_milli AS HUGEINT) * 1000000
+                // min_price_milli AS BIGINT) AS spread_ppm
+    FROM agg WHERE n_suppliers >= 2
+    ORDER BY part_id
+    """

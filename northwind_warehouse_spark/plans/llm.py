@@ -7965,6 +7965,26 @@ def oracle_embedding_cosine_histogram() -> str:
     """
 
 
+def charset_counts(d: DataFrame) -> DataFrame:
+    """Per-document character-class counts as a pure df→df transform —
+    map-only (length deltas of class-stripped text, no per-char
+    explode), so it runs UNCHANGED on a streaming DataFrame
+    (streaming/jobs.py::charset_profile_stream, equality-asserted in
+    tests/test_streaming.py) — same batch/stream-unified property as
+    quality_metrics."""
+    return d.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[A-Za-z]", "")))
+        .cast("bigint").alias("n_alpha"),
+        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
+        .cast("bigint").alias("n_digit"),
+        (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
+        .cast("bigint").alias("n_space"),
+    )
+
+
 def charset_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-class composition per source: alpha / digit / space /
     other shares of all characters in exact ppm — the curation screen
@@ -7975,17 +7995,7 @@ def charset_profile_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: four regexp_replace projections per row (JVM
     codegen), one ≤|sources| rollup; ppm division on the aggregate."""
-    d = load(spark, sf_dir, "documents")
-    per_doc = d.select(
-        "source",
-        F.length("text").cast("bigint").alias("n_chars"),
-        (F.length("text") - F.length(F.regexp_replace("text", "[A-Za-z]", "")))
-        .cast("bigint").alias("n_alpha"),
-        (F.length("text") - F.length(F.regexp_replace("text", "[0-9]", "")))
-        .cast("bigint").alias("n_digit"),
-        (F.length("text") - F.length(F.regexp_replace("text", " ", "")))
-        .cast("bigint").alias("n_space"),
-    )
+    per_doc = charset_counts(load(spark, sf_dir, "documents"))
     return (
         per_doc.groupBy("source")
         .agg(
@@ -8106,4 +8116,54 @@ def oracle_fingerprint_collision_audit() -> str:
            CAST(CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS HUGEINT) * 1000000
                 // CAST(sum(sz) AS BIGINT) AS BIGINT) AS collision_ppm
     FROM buckets GROUP BY width_bits ORDER BY width_bits
+    """
+
+
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-segmentation manifest over the binary corpus: the third
+    modality path (image resize / video frame-sample / AUDIO segment)
+    — fixed-length waveform windows with a per-segment energy feature
+    via Arrow mapInPandas (operators/multimodal.py::segment_audio),
+    every segment value-checked against a from-scratch SQL restatement
+    (substr windows + md5 digest byte-sum).
+
+    Scale shape: map-only 1→N fan-out inside each Arrow batch (no
+    shuffle before the sink); the manifest is what lineage tracks per
+    training clip."""
+    from northwind_warehouse_spark.operators.multimodal import (
+        documents_as_binary, segment_audio,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    segs = segment_audio(documents_as_binary(d))
+    return segs.select(
+        "doc_id",
+        F.col("seg_idx").cast("bigint").alias("seg_idx"),
+        "n_chars", "energy", "seg_md5",
+    ).orderBy("doc_id", "seg_idx")
+
+
+def oracle_multimodal_audio_segments() -> str:
+    from northwind_warehouse_spark.operators.multimodal import SEGMENT_LEN
+
+    return f"""
+    WITH segs AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(ls, 1) - 1 AS BIGINT) AS seg_idx,
+               unnest(ls) AS seg
+        FROM (
+            SELECT doc_id,
+                   list_transform(generate_series(1, (length(text) + {SEGMENT_LEN - 1}) // {SEGMENT_LEN}),
+                       i -> substr(text, (i - 1) * {SEGMENT_LEN} + 1, {SEGMENT_LEN})) AS ls
+            FROM documents WHERE length(text) > 0
+        )
+    )
+    SELECT doc_id, seg_idx,
+           CAST(length(seg) AS BIGINT) AS n_chars,
+           CAST(list_aggregate(
+               list_transform(generate_series(1, 16),
+                   j -> CAST(('0x' || substr(md5(seg), j * 2 - 1, 2)) AS INT)),
+               'sum') AS BIGINT) AS energy,
+           md5(seg) AS seg_md5
+    FROM segs ORDER BY doc_id, seg_idx
     """

@@ -569,3 +569,28 @@ def fk_orphan_stream(incoming_orders: DataFrame, customer_keys: DataFrame) -> Da
         incoming_orders["o_custkey"] == F.col("c_custkey"),
         "left_anti",
     )
+
+
+def charset_profile_stream(incoming: DataFrame) -> DataFrame:
+    """Streaming charset screen: the BATCH per-document transform
+    (plans/llm.py::charset_counts) applied verbatim to the ingest
+    stream — map-only, so no watermark, no state, no code change; one
+    definition serves both execution modes (equality asserted in
+    tests/test_streaming.py). The source-grain ppm rollup stays a
+    batch/reporting concern over the sink table."""
+    from northwind_warehouse_spark.plans.llm import charset_counts
+
+    return charset_counts(incoming)
+
+
+def audio_segment_stream(incoming_docs: DataFrame) -> DataFrame:
+    """Streaming audio segmentation: the Arrow mapInPandas 1→N fan-out
+    stage (operators/multimodal.py::segment_audio) running directly on
+    the document stream — mapInPandas is stateless per batch, so the
+    same operator instance serves batch backfills and the live ingest
+    path (equality asserted in tests/test_streaming.py)."""
+    from northwind_warehouse_spark.operators.multimodal import (
+        documents_as_binary, segment_audio,
+    )
+
+    return segment_audio(documents_as_binary(incoming_docs))

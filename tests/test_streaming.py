@@ -583,3 +583,46 @@ def test_fk_orphan_stream_matches_batch(spark, tmp_path):
     got = {r["o_orderkey"] for r in spark.table("fk_orphans").collect()}
     want = {r["o_orderkey"] for r in fk_orphan_stream(orders, half_dim).collect()}
     assert got == want and len(got) > 0
+
+
+def test_charset_profile_stream_matches_batch(spark, tmp_path):
+    """Streaming charset counts ≡ the batch per-doc transform — the
+    map-only batch/stream-unification property, asserted per row."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import charset_counts
+    from northwind_warehouse_spark.streaming.jobs import (
+        charset_profile_stream, run_to_memory, stream_documents,
+    )
+
+    src = str(tmp_path / "docs_charset")
+    load(spark, SF_SMOKE, "documents").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = charset_profile_stream(stream_documents(spark, src))
+    run_to_memory(stream, "charsetted", str(tmp_path / "ckpt_charset"))
+    got = {tuple(r) for r in spark.table("charsetted").collect()}
+    want = {tuple(r) for r in charset_counts(load(spark, SF_SMOKE, "documents")).collect()}
+    assert got == want and len(got) > 0
+
+
+def test_audio_segment_stream_matches_batch(spark, tmp_path):
+    """Streaming audio segmentation ≡ the batch mapInPandas fan-out:
+    identical (doc, segment, energy, digest) rows from both modes."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.multimodal import (
+        documents_as_binary, segment_audio,
+    )
+    from northwind_warehouse_spark.streaming.jobs import (
+        audio_segment_stream, run_to_memory, stream_documents,
+    )
+
+    src = str(tmp_path / "docs_audio")
+    load(spark, SF_SMOKE, "documents").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = audio_segment_stream(stream_documents(spark, src))
+    run_to_memory(stream, "audio_segs", str(tmp_path / "ckpt_audio"))
+    got = {tuple(r) for r in spark.table("audio_segs").collect()}
+    want = {
+        tuple(r)
+        for r in segment_audio(
+            documents_as_binary(load(spark, SF_SMOKE, "documents"))
+        ).collect()
+    }
+    assert got == want and len(got) > 0

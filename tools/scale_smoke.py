@@ -279,6 +279,9 @@ def main() -> None:
         "charset_profile_by_source": llm.charset_profile_by_source,
         "fingerprint_collision_audit": llm.fingerprint_collision_audit,
         "inferred_member_repair": medallion.inferred_member_repair,
+        "brand_repeat_purchase": analytics.brand_repeat_purchase,
+        "part_supplier_price_spread": analytics.part_supplier_price_spread,
+        "multimodal_audio_segments": llm.multimodal_audio_segments,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
