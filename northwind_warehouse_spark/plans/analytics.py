@@ -7895,3 +7895,39 @@ def oracle_part_supplier_price_spread() -> str:
     FROM agg WHERE n_suppliers >= 2
     ORDER BY part_id
     """
+
+
+def arpu_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly ARPU: revenue per active (ordering) customer — the
+    revenue-side twin of events_stickiness_monthly, with the active
+    base counted exactly (distinct custkeys per month) and ARPU as
+    exact floor cents per customer.
+
+    Scale shape: one (month, customer) pre-aggregation (map-side
+    combined — the distinct rides the same shuffle), then a ≤|months|
+    rollup; no windows."""
+    o = load(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint").alias("ym"),
+        "o_custkey",
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        o.groupBy("ym")
+        .agg(
+            F.count_distinct("o_custkey").cast("bigint").alias("n_active"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+        .withColumn("arpu_cents", F.expr("CAST(rev_cents div n_active AS BIGINT)"))
+        .orderBy("ym")
+    )
+
+
+def oracle_arpu_monthly() -> str:
+    return """
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           CAST(sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                // count(DISTINCT o_custkey) AS BIGINT) AS arpu_cents
+    FROM orders GROUP BY 1 ORDER BY ym
+    """

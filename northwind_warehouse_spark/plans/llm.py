@@ -8167,3 +8167,71 @@ def oracle_multimodal_audio_segments() -> str:
            md5(seg) AS seg_md5
     FROM segs ORDER BY doc_id, seg_idx
     """
+
+
+def minhash_seed_uniformity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash hash-family health audit: per seed, the distinct
+    signature-value count, the null count (docs too short to shingle)
+    and the collision rate in exact ppm — a seed whose value space
+    collapses (collisions far above its siblings) biases every
+    Jaccard estimate that uses it; this is the simhash_bit_balance
+    twin for the MinHash family, and the audit that validates the
+    md5-slice seed construction (operators/similarity.py::
+    minhash_signatures).
+
+    Scale shape: signatures are the map-only fold; the stack is ×8 on
+    8 short string columns; one (seed)-grain rollup with a distinct
+    (map-side partial) — never touches pair space."""
+    d = load(spark, sf_dir, "documents")
+    sig = sim.minhash_signatures(sim.shingle_arrays(d))
+    stack_expr = "stack(%d, %s) AS (seed, v)" % (
+        sim.N_SEEDS,
+        ", ".join(f"{s}, mh{s}" for s in range(sim.N_SEEDS)),
+    )
+    stacked = sig.select(F.expr(stack_expr)).select(
+        F.col("seed").cast("bigint").alias("seed"), "v"
+    )
+    return (
+        stacked.groupBy("seed")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count_distinct("v").cast("bigint").alias("n_distinct"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).cast("bigint").alias("n_null"),
+            F.min("v").alias("min_v"),
+            F.max("v").alias("max_v"),
+        )
+        .withColumn(
+            "collision_ppm",
+            F.expr(
+                "CAST(CAST(n_docs - n_null - n_distinct AS DECIMAL(38,0)) * 1000000"
+                " div (n_docs - n_null) AS BIGINT)"
+            ),
+        )
+        .select("seed", "n_docs", "n_distinct", "n_null", "min_v", "max_v", "collision_ppm")
+        .orderBy("seed")
+    )
+
+
+def oracle_minhash_seed_uniformity() -> str:
+    stacked = "\n        UNION ALL\n".join(
+        f"        SELECT {s} AS seed, mh{s} AS v FROM sig" for s in range(sim.N_SEEDS)
+    )
+    return f"""
+    WITH {_SIG_CTE},
+    stacked AS (
+{stacked}
+    ),
+    agg AS (
+        SELECT CAST(seed AS BIGINT) AS seed,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               min(v) AS min_v,
+               max(v) AS max_v
+        FROM stacked GROUP BY 1
+    )
+    SELECT seed, n_docs, n_distinct, n_null, min_v, max_v,
+           CAST(CAST(n_docs - n_null - n_distinct AS HUGEINT) * 1000000
+                // (n_docs - n_null) AS BIGINT) AS collision_ppm
+    FROM agg ORDER BY seed
+    """

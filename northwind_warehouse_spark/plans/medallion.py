@@ -2530,3 +2530,150 @@ def oracle_inferred_member_repair() -> str:
     SELECT * FROM inserts
     ORDER BY c_custkey
     """
+
+
+def medallion_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Layer-by-layer row-count reconciliation across the medallion
+    chains (orders raw→stg→fact, lineitem raw→stg→fact, events
+    raw→stg→SCD2 dim) with each layer's delta vs its upstream — the
+    post-load audit report every pipeline run publishes so silent row
+    loss/duplication between layers is caught the batch it happens
+    (the reference's audit row-count discipline, macros/
+    audit_management/*, as one conformed report).
+
+    Scale shape: each layer contributes ONE map-side-combined count
+    (single-row aggregates unioned); the lag window runs over the
+    8-row report."""
+    from pyspark.sql.window import Window
+
+    def cnt(df: DataFrame, table: str, layer: str, layer_no: int) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("bigint").alias("n_rows")).select(
+            F.lit(table).alias("table_name"),
+            F.lit(layer).alias("layer"),
+            F.lit(layer_no).cast("bigint").alias("layer_no"),
+            "n_rows",
+        )
+
+    report = (
+        cnt(load(spark, sf_dir, "orders"), "orders", "raw", 1)
+        .unionByName(cnt(stg_orders(spark, sf_dir), "orders", "stg", 2))
+        .unionByName(cnt(fact_orders(spark, sf_dir), "orders", "fact", 3))
+        .unionByName(cnt(load(spark, sf_dir, "lineitem"), "lineitem", "raw", 1))
+        .unionByName(cnt(stg_lineitem(spark, sf_dir), "lineitem", "stg", 2))
+        .unionByName(cnt(fact_lineitem(spark, sf_dir), "lineitem", "fact", 3))
+        .unionByName(cnt(load(spark, sf_dir, "events"), "events", "raw", 1))
+        .unionByName(cnt(stg_events(spark, sf_dir), "events", "stg", 2))
+        .unionByName(cnt(scd2_users(spark, sf_dir), "events", "dim_scd2", 3))
+    )
+    w = Window.partitionBy("table_name").orderBy("layer_no")
+    return (
+        report.withColumn(
+            "delta_vs_upstream",
+            (F.col("n_rows") - F.lag("n_rows").over(w)).cast("bigint"),
+        )
+        .orderBy("table_name", "layer_no")
+    )
+
+
+def oracle_medallion_reconciliation() -> str:
+    return f"""
+    WITH report AS (
+        SELECT 'orders' AS table_name, 'raw' AS layer, CAST(1 AS BIGINT) AS layer_no,
+               CAST(count(*) AS BIGINT) AS n_rows FROM orders
+        UNION ALL
+        SELECT 'orders', 'stg', 2, CAST(count(*) AS BIGINT) FROM ({oracle_stg_orders()})
+        UNION ALL
+        SELECT 'orders', 'fact', 3, CAST(count(*) AS BIGINT) FROM ({oracle_fact_orders()})
+        UNION ALL
+        SELECT 'lineitem', 'raw', 1, CAST(count(*) AS BIGINT) FROM lineitem
+        UNION ALL
+        SELECT 'lineitem', 'stg', 2, CAST(count(*) AS BIGINT) FROM ({oracle_stg_lineitem()})
+        UNION ALL
+        SELECT 'lineitem', 'fact', 3, CAST(count(*) AS BIGINT) FROM ({oracle_fact_lineitem()})
+        UNION ALL
+        SELECT 'events', 'raw', 1, CAST(count(*) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'events', 'stg', 2, CAST(count(*) AS BIGINT) FROM ({oracle_stg_events()})
+        UNION ALL
+        SELECT 'events', 'dim_scd2', 3, CAST(count(*) AS BIGINT) FROM ({oracle_scd2_users()})
+    )
+    SELECT table_name, layer, layer_no, n_rows,
+           CAST(n_rows - lag(n_rows) OVER (PARTITION BY table_name ORDER BY layer_no) AS BIGINT)
+               AS delta_vs_upstream
+    FROM report ORDER BY table_name, layer_no
+    """
+
+
+def dq_lineitem_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-range DQ suite for the lineitem fact — the accepted-range
+    complement of dq_checks' key/uniqueness tests (dbt's
+    accepted_values / expression tests): quantity, discount, tax and
+    price bounds plus the cross-table temporal invariant
+    ship-not-before-order (the one that actually fires in this data —
+    the synthetic feed ships lines before their order date, exactly
+    the defect class this report exists to surface).
+
+    Scale shape: the five single-table checks fold into ONE conditional
+    aggregation pass over the scan; the temporal check is one key-equi
+    join + count; output is a fixed 6-row report."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    single = l.agg(
+        F.sum(F.when(F.expr("floor(l_quantity) < 1"), 1).otherwise(0))
+        .cast("bigint").alias("qty_min_1"),
+        F.sum(F.when(F.expr("l_quantity > 50"), 1).otherwise(0))
+        .cast("bigint").alias("qty_max_50"),
+        F.sum(F.when(F.expr("l_discount < 0 OR l_discount > 0.6"), 1).otherwise(0))
+        .cast("bigint").alias("discount_bounds"),
+        F.sum(F.when(F.expr("l_tax < 0"), 1).otherwise(0))
+        .cast("bigint").alias("tax_nonneg"),
+        F.sum(F.when(F.expr("l_extendedprice <= 0"), 1).otherwise(0))
+        .cast("bigint").alias("price_positive"),
+    )
+    ship = (
+        l.select("l_orderkey", "l_shipdate")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") < F.col("o_orderdate"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ship_not_before_order"))
+    )
+    return (
+        single.crossJoin(ship)
+        .select(
+            F.expr(
+                "stack(6,"
+                " 'discount_bounds', discount_bounds,"
+                " 'price_positive', price_positive,"
+                " 'qty_max_50', qty_max_50,"
+                " 'qty_min_1', qty_min_1,"
+                " 'ship_not_before_order', ship_not_before_order,"
+                " 'tax_nonneg', tax_nonneg) AS (check_name, n_violations)"
+            )
+        )
+        .orderBy("check_name")
+    )
+
+
+def oracle_dq_lineitem_ranges() -> str:
+    return """
+    WITH single AS (
+        SELECT
+            CAST(sum(CASE WHEN floor(l_quantity) < 1 THEN 1 ELSE 0 END) AS BIGINT) AS qty_min_1,
+            CAST(sum(CASE WHEN l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS qty_max_50,
+            CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 0.6 THEN 1 ELSE 0 END) AS BIGINT) AS discount_bounds,
+            CAST(sum(CASE WHEN l_tax < 0 THEN 1 ELSE 0 END) AS BIGINT) AS tax_nonneg,
+            CAST(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS price_positive
+        FROM lineitem
+    ), ship AS (
+        SELECT CAST(count(*) AS BIGINT) AS ship_not_before_order
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate < o_orderdate
+    ), rows_out AS (
+        SELECT 'discount_bounds' AS check_name, discount_bounds AS n_violations FROM single
+        UNION ALL SELECT 'price_positive', price_positive FROM single
+        UNION ALL SELECT 'qty_max_50', qty_max_50 FROM single
+        UNION ALL SELECT 'qty_min_1', qty_min_1 FROM single
+        UNION ALL SELECT 'ship_not_before_order', ship_not_before_order FROM ship
+        UNION ALL SELECT 'tax_nonneg', tax_nonneg FROM single
+    )
+    SELECT check_name, n_violations FROM rows_out ORDER BY check_name
+    """

@@ -282,6 +282,10 @@ def main() -> None:
         "brand_repeat_purchase": analytics.brand_repeat_purchase,
         "part_supplier_price_spread": analytics.part_supplier_price_spread,
         "multimodal_audio_segments": llm.multimodal_audio_segments,
+        "medallion_reconciliation": medallion.medallion_reconciliation,
+        "dq_lineitem_ranges": medallion.dq_lineitem_ranges,
+        "arpu_monthly": analytics.arpu_monthly,
+        "minhash_seed_uniformity": llm.minhash_seed_uniformity,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
