@@ -7931,3 +7931,93 @@ def oracle_arpu_monthly() -> str:
                 // count(DISTINCT o_custkey) AS BIGINT) AS arpu_cents
     FROM orders GROUP BY 1 ORDER BY ym
     """
+
+
+def import_dependency_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-dependency concentration: per importing nation, the share
+    of its cross-border inbound revenue concentrated in its single
+    largest partner nation (exact ppm) plus the partner count — the
+    risk view procurement pairs with nation_trade_balance (net flows)
+    when a sanctions/logistics shock takes one partner offline.
+
+    Scale shape: the same one-pass fact→nation-pair rollup as
+    nation_trade_balance (≤|nations|² rows), then a per-importer max
+    over the tiny pair aggregate."""
+    from pyspark.sql.window import Window
+
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", disc_price().alias("dp"))
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    pair = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .join(maybe_broadcast(s), l.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("c_nationkey", "s_nationkey")
+        .agg(F.expr("CAST(floor(sum(dp) * 100) AS BIGINT)").alias("flow_cents"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    top = (
+        pair.withColumn("_tot", F.sum("flow_cents").over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy("c_nationkey").orderBy(
+                    F.desc("flow_cents"), F.col("s_nationkey")
+                )
+            ),
+        )
+        .filter(F.col("_rk") == 1)
+    )
+    n = load(spark, sf_dir, "nation")
+    imp = n.select(F.col("n_nationkey").alias("ik"), F.col("n_name").alias("importer"))
+    exp = n.select(F.col("n_nationkey").alias("ek"), F.col("n_name").alias("top_partner"))
+    return (
+        top.join(F.broadcast(imp), F.col("c_nationkey") == F.col("ik"))
+        .join(F.broadcast(exp), F.col("s_nationkey") == F.col("ek"))
+        .select(
+            "importer",
+            "top_partner",
+            F.col("_n").cast("bigint").alias("n_partners"),
+            F.col("flow_cents").alias("top_flow_cents"),
+            F.col("_tot").cast("bigint").alias("import_cents"),
+            F.expr("CAST(CAST(flow_cents AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)")
+            .alias("top_share_ppm"),
+        )
+        .orderBy("importer")
+    )
+
+
+def oracle_import_dependency_concentration() -> str:
+    return f"""
+    WITH pair AS (
+        SELECT c_nationkey, s_nationkey,
+               CAST(floor(sum({o_disc_price()}) * 100) AS BIGINT) AS flow_cents
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        WHERE c_nationkey <> s_nationkey
+        GROUP BY c_nationkey, s_nationkey
+    ), top AS (
+        SELECT * FROM (
+            SELECT c_nationkey, s_nationkey, flow_cents,
+                   CAST(sum(flow_cents) OVER (PARTITION BY c_nationkey) AS BIGINT) AS _tot,
+                   CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS _n,
+                   row_number() OVER (
+                       PARTITION BY c_nationkey ORDER BY flow_cents DESC, s_nationkey) AS _rk
+            FROM pair
+        ) WHERE _rk = 1
+    )
+    SELECT ni.n_name AS importer, ne.n_name AS top_partner,
+           _n AS n_partners,
+           flow_cents AS top_flow_cents,
+           _tot AS import_cents,
+           CAST(CAST(flow_cents AS HUGEINT) * 1000000 // _tot AS BIGINT) AS top_share_ppm
+    FROM top
+    JOIN nation ni ON ni.n_nationkey = c_nationkey
+    JOIN nation ne ON ne.n_nationkey = s_nationkey
+    ORDER BY importer
+    """

@@ -8235,3 +8235,140 @@ def oracle_minhash_seed_uniformity() -> str:
                 // (n_docs - n_null) AS BIGINT) AS collision_ppm
     FROM agg ORDER BY seed
     """
+
+
+_SHK_KMV = 256  # bottom-k for the shingle NDV sketch
+
+
+def shingle_kmv_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit on the corpus: per source, the EXACT
+    distinct-shingle count vs the KMV bottom-k estimate
+    (operators/sketch.py — (k−1)·2³² div h_(k), pure integer) with the
+    signed error in ppm — the calibration run before trusting the
+    sketch as the cheap NDV path at corpus scale (where the exact
+    distinct is the thing you can no longer afford; below k the sketch
+    IS exact, which the small sources here demonstrate).
+
+    Scale shape: one distinct (source, shingle) projection feeds BOTH
+    sides (persisted — exact count and hash sketch), the sketch state
+    is ≤k rows per source, and the error arithmetic is sign-split
+    integer division (Spark div truncates, DuckDB // floors — identical
+    only on non-negatives)."""
+    from northwind_warehouse_spark.operators.sketch import (
+        hash32, kmv_bottom_k, kmv_estimate,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    sh = sim.shingles(d).join(d.select("doc_id", "source"), "doc_id")
+    dist = sh.select("source", "shingle").distinct().persist()
+    exact = dist.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_distinct")
+    )
+    hashes = dist.select("source", hash32("shingle").alias("h")).distinct()
+    est = kmv_estimate(kmv_bottom_k(hashes, ["source"], k=_SHK_KMV), ["source"], k=_SHK_KMV)
+    return (
+        exact.join(est, "source")
+        .select(
+            "source", "exact_distinct",
+            F.col("approx_distinct").cast("bigint").alias("approx_distinct"),
+            F.expr(
+                "CASE WHEN approx_distinct >= exact_distinct"
+                " THEN CAST(CAST(approx_distinct - exact_distinct AS DECIMAL(38,0)) * 1000000"
+                "      div exact_distinct AS BIGINT)"
+                " ELSE -CAST(CAST(exact_distinct - approx_distinct AS DECIMAL(38,0)) * 1000000"
+                "      div exact_distinct AS BIGINT) END"
+            ).alias("err_ppm"),
+        )
+        .orderBy("source")
+    )
+
+
+def oracle_shingle_kmv_error() -> str:
+    return f"""
+    WITH {_SHINGLE_CTE},
+    flat AS (
+        SELECT DISTINCT d.source, s.shingle
+        FROM (SELECT doc_id, unnest(sh) AS shingle FROM sharr) s
+        JOIN documents d ON d.doc_id = s.doc_id
+    ),
+    exact AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS exact_distinct FROM flat GROUP BY source
+    ),
+    hashes AS (
+        SELECT DISTINCT source,
+               CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) AS h
+        FROM flat
+    ),
+    kept AS (
+        SELECT source, h FROM (
+            SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+            FROM hashes
+        ) WHERE rk <= {_SHK_KMV}
+    ),
+    est AS (
+        SELECT source,
+               CAST(CASE WHEN count(*) < {_SHK_KMV} THEN count(*)
+                         ELSE ({_SHK_KMV} - 1) * 4294967296 // max(h) END AS BIGINT) AS approx_distinct
+        FROM kept GROUP BY source
+    )
+    SELECT source, exact_distinct, approx_distinct,
+           CASE WHEN approx_distinct >= exact_distinct
+                THEN CAST(CAST(approx_distinct - exact_distinct AS HUGEINT) * 1000000
+                          // exact_distinct AS BIGINT)
+                ELSE -CAST(CAST(exact_distinct - approx_distinct AS HUGEINT) * 1000000
+                           // exact_distinct AS BIGINT) END AS err_ppm
+    FROM exact JOIN est USING (source)
+    ORDER BY source
+    """
+
+
+def embedding_exact_dup_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate vector audit: groups of bit-identical (quantized)
+    embeddings — the cheap screen for the classic encoder failure modes
+    (stuck model emitting one vector, double-ingested shards) that
+    cosine near-dup thresholds silently absorb. One md5 signature over
+    the quantized array per vector, one signature-grain rollup, a
+    single-row report.
+
+    Scale shape: map-only signature projection, one map-side-combined
+    groupBy; never touches pair space (the semantic-dup path's job)."""
+    e = load(spark, sf_dir, "embeddings")
+    sigs = e.select(
+        F.expr(
+            "md5(array_join(transform(embedding,"
+            " x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS STRING)), ','))"
+        ).alias("sig")
+    )
+    groups = sigs.groupBy("sig").agg(F.count(F.lit(1)).cast("bigint").alias("sz"))
+    return groups.agg(
+        F.sum("sz").cast("bigint").alias("n_vectors"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_vectors"),
+        F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).cast("bigint").alias("n_dup_groups"),
+        F.sum(F.when(F.col("sz") > 1, F.col("sz")).otherwise(0)).cast("bigint")
+        .alias("n_dup_vectors"),
+        F.max("sz").cast("bigint").alias("max_group"),
+    ).select(
+        "n_vectors", "n_distinct_vectors", "n_dup_groups", "n_dup_vectors", "max_group",
+        F.expr("CAST(CAST(n_dup_vectors AS DECIMAL(38,0)) * 1000000 div n_vectors AS BIGINT)")
+        .alias("dup_ppm"),
+    )
+
+
+def oracle_embedding_exact_dup_audit() -> str:
+    return """
+    WITH sigs AS (
+        SELECT md5(array_to_string(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)), ',')) AS sig
+        FROM embeddings
+    ), groups AS (
+        SELECT sig, CAST(count(*) AS BIGINT) AS sz FROM sigs GROUP BY sig
+    )
+    SELECT CAST(sum(sz) AS BIGINT) AS n_vectors,
+           CAST(count(*) AS BIGINT) AS n_distinct_vectors,
+           CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_groups,
+           CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS BIGINT) AS n_dup_vectors,
+           CAST(max(sz) AS BIGINT) AS max_group,
+           CAST(CAST(sum(CASE WHEN sz > 1 THEN sz ELSE 0 END) AS HUGEINT) * 1000000
+                // CAST(sum(sz) AS BIGINT) AS BIGINT) AS dup_ppm
+    FROM groups
+    """

@@ -286,6 +286,9 @@ def main() -> None:
         "dq_lineitem_ranges": medallion.dq_lineitem_ranges,
         "arpu_monthly": analytics.arpu_monthly,
         "minhash_seed_uniformity": llm.minhash_seed_uniformity,
+        "shingle_kmv_error": llm.shingle_kmv_error,
+        "embedding_exact_dup_audit": llm.embedding_exact_dup_audit,
+        "import_dependency_concentration": analytics.import_dependency_concentration,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
