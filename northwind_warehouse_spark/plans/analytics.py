@@ -8021,3 +8021,114 @@ def oracle_import_dependency_concentration() -> str:
     JOIN nation ne ON ne.n_nationkey = s_nationkey
     ORDER BY importer
     """
+
+
+def props_key_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured schema profile: per (event_type, JSON key) in the
+    events props payload — presence share, numeric-parse share, and the
+    numeric value range — the schema-drift monitor for a column the
+    warehouse does NOT model (a new key or a key going non-numeric
+    shows up here the day the producer changes its payload). Spark
+    explodes the payload as a map (from_json map<string,string>);
+    the oracle re-derives keys via json_keys + dynamic-path extraction.
+
+    Scale shape: one map-only explode of a tiny payload column, one
+    (type, key)-grain map-side-combined rollup against broadcast
+    per-type totals."""
+    e = load(spark, sf_dir, "events").select("event_type", "props")
+    tot = e.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    kv = e.select(
+        "event_type",
+        F.explode(F.expr("from_json(props, 'map<string,string>')")).alias("key", "val"),
+    )
+    prof = kv.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_present"),
+        F.sum(F.when(F.expr("try_cast(val AS BIGINT)").isNotNull(), 1).otherwise(0))
+        .cast("bigint").alias("n_numeric"),
+        F.min(F.expr("try_cast(val AS BIGINT)")).cast("bigint").alias("min_v"),
+        F.max(F.expr("try_cast(val AS BIGINT)")).cast("bigint").alias("max_v"),
+    )
+    return (
+        prof.join(maybe_broadcast(tot), "event_type")
+        .select(
+            "event_type", "key", "n_present", "n_numeric", "min_v", "max_v",
+            F.expr("CAST(CAST(n_present AS DECIMAL(38,0)) * 1000000 div n_events AS BIGINT)")
+            .alias("presence_ppm"),
+        )
+        .orderBy("event_type", "key")
+    )
+
+
+def oracle_props_key_profile() -> str:
+    return """
+    WITH tot AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY event_type
+    ), kv AS (
+        SELECT event_type, key, json_extract_string(props, '$.' || key) AS val
+        FROM (SELECT event_type, props, unnest(json_keys(props)) AS key FROM events)
+    ), prof AS (
+        SELECT event_type, key,
+               CAST(count(*) AS BIGINT) AS n_present,
+               CAST(sum(CASE WHEN TRY_CAST(val AS BIGINT) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric,
+               CAST(min(TRY_CAST(val AS BIGINT)) AS BIGINT) AS min_v,
+               CAST(max(TRY_CAST(val AS BIGINT)) AS BIGINT) AS max_v
+        FROM kv GROUP BY event_type, key
+    )
+    SELECT event_type, key, n_present, n_numeric, min_v, max_v,
+           CAST(CAST(n_present AS HUGEINT) * 1000000 // n_events AS BIGINT) AS presence_ppm
+    FROM prof JOIN tot USING (event_type)
+    ORDER BY event_type, key
+    """
+
+
+_DISC_CAPS = (2, 4, 6)  # what-if discount caps, in percent
+
+
+def discount_cap_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-policy what-if grid: for each candidate cap c ∈
+    {2%, 4%, 6%}, the exact revenue recovered if every discount above
+    the cap had been clamped to it — Σ extendedprice·(discount − c)
+    over the affected lines, in floor cents — plus the affected-line
+    count. The grid generalization of TPC-H Q6's single-point
+    forecast: one scan prices the whole policy menu.
+
+    Scale shape: the caps array explodes ×3 on two numeric columns
+    (never the full row), one ≤|caps| map-side-combined rollup."""
+    l = load(spark, sf_dir, "lineitem").select(
+        dec2("l_extendedprice").alias("ext"), dec2("l_discount").alias("disc")
+    )
+    caps = F.array(*[F.lit(c) for c in _DISC_CAPS])
+    exploded = l.select(
+        "ext", "disc", F.explode(caps).alias("cap_pct")
+    ).withColumn("cap", F.expr("CAST(cap_pct AS DECIMAL(12,2)) / 100"))
+    return (
+        exploded.groupBy(F.col("cap_pct").cast("bigint").alias("cap_pct"))
+        .agg(
+            F.sum(F.when(F.col("disc") > F.col("cap"), 1).otherwise(0))
+            .cast("bigint").alias("n_affected_lines"),
+            F.expr(
+                "CAST(floor(sum(CASE WHEN disc > cap THEN ext * (disc - cap)"
+                " ELSE CAST(0 AS DECIMAL(18,4)) END) * 100) AS BIGINT)"
+            ).alias("recovered_cents"),
+        )
+        .orderBy("cap_pct")
+    )
+
+
+def oracle_discount_cap_whatif() -> str:
+    selects = "\n        UNION ALL\n".join(
+        f"""        SELECT CAST({c} AS BIGINT) AS cap_pct,
+               CAST(sum(CASE WHEN cast(l_discount AS DECIMAL(12,2)) > {c / 100.0:.2f} THEN 1 ELSE 0 END) AS BIGINT) AS n_affected_lines,
+               CAST(floor(sum(CASE WHEN cast(l_discount AS DECIMAL(12,2)) > {c / 100.0:.2f}
+                    THEN cast(l_extendedprice AS DECIMAL(12,2)) * (cast(l_discount AS DECIMAL(12,2)) - {c / 100.0:.2f})
+                    ELSE CAST(0 AS DECIMAL(18,4)) END) * 100) AS BIGINT) AS recovered_cents
+        FROM lineitem"""
+        for c in _DISC_CAPS
+    )
+    return f"""
+    WITH grid AS (
+{selects}
+    )
+    SELECT cap_pct, n_affected_lines, recovered_cents FROM grid ORDER BY cap_pct
+    """

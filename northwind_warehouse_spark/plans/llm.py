@@ -8372,3 +8372,62 @@ def oracle_embedding_exact_dup_audit() -> str:
                 // CAST(sum(sz) AS BIGINT) AS BIGINT) AS dup_ppm
     FROM groups
     """
+
+
+_CTX_LIMITS = (512, 1024, 2048, 4096)  # context-length menu under audit
+
+
+def context_fit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length capacity planning: for each candidate training
+    context length, the share of documents that fit whole (exact ppm)
+    and the token mass lost to truncation — the audit that picks the
+    context/packing configuration before a run (sequence_pack then
+    executes the chosen budget; this query prices the menu).
+
+    Scale shape: one token-count projection per doc (map-only), a ×4
+    explode of two numeric columns, one ≤|limits| rollup."""
+    d = load(spark, sf_dir, "documents")
+    per_doc = d.select(n_tokens().alias("toks"))
+    limits = F.array(*[F.lit(x) for x in _CTX_LIMITS])
+    ex = per_doc.select("toks", F.explode(limits).alias("ctx_limit"))
+    return (
+        ex.groupBy(F.col("ctx_limit").cast("bigint").alias("ctx_limit"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("toks") <= F.col("ctx_limit"), 1).otherwise(0))
+            .cast("bigint").alias("n_fit"),
+            F.sum("toks").cast("bigint").alias("tokens_total"),
+            F.sum(F.expr("CASE WHEN toks > ctx_limit THEN toks - ctx_limit ELSE 0 END"))
+            .cast("bigint").alias("tokens_lost"),
+        )
+        .select(
+            "ctx_limit", "n_docs", "n_fit", "tokens_total", "tokens_lost",
+            F.expr("CAST(CAST(n_fit AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)")
+            .alias("fit_ppm"),
+            F.expr("CAST(CAST(tokens_lost AS DECIMAL(38,0)) * 1000000 div tokens_total AS BIGINT)")
+            .alias("lost_ppm"),
+        )
+        .orderBy("ctx_limit")
+    )
+
+
+def oracle_context_fit_audit() -> str:
+    limits = ", ".join(str(x) for x in _CTX_LIMITS)
+    return f"""
+    WITH per_doc AS (
+        SELECT len(string_split(text, ' ')) AS toks FROM documents
+    ), ex AS (
+        SELECT CAST(t.lim AS BIGINT) AS ctx_limit, toks
+        FROM per_doc CROSS JOIN (SELECT unnest([{limits}]) AS lim) t
+    )
+    SELECT ctx_limit,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN toks <= ctx_limit THEN 1 ELSE 0 END) AS BIGINT) AS n_fit,
+           CAST(sum(toks) AS BIGINT) AS tokens_total,
+           CAST(sum(CASE WHEN toks > ctx_limit THEN toks - ctx_limit ELSE 0 END) AS BIGINT) AS tokens_lost,
+           CAST(CAST(sum(CASE WHEN toks <= ctx_limit THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+                // count(*) AS BIGINT) AS fit_ppm,
+           CAST(CAST(sum(CASE WHEN toks > ctx_limit THEN toks - ctx_limit ELSE 0 END) AS HUGEINT) * 1000000
+                // CAST(sum(toks) AS BIGINT) AS BIGINT) AS lost_ppm
+    FROM ex GROUP BY ctx_limit ORDER BY ctx_limit
+    """

@@ -2677,3 +2677,52 @@ def oracle_dq_lineitem_ranges() -> str:
     )
     SELECT check_name, n_violations FROM rows_out ORDER BY check_name
     """
+
+
+_K_ANON = 5  # k-anonymity threshold under audit
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy k-anonymity audit on the customer dimension: treating
+    (nation, market segment) as the quasi-identifier tuple, report the
+    equivalence-class profile — group count, classes below k=5, rows
+    re-identifiable through a small class, and the smallest class —
+    the governance check run before an extract leaves the warehouse
+    (a class of size 1 IS an identification).
+
+    Scale shape: one map-side-combined rollup to the QI grain
+    (≤ |nations|·|segments| rows), then a single-row report."""
+    c = load(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    groups = c.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    return groups.agg(
+        F.sum("sz").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.when(F.col("sz") < _K_ANON, 1).otherwise(0)).cast("bigint")
+        .alias("n_small_classes"),
+        F.sum(F.when(F.col("sz") < _K_ANON, F.col("sz")).otherwise(0)).cast("bigint")
+        .alias("n_rows_at_risk"),
+        F.min("sz").cast("bigint").alias("min_class_sz"),
+    ).select(
+        "n_rows", "n_classes", "n_small_classes", "n_rows_at_risk", "min_class_sz",
+        F.expr("CAST(CAST(n_rows_at_risk AS DECIMAL(38,0)) * 1000000 div n_rows AS BIGINT)")
+        .alias("risk_ppm"),
+    )
+
+
+def oracle_k_anonymity_audit() -> str:
+    return f"""
+    WITH groups AS (
+        SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS sz
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(sum(sz) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(sum(CASE WHEN sz < {_K_ANON} THEN 1 ELSE 0 END) AS BIGINT) AS n_small_classes,
+           CAST(sum(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) AS BIGINT) AS n_rows_at_risk,
+           CAST(min(sz) AS BIGINT) AS min_class_sz,
+           CAST(CAST(sum(CASE WHEN sz < {_K_ANON} THEN sz ELSE 0 END) AS HUGEINT) * 1000000
+                // CAST(sum(sz) AS BIGINT) AS BIGINT) AS risk_ppm
+    FROM groups
+    """

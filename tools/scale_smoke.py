@@ -289,6 +289,10 @@ def main() -> None:
         "shingle_kmv_error": llm.shingle_kmv_error,
         "embedding_exact_dup_audit": llm.embedding_exact_dup_audit,
         "import_dependency_concentration": analytics.import_dependency_concentration,
+        "k_anonymity_audit": medallion.k_anonymity_audit,
+        "props_key_profile": analytics.props_key_profile,
+        "discount_cap_whatif": analytics.discount_cap_whatif,
+        "context_fit_audit": llm.context_fit_audit,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
