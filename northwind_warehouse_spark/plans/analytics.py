@@ -8132,3 +8132,92 @@ def oracle_discount_cap_whatif() -> str:
     )
     SELECT cap_pct, n_affected_lines, recovered_cents FROM grid ORDER BY cap_pct
     """
+
+
+_CHURN_CUTOFF = "2000-01-01"  # feature/label split (point-in-time)
+
+
+def churn_training_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ML training-set export with POINT-IN-TIME correctness: per
+    customer, behavioral features computed STRICTLY before the cutoff
+    (order count, spend, recency/tenure days, floor-average order
+    value) joined to dimension attributes, labeled by whether the
+    customer ordered again in the 12 months AFTER the cutoff — the
+    churn-model dataset a feature store materializes, with the leakage
+    boundary (nothing at-or-after the cutoff leaks into a feature)
+    enforced by construction in one conditional-aggregation pass.
+
+    Scale shape: ONE orders scan computes features and label together
+    (CASE-split aggregates around the cutoff), one size-gated customer
+    join, bounded nation broadcast; no windows."""
+    cutoff = F.lit(_CHURN_CUTOFF).cast("date")
+    horizon = F.expr(f"add_months(to_date('{_CHURN_CUTOFF}'), 12)")
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("od"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    feats = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.sum(F.when(F.col("od") < cutoff, 1).otherwise(0)).cast("bigint")
+            .alias("n_orders"),
+            F.sum(F.when(F.col("od") < cutoff, F.col("cents")).otherwise(0)).cast("bigint")
+            .alias("spend_cents"),
+            F.max(F.when(F.col("od") < cutoff, F.col("od"))).alias("_last"),
+            F.min(F.when(F.col("od") < cutoff, F.col("od"))).alias("_first"),
+            F.sum(
+                F.when((F.col("od") >= cutoff) & (F.col("od") < horizon), 1).otherwise(0)
+            ).cast("bigint").alias("_n_after"),
+        )
+        .filter(F.col("n_orders") >= 1)
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_mktsegment")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        feats.join(maybe_broadcast(c), feats.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("o_custkey").alias("customer_id"),
+            F.col("n_name").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            "n_orders",
+            "spend_cents",
+            F.expr(f"CAST(datediff(to_date('{_CHURN_CUTOFF}'), _last) AS BIGINT)")
+            .alias("recency_days"),
+            F.expr(f"CAST(datediff(to_date('{_CHURN_CUTOFF}'), _first) AS BIGINT)")
+            .alias("tenure_days"),
+            F.expr("CAST(spend_cents div n_orders AS BIGINT)").alias("avg_order_cents"),
+            F.when(F.col("_n_after") == 0, "Y").otherwise("N").alias("churned"),
+        )
+        .orderBy("customer_id")
+    )
+
+
+def oracle_churn_training_set() -> str:
+    return f"""
+    WITH feats AS (
+        SELECT o_custkey,
+               CAST(sum(CASE WHEN o_orderdate < DATE '{_CHURN_CUTOFF}' THEN 1 ELSE 0 END) AS BIGINT) AS n_orders,
+               CAST(sum(CASE WHEN o_orderdate < DATE '{_CHURN_CUTOFF}'
+                             THEN CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS spend_cents,
+               max(CASE WHEN o_orderdate < DATE '{_CHURN_CUTOFF}' THEN cast(o_orderdate AS DATE) END) AS _last,
+               min(CASE WHEN o_orderdate < DATE '{_CHURN_CUTOFF}' THEN cast(o_orderdate AS DATE) END) AS _first,
+               CAST(sum(CASE WHEN o_orderdate >= DATE '{_CHURN_CUTOFF}'
+                              AND o_orderdate < DATE '{_CHURN_CUTOFF}' + INTERVAL 12 MONTH
+                             THEN 1 ELSE 0 END) AS BIGINT) AS _n_after
+        FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey AS customer_id, n_name AS nation, c_mktsegment AS segment,
+           n_orders, spend_cents,
+           CAST(date_diff('day', _last, DATE '{_CHURN_CUTOFF}') AS BIGINT) AS recency_days,
+           CAST(date_diff('day', _first, DATE '{_CHURN_CUTOFF}') AS BIGINT) AS tenure_days,
+           CAST(spend_cents // n_orders AS BIGINT) AS avg_order_cents,
+           CASE WHEN _n_after = 0 THEN 'Y' ELSE 'N' END AS churned
+    FROM feats
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    WHERE n_orders >= 1
+    ORDER BY customer_id
+    """

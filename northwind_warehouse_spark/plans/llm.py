@@ -8431,3 +8431,117 @@ def oracle_context_fit_audit() -> str:
                 // CAST(sum(toks) AS BIGINT) AS BIGINT) AS lost_ppm
     FROM ex GROUP BY ctx_limit ORDER BY ctx_limit
     """
+
+
+_HN_LO, _HN_HI = 4, 8  # hard-negative rank band (past the top-3 positives)
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training: per
+    query vector, the cell-local neighbors ranked just PAST the
+    positive band (cosine ranks 4–8 within the query's IVF cell) — the
+    standard recipe (near-but-not-nearest = hard negatives) producing
+    the (query, negative) manifest a contrastive trainer consumes.
+    Same bounded candidate shape as ann_ivf_topk: cell assignment is
+    map-only, the search never leaves the query's cell.
+
+    Scale shape: broadcast query batch against the cell-partitioned
+    corpus, per-query top-k window over a cell-bounded candidate set;
+    never all-pairs."""
+    e = load(spark, sf_dir, "embeddings")
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
+
+    assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS)
+    q = assigned.filter(
+        (F.col("vec_id") >= _IVF_QUERY_LO) & (F.col("vec_id") < _IVF_QUERY_HI)
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("n2").alias("qn2"),
+        F.col("cell_id").alias("qcell"),
+    )
+    cand = assigned.join(
+        F.broadcast(q),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("vec_id").alias("negative_id"),
+        dot_q("qvec", "embedding").alias("dot"),
+        F.col("qn2").alias("n2a"),
+        F.col("n2").alias("n2b"),
+    ).withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("negative_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") >= _HN_LO) & (F.col("rk") <= _HN_HI))
+        .select(
+            "query_id", "negative_id", "cosine",
+            (F.col("rk") - _HN_LO + 1).cast("bigint").alias("hn_rank"),
+        )
+        .orderBy("query_id", "hn_rank")
+    )
+
+
+def oracle_hard_negative_mining() -> str:
+    return f"""
+    WITH el AS (
+        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM el
+    ),
+    n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+    ),
+    cdot AS (
+        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
+        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {IVF_N_CENTROIDS}
+        GROUP BY a.vec_id, c.vec_id
+    ),
+    ccos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
+        FROM cdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN n2 nc ON nc.vec_id = d.cent_id
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+            FROM ccos
+        ) WHERE rk = 1
+    ),
+    pairs AS (
+        SELECT qa.vec_id AS query_id, ca.vec_id AS negative_id
+        FROM assign qa JOIN assign ca
+          ON ca.cell_id = qa.cell_id AND ca.vec_id <> qa.vec_id
+        WHERE qa.vec_id >= {_IVF_QUERY_LO} AND qa.vec_id < {_IVF_QUERY_HI}
+    ),
+    dots AS (
+        SELECT p.query_id, p.negative_id, CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+        FROM pairs p
+        JOIN q a ON a.vec_id = p.query_id
+        JOIN q b ON b.vec_id = p.negative_id AND b.i = a.i
+        GROUP BY p.query_id, p.negative_id
+    ),
+    scored AS (
+        SELECT query_id, negative_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM dots
+        JOIN n2 na ON na.vec_id = query_id
+        JOIN n2 nb ON nb.vec_id = negative_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, negative_id) AS rk
+        FROM scored
+    )
+    SELECT query_id, negative_id, cosine,
+           CAST(rk - {_HN_LO} + 1 AS BIGINT) AS hn_rank
+    FROM ranked WHERE rk BETWEEN {_HN_LO} AND {_HN_HI}
+    ORDER BY query_id, hn_rank
+    """

@@ -2726,3 +2726,63 @@ def oracle_k_anonymity_audit() -> str:
                 // CAST(sum(sz) AS BIGINT) AS BIGINT) AS risk_ppm
     FROM groups
     """
+
+
+_IVM_SPLIT = "2001-01-01"  # simulated "new batch" boundary
+
+
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance on the monthly-revenue aggregate:
+    the standing aggregate built from the OLD data, the DELTA the new
+    batch (orders at/after the split date) contributes, and the
+    reconciliation old + delta = full asserted per month — the IVM
+    contract that lets a 100 TB aggregate absorb a daily batch without
+    a full recompute (additive measures fold; the reconciled column is
+    the audit a production merge job publishes).
+
+    Scale shape: ONE scan computes old/delta/full together via
+    CASE-split sums (map-side combined, ≤|months| groups) — the
+    demonstration that the delta is derivable from the new slice
+    alone."""
+    split = F.lit(_IVM_SPLIT).cast("date")
+    o = load(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).cast("bigint").alias("ym"),
+        F.col("o_orderdate").cast("date").alias("od"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    return (
+        o.groupBy("ym")
+        .agg(
+            F.sum(F.when(F.col("od") < split, F.col("cents")).otherwise(0)).cast("bigint")
+            .alias("old_cents"),
+            F.sum(F.when(F.col("od") >= split, F.col("cents")).otherwise(0)).cast("bigint")
+            .alias("delta_cents"),
+            F.sum("cents").cast("bigint").alias("full_cents"),
+        )
+        .withColumn(
+            "reconciled",
+            F.when(F.col("old_cents") + F.col("delta_cents") == F.col("full_cents"), "Y")
+            .otherwise("N"),
+        )
+        .orderBy("ym")
+    )
+
+
+def oracle_incremental_agg_maintenance() -> str:
+    return f"""
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+           CAST(sum(CASE WHEN o_orderdate < DATE '{_IVM_SPLIT}'
+                         THEN CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS old_cents,
+           CAST(sum(CASE WHEN o_orderdate >= DATE '{_IVM_SPLIT}'
+                         THEN CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS delta_cents,
+           CAST(sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS full_cents,
+           CASE WHEN sum(CASE WHEN o_orderdate < DATE '{_IVM_SPLIT}'
+                              THEN CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END)
+                     + sum(CASE WHEN o_orderdate >= DATE '{_IVM_SPLIT}'
+                                THEN CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) ELSE 0 END)
+                     = sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+                THEN 'Y' ELSE 'N' END AS reconciled
+    FROM orders GROUP BY 1 ORDER BY ym
+    """

@@ -293,6 +293,9 @@ def main() -> None:
         "props_key_profile": analytics.props_key_profile,
         "discount_cap_whatif": analytics.discount_cap_whatif,
         "context_fit_audit": llm.context_fit_audit,
+        "churn_training_set": analytics.churn_training_set,
+        "incremental_agg_maintenance": medallion.incremental_agg_maintenance,
+        "hard_negative_mining": llm.hard_negative_mining,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
