@@ -8221,3 +8221,89 @@ def oracle_churn_training_set() -> str:
     WHERE n_orders >= 1
     ORDER BY customer_id
     """
+
+
+def supplier_lead_time_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vendor-performance trend: per supplier, the exact least-squares
+    slope of MONTHLY MEAN ship latency (order date → ship date) over
+    the month index, in sign-split integer micro-units — the
+    deteriorating-vendor detector procurement reviews quarterly
+    (revenue_trend_slope's integer-regression discipline applied to an
+    operational metric at supplier grain).
+
+    Scale shape: fact collapses to (supplier, month) first (mean
+    latency as floor milli-days — a ratio of two sums, floored once);
+    the regression moments run on ≤ |suppliers|·|months| rows."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    base = l.join(o, l.l_orderkey == o.o_orderkey).select(
+        "l_suppkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1 - 1995 * 12)
+        .cast("bigint").alias("x"),
+        F.expr("CAST(datediff(l_shipdate, o_orderdate) AS BIGINT)").alias("lag_days"),
+    )
+    monthly = base.groupBy("l_suppkey", "x").agg(
+        # sign-split: lag_days can be negative (ship-before-order rows exist
+        # in this feed) and Spark div truncates while DuckDB // floors
+        F.expr(
+            "CASE WHEN sum(lag_days) >= 0"
+            " THEN CAST(sum(lag_days) * 1000 div count(*) AS BIGINT)"
+            " ELSE -CAST((-sum(lag_days)) * 1000 div count(*) AS BIGINT) END"
+        ).alias("y")
+    )
+    moments = monthly.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).cast("decimal(38,0)").alias("sxy"),
+    )
+    return (
+        moments.filter(F.col("n") >= 2)
+        .select(
+            F.col("l_suppkey").alias("supplier_id"),
+            F.col("n").cast("bigint").alias("n_months"),
+            F.expr("CAST(n * sxy - CAST(sx AS DECIMAL(38,0)) * sy AS DECIMAL(38,0))").alias("num"),
+            F.expr("CAST(n * sxx - sx * sx AS DECIMAL(38,0))").alias("den"),
+        )
+        .select(
+            "supplier_id", "n_months",
+            F.expr(
+                "CASE WHEN num >= 0 THEN CAST(num * 1000 div den AS BIGINT)"
+                " ELSE -CAST((-num) * 1000 div den AS BIGINT) END"
+            ).alias("slope_micro_days_per_month"),
+        )
+        .orderBy("supplier_id")
+    )
+
+
+def oracle_supplier_lead_time_trend() -> str:
+    return """
+    WITH base AS (
+        SELECT l_suppkey,
+               CAST(year(l_shipdate) * 12 + month(l_shipdate) - 1 - 1995 * 12 AS BIGINT) AS x,
+               CAST(date_diff('day', cast(o_orderdate AS DATE), cast(l_shipdate AS DATE)) AS BIGINT) AS lag_days
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), monthly AS (
+        SELECT l_suppkey, x,
+               CASE WHEN sum(lag_days) >= 0
+                    THEN CAST(sum(lag_days) * 1000 // count(*) AS BIGINT)
+                    ELSE -CAST((-sum(lag_days)) * 1000 // count(*) AS BIGINT) END AS y
+        FROM base GROUP BY l_suppkey, x
+    ), moments AS (
+        SELECT l_suppkey,
+               count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx,
+               CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS sxy
+        FROM monthly GROUP BY l_suppkey
+    )
+    SELECT l_suppkey AS supplier_id,
+           CAST(n AS BIGINT) AS n_months,
+           CASE WHEN n * sxy - CAST(sx AS HUGEINT) * sy >= 0
+                THEN CAST((n * sxy - CAST(sx AS HUGEINT) * sy) * 1000
+                          // (n * sxx - sx * sx) AS BIGINT)
+                ELSE -CAST((-(n * sxy - CAST(sx AS HUGEINT) * sy)) * 1000
+                           // (n * sxx - sx * sx) AS BIGINT) END AS slope_micro_days_per_month
+    FROM moments WHERE n >= 2
+    ORDER BY supplier_id
+    """

@@ -8545,3 +8545,138 @@ def oracle_hard_negative_mining() -> str:
     FROM ranked WHERE rk BETWEEN {_HN_LO} AND {_HN_HI}
     ORDER BY query_id, hn_rank
     """
+
+
+_TPL_PREFIX_TOKENS = 8  # tokens hashed as the template key
+
+
+def template_family_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-spam detection: documents sharing an identical
+    first-8-token prefix form a TEMPLATE FAMILY (mail-merge spam, SEO
+    boilerplate, log lines); the profile buckets families into log2
+    size bands with doc counts and corpus share — the corpus-level
+    complement of boilerplate_prune (line-grain df) and
+    dedup_prefix_truncation (pair-grain): here the deliverable is the
+    family-size distribution a curation run alerts on.
+
+    Scale shape: map-only prefix hash per doc, one family rollup, one
+    ≤ ~40-row band rollup; never pair space."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    fam = (
+        d.select(
+            F.expr(
+                f"md5(concat_ws(' ', slice(split(text, ' '), 1, {_TPL_PREFIX_TOKENS})))"
+            ).alias("tpl")
+        )
+        .groupBy("tpl")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .filter(F.col("sz") >= 2)
+    )
+    hdr = (
+        fam.withColumn("sz_band", F.expr("CAST(length(bin(sz)) - 1 AS INT)"))
+        .groupBy("sz_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_families"),
+            F.sum("sz").cast("bigint").alias("n_docs"),
+            F.max("sz").cast("bigint").alias("max_family"),
+        )
+    )
+    tot = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_corpus"))
+    return (
+        hdr.crossJoin(F.broadcast(tot))
+        .select(
+            "sz_band", "n_families", "n_docs", "max_family",
+            F.expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div n_corpus AS BIGINT)")
+            .alias("corpus_share_ppm"),
+        )
+        .orderBy("sz_band")
+    )
+
+
+def oracle_template_family_profile() -> str:
+    return f"""
+    WITH fam AS (
+        SELECT md5(array_to_string(string_split(text, ' ')[1:{_TPL_PREFIX_TOKENS}], ' ')) AS tpl,
+               count(*) AS sz
+        FROM documents GROUP BY 1
+        HAVING count(*) >= 2
+    ), hdr AS (
+        SELECT CAST(length(bin(sz)) - 1 AS INT) AS sz_band,
+               CAST(count(*) AS BIGINT) AS n_families,
+               CAST(sum(sz) AS BIGINT) AS n_docs,
+               CAST(max(sz) AS BIGINT) AS max_family
+        FROM fam GROUP BY 1
+    ), tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM documents
+    )
+    SELECT sz_band, n_families, n_docs, max_family,
+           CAST(CAST(n_docs AS HUGEINT) * 1000000 // n_corpus AS BIGINT) AS corpus_share_ppm
+    FROM hdr, tot ORDER BY sz_band
+    """
+
+
+_SPAN_STRIDE = 7   # a span starts every 7 tokens...
+_SPAN_PHASE = 3    # ...at positions ≡ 3 (mod 7), 1-based
+_SPAN_LEN = 3      # ...and masks 3 tokens
+
+
+def span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption manifest: deterministic masking of
+    3-token spans on a fixed stride (positions ≡ 3 mod 7), emitting per
+    doc the masked-token count, the exact mask ratio and a digest of
+    the corrupted text — the pretraining-objective data prep expressed
+    as pure higher-order-function list algebra (a seeded-random masker
+    swaps only the position rule; the manifest/digest contract is what
+    the training pipeline checks).
+
+    Scale shape: map-only per-doc list transform (no explode), digest
+    folds the corrupted token list in place."""
+    d = load(spark, sf_dir, "documents")
+    in_span = (
+        f"(((i - 1) % {_SPAN_STRIDE}) >= {_SPAN_PHASE - 1}"
+        f" AND ((i - 1) % {_SPAN_STRIDE}) < {_SPAN_PHASE - 1 + _SPAN_LEN})"
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.split("text", " ").alias("w"),
+        )
+        .select(
+            "doc_id",
+            F.expr("CAST(size(w) AS BIGINT)").alias("n_tokens"),
+            F.expr(
+                f"CAST(size(filter(sequence(1, size(w)), i -> {in_span})) AS BIGINT)"
+            ).alias("n_masked"),
+            F.expr(
+                f"md5(concat_ws(' ', transform(sequence(1, size(w)),"
+                f" i -> CASE WHEN {in_span} THEN '<MASK>' ELSE element_at(w, i) END)))"
+            ).alias("corrupted_md5"),
+        )
+        .withColumn(
+            "mask_ppm",
+            F.expr("CAST(CAST(n_masked AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_span_corruption_manifest() -> str:
+    in_span = (
+        f"(((i - 1) % {_SPAN_STRIDE}) >= {_SPAN_PHASE - 1}"
+        f" AND ((i - 1) % {_SPAN_STRIDE}) < {_SPAN_PHASE - 1 + _SPAN_LEN})"
+    )
+    return f"""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_filter(generate_series(1, len(w)), i -> {in_span})) AS BIGINT) AS n_masked,
+           md5(array_to_string(list_transform(generate_series(1, len(w)),
+               i -> CASE WHEN {in_span} THEN '<MASK>' ELSE w[i] END), ' ')) AS corrupted_md5,
+           CAST(CAST(len(list_filter(generate_series(1, len(w)), i -> {in_span})) AS HUGEINT)
+                * 1000000 // len(w) AS BIGINT) AS mask_ppm
+    FROM w ORDER BY doc_id
+    """

@@ -296,6 +296,9 @@ def main() -> None:
         "churn_training_set": analytics.churn_training_set,
         "incremental_agg_maintenance": medallion.incremental_agg_maintenance,
         "hard_negative_mining": llm.hard_negative_mining,
+        "template_family_profile": llm.template_family_profile,
+        "span_corruption_manifest": llm.span_corruption_manifest,
+        "supplier_lead_time_trend": analytics.supplier_lead_time_trend,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
