@@ -1347,3 +1347,217 @@ def test_cusum_drawup_dominates_single_deviation(spark):
         r = out[s.event_type]
         assert r.max_drawup_scaled >= 0
         assert r.max_drawup_scaled >= s.n * s.mx - s.tot  # best single hour
+
+
+# ---------------------------------------------------------------------------
+# Round-6 continuation-wave semantic invariants
+# ---------------------------------------------------------------------------
+
+
+def test_scd2_compaction_partitions_versions(spark):
+    """Spans partition the SCD2 rows exactly (Σ n_versions = rows),
+    adjacent spans per user change event_type, and validity stays
+    contiguous across the compacted spans."""
+    from northwind_warehouse_spark.plans.medallion import scd2_compaction, scd2_users
+
+    spans = scd2_compaction(spark, SF_SMOKE).collect()
+    n_versions_total = scd2_users(spark, SF_SMOKE).count()
+    assert sum(r.n_versions for r in spans) == n_versions_total
+    by_user: dict[int, list] = {}
+    for r in spans:
+        by_user.setdefault(r.user_id, []).append(r)
+    for _u, ss in by_user.items():
+        ss.sort(key=lambda r: r.span_no)
+        assert [s.span_no for s in ss] == list(range(1, len(ss) + 1))
+        for a, b in zip(ss, ss[1:]):
+            assert a.event_type != b.event_type
+            assert a.expiry_date == b.effective_date
+        assert sum(1 for s in ss if s.is_active == "Y") == 1
+
+
+def test_nation_trade_balance_nets_to_zero(spark):
+    """Every cross-border flow is counted once as an export and once as
+    an import, so the net over all nations must be exactly zero."""
+    from northwind_warehouse_spark.plans.analytics import nation_trade_balance
+
+    rows = nation_trade_balance(spark, SF_SMOKE).collect()
+    assert rows
+    # exports and imports are floored to cents PER NATION, so the global
+    # net can be off zero by at most one sub-cent floor per nation-side
+    assert abs(sum(r.net_cents for r in rows)) < len(rows)
+    gap = sum(r.export_cents for r in rows) - sum(r.import_cents for r in rows)
+    assert abs(gap) < len(rows)
+
+
+def test_ivf_cell_occupancy_conserves_corpus(spark):
+    """Band vector counts sum to the corpus size; shares are a valid
+    ppm decomposition (≤ 1e6, off by at most one floor per band)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import ivf_cell_occupancy
+
+    rows = ivf_cell_occupancy(spark, SF_SMOKE).collect()
+    n = load(spark, SF_SMOKE, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n
+    total_share = sum(r.vec_share_ppm for r in rows)
+    assert 1_000_000 - len(rows) <= total_share <= 1_000_000
+
+
+def test_simhash_bit_balance_covers_all_bits(spark):
+    """Exactly 32 bit rows, each over the full corpus, with set shares
+    inside [0, 1e6]."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import simhash_bit_balance
+
+    rows = simhash_bit_balance(spark, SF_SMOKE).collect()
+    n = load(spark, SF_SMOKE, "documents").count()
+    assert [r.bit for r in rows] == list(range(32))
+    assert all(r.n_docs == n for r in rows)
+    assert all(0 <= r.set_ppm <= 1_000_000 for r in rows)
+    assert all(r.dev_ppm == r.set_ppm - 500_000 for r in rows)
+
+
+def test_spend_tier_migration_conserves_customers(spark):
+    """Every active (customer, year) is the source of exactly one
+    transition, and each (year, tier) cell's shares sum to ~1e6."""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.analytics import spend_tier_migration
+
+    rows = spend_tier_migration(spark, SF_SMOKE).collect()
+    cy = (
+        load(spark, SF_SMOKE, "orders")
+        .select("o_custkey", F.year("o_orderdate").alias("yr"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == cy
+    cells: dict[tuple, int] = {}
+    for r in rows:
+        cells[(r.year_from, r.tier_from)] = cells.get((r.year_from, r.tier_from), 0) + r.share_ppm
+    for _k, tot in cells.items():
+        assert 1_000_000 - 3 <= tot <= 1_000_000
+
+
+def test_medallion_reconciliation_stg_is_lossless(spark):
+    """The map-only staging layer must carry every raw row through:
+    stg deltas are zero for all three chains."""
+    from northwind_warehouse_spark.plans.medallion import medallion_reconciliation
+
+    rows = {(r.table_name, r.layer): r for r in medallion_reconciliation(spark, SF_SMOKE).collect()}
+    for t in ("orders", "lineitem", "events"):
+        assert rows[(t, "stg")].delta_vs_upstream == 0
+        assert rows[(t, "raw")].delta_vs_upstream is None
+
+
+def test_context_fit_audit_is_monotone(spark):
+    """A longer context can only fit more docs and lose fewer tokens."""
+    from northwind_warehouse_spark.plans.llm import context_fit_audit
+
+    rows = sorted(context_fit_audit(spark, SF_SMOKE).collect(), key=lambda r: r.ctx_limit)
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_fit >= a.n_fit
+        assert b.tokens_lost <= a.tokens_lost
+        assert a.tokens_total == b.tokens_total
+
+
+def test_incremental_agg_maintenance_reconciles_every_month(spark):
+    from northwind_warehouse_spark.plans.medallion import incremental_agg_maintenance
+
+    rows = incremental_agg_maintenance(spark, SF_SMOKE).collect()
+    assert rows
+    assert all(r.reconciled == "Y" for r in rows)
+    assert all(r.old_cents + r.delta_cents == r.full_cents for r in rows)
+
+
+def test_churn_training_set_has_no_feature_leakage(spark):
+    """Features must derive only from strictly-pre-cutoff orders:
+    recency/tenure positive, avg consistent with spend, and the label
+    recomputed independently from the post-cutoff window."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.analytics import _CHURN_CUTOFF, churn_training_set
+
+    rows = churn_training_set(spark, SF_SMOKE).collect()
+    assert rows
+    cutoff = dt.date.fromisoformat(_CHURN_CUTOFF)
+    horizon = dt.date(cutoff.year + 1, cutoff.month, cutoff.day)
+    after = {
+        r.o_custkey
+        for r in load(spark, SF_SMOKE, "orders")
+        .filter((F.col("o_orderdate") >= F.lit(str(cutoff))) & (F.col("o_orderdate") < F.lit(str(horizon))))
+        .select("o_custkey").distinct().collect()
+    }
+    for r in rows:
+        assert r.recency_days >= 1 and r.tenure_days >= r.recency_days
+        assert r.avg_order_cents * r.n_orders <= r.spend_cents < (r.avg_order_cents + 1) * r.n_orders
+        assert (r.churned == "N") == (r.customer_id in after)
+
+
+def test_hard_negatives_rank_below_positives(spark):
+    """Every hard negative scores at or below the query's 3rd-best
+    cell-local neighbor (the positive band ann_ivf_topk emits)."""
+    from northwind_warehouse_spark.plans.llm import ann_ivf_topk, hard_negative_mining
+
+    pos3 = {
+        r.query_id: r.cosine
+        for r in ann_ivf_topk(spark, SF_SMOKE).collect()
+        if r.nn_rank == 3
+    }
+    negs = hard_negative_mining(spark, SF_SMOKE).collect()
+    assert negs
+    for r in negs:
+        assert 1 <= r.hn_rank <= 5
+        if r.query_id in pos3:
+            assert r.cosine <= pos3[r.query_id]
+
+
+def test_audio_segments_tile_each_document(spark):
+    """Per doc: segment lengths sum to the doc length, indices are
+    dense from 0, and the count is ceil(len/256)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import multimodal_audio_segments
+
+    segs = multimodal_audio_segments(spark, SF_SMOKE).collect()
+    lens = {r.doc_id: len(r.text) for r in load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()}
+    by_doc: dict[int, list] = {}
+    for r in segs:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, n in lens.items() if n > 0}
+    for d, ss in by_doc.items():
+        ss.sort(key=lambda r: r.seg_idx)
+        assert [s.seg_idx for s in ss] == list(range(len(ss)))
+        assert sum(s.n_chars for s in ss) == lens[d]
+        assert len(ss) == (lens[d] + 255) // 256
+
+
+def test_span_corruption_mask_rule_is_exact(spark):
+    """n_masked recomputed independently from the position rule."""
+    from northwind_warehouse_spark.plans.llm import (
+        _SPAN_LEN, _SPAN_PHASE, _SPAN_STRIDE, span_corruption_manifest,
+    )
+
+    rows = span_corruption_manifest(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows[:200]:
+        want = sum(
+            1
+            for i in range(1, r.n_tokens + 1)
+            if _SPAN_PHASE - 1 <= (i - 1) % _SPAN_STRIDE < _SPAN_PHASE - 1 + _SPAN_LEN
+        )
+        assert r.n_masked == want
+
+
+def test_shingle_kmv_exact_below_k(spark):
+    """Sources with fewer than k distinct shingles must be estimated
+    EXACTLY (the sketch holds the whole set below k)."""
+    from northwind_warehouse_spark.plans.llm import _SHK_KMV, shingle_kmv_error
+
+    rows = shingle_kmv_error(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.exact_distinct < _SHK_KMV:
+            assert r.approx_distinct == r.exact_distinct and r.err_ppm == 0
