@@ -8307,3 +8307,47 @@ def oracle_supplier_lead_time_trend() -> str:
     FROM moments WHERE n >= 2
     ORDER BY supplier_id
     """
+
+
+def sql_surface_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """API-surface parity demo: the nation×year revenue rollup
+    expressed in PURE SQL over registered temp views (spark.sql), not
+    the DataFrame builder — proving a reference user can keep writing
+    SQL verbatim against this engine and Catalyst compiles both
+    surfaces to the same plan (every other query here uses the
+    DataFrame API; this one pins the SQL entry point).
+
+    Scale shape: identical to the DataFrame twin — size-gated customer
+    join is expressed as a plain join (AQE picks BHJ at demo scale),
+    nation is bounded, one map-side-combined rollup."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("sqlv_orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("sqlv_customer")
+    load(spark, sf_dir, "nation").createOrReplaceTempView("sqlv_nation")
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM sqlv_orders
+        JOIN sqlv_customer ON o_custkey = c_custkey
+        JOIN sqlv_nation ON n_nationkey = c_nationkey
+        GROUP BY n_name, year(o_orderdate)
+        ORDER BY n_name, yr
+        """
+    )
+
+
+def oracle_sql_surface_nation_revenue() -> str:
+    return """
+    SELECT n_name,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name, year(o_orderdate)
+    ORDER BY n_name, yr
+    """

@@ -8680,3 +8680,65 @@ def oracle_span_corruption_manifest() -> str:
                 * 1000000 // len(w) AS BIGINT) AS mask_ppm
     FROM w ORDER BY doc_id
     """
+
+
+_SFT_MIN_COMPLETION_TOKENS = 8
+
+
+def sft_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SFT (prompt, completion) pair synthesis from raw documents: the
+    first sentence becomes the prompt, the remainder the completion —
+    the classic self-supervised instruction-tuning prep — with token
+    accounting, a completion-share ratio, and digests of both sides so
+    the pair construction is value-checked end to end. Pairs with thin
+    completions (< 8 tokens) are dropped, mirroring real SFT filters.
+
+    Scale shape: map-only sentence split + list algebra per row (no
+    explode), one post-filter; streams verbatim if deployed on ingest."""
+    d = load(spark, sf_dir, "documents")
+    pairs = d.select(
+        "doc_id",
+        F.expr("element_at(split(text, '\\\\. '), 1)").alias("prompt"),
+        F.expr(
+            "array_join(slice(split(text, '\\\\. '), 2, size(split(text, '\\\\. ')) - 1), '. ')"
+        ).alias("completion"),
+    ).filter(F.expr("size(split(completion, ' '))") >= _SFT_MIN_COMPLETION_TOKENS)
+    return (
+        pairs.select(
+            "doc_id",
+            F.expr("CAST(size(split(prompt, ' ')) AS BIGINT)").alias("prompt_tokens"),
+            F.expr("CAST(size(split(completion, ' ')) AS BIGINT)").alias("completion_tokens"),
+            F.md5("prompt").alias("prompt_md5"),
+            F.md5("completion").alias("completion_md5"),
+        )
+        .withColumn(
+            "completion_share_ppm",
+            F.expr(
+                "CAST(CAST(completion_tokens AS DECIMAL(38,0)) * 1000000"
+                " div (prompt_tokens + completion_tokens) AS BIGINT)"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def oracle_sft_pair_manifest() -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT doc_id,
+               string_split(text, '. ')[1] AS prompt,
+               array_to_string(string_split(text, '. ')[2:], '. ') AS completion
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(string_split(prompt, ' ')) AS BIGINT) AS prompt_tokens,
+           CAST(len(string_split(completion, ' ')) AS BIGINT) AS completion_tokens,
+           md5(prompt) AS prompt_md5,
+           md5(completion) AS completion_md5,
+           CAST(CAST(len(string_split(completion, ' ')) AS HUGEINT) * 1000000
+                // (len(string_split(prompt, ' ')) + len(string_split(completion, ' '))) AS BIGINT)
+               AS completion_share_ppm
+    FROM pairs
+    WHERE len(string_split(completion, ' ')) >= {_SFT_MIN_COMPLETION_TOKENS}
+    ORDER BY doc_id
+    """

@@ -299,6 +299,8 @@ def main() -> None:
         "template_family_profile": llm.template_family_profile,
         "span_corruption_manifest": llm.span_corruption_manifest,
         "supplier_lead_time_trend": analytics.supplier_lead_time_trend,
+        "sql_surface_nation_revenue": analytics.sql_surface_nation_revenue,
+        "sft_pair_manifest": llm.sft_pair_manifest,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
