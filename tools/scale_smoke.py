@@ -382,6 +382,16 @@ def main() -> None:
         "- **lm_quality_terciles** — round-6 rewrite ranks inside score-bucket",
         "  partitions (≤1001 value-range buckets/source) with broadcast",
         "  prefix counts; the former per-source near-global sort is gone.",
+        "- **ivf_cell_occupancy / knn_graph_cell_local super-linear tail** —",
+        "  the occupancy-pinned policy (n_centroids = ceil(n/128)) makes the",
+        "  MAP-ONLY assignment cost n·k with k ∝ n: 16/47/157 centroids at",
+        "  1×/3×/10× ⇒ ~10·10 = 100× dot products at 10× data, measured as",
+        "  the ~5-6× wall ratio (memory-bandwidth-amortized). This is the",
+        "  deliberate trade that killed the r5 drop-empty cliff; the",
+        "  production path at true corpus scale is a trained hierarchical",
+        "  coarse quantizer (two-level argmax ⇒ n·√k) or fixed k with",
+        "  multi-probe (ann_ivf_multiprobe_topk — measured FLAT at 10×),",
+        "  both of which swap only the assignment operator, not the plan.",
     ]
     (REPO / "SCALING.md").write_text("\n".join(lines) + "\n")
     print("wrote SCALING.md")
