@@ -8351,3 +8351,40 @@ def oracle_sql_surface_nation_revenue() -> str:
     GROUP BY n_name, year(o_orderdate)
     ORDER BY n_name, yr
     """
+
+
+def events_new_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adoption curve: users seen for the FIRST time each day, with the
+    running cumulative — the top of the growth-accounting funnel at
+    event grain (customer_growth_accounting tracks revenue states;
+    this tracks the population the events stream acquires).
+
+    Scale shape: one (user → first day) rollup (map-side combined min),
+    one ≤|days| rollup, a running window over the day aggregate."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select("user_id", F.to_date("ts").alias("d"))
+    first = e.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    daily = first.groupBy("first_day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new_users")
+    )
+    w = Window.orderBy("first_day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        daily.withColumn("cum_users", F.sum("n_new_users").over(w).cast("bigint"))
+        .select("first_day", "n_new_users", "cum_users")
+        .orderBy("first_day")
+    )
+
+
+def oracle_events_new_users_daily() -> str:
+    return """
+    WITH first AS (
+        SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events GROUP BY user_id
+    ), daily AS (
+        SELECT first_day, CAST(count(*) AS BIGINT) AS n_new_users FROM first GROUP BY first_day
+    )
+    SELECT first_day, n_new_users,
+           CAST(sum(n_new_users) OVER (ORDER BY first_day
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+    FROM daily ORDER BY first_day
+    """

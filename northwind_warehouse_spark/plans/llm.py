@@ -8742,3 +8742,68 @@ def oracle_sft_pair_manifest() -> str:
     WHERE len(string_split(completion, ' ')) >= {_SFT_MIN_COMPLETION_TOKENS}
     ORDER BY doc_id
     """
+
+
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-redundancy matrix: pairwise Jaccard of the sources'
+    vocabulary SETS (distinct tokens) in exact ppm — the set-overlap
+    complement of source_vocab_tv_distance (which measures
+    distributional distance over the shared vocabulary): high Jaccard
+    with high TV distance means same words, different mixture; low
+    Jaccard means genuinely disjoint domains.
+
+    Scale shape: one distinct (source, token) projection (persisted —
+    marginals and the intersection self-join share it); the
+    intersection join shuffles on token; the output is the
+    ≤|sources|² pair matrix."""
+    d = load(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(F.split("text", " ")).alias("tok"))
+        .distinct()
+        .persist()
+    )
+    marg = st.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), "tok")
+    inter = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    ma = marg.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    mb = marg.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(maybe_broadcast(ma), "src_a")
+        .join(maybe_broadcast(mb), "src_b")
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_common",
+            F.expr(
+                "CAST(CAST(n_common AS DECIMAL(38,0)) * 1000000"
+                " div (n_a + n_b - n_common) AS BIGINT)"
+            ).alias("jaccard_ppm"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
+def oracle_source_vocab_jaccard() -> str:
+    return """
+    WITH st AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), marg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n FROM st GROUP BY source
+    ), inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           ma.n AS n_a, mb.n AS n_b, n_common,
+           CAST(CAST(n_common AS HUGEINT) * 1000000 // (ma.n + mb.n - n_common) AS BIGINT)
+               AS jaccard_ppm
+    FROM inter
+    JOIN marg ma ON ma.source = src_a
+    JOIN marg mb ON mb.source = src_b
+    ORDER BY src_a, src_b
+    """

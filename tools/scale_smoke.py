@@ -301,6 +301,8 @@ def main() -> None:
         "supplier_lead_time_trend": analytics.supplier_lead_time_trend,
         "sql_surface_nation_revenue": analytics.sql_surface_nation_revenue,
         "sft_pair_manifest": llm.sft_pair_manifest,
+        "events_new_users_daily": analytics.events_new_users_daily,
+        "source_vocab_jaccard": llm.source_vocab_jaccard,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
