@@ -2786,3 +2786,196 @@ def oracle_incremental_agg_maintenance() -> str:
                 THEN 'Y' ELSE 'N' END AS reconciled
     FROM orders GROUP BY 1 ORDER BY ym
     """
+
+
+# ---------------------------------------------------------------------------
+# Data Vault modeling (hub / link / satellite / PIT) — the methodology
+# complement to the Kimball surface above: same md5 portability contract
+# (functions/hashing.py), insert-only artifacts
+# ---------------------------------------------------------------------------
+
+
+def dv_hub_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault HUB: one row per distinct customer business key as
+    FIRST SEEN in the orders feed, with the md5 hash key and the
+    first-seen load date — the insert-only backbone table every link
+    and satellite hangs off (a key is 'born' when any feed first
+    mentions it; re-arrivals never update the hub).
+
+    Scale shape: one map-side-combined (key → min date) rollup; the
+    hash key is a map-only projection."""
+    o = load(spark, sf_dir, "orders").select("o_custkey", F.col("o_orderdate").cast("date").alias("od"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.min("od").alias("load_date"))
+        .select(
+            surrogate_key("o_custkey").alias("customer_hk"),
+            F.col("o_custkey").alias("customer_bk"),
+            "load_date",
+        )
+        .orderBy("customer_bk")
+    )
+
+
+def oracle_dv_hub_customer() -> str:
+    hk = oracle_surrogate_key("o_custkey")
+    return f"""
+    SELECT {hk} AS customer_hk,
+           o_custkey AS customer_bk,
+           min(cast(o_orderdate AS DATE)) AS load_date
+    FROM orders GROUP BY o_custkey
+    ORDER BY customer_bk
+    """
+
+
+def dv_link_order_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault LINK: the order↔customer relationship as an
+    insert-only association table — link hash key over BOTH business
+    keys, the two member hub keys, and the relationship's load date.
+    Many-to-many by construction (here 1:n, but the shape is the
+    general one the methodology standardizes).
+
+    Scale shape: pure map over the orders scan — three md5
+    projections, zero shuffles (the ORDER BY is presentation-only)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("load_date")
+    )
+    return o.select(
+        surrogate_key("o_orderkey", "o_custkey").alias("link_hk"),
+        surrogate_key("o_orderkey").alias("order_hk"),
+        surrogate_key("o_custkey").alias("customer_hk"),
+        F.col("o_orderkey").alias("order_bk"),
+        F.col("o_custkey").alias("customer_bk"),
+        "load_date",
+    ).orderBy("order_bk")
+
+
+def oracle_dv_link_order_customer() -> str:
+    lk = oracle_surrogate_key("o_orderkey", "o_custkey")
+    ohk = oracle_surrogate_key("o_orderkey")
+    chk = oracle_surrogate_key("o_custkey")
+    return f"""
+    SELECT {lk} AS link_hk,
+           {ohk} AS order_hk,
+           {chk} AS customer_hk,
+           o_orderkey AS order_bk,
+           o_custkey AS customer_bk,
+           cast(o_orderdate AS DATE) AS load_date
+    FROM orders ORDER BY order_bk
+    """
+
+
+def dv_sat_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault SATELLITE on the user hub: the descriptive attributes
+    from the events change stream, APPEND-ONLY with a hashdiff — a row
+    is loaded only when its hashdiff differs from the key's previous
+    satellite row (the DV delta-load rule; no expiry columns — point-in-
+    time queries resolve currency, see dv_pit_users). Same change
+    stream the SCD2 dimension consumes, emitted in the other
+    methodology's shape.
+
+    Scale shape: one hash(user_id) exchange shared by the dedup and
+    lag windows — identical to the SCD2 build's cost."""
+    from pyspark.sql.window import Window
+
+    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    hashed = e.withColumn("hashdiff", surrogate_key("event_type", num_str("value")))
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy("ts", "event_id")
+    d = hashed.withColumn("_rn", F.row_number().over(w_dedup)).filter(F.col("_rn") == 1)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        d.withColumn("_prev", F.lag("hashdiff").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("hashdiff")))
+        .select(
+            surrogate_key("user_id").alias("customer_hk"),
+            F.col("user_id").alias("user_bk"),
+            F.col("ts").alias("load_ts"),
+            "hashdiff",
+            "event_type",
+            "value",
+        )
+        .orderBy("user_bk", "load_ts")
+    )
+
+
+def oracle_dv_sat_user_events() -> str:
+    hd = oracle_surrogate_key("event_type", oracle_num_str("value"))
+    hk = oracle_surrogate_key("user_id")
+    return f"""
+    WITH hashed AS (
+        SELECT event_id, user_id, ts, event_type, value, {hd} AS hashdiff
+        FROM events
+    ), dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY ts, event_id) AS _rn
+        FROM hashed
+    ), d AS (SELECT * FROM dedup WHERE _rn = 1),
+    chg AS (
+        SELECT *, lag(hashdiff) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+        FROM d
+    )
+    SELECT {hk} AS customer_hk,
+           user_id AS user_bk,
+           ts AS load_ts,
+           hashdiff, event_type, value
+    FROM chg
+    WHERE _prev IS NULL OR _prev <> hashdiff
+    ORDER BY user_bk, load_ts
+    """
+
+
+_DV_PIT_SNAPSHOTS = ("2024-01-08", "2024-01-15", "2024-01-22", "2024-01-29")
+
+
+def dv_pit_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Vault POINT-IN-TIME table: for each (user hub key,
+    snapshot date), the load_ts of the satellite row current AT that
+    snapshot — the query-acceleration construct that turns the
+    append-only satellite into O(1) as-of lookups for consumers (the
+    DV counterpart of the SCD2 effective/expiry pair).
+
+    Scale shape: satellite rows explode ×|snapshots| (a small
+    constant), one (key, snapshot) max-rollup — never a key×time
+    cross join at event grain."""
+    sat = dv_sat_user_events(spark, sf_dir).select("customer_hk", "user_bk", "load_ts")
+    snaps = F.array(*[F.lit(s) for s in _DV_PIT_SNAPSHOTS])
+    ex = sat.select(
+        "customer_hk", "user_bk", "load_ts",
+        F.explode(snaps).alias("_s"),
+    ).withColumn("snapshot_date", F.col("_s").cast("date"))
+    return (
+        ex.filter(F.col("load_ts") < F.expr("CAST(date_add(snapshot_date, 1) AS TIMESTAMP)"))
+        .groupBy("customer_hk", "user_bk", "snapshot_date")
+        .agg(F.max("load_ts").alias("sat_load_ts"))
+        .orderBy("user_bk", "snapshot_date")
+    )
+
+
+def oracle_dv_pit_users() -> str:
+    hd = oracle_surrogate_key("event_type", oracle_num_str("value"))
+    hk = oracle_surrogate_key("user_id")
+    snaps = ", ".join(f"DATE '{s}'" for s in _DV_PIT_SNAPSHOTS)
+    return f"""
+    WITH hashed AS (
+        SELECT event_id, user_id, ts, event_type, value, {hd} AS hashdiff
+        FROM events
+    ), dedup AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY ts, event_id) AS _rn
+        FROM hashed
+    ), d AS (SELECT * FROM dedup WHERE _rn = 1),
+    chg AS (
+        SELECT *, lag(hashdiff) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS _prev
+        FROM d
+    ), sat AS (
+        SELECT {hk} AS customer_hk, user_id AS user_bk, ts AS load_ts
+        FROM chg WHERE _prev IS NULL OR _prev <> hashdiff
+    ), ex AS (
+        SELECT customer_hk, user_bk, load_ts, t.s AS snapshot_date
+        FROM sat CROSS JOIN (SELECT unnest([{snaps}]) AS s) t
+    )
+    SELECT customer_hk, user_bk, snapshot_date,
+           max(load_ts) AS sat_load_ts
+    FROM ex
+    WHERE load_ts < CAST(snapshot_date + INTERVAL 1 DAY AS TIMESTAMP)
+    GROUP BY customer_hk, user_bk, snapshot_date
+    ORDER BY user_bk, snapshot_date
+    """

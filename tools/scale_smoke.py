@@ -303,6 +303,8 @@ def main() -> None:
         "sft_pair_manifest": llm.sft_pair_manifest,
         "events_new_users_daily": analytics.events_new_users_daily,
         "source_vocab_jaccard": llm.source_vocab_jaccard,
+        "dv_sat_user_events": medallion.dv_sat_user_events,
+        "dv_pit_users": medallion.dv_pit_users,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
