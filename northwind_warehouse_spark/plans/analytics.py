@@ -8388,3 +8388,67 @@ def oracle_events_new_users_daily() -> str:
                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
     FROM daily ORDER BY first_day
     """
+
+
+_HL_REF_DATE = "2002-12-31"  # decay reference (end of the order history)
+_HL_DAYS = 30                # half-life: value halves every 30 days of age
+
+
+def halflife_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted customer value with EXACT dyadic decay: each
+    order's cents are halved once per 30 days of age (weight 2^-k via
+    bigint shift — no floating decay crosses the oracle), rolled up per
+    nation with the retention share of face value. The EWMA/half-life
+    scoring every CRM uses, restated in integer arithmetic.
+
+    Scale shape: map-only age→shift projection (shift capped at 60 —
+    beyond that the value is exactly 0 anyway), one fact rollup through
+    the size-gated customer join, bounded nation broadcast."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.expr(
+            f"CAST(least(datediff(to_date('{_HL_REF_DATE}'), o_orderdate) div {_HL_DAYS}, 60) AS INT)"
+        ).alias("k"),
+    ).withColumn("decayed", F.expr("shiftright(cents, k)"))
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("raw_cents"),
+            F.sum("decayed").cast("bigint").alias("decayed_cents"),
+        )
+        .withColumn(
+            "retention_ppm",
+            F.expr("CAST(CAST(decayed_cents AS DECIMAL(38,0)) * 1000000 div raw_cents AS BIGINT)"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def oracle_halflife_weighted_value() -> str:
+    return f"""
+    WITH o AS (
+        SELECT o_custkey,
+               CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+               CAST(least(date_diff('day', cast(o_orderdate AS DATE), DATE '{_HL_REF_DATE}')
+                          // {_HL_DAYS}, 60) AS INT) AS k
+        FROM orders
+    ), d AS (
+        SELECT o_custkey, cents, cents >> k AS decayed FROM o
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(cents) AS BIGINT) AS raw_cents,
+           CAST(sum(decayed) AS BIGINT) AS decayed_cents,
+           CAST(CAST(sum(decayed) AS HUGEINT) * 1000000 // CAST(sum(cents) AS BIGINT) AS BIGINT)
+               AS retention_ppm
+    FROM d
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation ON n_nationkey = c_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """

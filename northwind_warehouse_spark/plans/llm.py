@@ -8682,25 +8682,30 @@ def oracle_span_corruption_manifest() -> str:
     """
 
 
+_SFT_PROMPT_TOKENS = 16
 _SFT_MIN_COMPLETION_TOKENS = 8
 
 
 def sft_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SFT (prompt, completion) pair synthesis from raw documents: the
-    first sentence becomes the prompt, the remainder the completion —
-    the classic self-supervised instruction-tuning prep — with token
-    accounting, a completion-share ratio, and digests of both sides so
-    the pair construction is value-checked end to end. Pairs with thin
-    completions (< 8 tokens) are dropped, mirroring real SFT filters.
+    first 16 tokens become the prompt, the remainder the completion —
+    the self-supervised continuation objective every instruction-tuning
+    bootstrap starts from — with token accounting, a completion-share
+    ratio, and digests of both sides so the pair construction is
+    value-checked end to end. Pairs with thin completions (< 8 tokens)
+    are dropped, mirroring real SFT filters.
 
-    Scale shape: map-only sentence split + list algebra per row (no
+    Scale shape: map-only token split + list algebra per row (no
     explode), one post-filter; streams verbatim if deployed on ingest."""
     d = load(spark, sf_dir, "documents")
     pairs = d.select(
         "doc_id",
-        F.expr("element_at(split(text, '\\\\. '), 1)").alias("prompt"),
         F.expr(
-            "array_join(slice(split(text, '\\\\. '), 2, size(split(text, '\\\\. ')) - 1), '. ')"
+            f"array_join(slice(split(text, ' '), 1, {_SFT_PROMPT_TOKENS}), ' ')"
+        ).alias("prompt"),
+        F.expr(
+            f"array_join(slice(split(text, ' '), {_SFT_PROMPT_TOKENS + 1},"
+            f" greatest(size(split(text, ' ')) - {_SFT_PROMPT_TOKENS}, 0)), ' ')"
         ).alias("completion"),
     ).filter(F.expr("size(split(completion, ' '))") >= _SFT_MIN_COMPLETION_TOKENS)
     return (
@@ -8726,8 +8731,8 @@ def oracle_sft_pair_manifest() -> str:
     return f"""
     WITH pairs AS (
         SELECT doc_id,
-               string_split(text, '. ')[1] AS prompt,
-               array_to_string(string_split(text, '. ')[2:], '. ') AS completion
+               array_to_string(string_split(text, ' ')[1:{_SFT_PROMPT_TOKENS}], ' ') AS prompt,
+               array_to_string(string_split(text, ' ')[{_SFT_PROMPT_TOKENS + 1}:], ' ') AS completion
         FROM documents
     )
     SELECT doc_id,
@@ -8806,4 +8811,66 @@ def oracle_source_vocab_jaccard() -> str:
     JOIN marg ma ON ma.source = src_a
     JOIN marg mb ON mb.source = src_b
     ORDER BY src_a, src_b
+    """
+
+
+def lang_charset_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label/content consistency screen: per LANGUAGE LABEL, the
+    corpus-weighted alpha/digit composition and the count of docs whose
+    text is mostly non-alphabetic (2·alpha < chars) — a language label
+    on number-table or markup content is a mislabel, and this is the
+    cheap cross-check of the lang column against the bytes it claims
+    to describe (composes charset_counts with the label the lang_id
+    family audits from the other side).
+
+    Scale shape: the map-only charset projection, one ≤|langs|
+    rollup."""
+    per_doc = charset_counts(load(spark, sf_dir, "documents"))
+    d = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        per_doc.join(d, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+            F.sum("n_alpha").cast("bigint").alias("n_alpha"),
+            F.sum("n_digit").cast("bigint").alias("n_digit"),
+            F.sum(F.when(F.expr("n_alpha * 2 < n_chars"), 1).otherwise(0))
+            .cast("bigint").alias("n_nonalpha_docs"),
+        )
+        .select(
+            "lang", "n_docs", "n_nonalpha_docs",
+            F.expr("CAST(CAST(n_alpha AS DECIMAL(38,0)) * 1000000 div n_chars AS BIGINT)")
+            .alias("alpha_ppm"),
+            F.expr("CAST(CAST(n_digit AS DECIMAL(38,0)) * 1000000 div n_chars AS BIGINT)")
+            .alias("digit_ppm"),
+            F.expr("CAST(CAST(n_nonalpha_docs AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)")
+            .alias("nonalpha_doc_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def oracle_lang_charset_consistency() -> str:
+    return """
+    WITH per_doc AS (
+        SELECT doc_id, lang,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+               CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        FROM documents
+    ), agg AS (
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(sum(n_alpha) AS BIGINT) AS n_alpha,
+               CAST(sum(n_digit) AS BIGINT) AS n_digit,
+               CAST(sum(CASE WHEN n_alpha * 2 < n_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_nonalpha_docs
+        FROM per_doc GROUP BY lang
+    )
+    SELECT lang, n_docs, n_nonalpha_docs,
+           CAST(CAST(n_alpha AS HUGEINT) * 1000000 // n_chars AS BIGINT) AS alpha_ppm,
+           CAST(CAST(n_digit AS HUGEINT) * 1000000 // n_chars AS BIGINT) AS digit_ppm,
+           CAST(CAST(n_nonalpha_docs AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS nonalpha_doc_ppm
+    FROM agg ORDER BY lang
     """

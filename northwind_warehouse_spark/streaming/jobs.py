@@ -594,3 +594,62 @@ def audio_segment_stream(incoming_docs: DataFrame) -> DataFrame:
     )
 
     return segment_audio(documents_as_binary(incoming_docs))
+
+
+def sft_pair_stream(incoming_docs: DataFrame) -> DataFrame:
+    """Streaming SFT pair synthesis: the map-only sentence-split pair
+    construction running on the ingest stream — prompt/completion
+    digests and token accounting per micro-batch, no state (equality
+    asserted in tests/test_streaming.py against the batch plan)."""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.plans.llm import (
+        _SFT_MIN_COMPLETION_TOKENS, _SFT_PROMPT_TOKENS,
+    )
+
+    pairs = incoming_docs.select(
+        "doc_id",
+        F.expr(
+            f"array_join(slice(split(text, ' '), 1, {_SFT_PROMPT_TOKENS}), ' ')"
+        ).alias("prompt"),
+        F.expr(
+            f"array_join(slice(split(text, ' '), {_SFT_PROMPT_TOKENS + 1},"
+            f" greatest(size(split(text, ' ')) - {_SFT_PROMPT_TOKENS}, 0)), ' ')"
+        ).alias("completion"),
+    ).filter(F.expr(f"size(split(completion, ' ')) >= {_SFT_MIN_COMPLETION_TOKENS}"))
+    return pairs.select(
+        "doc_id",
+        F.expr("CAST(size(split(prompt, ' ')) AS BIGINT)").alias("prompt_tokens"),
+        F.expr("CAST(size(split(completion, ' ')) AS BIGINT)").alias("completion_tokens"),
+        F.md5("prompt").alias("prompt_md5"),
+        F.md5("completion").alias("completion_md5"),
+    )
+
+
+def span_corruption_stream(incoming_docs: DataFrame) -> DataFrame:
+    """Streaming span-corruption manifests: the deterministic masking
+    list-algebra applied per micro-batch (map-only, no state; batch
+    twin plans/llm.py::span_corruption_manifest — the ORDER BY and the
+    derived mask_ppm stay batch/report concerns)."""
+    from northwind_warehouse_spark.plans.llm import (
+        _SPAN_LEN, _SPAN_PHASE, _SPAN_STRIDE,
+    )
+    from pyspark.sql import functions as F
+
+    in_span = (
+        f"(((i - 1) % {_SPAN_STRIDE}) >= {_SPAN_PHASE - 1}"
+        f" AND ((i - 1) % {_SPAN_STRIDE}) < {_SPAN_PHASE - 1 + _SPAN_LEN})"
+    )
+    return incoming_docs.select(
+        "doc_id", F.split("text", " ").alias("w")
+    ).select(
+        "doc_id",
+        F.expr("CAST(size(w) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CAST(size(filter(sequence(1, size(w)), i -> {in_span})) AS BIGINT)"
+        ).alias("n_masked"),
+        F.expr(
+            f"md5(concat_ws(' ', transform(sequence(1, size(w)),"
+            f" i -> CASE WHEN {in_span} THEN '<MASK>' ELSE element_at(w, i) END)))"
+        ).alias("corrupted_md5"),
+    )

@@ -626,3 +626,47 @@ def test_audio_segment_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_sft_pair_stream_matches_batch(spark, tmp_path):
+    """Streaming SFT pair synthesis ≡ the batch manifest columns."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import sft_pair_manifest
+    from northwind_warehouse_spark.streaming.jobs import (
+        run_to_memory, sft_pair_stream, stream_documents,
+    )
+
+    src = str(tmp_path / "docs_sft")
+    load(spark, SF_SMOKE, "documents").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = sft_pair_stream(stream_documents(spark, src))
+    run_to_memory(stream, "sft_pairs", str(tmp_path / "ckpt_sft"))
+    got = {tuple(r) for r in spark.table("sft_pairs").collect()}
+    want = {
+        tuple(r)
+        for r in sft_pair_manifest(spark, SF_SMOKE)
+        .select("doc_id", "prompt_tokens", "completion_tokens", "prompt_md5", "completion_md5")
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_span_corruption_stream_matches_batch(spark, tmp_path):
+    """Streaming span corruption ≡ the batch masking manifest."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import span_corruption_manifest
+    from northwind_warehouse_spark.streaming.jobs import (
+        run_to_memory, span_corruption_stream, stream_documents,
+    )
+
+    src = str(tmp_path / "docs_span")
+    load(spark, SF_SMOKE, "documents").coalesce(1).write.mode("overwrite").parquet(src)
+    stream = span_corruption_stream(stream_documents(spark, src))
+    run_to_memory(stream, "span_rows", str(tmp_path / "ckpt_span"))
+    got = {tuple(r) for r in spark.table("span_rows").collect()}
+    want = {
+        tuple(r)
+        for r in span_corruption_manifest(spark, SF_SMOKE)
+        .select("doc_id", "n_tokens", "n_masked", "corrupted_md5")
+        .collect()
+    }
+    assert got == want and len(got) > 0

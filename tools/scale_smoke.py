@@ -305,6 +305,8 @@ def main() -> None:
         "source_vocab_jaccard": llm.source_vocab_jaccard,
         "dv_sat_user_events": medallion.dv_sat_user_events,
         "dv_pit_users": medallion.dv_pit_users,
+        "halflife_weighted_value": analytics.halflife_weighted_value,
+        "lang_charset_consistency": llm.lang_charset_consistency,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
