@@ -1561,3 +1561,81 @@ def test_shingle_kmv_exact_below_k(spark):
     for r in rows:
         if r.exact_distinct < _SHK_KMV:
             assert r.approx_distinct == r.exact_distinct and r.err_ppm == 0
+
+
+def test_data_vault_artifacts_are_consistent(spark):
+    """Hub = distinct business keys in the feed; link = one row per
+    order; satellite rows = the SCD2 dimension's version rows (same
+    change stream, same delta rule); PIT rows never point past their
+    snapshot."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.medallion import (
+        dv_hub_customer, dv_link_order_customer, dv_pit_users,
+        dv_sat_user_events, scd2_users,
+    )
+
+    o = load(spark, SF_SMOKE, "orders")
+    assert dv_hub_customer(spark, SF_SMOKE).count() == o.select("o_custkey").distinct().count()
+    assert dv_link_order_customer(spark, SF_SMOKE).count() == o.count()
+    assert dv_sat_user_events(spark, SF_SMOKE).count() == scd2_users(spark, SF_SMOKE).count()
+    pit = dv_pit_users(spark, SF_SMOKE).collect()
+    assert pit
+    for r in pit:
+        assert r.sat_load_ts < dt.datetime.combine(
+            r.snapshot_date + dt.timedelta(days=1), dt.time()
+        )
+
+
+def test_halflife_decay_bounds(spark):
+    """Decayed value is positive-bounded by face value, and the
+    retention share is a valid ppm."""
+    from northwind_warehouse_spark.plans.analytics import halflife_weighted_value
+
+    rows = halflife_weighted_value(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.decayed_cents <= r.raw_cents
+        assert 0 <= r.retention_ppm <= 1_000_000
+
+
+def test_sft_pairs_partition_tokens(spark):
+    """Every pair reconstructs its doc's token count exactly
+    (prompt + completion = doc tokens), prompts are exactly 16 tokens,
+    and the digests match an independent Python recomputation."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import (
+        _SFT_MIN_COMPLETION_TOKENS, _SFT_PROMPT_TOKENS, sft_pair_manifest,
+    )
+
+    rows = {r.doc_id: r for r in sft_pair_manifest(spark, SF_SMOKE).collect()}
+    assert rows
+    docs = load(spark, SF_SMOKE, "documents").select("doc_id", "text").collect()
+    for d in docs[:100]:
+        toks = d.text.split(" ")
+        if len(toks) - _SFT_PROMPT_TOKENS < _SFT_MIN_COMPLETION_TOKENS:
+            assert d.doc_id not in rows
+            continue
+        r = rows[d.doc_id]
+        assert r.prompt_tokens == _SFT_PROMPT_TOKENS
+        assert r.prompt_tokens + r.completion_tokens == len(toks)
+        assert r.prompt_md5 == hashlib.md5(" ".join(toks[:_SFT_PROMPT_TOKENS]).encode()).hexdigest()
+        assert r.completion_md5 == hashlib.md5(" ".join(toks[_SFT_PROMPT_TOKENS:]).encode()).hexdigest()
+
+
+def test_source_vocab_jaccard_bounds(spark):
+    """Jaccard is a valid ppm and n_common never exceeds either side."""
+    from northwind_warehouse_spark.plans.llm import source_vocab_jaccard
+
+    rows = source_vocab_jaccard(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.n_common <= min(r.n_a, r.n_b)
+        assert 0 <= r.jaccard_ppm <= 1_000_000
