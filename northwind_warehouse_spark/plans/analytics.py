@@ -8452,3 +8452,51 @@ def oracle_halflife_weighted_value() -> str:
     JOIN nation ON n_nationkey = c_nationkey
     GROUP BY n_name ORDER BY n_name
     """
+
+
+_SALT_N = 8
+
+
+def events_salted_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation, value-identical to the naive rollup:
+    the per-type event count and exact value sum computed in TWO
+    phases — partial aggregation on (event_type, salt) so no single
+    reducer ever sees a hot key's full volume, then a ≤ n_salts-rows-
+    per-key merge (operators/skew.py's pattern as a first-class
+    registry entry; the oracle is the PLAIN one-phase GROUP BY, so the
+    equality of the two formulations is what the gate checks). The
+    event-type column is exactly the celebrity-key shape (6 values
+    across the whole corpus) that pins a reducer at 100 TB.
+
+    Scale shape: salt = pmod(xxhash64(event_id), 8) — deterministic,
+    no RNG; phase-1 is map-side combined on 6×8 groups; phase-2 sees
+    ≤8 rows per key."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", "event_id",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    partial = (
+        e.withColumn("_salt", F.pmod(F.xxhash64(F.col("event_id")), F.lit(_SALT_N)))
+        .groupBy("event_type", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum("v_micro").alias("_v"),
+        )
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("_n").cast("bigint").alias("n_events"),
+            F.sum("_v").cast("bigint").alias("total_value_micro"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def oracle_events_salted_type_rollup() -> str:
+    return """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micro
+    FROM events GROUP BY event_type ORDER BY event_type
+    """

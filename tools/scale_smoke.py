@@ -307,6 +307,7 @@ def main() -> None:
         "dv_pit_users": medallion.dv_pit_users,
         "halflife_weighted_value": analytics.halflife_weighted_value,
         "lang_charset_consistency": llm.lang_charset_consistency,
+        "events_salted_type_rollup": analytics.events_salted_type_rollup,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
