@@ -8500,3 +8500,81 @@ def oracle_events_salted_type_rollup() -> str:
            CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS total_value_micro
     FROM events GROUP BY event_type ORDER BY event_type
     """
+
+
+_HOLIDAYS = ("01-01", "07-04", "12-25")
+
+
+def holiday_order_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-event lift: for each recurring holiday (month-day across
+    all years), orders and revenue per holiday DAY against the overall
+    revenue-per-active-day baseline, with the lift in exact ppm — the
+    event-calendar analysis a demand planner runs before staffing a
+    promo (the generated dim_date carries no holiday flags; the
+    month-day match is the portable stand-in).
+
+    Scale shape: one (date-grain) map pass; holiday and baseline
+    aggregates are ≤|holidays|- and 1-row relations; the baseline joins
+    back via a broadcast cross join."""
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("od"),
+        F.date_format("o_orderdate", "MM-dd").alias("mmdd"),
+        (dec2("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    overall = o.agg(
+        F.count_distinct("od").alias("n_days_total"),
+        F.sum("cents").cast("bigint").alias("rev_total"),
+    ).select(
+        F.expr("CAST(rev_total div n_days_total AS BIGINT)").alias("baseline_cents_per_day")
+    )
+    hol = (
+        o.filter(F.col("mmdd").isin(*_HOLIDAYS))
+        .groupBy("mmdd")
+        .agg(
+            F.count_distinct("od").cast("bigint").alias("n_days"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("cents").cast("bigint").alias("rev_cents"),
+        )
+        .withColumn("cents_per_day", F.expr("CAST(rev_cents div n_days AS BIGINT)"))
+    )
+    return (
+        hol.crossJoin(F.broadcast(overall))
+        .select(
+            F.col("mmdd").alias("holiday"),
+            "n_days", "n_orders", "rev_cents", "cents_per_day", "baseline_cents_per_day",
+            F.expr(
+                "CAST(CAST(cents_per_day AS DECIMAL(38,0)) * 1000000"
+                " div baseline_cents_per_day AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
+        .orderBy("holiday")
+    )
+
+
+def oracle_holiday_order_lift() -> str:
+    hols = ", ".join(f"'{h}'" for h in _HOLIDAYS)
+    return f"""
+    WITH o AS (
+        SELECT cast(o_orderdate AS DATE) AS od,
+               strftime(cast(o_orderdate AS DATE), '%m-%d') AS mmdd,
+               CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+        FROM orders
+    ), overall AS (
+        SELECT CAST(CAST(sum(cents) AS BIGINT) // count(DISTINCT od) AS BIGINT)
+                   AS baseline_cents_per_day
+        FROM o
+    ), hol AS (
+        SELECT mmdd AS holiday,
+               CAST(count(DISTINCT od) AS BIGINT) AS n_days,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM o WHERE mmdd IN ({hols})
+        GROUP BY mmdd
+    )
+    SELECT holiday, n_days, n_orders, rev_cents,
+           CAST(rev_cents // n_days AS BIGINT) AS cents_per_day,
+           baseline_cents_per_day,
+           CAST(CAST(rev_cents // n_days AS HUGEINT) * 1000000
+                // baseline_cents_per_day AS BIGINT) AS lift_ppm
+    FROM hol, overall ORDER BY holiday
+    """

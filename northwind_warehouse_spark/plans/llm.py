@@ -8874,3 +8874,100 @@ def oracle_lang_charset_consistency() -> str:
            CAST(CAST(n_nonalpha_docs AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS nonalpha_doc_ppm
     FROM agg ORDER BY lang
     """
+
+
+_GATE_MIN_TOKENS = 20
+_GATE_MIN_STOP_X20 = 1      # stopwords * 20 >= tokens  ⇔  share ≥ 5%
+_GATE_MAX_DUP_PPM = 300000  # trigram dup fraction ≤ 30%
+
+
+def quality_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate-ablation attribution for the curation funnel: per quality
+    gate (length ≥ 20 tokens, stopword share ≥ 5%, trigram-dup fraction
+    ≤ 30%), the TOTAL failure count and the UNIQUE failure count (docs
+    only this gate rejects — every other gate passes them) — the
+    statistic that tells you which gate carries marginal signal and
+    which is redundant, which curation_funnel_report's SEQUENTIAL
+    stage counts cannot (order hides attribution).
+
+    Scale shape: all three gate booleans in one map pass (token/list
+    algebra per row), one conditional aggregation, a 3-row stack."""
+    d = load(spark, sf_dir, "documents")
+    flags = d.select(
+        F.expr(f"size(split(text, ' ')) >= {_GATE_MIN_TOKENS}").alias("p_len"),
+        F.expr(
+            f"{ _GATE_MIN_STOP_X20 } * size(filter(split(text, ' '),"
+            f" x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) * 20"
+            f" >= size(split(text, ' '))"
+        ).alias("p_stop"),
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) < 3 THEN true ELSE"
+            " CAST(size(transform(sequence(0, size(split(text, ' ')) - 3),"
+            "   i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))"
+            "  - size(array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
+            "   i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))) AS DECIMAL(38,0))"
+            f" * 1000000 div size(transform(sequence(0, size(split(text, ' ')) - 3), i -> i))"
+            f" <= {_GATE_MAX_DUP_PPM} END"
+        ).alias("p_rep"),
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(~F.col("p_len"), 1).otherwise(0)).cast("bigint").alias("f_len"),
+        F.sum(F.when(~F.col("p_stop"), 1).otherwise(0)).cast("bigint").alias("f_stop"),
+        F.sum(F.when(~F.col("p_rep"), 1).otherwise(0)).cast("bigint").alias("f_rep"),
+        F.sum(F.when(~F.col("p_len") & F.col("p_stop") & F.col("p_rep"), 1).otherwise(0))
+        .cast("bigint").alias("u_len"),
+        F.sum(F.when(F.col("p_len") & ~F.col("p_stop") & F.col("p_rep"), 1).otherwise(0))
+        .cast("bigint").alias("u_stop"),
+        F.sum(F.when(F.col("p_len") & F.col("p_stop") & ~F.col("p_rep"), 1).otherwise(0))
+        .cast("bigint").alias("u_rep"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(3,"
+            " 'length_min20', f_len, u_len, n_docs,"
+            " 'repetition_dup30', f_rep, u_rep, n_docs,"
+            " 'stopword_share5', f_stop, u_stop, n_docs"
+            ") AS (gate, n_fail, n_fail_unique, n_docs)"
+        )
+    ).select(
+        "gate", "n_docs", "n_fail", "n_fail_unique",
+        F.expr("CAST(CAST(n_fail AS DECIMAL(38,0)) * 1000000 div n_docs AS BIGINT)")
+        .alias("fail_ppm"),
+    ).orderBy("gate")
+
+
+def oracle_quality_gate_ablation() -> str:
+    return f"""
+    WITH flags AS (
+        SELECT len(string_split(text, ' ')) >= {_GATE_MIN_TOKENS} AS p_len,
+               len(list_filter(string_split(text, ' '),
+                   x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) * 20
+                   >= len(string_split(text, ' ')) AS p_stop,
+               CASE WHEN len(string_split(text, ' ')) < 3 THEN true ELSE
+                 CAST(len(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                        i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))
+                      - len(list_distinct(list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+                        i -> concat_ws(' ', string_split(text, ' ')[i],
+                                       string_split(text, ' ')[i+1], string_split(text, ' ')[i+2])))) AS HUGEINT)
+                 * 1000000 // (len(string_split(text, ' ')) - 2) <= {_GATE_MAX_DUP_PPM} END AS p_rep
+        FROM documents
+    ), agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN NOT p_len THEN 1 ELSE 0 END) AS BIGINT) AS f_len,
+               CAST(sum(CASE WHEN NOT p_stop THEN 1 ELSE 0 END) AS BIGINT) AS f_stop,
+               CAST(sum(CASE WHEN NOT p_rep THEN 1 ELSE 0 END) AS BIGINT) AS f_rep,
+               CAST(sum(CASE WHEN NOT p_len AND p_stop AND p_rep THEN 1 ELSE 0 END) AS BIGINT) AS u_len,
+               CAST(sum(CASE WHEN p_len AND NOT p_stop AND p_rep THEN 1 ELSE 0 END) AS BIGINT) AS u_stop,
+               CAST(sum(CASE WHEN p_len AND p_stop AND NOT p_rep THEN 1 ELSE 0 END) AS BIGINT) AS u_rep
+        FROM flags
+    ), rows_out AS (
+        SELECT 'length_min20' AS gate, n_docs, f_len AS n_fail, u_len AS n_fail_unique FROM agg
+        UNION ALL SELECT 'repetition_dup30', n_docs, f_rep, u_rep FROM agg
+        UNION ALL SELECT 'stopword_share5', n_docs, f_stop, u_stop FROM agg
+    )
+    SELECT gate, n_docs, n_fail, n_fail_unique,
+           CAST(CAST(n_fail AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS fail_ppm
+    FROM rows_out ORDER BY gate
+    """

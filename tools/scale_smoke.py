@@ -308,6 +308,8 @@ def main() -> None:
         "halflife_weighted_value": analytics.halflife_weighted_value,
         "lang_charset_consistency": llm.lang_charset_consistency,
         "events_salted_type_rollup": analytics.events_salted_type_rollup,
+        "holiday_order_lift": analytics.holiday_order_lift,
+        "quality_gate_ablation": llm.quality_gate_ablation,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
