@@ -8578,3 +8578,80 @@ def oracle_holiday_order_lift() -> str:
                 // baseline_cents_per_day AS BIGINT) AS lift_ppm
     FROM hol, overall ORDER BY holiday
     """
+
+
+def events_value_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA decomposition of event value by event type, in
+    EXACT integer arithmetic: between-group and within-group sums of
+    squares from per-group (n, Σx, Σx²) moments on quantized micro
+    values (DECIMAL(38,0) intermediates; the only divisions are
+    floor-by-count, identical on both engines), published scaled back
+    to value² units with the η² effect share in exact ppm — 'does event
+    type explain value?' answered without a stats library (the
+    continuous counterpart of segment_priority_chi2).
+
+    Scale shape: one map-side-combined rollup to |event_types| moment
+    rows; everything after runs on that tiny aggregate."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v"),
+    )
+    # ⌊s²/n⌋ without a wide division: Spark's DECIMAL-div-BIGINT returns
+    # BIGINT and silently WRAPS past 2^63, so the quotient is decomposed
+    # as (s div n)·s + ⌊(s mod n)·s / n⌋ — every div here fits BIGINT,
+    # every product stays DECIMAL(38,0), and the identity is exact.
+    _S2N = (
+        "(CAST({s} div {n} AS DECIMAL(38,0)) * {s}"
+        " + ({s} - CAST({s} div {n} AS DECIMAL(38,0)) * {n}) * {s} div {n})"
+    )
+    g = (
+        e.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0))")).alias("s"),
+            F.sum(F.expr("CAST(v AS DECIMAL(38,0)) * v")).alias("q"),
+        )
+        .withColumn("t", F.expr("CAST(" + _S2N.format(s="s", n="n") + " AS DECIMAL(38,0))"))
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_events"),
+        F.sum("s").cast("decimal(38,0)").alias("s_all"),
+        F.sum("q").cast("decimal(38,0)").alias("q_all"),
+        F.sum("t").cast("decimal(38,0)").alias("sb_part"),
+    ).withColumn("s2n_all", F.expr("CAST(" + _S2N.format(s="s_all", n="n_events") + " AS DECIMAL(38,0))"))
+    return tot.select(
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.expr("CAST((q_all - s2n_all) div 1000000000000 AS BIGINT)").alias("ss_total_scaled"),
+        F.expr("CAST((sb_part - s2n_all) div 1000000000000 AS BIGINT)").alias("ss_between_scaled"),
+        F.expr("CAST((q_all - sb_part) div 1000000000000 AS BIGINT)").alias("ss_within_scaled"),
+        F.expr(
+            "CAST((sb_part - s2n_all) * 1000000 div (q_all - s2n_all) AS BIGINT)"
+        ).alias("eta2_ppm"),
+    )
+
+
+def oracle_events_value_anova() -> str:
+    return """
+    WITH e AS (
+        SELECT event_type, CAST(floor(value * 1000000) AS BIGINT) AS v FROM events
+    ), g AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(v AS HUGEINT)) AS HUGEINT) AS s,
+               CAST(sum(CAST(v AS HUGEINT) * v) AS HUGEINT) AS q
+        FROM e GROUP BY event_type
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(sum(s) AS HUGEINT) AS s_all,
+               CAST(sum(q) AS HUGEINT) AS q_all,
+               CAST(sum(s * s // n) AS HUGEINT) AS sb_part
+        FROM g
+    )
+    SELECT n_events,
+           CAST((q_all - s_all * s_all // n_events) // 1000000000000 AS BIGINT) AS ss_total_scaled,
+           CAST((sb_part - s_all * s_all // n_events) // 1000000000000 AS BIGINT) AS ss_between_scaled,
+           CAST((q_all - sb_part) // 1000000000000 AS BIGINT) AS ss_within_scaled,
+           CAST((sb_part - s_all * s_all // n_events) * 1000000
+                // (q_all - s_all * s_all // n_events) AS BIGINT) AS eta2_ppm
+    FROM tot
+    """

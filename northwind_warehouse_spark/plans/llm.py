@@ -8971,3 +8971,59 @@ def oracle_quality_gate_ablation() -> str:
            CAST(CAST(n_fail AS HUGEINT) * 1000000 // n_docs AS BIGINT) AS fail_ppm
     FROM rows_out ORDER BY gate
     """
+
+
+def chunk_position_dup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional duplication profile over the chunk corpus: for each
+    chunk position band (0, 1, 2, 3+ = least(chunk_idx, 3)), the share
+    of chunks whose text also appears in ANOTHER document — template
+    headers and footers duplicate far more than body positions, and
+    this profile is how a chunk-grain dedup decides to treat leading
+    chunks differently (the positional complement of dedup_chunks'
+    flat duplicate list).
+
+    Scale shape: chunk fan-out is the chunking op's own (stride-
+    bounded); one hash(chunk_md5) rollup for cross-doc counts; the
+    band rollup is 4 rows."""
+    ch = chunk_documents(load(spark, sf_dir, "documents")).select(
+        "doc_id",
+        F.expr("CAST(least(chunk_idx, 3) AS BIGINT)").alias("pos_band"),
+        F.md5("chunk_text").alias("h"),
+    )
+    groups = ch.groupBy("h").agg(F.count_distinct("doc_id").alias("nd"))
+    return (
+        ch.join(groups, "h")
+        .groupBy("pos_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("bigint")
+            .alias("n_cross_doc_dup"),
+        )
+        .withColumn(
+            "dup_ppm",
+            F.expr("CAST(CAST(n_cross_doc_dup AS DECIMAL(38,0)) * 1000000 div n_chunks AS BIGINT)"),
+        )
+        .orderBy("pos_band")
+    )
+
+
+def oracle_chunk_position_dup_profile() -> str:
+    return f"""
+    WITH {_CHUNK_CTE},
+    ch AS (
+        SELECT doc_id,
+               CAST(least(chunk_idx, 3) AS BIGINT) AS pos_band,
+               md5(chunk_text) AS h
+        FROM chunks
+    ),
+    groups AS (
+        SELECT h, count(DISTINCT doc_id) AS nd FROM ch GROUP BY h
+    )
+    SELECT pos_band,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc_dup,
+           CAST(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+                // count(*) AS BIGINT) AS dup_ppm
+    FROM ch JOIN groups USING (h)
+    GROUP BY pos_band ORDER BY pos_band
+    """

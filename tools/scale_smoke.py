@@ -310,6 +310,8 @@ def main() -> None:
         "events_salted_type_rollup": analytics.events_salted_type_rollup,
         "holiday_order_lift": analytics.holiday_order_lift,
         "quality_gate_ablation": llm.quality_gate_ablation,
+        "events_value_anova": analytics.events_value_anova,
+        "chunk_position_dup_profile": llm.chunk_position_dup_profile,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
