@@ -8655,3 +8655,76 @@ def oracle_events_value_anova() -> str:
                 // (q_all - s_all * s_all // n_events) AS BIGINT) AS eta2_ppm
     FROM tot
     """
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtesting: the seasonal-naive model (predict month m
+    with month m−12's actual) evaluated per nation over every month
+    with a year-ago observation — WAPE in exact ppm (Σ|err| · 1e6 div
+    Σactual, all integer cents) plus bias sign counts. The eval
+    harness shape matters more than the model: any forecast column
+    can replace the m−12 join and reuse the same exact-integer
+    scorecard.
+
+    Scale shape: fact → (nation, month) rollup first; the backtest
+    join is a self-equi-join on (nation, month−12) over the tiny
+    aggregate; the scorecard is ≤|nations| rows."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(maybe_broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            "n_name",
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("m"),
+        )
+        .agg(F.sum((dec2("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents"))
+    )
+    prev = monthly.select(
+        F.col("n_name").alias("pn"), (F.col("m") + 12).alias("pm"),
+        F.col("cents").alias("forecast_cents"),
+    )
+    bt = monthly.join(
+        prev, (monthly.n_name == prev.pn) & (monthly.m == prev.pm)
+    ).select("n_name", "cents", "forecast_cents")
+    return (
+        bt.groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_months"),
+            F.sum("cents").cast("bigint").alias("actual_cents"),
+            F.sum(F.expr("abs(cents - forecast_cents)")).cast("bigint").alias("abs_err_cents"),
+            F.sum(F.when(F.col("forecast_cents") > F.col("cents"), 1).otherwise(0))
+            .cast("bigint").alias("n_over_forecast"),
+        )
+        .withColumn(
+            "wape_ppm",
+            F.expr("CAST(CAST(abs_err_cents AS DECIMAL(38,0)) * 1000000 div actual_cents AS BIGINT)"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def oracle_seasonal_naive_backtest() -> str:
+    return """
+    WITH monthly AS (
+        SELECT n_name,
+               CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m,
+               CAST(sum(CAST(cast(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON n_nationkey = c_nationkey
+        GROUP BY n_name, 2
+    ), bt AS (
+        SELECT a.n_name, a.cents, p.cents AS forecast_cents
+        FROM monthly a JOIN monthly p ON p.n_name = a.n_name AND p.m = a.m - 12
+    )
+    SELECT n_name,
+           CAST(count(*) AS BIGINT) AS n_months,
+           CAST(sum(cents) AS BIGINT) AS actual_cents,
+           CAST(sum(abs(cents - forecast_cents)) AS BIGINT) AS abs_err_cents,
+           CAST(sum(CASE WHEN forecast_cents > cents THEN 1 ELSE 0 END) AS BIGINT) AS n_over_forecast,
+           CAST(CAST(sum(abs(cents - forecast_cents)) AS HUGEINT) * 1000000
+                // CAST(sum(cents) AS BIGINT) AS BIGINT) AS wape_ppm
+    FROM bt GROUP BY n_name ORDER BY n_name
+    """

@@ -2979,3 +2979,76 @@ def oracle_dv_pit_users() -> str:
     GROUP BY customer_hk, user_bk, snapshot_date
     ORDER BY user_bk, snapshot_date
     """
+
+
+_BT_DELAY_MOD = 172800  # simulated arrival delay: 0..48h, md5-derived
+
+
+def bitemporal_restatement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI-TEMPORAL restatement report: each event carries its EVENT
+    time (ts) and a simulated TRANSACTION time (arrival = ts + a
+    deterministic md5-derived 0-48 h delay — the fixture stream records
+    no load time); the report compares each day's total value AS KNOWN
+    24 h after day close (transaction-time cut) against the FINAL
+    value (all arrivals), with the restatement share in exact ppm —
+    the two-axis correctness question ('what did we report then vs
+    what do we know now') that valid-time-only SCD2 cannot answer,
+    and the justification for late_arrival_audit's watermark policy.
+
+    Scale shape: delay/knowledge flags are map-only µs integer
+    arithmetic; one day-grain map-side-combined rollup."""
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "ts",
+        F.expr("CAST(floor(value * 1000000) AS BIGINT)").alias("v_micro"),
+    )
+    flagged = e.select(
+        F.to_date("ts").alias("d"),
+        "v_micro",
+        F.expr(
+            f"unix_micros(ts) + pmod(CAST(conv(substring(md5(concat('arr|',"
+            f" CAST(event_id AS STRING))), 1, 4), 16, 10) AS BIGINT), {_BT_DELAY_MOD}) * 1000000"
+        ).alias("arrival_us"),
+    ).withColumn(
+        "known",
+        F.expr("arrival_us <= unix_micros(CAST(date_add(d, 2) AS TIMESTAMP))"),
+    )
+    return (
+        flagged.groupBy("d")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.when(F.col("known"), F.col("v_micro")).otherwise(0)).cast("bigint")
+            .alias("v_known_micro"),
+            F.sum("v_micro").cast("bigint").alias("v_final_micro"),
+        )
+        .withColumn(
+            "restated_ppm",
+            F.expr(
+                "CAST(CAST(v_final_micro - v_known_micro AS DECIMAL(38,0)) * 1000000"
+                " div v_final_micro AS BIGINT)"
+            ),
+        )
+        .orderBy("d")
+    )
+
+
+def oracle_bitemporal_restatement() -> str:
+    return f"""
+    WITH flagged AS (
+        SELECT CAST(ts AS DATE) AS d,
+               CAST(floor(value * 1000000) AS BIGINT) AS v_micro,
+               epoch_us(ts) + (CAST(('0x' || substr(md5('arr|' || CAST(event_id AS VARCHAR)), 1, 4)) AS BIGINT)
+                               % {_BT_DELAY_MOD}) * 1000000 AS arrival_us
+        FROM events
+    ), marked AS (
+        SELECT d, v_micro,
+               arrival_us <= epoch_us(CAST(d + INTERVAL 2 DAY AS TIMESTAMP)) AS known
+        FROM flagged
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN known THEN v_micro ELSE 0 END) AS BIGINT) AS v_known_micro,
+           CAST(sum(v_micro) AS BIGINT) AS v_final_micro,
+           CAST(CAST(sum(v_micro) - sum(CASE WHEN known THEN v_micro ELSE 0 END) AS HUGEINT)
+                * 1000000 // CAST(sum(v_micro) AS BIGINT) AS BIGINT) AS restated_ppm
+    FROM marked GROUP BY d ORDER BY d
+    """

@@ -312,6 +312,8 @@ def main() -> None:
         "quality_gate_ablation": llm.quality_gate_ablation,
         "events_value_anova": analytics.events_value_anova,
         "chunk_position_dup_profile": llm.chunk_position_dup_profile,
+        "bitemporal_restatement": medallion.bitemporal_restatement,
+        "seasonal_naive_backtest": analytics.seasonal_naive_backtest,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
