@@ -9027,3 +9027,45 @@ def oracle_chunk_position_dup_profile() -> str:
     FROM ch JOIN groups USING (h)
     GROUP BY pos_band ORDER BY pos_band
     """
+
+
+def ann_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-confidence profile: per query, the cosine MARGIN between
+    its exact 1st and 2nd nearest neighbors (floored to exact ppm) —
+    a thin margin means the top neighbor is not meaningfully better
+    than the runner-up, so semantic-dedup verdicts and kNN labels for
+    that query are fragile; the per-query confidence companion to the
+    recall gates (which score the index, not the data).
+
+    Scale shape: reuses the brute-force top-k (broadcast query batch,
+    one corpus scan); the pivot to (top1, top2) is a 10-row
+    conditional aggregation."""
+    t = ann_cosine_topk(spark, sf_dir)
+    return (
+        t.filter(F.col("nn_rank") <= 2)
+        .groupBy("query_id")
+        .agg(
+            F.max(F.when(F.col("nn_rank") == 1, F.col("cosine"))).alias("cos_top1"),
+            F.max(F.when(F.col("nn_rank") == 2, F.col("cosine"))).alias("cos_top2"),
+        )
+        .withColumn(
+            "margin_ppm",
+            F.expr("CAST(floor((cos_top1 - cos_top2) * 1000000) AS BIGINT)"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def oracle_ann_margin_profile() -> str:
+    inner = oracle_ann_cosine_topk()
+    return f"""
+    WITH t AS ({inner})
+    SELECT query_id,
+           max(CASE WHEN nn_rank = 1 THEN cosine END) AS cos_top1,
+           max(CASE WHEN nn_rank = 2 THEN cosine END) AS cos_top2,
+           CAST(floor((max(CASE WHEN nn_rank = 1 THEN cosine END)
+                       - max(CASE WHEN nn_rank = 2 THEN cosine END)) * 1000000) AS BIGINT)
+               AS margin_ppm
+    FROM t WHERE nn_rank <= 2
+    GROUP BY query_id ORDER BY query_id
+    """

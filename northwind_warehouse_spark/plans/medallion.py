@@ -3052,3 +3052,96 @@ def oracle_bitemporal_restatement() -> str:
                 * 1000000 // CAST(sum(v_micro) AS BIGINT) AS BIGINT) AS restated_ppm
     FROM marked GROUP BY d ORDER BY d
     """
+
+
+def lineitem_linenumber_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-grain sequence audit: per order, line numbers should be a
+    dense 1..n sequence — gaps mean upstream filtering silently dropped
+    lines (which THIS feed exhibits: the audit fires), duplicates mean
+    a grain violation. One report row with order counts by conformity
+    class and the gap share in exact ppm.
+
+    Scale shape: one (order → min/max/count/distinct) map-side-combined
+    rollup, then a single-row conditional aggregation."""
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count_distinct("l_linenumber").alias("n_distinct"),
+        F.min("l_linenumber").alias("mn"),
+        F.max("l_linenumber").alias("mx"),
+    )
+    return per_order.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum(F.when(F.col("n_distinct") != F.col("n_lines"), 1).otherwise(0))
+        .cast("bigint").alias("n_dup_linenumbers"),
+        F.sum(
+            F.when(
+                (F.col("mn") != 1) | (F.col("mx") != F.col("n_lines")), 1
+            ).otherwise(0)
+        ).cast("bigint").alias("n_non_dense"),
+    ).select(
+        "n_orders", "n_dup_linenumbers", "n_non_dense",
+        F.expr("CAST(CAST(n_non_dense AS DECIMAL(38,0)) * 1000000 div n_orders AS BIGINT)")
+        .alias("non_dense_ppm"),
+    )
+
+
+def oracle_lineitem_linenumber_audit() -> str:
+    return """
+    WITH per_order AS (
+        SELECT l_orderkey,
+               count(*) AS n_lines,
+               count(DISTINCT l_linenumber) AS n_distinct,
+               min(l_linenumber) AS mn,
+               max(l_linenumber) AS mx
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN n_distinct <> n_lines THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_linenumbers,
+           CAST(sum(CASE WHEN mn <> 1 OR mx <> n_lines THEN 1 ELSE 0 END) AS BIGINT) AS n_non_dense,
+           CAST(CAST(sum(CASE WHEN mn <> 1 OR mx <> n_lines THEN 1 ELSE 0 END) AS HUGEINT) * 1000000
+                // count(*) AS BIGINT) AS non_dense_ppm
+    FROM per_order
+    """
+
+
+def name_format_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-expectation suite on dimension text columns: customer and
+    supplier names must match their 'Entity#nine-digit' contract, part
+    names must be lowercase word-word — the regexp conformity tests a
+    dbt schema would declare, emitted as one row per rule with
+    violation counts (all-zero = contract holds; any regression in an
+    upstream rename job fires here first).
+
+    Scale shape: three map-only regexp filters, each collapsing to a
+    single-row count; the union is the fixed 3-row report."""
+    c = load(spark, sf_dir, "customer").agg(
+        F.sum(F.when(~F.col("c_name").rlike("^Customer#[0-9]{9}$"), 1).otherwise(0))
+        .cast("bigint").alias("n")
+    ).select(F.lit("customer_name_pattern").alias("rule"), F.col("n").alias("n_violations"))
+    s = load(spark, sf_dir, "supplier").agg(
+        F.sum(F.when(~F.col("s_name").rlike("^Supplier#[0-9]{9}$"), 1).otherwise(0))
+        .cast("bigint").alias("n")
+    ).select(F.lit("supplier_name_pattern").alias("rule"), F.col("n").alias("n_violations"))
+    p = load(spark, sf_dir, "part").agg(
+        F.sum(F.when(~F.col("p_name").rlike("^[a-z]+ [a-z]+$"), 1).otherwise(0))
+        .cast("bigint").alias("n")
+    ).select(F.lit("part_name_pattern").alias("rule"), F.col("n").alias("n_violations"))
+    return c.unionByName(s).unionByName(p).orderBy("rule")
+
+
+def oracle_name_format_expectations() -> str:
+    return """
+    SELECT 'customer_name_pattern' AS rule,
+           CAST(sum(CASE WHEN NOT regexp_matches(c_name, '^Customer#[0-9]{9}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM customer
+    UNION ALL
+    SELECT 'part_name_pattern',
+           CAST(sum(CASE WHEN NOT regexp_matches(p_name, '^[a-z]+ [a-z]+$') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM part
+    UNION ALL
+    SELECT 'supplier_name_pattern',
+           CAST(sum(CASE WHEN NOT regexp_matches(s_name, '^Supplier#[0-9]{9}$') THEN 1 ELSE 0 END) AS BIGINT)
+    FROM supplier
+    ORDER BY rule
+    """

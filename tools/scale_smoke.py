@@ -314,6 +314,9 @@ def main() -> None:
         "chunk_position_dup_profile": llm.chunk_position_dup_profile,
         "bitemporal_restatement": medallion.bitemporal_restatement,
         "seasonal_naive_backtest": analytics.seasonal_naive_backtest,
+        "ann_margin_profile": llm.ann_margin_profile,
+        "lineitem_linenumber_audit": medallion.lineitem_linenumber_audit,
+        "name_format_expectations": medallion.name_format_expectations,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
