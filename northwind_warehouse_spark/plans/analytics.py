@@ -8728,3 +8728,85 @@ def oracle_seasonal_naive_backtest() -> str:
                 // CAST(sum(cents) AS BIGINT) AS BIGINT) AS wape_ppm
     FROM bt GROUP BY n_name ORDER BY n_name
     """
+
+
+_HAZARD_CENSOR_MONTHS = 6
+
+
+def customer_hazard_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete-time survival analysis: the churn HAZARD per tenure
+    month — customers at risk at tenure t (observed lifetime ≥ t),
+    churn events at t (last order at tenure t, NOT right-censored),
+    and the hazard in exact ppm. Right-censoring: a customer whose
+    last order falls within 6 months of the dataset's horizon may
+    still be alive, so it counts at-risk but never as a churn event —
+    the Kaplan-Meier bookkeeping with the cumulative product (a float)
+    left to the consumer; every published number is exact integer.
+
+    Scale shape: one (customer → first/last month) rollup; the horizon
+    is a 1-row broadcast; the curve is a ≤|months| aggregate with a
+    suffix-sum window over itself."""
+    from pyspark.sql.window import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint").alias("m"),
+    )
+    cust = o.groupBy("o_custkey").agg(
+        F.min("m").alias("first_m"), F.max("m").alias("last_m")
+    )
+    horizon = o.agg(F.max("m").alias("max_m"))
+    rows = (
+        cust.crossJoin(F.broadcast(horizon))
+        .select(
+            (F.col("last_m") - F.col("first_m")).cast("bigint").alias("tenure"),
+            (
+                (F.col("max_m") - F.col("last_m")) >= _HAZARD_CENSOR_MONTHS
+            ).alias("observed_churn"),
+        )
+    )
+    grain = rows.groupBy("tenure").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ending"),
+        F.sum(F.when(F.col("observed_churn"), 1).otherwise(0)).cast("bigint")
+        .alias("n_churned"),
+    )
+    w = Window.orderBy(F.desc("tenure")).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        grain.withColumn("n_at_risk", F.sum("n_ending").over(w).cast("bigint"))
+        .select(
+            "tenure", "n_at_risk", "n_churned",
+            F.expr("CAST(CAST(n_churned AS DECIMAL(38,0)) * 1000000 div n_at_risk AS BIGINT)")
+            .alias("hazard_ppm"),
+        )
+        .orderBy("tenure")
+    )
+
+
+def oracle_customer_hazard_curve() -> str:
+    return f"""
+    WITH o AS (
+        SELECT o_custkey, CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS m
+        FROM orders
+    ), cust AS (
+        SELECT o_custkey, min(m) AS first_m, max(m) AS last_m FROM o GROUP BY o_custkey
+    ), horizon AS (
+        SELECT max(m) AS max_m FROM o
+    ), rows_c AS (
+        SELECT CAST(last_m - first_m AS BIGINT) AS tenure,
+               (max_m - last_m) >= {_HAZARD_CENSOR_MONTHS} AS observed_churn
+        FROM cust, horizon
+    ), grain AS (
+        SELECT tenure,
+               CAST(count(*) AS BIGINT) AS n_ending,
+               CAST(sum(CASE WHEN observed_churn THEN 1 ELSE 0 END) AS BIGINT) AS n_churned
+        FROM rows_c GROUP BY tenure
+    )
+    SELECT tenure,
+           CAST(sum(n_ending) OVER (ORDER BY tenure DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS n_at_risk,
+           n_churned,
+           CAST(CAST(n_churned AS HUGEINT) * 1000000
+                // CAST(sum(n_ending) OVER (ORDER BY tenure DESC ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS BIGINT) AS hazard_ppm
+    FROM grain ORDER BY tenure
+    """

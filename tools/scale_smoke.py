@@ -317,6 +317,7 @@ def main() -> None:
         "ann_margin_profile": llm.ann_margin_profile,
         "lineitem_linenumber_audit": medallion.lineitem_linenumber_audit,
         "name_format_expectations": medallion.name_format_expectations,
+        "customer_hazard_curve": analytics.customer_hazard_curve,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
