@@ -1639,3 +1639,115 @@ def test_source_vocab_jaccard_bounds(spark):
     for r in rows:
         assert r.n_common <= min(r.n_a, r.n_b)
         assert 0 <= r.jaccard_ppm <= 1_000_000
+
+
+def test_salted_rollup_equals_naive(spark):
+    """The two-phase salted aggregation must be value-identical to the
+    one-phase groupBy — only the partitioning may differ."""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.analytics import events_salted_type_rollup
+
+    got = {tuple(r) for r in events_salted_type_rollup(spark, SF_SMOKE).collect()}
+    want = {
+        tuple(r)
+        for r in load(spark, SF_SMOKE, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.expr("CAST(floor(value * 1000000) AS BIGINT)")).cast("bigint")
+            .alias("total_value_micro"),
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_anova_decomposition_is_additive(spark):
+    """ss_between + ss_within reconstructs ss_total up to the two
+    independent scale-down floors, and η² is a valid ppm."""
+    from northwind_warehouse_spark.plans.analytics import events_value_anova
+
+    r = events_value_anova(spark, SF_SMOKE).collect()[0]
+    assert 0 <= r.eta2_ppm <= 1_000_000
+    assert r.ss_between_scaled >= 0 and r.ss_within_scaled >= 0
+    assert abs(r.ss_between_scaled + r.ss_within_scaled - r.ss_total_scaled) <= 2
+
+
+def test_bitemporal_known_is_bounded_by_final(spark):
+    """Per day: known ≤ final, and the restatement share is a valid
+    ppm that is 0 exactly when nothing arrived after the cut."""
+    from northwind_warehouse_spark.plans.medallion import bitemporal_restatement
+
+    rows = bitemporal_restatement(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.v_known_micro <= r.v_final_micro
+        assert 0 <= r.restated_ppm <= 1_000_000
+        assert (r.restated_ppm == 0) == (r.v_known_micro == r.v_final_micro)
+
+
+def test_seasonal_naive_backtest_error_identity(spark):
+    """WAPE recomputed from the published integer columns matches, and
+    over-forecast counts never exceed the backtest months."""
+    from northwind_warehouse_spark.plans.analytics import seasonal_naive_backtest
+
+    rows = seasonal_naive_backtest(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert r.wape_ppm == r.abs_err_cents * 1_000_000 // r.actual_cents
+        assert 0 <= r.n_over_forecast <= r.n_months
+
+
+def test_hazard_curve_at_risk_is_monotone(spark):
+    """At-risk counts are non-increasing in tenure, churn never exceeds
+    at-risk, and tenure 0 covers every ordering customer."""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.analytics import customer_hazard_curve
+
+    rows = sorted(customer_hazard_curve(spark, SF_SMOKE).collect(), key=lambda r: r.tenure)
+    assert rows
+    n_cust = load(spark, SF_SMOKE, "orders").select("o_custkey").distinct().count()
+    # every customer is at risk at the smallest observed tenure (the
+    # suffix sum over the whole curve); tenure 0 itself need not occur
+    assert rows[0].n_at_risk == n_cust
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_at_risk <= a.n_at_risk
+    for r in rows:
+        assert 0 <= r.n_churned <= r.n_at_risk
+
+
+def test_margin_profile_orders_top_two(spark):
+    """top1 ≥ top2 for every query, and the floored margin is
+    non-negative."""
+    from northwind_warehouse_spark.plans.llm import ann_margin_profile
+
+    rows = ann_margin_profile(spark, SF_SMOKE).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.cos_top1 >= r.cos_top2
+        assert r.margin_ppm >= 0
+
+
+def test_gate_ablation_unique_bounded_by_total(spark):
+    """A gate's unique failures can never exceed its total failures,
+    and totals are bounded by the corpus."""
+    from northwind_warehouse_spark.plans.llm import quality_gate_ablation
+
+    rows = quality_gate_ablation(spark, SF_SMOKE).collect()
+    assert {r.gate for r in rows} == {"length_min20", "repetition_dup30", "stopword_share5"}
+    for r in rows:
+        assert 0 <= r.n_fail_unique <= r.n_fail <= r.n_docs
+
+
+def test_name_format_contracts_hold(spark):
+    """The synthetic feed conforms to all three name contracts —
+    all-zero violations (the audit exists to catch regressions)."""
+    from northwind_warehouse_spark.plans.medallion import name_format_expectations
+
+    rows = name_format_expectations(spark, SF_SMOKE).collect()
+    assert len(rows) == 3
+    assert all(r.n_violations == 0 for r in rows)
