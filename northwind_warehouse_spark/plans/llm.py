@@ -9069,3 +9069,69 @@ def oracle_ann_margin_profile() -> str:
     FROM t WHERE nn_rank <= 2
     GROUP BY query_id ORDER BY query_id
     """
+
+
+_KFOLD_K = 5
+
+
+def kfold_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold assignment with its balance audit: every
+    document lands in one of 5 folds by md5 lottery (stable across
+    runs and machines — the property cross-validation needs so fold i
+    is THE SAME fold in every experiment), and the audit reports each
+    (source, fold) cell's share with its signed deviation from the
+    ideal 1/k — per-source balance is what makes per-fold metrics
+    comparable. The k-fold protocol complement of train_val_test_split
+    (holdout) and quality_stratified_sample (stratified draw).
+
+    Scale shape: map-only fold hash, one (source, fold) map-side-
+    combined rollup, shares via windows over the ≤|sources|·k
+    aggregate."""
+    from pyspark.sql.window import Window
+
+    d = load(spark, sf_dir, "documents")
+    folds = d.select(
+        "source",
+        F.expr(
+            f"pmod(CAST(conv(substring(md5(concat('fold|', CAST(doc_id AS STRING))), 1, 8),"
+            f" 16, 10) AS BIGINT), {_KFOLD_K})"
+        ).cast("bigint").alias("fold"),
+    )
+    agg = folds.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    w = Window.partitionBy("source")
+    return (
+        agg.withColumn("_tot", F.sum("n_docs").over(w))
+        .select(
+            "source", "fold", "n_docs",
+            F.expr("CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div _tot AS BIGINT)")
+            .alias("share_ppm"),
+            F.expr(
+                f"CAST(CAST(n_docs AS DECIMAL(38,0)) * 1000000 div _tot"
+                f" - 1000000 div {_KFOLD_K} AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+        .orderBy("source", "fold")
+    )
+
+
+def oracle_kfold_assignment_audit() -> str:
+    return f"""
+    WITH folds AS (
+        SELECT source,
+               CAST(('0x' || substr(md5('fold|' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % {_KFOLD_K} AS fold
+        FROM documents
+    ), agg AS (
+        SELECT source, CAST(fold AS BIGINT) AS fold, CAST(count(*) AS BIGINT) AS n_docs
+        FROM folds GROUP BY source, fold
+    )
+    SELECT source, fold, n_docs,
+           CAST(CAST(n_docs AS HUGEINT) * 1000000
+                // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS BIGINT) AS share_ppm,
+           CAST(CAST(n_docs AS HUGEINT) * 1000000
+                // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT)
+                - 1000000 // {_KFOLD_K} AS BIGINT) AS dev_ppm
+    FROM agg ORDER BY source, fold
+    """

@@ -318,6 +318,7 @@ def main() -> None:
         "lineitem_linenumber_audit": medallion.lineitem_linenumber_audit,
         "name_format_expectations": medallion.name_format_expectations,
         "customer_hazard_curve": analytics.customer_hazard_curve,
+        "kfold_assignment_audit": llm.kfold_assignment_audit,
         "events_autocorr_lag1": analytics.events_autocorr_lag1,
         "zipf_rank_frequency": llm.zipf_rank_frequency,
         "events_fano_factor": analytics.events_fano_factor,
