@@ -9,6 +9,10 @@ Each query is forced to FULL execution by aggregating an xxhash64
 checksum over every output column — unlike count(), Catalyst cannot
 prune the final projections, so all result expressions really run.
 
+The set is the round-1 LEGACY_12 (kept verbatim so r1..r6 history
+stays comparable — their sum is reported as "legacy12_total") plus the
+round-6 heavy hitters (EXTENDED); "value" covers both.
+
 Methodology: one un-timed warmup execution per query (JIT/codegen
 compile, parquet footer cache, broadcast build), then THREE timed
 passes over the whole set — per-query MEDIAN is the headline number
@@ -31,7 +35,8 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO))
 
-HEADLINE = [
+# the round-1 set — kept intact so BENCH_r1..r6 history stays comparable
+LEGACY_12 = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_revenue",
@@ -45,6 +50,16 @@ HEADLINE = [
     "doc_chunking",
     "ann_cosine_topk",
 ]
+# round-6 heavy hitters (round-6 verdict #4): the queries whose scale
+# behavior the SCALING file watches — timed here so per-round perf
+# evidence covers the new surface, reported as a separate subtotal
+EXTENDED = [
+    "part_cooccurrence_topk",
+    "knn_graph_cell_local",
+    "dedup_prefix_filter_join",
+    "curate_corpus",
+]
+HEADLINE = LEGACY_12 + EXTENDED
 
 
 def main() -> None:
@@ -83,6 +98,7 @@ def main() -> None:
 
     timings = {n: round(median(r), 3) for n, r in per_query_runs.items()}
     run_totals = [round(sum(per_query_runs[n][i] for n in names), 3) for i in range(N_RUNS)]
+    legacy_total = round(sum(t for n, t in timings.items() if n in LEGACY_12), 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -92,6 +108,8 @@ def main() -> None:
         "queries": timings,
         "runs": run_totals,
         "median": round(median(run_totals), 3),
+        # r1-r6 comparable subtotal: the original 12-query set only
+        "legacy12_total": legacy_total,
         "queries_runs": per_query_runs,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

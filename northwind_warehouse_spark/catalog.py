@@ -75,6 +75,34 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
+_ROW_COUNTS: dict[tuple[str, str], int] = {}
+
+
+def table_rows(sf_dir: str, table: str) -> int:
+    """Exact row count of ``{sf_dir}/{table}.parquet`` from parquet
+    FOOTER metadata — zero Spark jobs, cached per (sf_dir, table) for
+    the process lifetime (round-6 verdict #5: occupancy-scaled policies
+    were paying one driver-side ``df.count()`` job per query
+    invocation).
+
+    The footer count is exactly what both engines see: Spark's
+    metadata-only count and DuckDB's ``count(*)`` read the same file,
+    so corpus-size-dependent parameters (IVF centroid counts, adaptive
+    sample ppm) derived from it stay oracle-mirrorable as scalar
+    subqueries. Handles both single files and Spark-written directories
+    of part files (the scale-smoke layout)."""
+    if table not in TABLES:
+        raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
+    key = (sf_dir.rstrip("/"), table)
+    if key not in _ROW_COUNTS:
+        import pyarrow.dataset as ds
+
+        _ROW_COUNTS[key] = ds.dataset(
+            f"{key[0]}/{table}.parquet", format="parquet"
+        ).count_rows()
+    return _ROW_COUNTS[key]
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 

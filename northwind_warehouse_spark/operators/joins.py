@@ -42,16 +42,20 @@ def plan_size_bytes(df: DataFrame) -> int | None:
         return None
 
 
-def maybe_broadcast(df: DataFrame, max_bytes: int = MAX_BROADCAST_BYTES) -> DataFrame:
+def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     """Broadcast-hint ``df`` only while the optimizer's size estimate is
-    under ``max_bytes``; otherwise return it UNHINTED so AQE picks the
-    join strategy from runtime sizes.
+    under ``max_bytes`` (default: the module's MAX_BROADCAST_BYTES,
+    read at CALL time so tests can force the gate closed); otherwise
+    return it UNHINTED so AQE picks the join strategy from runtime
+    sizes.
 
     Use this for every build side whose cardinality grows with the
     warehouse (customer/part/supplier and anything derived from the
     corpus tables). Keep plain ``F.broadcast`` for contracts that are
     bounded by construction: nation/region (fixed 25/5 rows), date
     spines, codebooks/LUTs, and single-row/threshold aggregates."""
+    if max_bytes is None:
+        max_bytes = MAX_BROADCAST_BYTES
     size = plan_size_bytes(df)
     if size is not None and size <= max_bytes:
         return F.broadcast(df)

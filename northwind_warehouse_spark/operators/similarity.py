@@ -348,6 +348,130 @@ def ivf_assign(
     )
 
 
+def ceil_isqrt(n: int) -> int:
+    """Smallest s with s·s ≥ n, in exact integer arithmetic (the oracle
+    mirrors it with a float-sqrt + CASE correction, so both engines get
+    the identical s at every n)."""
+    import math
+
+    s = math.isqrt(n)
+    return s + (1 if s * s < n else 0)
+
+
+def ivf_assign_two_level(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    n_super: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-level IVF coarse quantization: nearest-centroid assignment in
+    ~n·2√k dot products instead of the flat scan's n·k.
+
+    The occupancy-pinned policy (n_centroids ∝ n/128) makes the
+    single-level :func:`ivf_assign` QUADRATIC in corpus size — every
+    vector scores every centroid and the centroid count itself grows
+    with n. The classic fix (FAISS-style hierarchical coarse quantizer)
+    is a second level: the first ``ceil(sqrt(k))`` vectors are
+    SUPER-centroids; each of the k centroids is routed to its nearest
+    super (a super-centroid routes to ITSELF — guarantees every super
+    has a non-empty child list even under exact cosine ties); a vector
+    then finds its nearest super (s dots) and argmaxes over only that
+    super's children (~k/s dots) — n·(s + k/s) ≈ n·2√k total.
+
+    Still MAP-ONLY over the corpus: one broadcast row carries the super
+    array and the super→children map; each vector row resolves both
+    levels with higher-order functions — zero shuffle, zero UDF. The
+    tie rule at BOTH levels matches ivf_assign (max cosine, then lowest
+    id) and the arithmetic is the same exact-int64-dot / IEEE-double
+    cosine, so the assignment is oracle-mirrorable CTE by CTE. The
+    assignment DIFFERS from single-level argmax (a vector near a super
+    boundary may land in a neighboring child cell) — that is the
+    documented trade of every hierarchical quantizer, priced in recall
+    by the multi-probe machinery, not a correctness loss: the oracle
+    computes the identical two-level route.
+    """
+    from northwind_warehouse_spark.functions.vectors import Q, norm2_q
+
+    if n_super is None:
+        n_super = ceil_isqrt(n_centroids)
+
+    base = embeddings.select(F.col(id_col), F.col(vec_col), norm2_q(vec_col).alias("n2"))
+    cents_rows = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.col(vec_col).alias("cvec"),
+        F.col("n2").alias("cn2"),
+    )
+    supers_row = (
+        cents_rows.filter(F.col("cent_id") < n_super)
+        .select(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cent_id").alias("sid"),
+                        F.col("cvec").alias("svec"),
+                        F.col("cn2").alias("sn2"),
+                    )
+                )
+            ).alias("supers")
+        )
+    )
+    super_argmax = f"""array_max(transform(supers, c -> struct(
+        CAST(aggregate(zip_with({{v}}, c.svec, {Q}),
+                       CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+          / sqrt(CAST({{n2}} AS DOUBLE) * CAST(c.sn2 AS DOUBLE)) AS cos,
+        -c.sid AS neg)))"""
+    # level-1 routing of the k centroids (k·s work — centroid-sized, not
+    # corpus-sized); a super is its own child by construction
+    routed = (
+        cents_rows.crossJoin(F.broadcast(supers_row))
+        .withColumn(
+            "super_id",
+            F.when(F.col("cent_id") < n_super, F.col("cent_id")).otherwise(
+                (-F.expr(super_argmax.format(v="cvec", n2="cn2"))["neg"]).cast("bigint")
+            ),
+        )
+        .select("super_id", "cent_id", "cvec", "cn2")
+    )
+    kids_row = (
+        routed.groupBy("super_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "cvec", "cn2"))
+            ).alias("children")
+        )
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("super_id", "children"))
+            ).alias("kmap")
+        )
+    )
+    lut = supers_row.crossJoin(kids_row)  # one row: supers + kmap
+    scored = (
+        base.crossJoin(F.broadcast(lut))
+        .withColumn(
+            "_sid",
+            (-F.expr(super_argmax.format(v=vec_col, n2="n2"))["neg"]).cast("bigint"),
+        )
+        .withColumn(
+            "best",
+            F.expr(
+                f"""array_max(transform(element_at(kmap, _sid), c -> struct(
+                    CAST(aggregate(zip_with({vec_col}, c.cvec, {Q}),
+                                   CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+                      / sqrt(CAST(n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos,
+                    -c.cent_id AS neg)))"""
+            ),
+        )
+    )
+    return scored.select(
+        F.col(id_col),
+        F.col(vec_col),
+        "n2",
+        (-F.col("best.neg")).cast("bigint").alias("cell_id"),
+    )
+
+
 def ivf_probe_cells(
     embeddings: DataFrame,
     n_centroids: int = 8,

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from northwind_warehouse_spark.catalog import load
+from northwind_warehouse_spark.catalog import load, table_rows
 from northwind_warehouse_spark.operators.joins import maybe_broadcast
 from northwind_warehouse_spark.functions.money import (
     charge,
@@ -1510,6 +1510,11 @@ def oracle_grouping_sets_sales() -> str:
 
 
 _QSAMPLE_PPM = 500_000  # deterministic 50% md5-lottery sample
+# absolute sample-size target for ADAPTIVE-ppm boundary estimation:
+# ppm = max(1, min(_QSAMPLE_PPM, target·1e6 // n)) keeps the
+# single-reducer percentile agg bounded at any corpus size while
+# saturating to the plain _QSAMPLE_PPM lottery at test SFs (n ≤ 150k)
+_EQUI_DEPTH_TARGET = 75_000
 
 
 def _ppm_lottery(prefix: str, key) -> F.Column:
@@ -3245,13 +3250,24 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile agg → broadcast → 10-group rollup; NO Window operator,
     no single-reducer sort of the fact. Per-bucket counts and cent
     extremes are exact for the chosen boundaries; bucket populations
-    are equal to within sampling error ~1/sqrt(pn). At 100 TB the knob
-    is dropping _QSAMPLE_PPM until the sample fits one reducer."""
+    are equal to within sampling error ~1/sqrt(pn).
+
+    The lottery ppm is ADAPTIVE (round-6 verdict #4): capped at
+    _QSAMPLE_PPM but scaled inversely with the order count (one cached
+    parquet-footer read — catalog.table_rows) so the single-reducer
+    ``percentile`` sees ~_EQUI_DEPTH_TARGET rows at ANY scale: at 10×
+    data the sample stays FLAT instead of growing 10×. The identical
+    integer formula runs as a scalar subquery in the oracle, so both
+    engines draw the same deterministic sample. At every test SF
+    (n ≤ 150k) the formula saturates at _QSAMPLE_PPM — boundaries are
+    unchanged from the fixed-ppm round-6 behavior there."""
     o = load(spark, sf_dir, "orders")
+    n = table_rows(sf_dir, "orders")
+    ppm = max(1, min(_QSAMPLE_PPM, (_EQUI_DEPTH_TARGET * 1_000_000) // n))
     cents = (dec2("o_totalprice") * 100).cast("bigint")
     vals = o.select("o_orderkey", cents.alias("cents"))
     qs = [i / 10 for i in range(1, 10)]
-    bnds = vals.filter(_ppm_lottery("ed|", "o_orderkey") < _QSAMPLE_PPM).agg(
+    bnds = vals.filter(_ppm_lottery("ed|", "o_orderkey") < ppm).agg(
         F.array(*[F.expr(f"percentile(cents, {q})") for q in qs]).alias("bnds")
     )
     return (
@@ -3275,8 +3291,13 @@ def oracle_equi_depth_histogram() -> str:
                CAST(cast(o_totalprice as decimal(12,2)) * 100 AS BIGINT) AS cents
         FROM orders
     ), b AS (
+        -- adaptive ppm: same max/min/integer-division formula the Spark
+        -- side computes from the cached footer count
         SELECT [{qlist}] AS bnds
-        FROM c WHERE {_o_ppm_lottery('ed|', 'o_orderkey')} < {_QSAMPLE_PPM}
+        FROM c WHERE {_o_ppm_lottery('ed|', 'o_orderkey')}
+             < greatest(1, least({_QSAMPLE_PPM},
+                 CAST({_EQUI_DEPTH_TARGET} AS BIGINT) * 1000000
+                   // (SELECT count(*) FROM orders)))
     ), tiled AS (
         SELECT cents, CAST(1 + len(list_filter(bnds, x -> cents > x)) AS INTEGER) AS bucket
         FROM c, b

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from northwind_warehouse_spark.catalog import load
+from northwind_warehouse_spark.catalog import load, table_rows
 from northwind_warehouse_spark.functions.text import (
     STOPWORDS,
     n_tokens,
@@ -1192,7 +1192,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_id").alias("qcell"),
     )
     cand = assigned.join(
-        F.broadcast(q),
+        maybe_broadcast(q),
         (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cand.select(
@@ -1364,7 +1364,7 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assigned, q = _mp_query_probes(spark, sf_dir)
     cand = assigned.join(
-        F.broadcast(q),
+        maybe_broadcast(q),
         (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cand.select(
@@ -3628,7 +3628,7 @@ def pq_refine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("j", (F.col("i0") + 1).alias("i"), "w")
     )
     old_d = (
-        ael.join(F.broadcast(cw_el), ["i", "j"])
+        ael.join(maybe_broadcast(cw_el), ["i", "j"])
         .groupBy("s", "j", "vec_id")
         .agg(F.expr("CAST(sum((xq - w) * (xq - w)) AS BIGINT)").alias("d"))
     )
@@ -4243,7 +4243,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = (
         enc.join(
-            F.broadcast(luts),
+            maybe_broadcast(luts),
             (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -4555,7 +4555,7 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = sim.lsh_candidate_pairs(sim.minhash_signatures(sh)).withColumn(
         "found", F.lit(1)
     )
-    joined = truth.join(F.broadcast(cand), ["doc_a", "doc_b"], "left").select(
+    joined = truth.join(maybe_broadcast(cand), ["doc_a", "doc_b"], "left").select(
         F.expr("j_ppm div 100000").alias("j_decile"),
         F.coalesce("found", F.lit(0)).alias("found"),
     )
@@ -5006,7 +5006,7 @@ def dup_quality_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5(F.concat(F.lit("score|"), F.col("text"))), 1, 8), 16, 10)
             .cast("long") % 1000000
         ).alias("score_q"),
-    ).join(F.broadcast(dup_ids), "doc_id", "left").withColumn(
+    ).join(maybe_broadcast(dup_ids), "doc_id", "left").withColumn(
         "is_dup", F.coalesce("is_dup", F.lit(0)).cast("bigint")
     )
     moments = scored.agg(
@@ -5573,7 +5573,7 @@ def score_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long") % 1000000
             ).alias("score_q"),
         )
-        .join(F.broadcast(dup_ids), "doc_id", "left")
+        .join(maybe_broadcast(dup_ids), "doc_id", "left")
         .withColumn("is_dup", F.coalesce("is_dup", F.lit(0)).cast("bigint"))
         .withColumn("decile", F.expr("CAST(9 - (score_q div 100000) AS INT)"))
     )
@@ -5839,6 +5839,88 @@ _KNN_NCENTS_SQL = (
 )
 
 
+def _knn_two_level_assign_sql() -> str:
+    """Shared oracle CTE chain ending in ``assign0(vec_id, cell_id)`` —
+    the exact SQL mirror of
+    operators/similarity.py::ivf_assign_two_level under the
+    occupancy-pinned centroid policy (n_centroids = greatest(8,
+    ceil(n/_KNN_TARGET_CELL)), n_super = ceil(sqrt(n_centroids))).
+
+    The ``params`` CTE reproduces ceil_isqrt exactly despite float
+    sqrt: s0 = floor(sqrt(nc)) may be off by one in either direction,
+    so a two-step CASE corrects it in exact integer arithmetic. The
+    two-level route (vector → nearest super → argmax over that super's
+    children; a super is its own child by construction) matches the
+    Spark side CTE by CTE, including the tie rule (cos DESC, id ASC)
+    at both levels."""
+    return f"""el AS (
+        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
+        FROM el
+    ),
+    n2 AS (
+        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
+    ),
+    params AS (
+        SELECT nc,
+               CASE WHEN s0 * s0 >= nc THEN s0
+                    WHEN (s0 + 1) * (s0 + 1) >= nc THEN s0 + 1
+                    ELSE s0 + 2 END AS ns
+        FROM (SELECT nc, CAST(floor(sqrt(CAST(nc AS DOUBLE))) AS BIGINT) AS s0
+              FROM (SELECT {_KNN_NCENTS_SQL} AS nc))
+    ),
+    sdot AS (
+        SELECT a.vec_id, c.vec_id AS sid, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
+        FROM q a JOIN q c ON a.i = c.i JOIN params p ON c.vec_id < p.ns
+        GROUP BY a.vec_id, c.vec_id
+    ),
+    scos AS (
+        SELECT d.vec_id, d.sid,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+        FROM sdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN n2 nb ON nb.vec_id = d.sid
+    ),
+    vsuper AS (
+        SELECT vec_id, sid AS super_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rk
+            FROM scos
+        ) WHERE rk = 1
+    ),
+    csuper AS (
+        -- a super-centroid is its own child by construction (mirrors
+        -- the Spark-side F.when guard against exact-cosine-tie
+        -- re-routing emptying a super's child list)
+        SELECT v.vec_id AS cent_id,
+               CASE WHEN v.vec_id < p.ns THEN v.vec_id ELSE v.super_id END AS super_id
+        FROM vsuper v JOIN params p ON v.vec_id < p.nc
+    ),
+    cdot AS (
+        SELECT va.vec_id, cs.cent_id, CAST(sum(qa.xq * qc.xq) AS BIGINT) AS dot
+        FROM vsuper va
+        JOIN csuper cs ON cs.super_id = va.super_id
+        JOIN q qa ON qa.vec_id = va.vec_id
+        JOIN q qc ON qc.vec_id = cs.cent_id AND qc.i = qa.i
+        GROUP BY va.vec_id, cs.cent_id
+    ),
+    ccos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
+        FROM cdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN n2 nb ON nb.vec_id = d.cent_id
+    ),
+    assign0 AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+            FROM ccos
+        ) WHERE rk = 1
+    )"""
+
+
 def _knn_sample_to_cap(assigned: DataFrame) -> DataFrame:
     """Deterministic sample-to-cap per cell: rank members by an md5
     lottery (ties to vec_id) and keep the first _KNN_CELL_CAP. One hash
@@ -5872,9 +5954,13 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocity ⇒ hub-dominated cells, poor index quality).
 
     Scale shape: the centroid count GROWS with the corpus (mean
-    occupancy pinned at _KNN_TARGET_CELL — n is one parquet
-    metadata-count job, mirrored as a scalar subquery in the oracle);
-    cell assignment is map-only (broadcast centroids); over-cap cells
+    occupancy pinned at _KNN_TARGET_CELL — n is one cached
+    parquet-footer read, catalog.table_rows: zero Spark jobs,
+    mirrored as a scalar subquery in the oracle);
+    cell assignment is the TWO-LEVEL coarse quantizer
+    (sim.ivf_assign_two_level — n·2√k dot products instead of the
+    quadratic n·k flat scan, still map-only; round-6 verdict #1);
+    over-cap cells
     are SAMPLED to _KNN_CELL_CAP by a deterministic lottery (a cell is
     a population — never dropped); pair generation is a cell-keyed
     equi-self-join bounded at cap² per cell; the top-k window
@@ -5885,9 +5971,9 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
 
     e = load(spark, sf_dir, "embeddings")
-    n = e.count()  # parquet metadata count — one cheap job
+    n = table_rows(sf_dir, "embeddings")  # cached footer count — zero jobs
     n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
-    assigned = sim.ivf_assign(e, n_centroids=n_cents)
+    assigned = sim.ivf_assign_two_level(e, n_centroids=n_cents)
     capped = _knn_sample_to_cap(assigned)
     a = capped.select(
         "cell_id", F.col("vec_id").alias("src"),
@@ -5926,7 +6012,7 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_reciprocal"),
         )
-        .join(F.broadcast(n_vec), "cell_id")
+        .join(maybe_broadcast(n_vec), "cell_id")
         .select(
             "cell_id", "n_vectors", "n_edges", "n_reciprocal",
             F.expr("1000000 * n_reciprocal div n_edges").alias("reciprocal_ppm"),
@@ -5937,35 +6023,7 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_knn_graph_cell_local() -> str:
     return f"""
-    WITH el AS (
-        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
-        FROM embeddings
-    ),
-    q AS (
-        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
-        FROM el
-    ),
-    n2 AS (
-        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
-    ),
-    cdot AS (
-        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
-        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {_KNN_NCENTS_SQL}
-        GROUP BY a.vec_id, c.vec_id
-    ),
-    ccos AS (
-        SELECT d.vec_id, d.cent_id,
-               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
-        FROM cdot d
-        JOIN n2 na ON na.vec_id = d.vec_id
-        JOIN n2 nc ON nc.vec_id = d.cent_id
-    ),
-    assign0 AS (
-        SELECT vec_id, cent_id AS cell_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
-            FROM ccos
-        ) WHERE rk = 1
-    ),
+    WITH {_knn_two_level_assign_sql()},
     assign AS (
         -- sample-to-cap, NOT drop: over-cap cells keep their first
         -- _KNN_CELL_CAP members by deterministic md5 lottery
@@ -6503,8 +6561,8 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         new_docs.select("doc_id")
         .join(maybe_broadcast(exact), "doc_id", "left")
-        .join(F.broadcast(near_corpus), "doc_id", "left")
-        .join(F.broadcast(near_batch), "doc_id", "left")
+        .join(maybe_broadcast(near_corpus), "doc_id", "left")
+        .join(maybe_broadcast(near_batch), "doc_id", "left")
         .select(
             "doc_id",
             F.expr(
@@ -7647,17 +7705,18 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF family — measured UNCAPPED on purpose: it audits the skew the
     kNN-graph sample-to-cap policy then bounds.
 
-    Scale shape: n is one parquet metadata count (oracle-mirrored as a
-    scalar subquery); assignment is map-only (broadcast centroid
-    array); one cell-grain rollup, then band arithmetic over ≤ ~40
-    rows."""
+    Scale shape: n is one cached parquet-footer read (catalog.table_rows
+    — zero Spark jobs; oracle-mirrored as a scalar subquery); assignment
+    is the two-level coarse quantizer (sim.ivf_assign_two_level — n·2√k
+    dots, map-only; round-6 verdict #1); one cell-grain rollup, then
+    band arithmetic over ≤ ~40 rows."""
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "embeddings")
-    n = e.count()  # parquet metadata count — one cheap job
+    n = table_rows(sf_dir, "embeddings")  # cached footer count — zero jobs
     n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
     sizes = (
-        sim.ivf_assign(e, n_centroids=n_cents)
+        sim.ivf_assign_two_level(e, n_centroids=n_cents)
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )
@@ -7685,37 +7744,9 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_ivf_cell_occupancy() -> str:
     return f"""
-    WITH el AS (
-        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
-        FROM embeddings
-    ),
-    q AS (
-        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
-        FROM el
-    ),
-    n2 AS (
-        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
-    ),
-    cdot AS (
-        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
-        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {_KNN_NCENTS_SQL}
-        GROUP BY a.vec_id, c.vec_id
-    ),
-    ccos AS (
-        SELECT d.vec_id, d.cent_id,
-               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
-        FROM cdot d
-        JOIN n2 na ON na.vec_id = d.vec_id
-        JOIN n2 nc ON nc.vec_id = d.cent_id
-    ),
-    assign AS (
-        SELECT vec_id, cent_id AS cell_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
-            FROM ccos
-        ) WHERE rk = 1
-    ),
+    WITH {_knn_two_level_assign_sql()},
     sizes AS (
-        SELECT cell_id, count(*) AS sz FROM assign GROUP BY cell_id
+        SELECT cell_id, count(*) AS sz FROM assign0 GROUP BY cell_id
     ),
     hdr AS (
         SELECT CAST(length(bin(sz)) - 1 AS INT) AS sz_band,
@@ -8461,7 +8492,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cell_id").alias("qcell"),
     )
     cand = assigned.join(
-        F.broadcast(q),
+        maybe_broadcast(q),
         (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cand.select(

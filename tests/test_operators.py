@@ -1751,3 +1751,59 @@ def test_name_format_contracts_hold(spark):
     rows = name_format_expectations(spark, SF_SMOKE).collect()
     assert len(rows) == 3
     assert all(r.n_violations == 0 for r in rows)
+
+
+def test_ivf_assign_two_level_degenerate_equals_flat(spark):
+    """Two boundary settings where the hierarchical route provably
+    equals the flat argmax: n_super = k (every super's child list is
+    exactly itself — level 2 is a no-op) and n_super = 1 (super 0's
+    child list is ALL centroids — level 1 is a no-op). Both must
+    reproduce ivf_assign bit-for-bit; with the default ceil(sqrt(k))
+    supers the assignments may legitimately differ near super
+    boundaries (the documented hierarchical-quantizer trade)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.similarity import (
+        ivf_assign,
+        ivf_assign_two_level,
+    )
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    flat = {r.vec_id: r.cell_id for r in ivf_assign(e, n_centroids=8).collect()}
+    for ns in (8, 1):
+        two = {
+            r.vec_id: r.cell_id
+            for r in ivf_assign_two_level(e, n_centroids=8, n_super=ns).collect()
+        }
+        assert two == flat, f"n_super={ns} diverged from flat argmax"
+
+
+def test_ivf_assign_two_level_total_and_bounded(spark):
+    """Default-supers invariants: every vector gets exactly one non-null
+    cell, every cell id is a valid centroid id, and super-centroids keep
+    routing to themselves (their own cell is their own id — self-cosine
+    is exactly 1.0 in both engines)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.similarity import (
+        ceil_isqrt,
+        ivf_assign_two_level,
+    )
+
+    e = load(spark, "/root/testdata/sf0.001", "embeddings")
+    k = 16
+    rows = {r.vec_id: r.cell_id for r in ivf_assign_two_level(e, n_centroids=k).collect()}
+    n = e.count()
+    assert len(rows) == n
+    assert all(c is not None and 0 <= c < k for c in rows.values())
+    ns = ceil_isqrt(k)
+    assert all(rows[i] == i for i in range(ns))
+
+
+def test_ceil_isqrt_exact():
+    """ceil_isqrt is the exact integer ceil(sqrt(n)) — the oracle's
+    float-sqrt + CASE correction depends on this being right at perfect
+    squares and off-by-one float roundings."""
+    from northwind_warehouse_spark.operators.similarity import ceil_isqrt
+
+    for n in list(range(1, 2000)) + [10**6, 10**6 + 1, 10**12, 10**12 - 1]:
+        s = ceil_isqrt(n)
+        assert s * s >= n and (s - 1) * (s - 1) < n, n

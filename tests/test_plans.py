@@ -197,6 +197,58 @@ def test_no_hard_broadcast_hint_on_growing_tables():
     assert not v, "hard broadcast hints on growing tables:\n" + "\n".join(v)
 
 
+def test_broadcast_lint_catches_seeded_violations(tmp_path):
+    """The lint itself is tested (round-6 verdict #2): seed a file with
+    the exact corpus-derived-broadcast patterns that slipped the round-5
+    lint — a dup-id set derived from ``lsh_candidate_pairs``, a
+    grain-growing ``groupBy("cell_id").agg`` count table, and growth
+    propagated through a plain helper call — and assert every one is
+    flagged; bounded idioms (global agg, nation-grain agg, pq_codebook
+    output) must stay clean."""
+    from tools.broadcast_lint import find_violations
+
+    seeded = tmp_path / "seeded_plan.py"
+    seeded.write_text(
+        '''
+def bad_pair_derived(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sim.shingle_arrays(d)))
+    dup_ids = pairs.select("doc_a").unionAll(pairs.select("doc_b")).distinct()
+    return d.join(F.broadcast(dup_ids), "doc_id", "left")
+
+
+def bad_grain_growing_agg(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    assigned = sim.ivf_assign(e, n_centroids=8)
+    n_vec = assigned.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+    return assigned.join(F.broadcast(n_vec), "cell_id")
+
+
+def bad_helper_propagation(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    capped = _sample_to_cap(e)
+    return e.join(F.broadcast(capped), "vec_id")
+
+
+def ok_bounded_aggregates(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    thresh = o.agg(F.max("o_totalprice").alias("mx"))
+    by_nation = o.groupBy("nation").agg(F.count(F.lit(1)).alias("n"))
+    cb = sim.pq_codebook(load(spark, sf_dir, "embeddings"))
+    return o.crossJoin(F.broadcast(thresh)).join(
+        F.broadcast(by_nation), "nation"
+    ).crossJoin(F.broadcast(cb))
+'''
+    )
+    v = find_violations([seeded])
+    flagged_fns = {line.split(" in ")[1].split("(")[0] for line in v}
+    assert flagged_fns == {
+        "bad_pair_derived",
+        "bad_grain_growing_agg",
+        "bad_helper_propagation",
+    }, f"lint flagged: {sorted(flagged_fns)}\n" + "\n".join(v)
+
+
 def test_maybe_broadcast_gates_on_size(spark):
     """maybe_broadcast hints under the byte bound and returns the plan
     UNHINTED above it (so AQE, not the hint, decides at scale)."""
@@ -231,6 +283,43 @@ def test_smoke_sf_dims_still_broadcast_via_gate(spark):
         final = _plan(df).split("== Initial Plan ==")[0]
         assert "BroadcastHashJoin" in final, fn.__name__
         assert "SortMergeJoin" not in final, fn.__name__
+
+
+def test_broadcast_gate_closed_degrades_to_smj(spark):
+    """The 100-TB boundary in the CLOSED direction (round-6 verdict #6):
+    with AQE's own broadcast conversion disabled
+    (autoBroadcastJoinThreshold=-1) and MAX_BROADCAST_BYTES shrunk to 0
+    so maybe_broadcast withholds every hint, a representative fact⋈dim
+    plan must degrade to SortMergeJoin WITHOUT error and stay
+    oracle-identical — exactly what happens on a real cluster when the
+    dims outgrow the gate. (The open direction — gate hints at demo
+    scale, AQE converts the rest — is test_smoke_sf_dims_still_broadcast
+    _via_gate.) Bounded-by-construction relations (nation/region) keep
+    their hard hints, so some BroadcastHashJoin may legitimately remain;
+    the assertion is that the GATED joins became SMJ."""
+    import northwind_warehouse_spark.operators.joins as J
+    import __spark_entry__ as E
+    from northwind_warehouse_spark.plans.analytics import q5_local_revenue
+    from tests.oracle_util import compare
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_bytes = J.MAX_BROADCAST_BYTES
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        J.MAX_BROADCAST_BYTES = 0
+        df = q5_local_revenue(spark, SF_SMOKE)
+        df.collect()  # must execute without error under the closed gate
+        final = _plan(df).split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" in final, "closed gate did not degrade to SMJ"
+        probs = compare(
+            q5_local_revenue(spark, SF_SMOKE),
+            E.oracle_sql()["q5_local_revenue"],
+            SF_SMOKE,
+        )
+        assert not probs, f"closed-gate results diverged: {probs}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        J.MAX_BROADCAST_BYTES = prev_bytes
 
 
 def test_no_cartesian_product_in_any_registered_plan(spark):

@@ -284,3 +284,31 @@ def test_nanos_timestamp_with_submicro_residue_floors(spark, tmp_path):
         assert [r.us for r in got3] == [want_us]
     finally:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+
+
+def test_table_rows_matches_spark_count_and_caches(spark):
+    """catalog.table_rows reads the parquet FOOTER (zero Spark jobs) and
+    must equal Spark's count at every SF; repeated calls hit the cache
+    (round-6 verdict #5: one count per (sf_dir, table) per process, not
+    one per query invocation). Also covers the directory-of-part-files
+    layout scale_smoke writes."""
+    from northwind_warehouse_spark.catalog import _ROW_COUNTS, load, table_rows
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        for t in ("embeddings", "orders"):
+            assert table_rows(sf, t) == load(spark, sf, t).count()
+            assert (sf, t) in _ROW_COUNTS
+
+    # directory layout: write a 2-part parquet dir and count it
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        load(spark, "/root/testdata/sf0.001", "orders").repartition(2).write.mode(
+            "overwrite"
+        ).parquet(f"{d}/orders.parquet")
+        assert table_rows(d, "orders") == 1500
+
+    import pytest
+
+    with pytest.raises(KeyError):
+        table_rows("/root/testdata/sf0.001", "not_a_table")

@@ -10,12 +10,19 @@ Bounded relations (nation, region, date spines, aggregates, codebooks)
 may keep the plain hint.
 
 Heuristic dataflow, per function: a variable is GROWING when it is
-assigned from ``load(spark, sf_dir, "<growing table>")`` (or a method
-chain rooted at a growing variable) and no BOUNDING operation appears in
-the chain. ``agg``/``limit`` bound cardinality (every ``groupBy`` here
-is followed by ``agg``; per-entity aggregates that legitimately grow are
-reviewed case-by-case and must still use maybe_broadcast — the lint is a
-tripwire for the raw-table class, not a proof system).
+assigned from ``load(spark, sf_dir, "<growing table>")``, from a known
+SF-growing plan builder or corpus-grain operator (``lsh_candidate_pairs``
+and friends), or from a method chain / helper call rooted at a growing
+variable, and no BOUNDING operation appears in the chain. ``limit``
+always bounds; a global ``agg`` bounds; ``groupBy(<growing-grain
+key>).agg`` does NOT — an aggregate whose grain is a corpus-scale key
+(cell_id, doc_id, vec_id, ...) has as many rows as distinct keys, which
+grows with the warehouse (the round-6 blind spot: ``F.broadcast(n_vec)``
+on a per-cell count table whose cell count is pinned to n/128).
+Growth also propagates through plain helper calls (``_cap(assigned)``)
+via their arguments. Per-bounded-domain aggregates that the key list
+can't prove bounded are reviewed case-by-case and must still use
+maybe_broadcast — the lint is a tripwire, not a proof system.
 """
 
 from __future__ import annotations
@@ -33,30 +40,86 @@ GROWING_TABLES = {
     "events", "documents", "embeddings",
 }
 # chain methods that bound output cardinality regardless of input size
-BOUNDING = {"agg", "limit"}
+# (`agg` is handled separately: it bounds only when its groupBy grain is
+# not a growing key — see GROWING_KEYS)
+BOUNDING = {"limit"}
 # plan builders whose output grows with SF (derived dims/staging views)
+# plus corpus-grain operators: their output is corpus-row- or
+# candidate-pair-sized, so anything derived from them (dup-id sets,
+# membership flags, per-cell stats) grows with the warehouse
 GROWING_FUNCS = {
     "dim_customer", "dim_part", "dim_supplier", "dim_part_multisource",
     "stg_customer", "stg_orders", "stg_lineitem", "stg_events",
     "scd2_users", "snapshot_users",
+    # operators.similarity — corpus-grain / pair-grain outputs
+    "shingle_arrays", "shingles", "minhash_signatures", "band_rows",
+    "lsh_candidate_pairs", "pair_jaccard", "cap_buckets",
+    "simhash_fp", "simhash32", "lsh_buckets",
+    "ivf_assign", "ivf_assign_two_level", "ivf_probe_cells", "pq_encode",
+}
+# helpers whose OUTPUT is bounded by construction regardless of input
+# size (fixed-shape codebooks/LUTs) — growth does not propagate through
+BOUNDED_FUNCS = {"pq_codebook"}
+# groupBy grains that scale with the warehouse: an agg over one of these
+# keys has ~as many rows as the corpus has distinct entities, so it does
+# NOT bound cardinality for broadcast purposes
+GROWING_KEYS = {
+    "cell_id", "doc_id", "doc_a", "doc_b", "vec_id", "chunk_id",
+    "query_id", "neighbor_id", "fingerprint", "fp", "user_id",
+    "o_orderkey", "o_custkey", "l_orderkey", "l_partkey", "l_suppkey",
+    "c_custkey", "p_partkey", "s_suppkey", "bucket_id", "band_id",
+    "customer_id", "order_id", "event_id",
 }
 
 
-def _call_root(node: ast.expr) -> tuple[str | None, list[str]]:
+def _call_root(node: ast.expr) -> tuple[str | None, list[str], list[ast.Call]]:
     """Walk a method chain like ``x.filter(...).select(...)`` back to its
-    root Name; return (root_name, methods along the chain)."""
+    root Name; return (root_name, methods along the chain, call nodes)."""
     methods: list[str] = []
+    calls: list[ast.Call] = []
     cur = node
     while True:
         if isinstance(cur, ast.Call):
+            calls.append(cur)
             cur = cur.func
         elif isinstance(cur, ast.Attribute):
             methods.append(cur.attr)
             cur = cur.value
         elif isinstance(cur, ast.Name):
-            return cur.id, methods
+            return cur.id, methods, calls
         else:
-            return None, methods
+            return None, methods, calls
+
+
+def _str_constants(call: ast.Call) -> set[str]:
+    """String literals among a call's OWN arguments (not the chain
+    below its ``func`` — a ``.filter(...)`` upstream of a ``.groupBy``
+    must not leak its column names into the groupBy's key set)."""
+    out: set[str] = set()
+    for arg in list(call.args) + [kw.value for kw in call.keywords]:
+        for n in ast.walk(arg):
+            if isinstance(n, ast.Constant) and isinstance(n.value, str):
+                out.add(n.value)
+    return out
+
+
+def _chain_bounds(methods: list[str], calls: list[ast.Call]) -> bool:
+    """True when the method chain bounds output cardinality: a ``limit``,
+    or an ``agg`` whose grain is NOT a growing key. ``groupBy(<growing
+    key>).agg`` keeps the growing classification — its row count tracks
+    the corpus's distinct-key count."""
+    if set(methods) & BOUNDING:
+        return True
+    if "agg" not in methods:
+        return False
+    for call in calls:
+        if (
+            isinstance(call.func, ast.Attribute)
+            and call.func.attr in ("groupBy", "groupby")
+            and (_str_constants(call) & GROWING_KEYS)
+        ):
+            return False
+    return True
 
 
 def _is_growing_load(node: ast.expr) -> bool:
@@ -84,6 +147,14 @@ def _classify(node: ast.expr, env: dict[str, bool]) -> bool:
     """True = growing."""
     if _is_growing_load(node):
         return True
+    if isinstance(node, ast.Call):
+        fname = None
+        if isinstance(node.func, ast.Name):
+            fname = node.func.id
+        elif isinstance(node.func, ast.Attribute):
+            fname = node.func.attr
+        if fname in BOUNDED_FUNCS:
+            return False
     if isinstance(node, ast.Name):
         return env.get(node.id, False)
     if isinstance(node, (ast.Call, ast.Attribute)):
@@ -97,10 +168,21 @@ def _classify(node: ast.expr, env: dict[str, bool]) -> bool:
             cur = inner
         else:
             root_growing = None
-        root, methods = _call_root(node)
+        root, methods, calls = _call_root(node)
         if root_growing is None:
             root_growing = env.get(root, False) if root else False
-        if root_growing and not (set(methods) & BOUNDING):
+        if root_growing and not _chain_bounds(methods, calls):
+            return True
+        # plain helper calls (`_cap(assigned)`, `helper(df, spark)`)
+        # preserve grain unless the chain above bounds it: propagate
+        # growth through the call's dataframe arguments
+        if (
+            isinstance(node, ast.Call)
+            and not _chain_bounds(methods, calls)
+            and any(
+                isinstance(a, ast.Name) and env.get(a.id, False) for a in node.args
+            )
+        ):
             return True
     return False
 
@@ -133,14 +215,15 @@ class _FnLinter(ast.NodeVisitor):
         self.generic_visit(fn)
 
 
-def find_violations() -> list[str]:
+def find_violations(paths: list[Path] | None = None) -> list[str]:
     out: list[str] = []
-    for path in LINT_FILES:
+    for path in paths if paths is not None else LINT_FILES:
         tree = ast.parse(path.read_text())
         linter = _FnLinter(path)
         linter.visit(tree)
         for fn, line, src in linter.violations:
-            out.append(f"{path.relative_to(REPO)}:{line} in {fn}(): F.broadcast({src})")
+            rel = path.relative_to(REPO) if path.is_relative_to(REPO) else path
+            out.append(f"{rel}:{line} in {fn}(): F.broadcast({src})")
     return out
 
 
