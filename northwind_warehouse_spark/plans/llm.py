@@ -9166,3 +9166,151 @@ def oracle_kfold_assignment_audit() -> str:
                 - 1000000 // {_KFOLD_K} AS BIGINT) AS dev_ppm
     FROM agg ORDER BY source, fold
     """
+
+
+# ---------------------------------------------------------------------------
+# Round-7 addition: trained IVF coarse quantizer (round-6 verdict #8)
+# ---------------------------------------------------------------------------
+
+_IVF_TRAIN_ROUNDS = 2
+_IVF_TRAIN_PPM = 250_000  # deterministic 25% md5-lottery training sample
+_IVF_TRAIN_LOT = (
+    "CAST(conv(substring(md5(concat('ivftr|', CAST(vec_id AS STRING))), 1, 8), 16, 10)"
+    " AS BIGINT) % 1000000"
+)
+_O_IVF_TRAIN_LOT = (
+    "CAST(('0x' || substr(md5('ivftr|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 1000000"
+)
+
+
+def ivf_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained IVF coarse quantizer: Lloyd (k-means) refinement of the
+    IVF centroid codebook over a deterministic 25% training sample —
+    closing the "deterministic first-k sample as codebook" gap the PQ
+    path already closed for subspace codebooks (pq_train_rounds). Each
+    round assigns every TRAINING vector to its nearest centroid
+    (argmin exact-integer squared L2 over the quantized elements, ties
+    to the lowest centroid id), recomputes each non-empty centroid as
+    the element-wise integer floor-mean of its assignees (empty cells
+    keep their old centroid), and reports total distortion at
+    assignment time and after the update. One row per round.
+
+    The k-means descent invariant is exact in integers and asserted in
+    tests (same contract as pq_train_rounds):
+    dist_assign[r+1] <= dist_updated[r], and dist_updated[r] <=
+    dist_assign[r] + E where E is the training element-row count (the
+    FLOOR-mean slack vs the real-valued optimum).
+
+    Scale shape per round: the element-grain TRAINING table (a fixed
+    ppm lottery of the corpus — codebook training needs a sample, not
+    the corpus) is computed once and persisted across rounds; the
+    codebook stays a k·dim-row DataFrame (never collected) that
+    broadcasts into the assignment join; per-centroid means are
+    map-side-combined aggregates. The production deployment would feed
+    the trained codebook to ivf_assign / ivf_assign_two_level in place
+    of the first-k convention — same join shape, swapped centroid
+    relation."""
+    e = load(spark, sf_dir, "embeddings")
+    el = (
+        e.filter(F.expr(_IVF_TRAIN_LOT) < _IVF_TRAIN_PPM)
+        .select("vec_id", F.expr(
+            "posexplode(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))"
+        ).alias("i0", "xq"))
+        .select("vec_id", (F.col("i0") + 1).alias("i"), "xq")
+        .persist()
+    )
+    cb_el = (
+        e.filter(F.col("vec_id") < IVF_N_CENTROIDS)
+        .select(F.col("vec_id").alias("j"), F.expr(
+            "posexplode(transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT)))"
+        ).alias("i0", "w"))
+        .select("j", (F.col("i0") + 1).alias("i"), "w")
+    )
+    rows = []
+    for r in range(_IVF_TRAIN_ROUNDS):
+        subd = (
+            el.join(maybe_broadcast(cb_el), "i")
+            .groupBy("vec_id", "j")
+            .agg(F.expr("CAST(sum((xq - w) * (xq - w)) AS BIGINT)").alias("d"))
+        )
+        best = (
+            subd.groupBy("vec_id")
+            .agg(F.min(F.struct("d", "j")).alias("b"))
+            .select("vec_id", F.col("b.d").alias("d"), F.col("b.j").alias("j"))
+        )
+        dist_assign = best.agg(F.expr("CAST(sum(d) AS BIGINT)").alias("dist_assign"))
+        ael = el.join(best.select("vec_id", "j"), "vec_id")
+        newc = ael.groupBy("j", "i").agg(
+            F.expr(
+                f"CAST((sum(xq) + {_PQ_XQ_OFF} * count(*)) div count(*) - {_PQ_XQ_OFF} AS BIGINT)"
+            ).alias("w")
+        )
+        cb_next = (
+            cb_el.select("j", "i", F.col("w").alias("w_old"))
+            .join(newc, ["j", "i"], "left")
+            .select("j", "i", F.coalesce("w", "w_old").alias("w"))
+        )
+        dist_updated = ael.join(maybe_broadcast(cb_next), ["j", "i"]).agg(
+            F.expr("CAST(sum((xq - w) * (xq - w)) AS BIGINT)").alias("dist_updated")
+        )
+        rows.append(
+            dist_assign.crossJoin(dist_updated).select(
+                F.lit(r).cast("bigint").alias("round"), "dist_assign", "dist_updated"
+            )
+        )
+        cb_el = cb_next
+    out = rows[0]
+    for rw in rows[1:]:
+        out = out.unionByName(rw)
+    return out.orderBy("round")
+
+
+def oracle_ivf_train_rounds() -> str:
+    parts = [f"""
+    train AS (
+        SELECT vec_id FROM embeddings
+        WHERE {_O_IVF_TRAIN_LOT} < {_IVF_TRAIN_PPM}
+    ), el AS (
+        SELECT e.vec_id,
+               CAST(floor(CAST(unnest(e.embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS xq,
+               generate_subscripts(e.embedding, 1) AS i
+        FROM embeddings e JOIN train t ON t.vec_id = e.vec_id
+    ), cb0 AS (
+        SELECT vec_id AS j,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0) AS BIGINT) AS w
+        FROM embeddings WHERE vec_id < {IVF_N_CENTROIDS}
+    )"""]
+    for r in range(_IVF_TRAIN_ROUNDS):
+        parts.append(f""",
+    subd{r} AS (
+        SELECT a.vec_id, c.j,
+               CAST(sum((a.xq - c.w) * (a.xq - c.w)) AS BIGINT) AS d
+        FROM el a JOIN cb{r} c ON a.i = c.i
+        GROUP BY a.vec_id, c.j
+    ), best{r} AS (
+        SELECT vec_id, d, j FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rn
+            FROM subd{r}) WHERE rn = 1
+    ), ael{r} AS (
+        SELECT e.vec_id, e.i, e.xq, b.j
+        FROM el e JOIN best{r} b ON e.vec_id = b.vec_id
+    ), newc{r} AS (
+        SELECT j, i,
+               CAST((sum(xq) + {_PQ_XQ_OFF} * count(*)) // count(*) - {_PQ_XQ_OFF} AS BIGINT) AS w
+        FROM ael{r} GROUP BY j, i
+    ), cb{r + 1} AS (
+        SELECT c.j, c.i, coalesce(n.w, c.w) AS w
+        FROM cb{r} c LEFT JOIN newc{r} n ON c.j = n.j AND c.i = n.i
+    ), stat{r} AS (
+        SELECT CAST({r} AS BIGINT) AS round,
+               (SELECT CAST(sum(d) AS BIGINT) FROM best{r}) AS dist_assign,
+               (SELECT CAST(sum((a.xq - c.w) * (a.xq - c.w)) AS BIGINT)
+                FROM ael{r} a JOIN cb{r + 1} c ON a.i = c.i AND a.j = c.j) AS dist_updated
+    )""")
+    union = " UNION ALL ".join(f"SELECT * FROM stat{r}" for r in range(_IVF_TRAIN_ROUNDS))
+    return (
+        "WITH " + "".join(parts)
+        + f" SELECT round, dist_assign, dist_updated FROM ({union}) ORDER BY round"
+    )

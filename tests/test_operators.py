@@ -1807,3 +1807,36 @@ def test_ceil_isqrt_exact():
     for n in list(range(1, 2000)) + [10**6, 10**6 + 1, 10**12, 10**12 - 1]:
         s = ceil_isqrt(n)
         assert s * s >= n and (s - 1) * (s - 1) < n, n
+
+
+def test_ivf_train_rounds_monotone_descent(spark):
+    """The trained IVF coarse quantizer descends like its PQ twin:
+    re-assignment against the updated centroids is EXACTLY <= the
+    post-update distortion, and each update descends up to the
+    integer-floor slack of one per training element row. The training
+    set is the deterministic 25% lottery, so the slack bound uses the
+    SAMPLED element count."""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import (
+        _IVF_TRAIN_LOT,
+        _IVF_TRAIN_PPM,
+        _IVF_TRAIN_ROUNDS,
+        ivf_train_rounds,
+    )
+
+    rows = ivf_train_rounds(spark, SF_SMOKE).collect()
+    assert [r.round for r in rows] == list(range(_IVF_TRAIN_ROUNDS))
+    n_train = (
+        load(spark, SF_SMOKE, "embeddings")
+        .filter(F.expr(_IVF_TRAIN_LOT) < _IVF_TRAIN_PPM)
+        .count()
+    )
+    assert n_train > 0
+    n_el = n_train * 64
+    for r in rows:
+        assert r.dist_updated <= r.dist_assign + n_el  # floor slack
+    for prev, nxt in zip(rows, rows[1:]):
+        assert nxt.dist_assign <= prev.dist_updated  # exact invariant
+        assert nxt.dist_assign <= prev.dist_assign  # net per-round descent
