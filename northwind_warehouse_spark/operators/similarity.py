@@ -348,6 +348,14 @@ def ivf_assign(
     )
 
 
+# conservative in-memory bytes per centroid row (64 float32 dims + id +
+# norm + row overhead) for the parameter-derived broadcast gate in
+# ivf_assign_two_level — 64 MB / 512 B ≈ 128k centroids ≈ a 16M-vector
+# corpus under the n/128 occupancy policy; beyond that the children
+# relation shuffles
+_CENTROID_EST_BYTES = 512
+
+
 def ceil_isqrt(n: int) -> int:
     """Smallest s with s·s ≥ n, in exact integer arithmetic (the oracle
     mirrors it with a float-sqrt + CASE correction, so both engines get
@@ -379,17 +387,27 @@ def ivf_assign_two_level(
     then finds its nearest super (s dots) and argmaxes over only that
     super's children (~k/s dots) — n·(s + k/s) ≈ n·2√k total.
 
-    Still MAP-ONLY over the corpus: one broadcast row carries the super
-    array and the super→children map; each vector row resolves both
-    levels with higher-order functions — zero shuffle, zero UDF. The
-    tie rule at BOTH levels matches ivf_assign (max cosine, then lowest
-    id) and the arithmetic is the same exact-int64-dot / IEEE-double
-    cosine, so the assignment is oracle-mirrorable CTE by CTE. The
-    assignment DIFFERS from single-level argmax (a vector near a super
-    boundary may land in a neighboring child cell) — that is the
-    documented trade of every hierarchical quantizer, priced in recall
-    by the multi-probe machinery, not a correctness loss: the oracle
-    computes the identical two-level route.
+    Physical shape by level: level 1 is MAP-ONLY (one broadcast row of
+    √k super structs — ~750 KB even at 8M centroids — resolved per row
+    with higher-order functions, zero shuffle); level 2 is a size-GATED
+    equi-join on super_id against the k-row children relation followed
+    by a map-side-combined argmax aggregate. The children side goes
+    through maybe_broadcast, so at demo scale the whole assignment is
+    broadcast-join-only, and at corpus scale — where k ∝ n/128 makes
+    the children relation GB-sized — it degrades to AQE's shuffle join
+    instead of a driver-sized broadcast. (Packing all k centroids into
+    one nested-array row would be zero-shuffle here but builds that
+    array in a single task — a driver/memory cliff at large k; the
+    equi-join has no cliff.) Zero UDF throughout. The tie rule at BOTH
+    levels matches ivf_assign (max cosine, then lowest id; the argmax
+    agg compares (cos, -cent_id) structs) and the arithmetic is the
+    same exact-int64-dot / IEEE-double cosine, so the assignment is
+    oracle-mirrorable CTE by CTE. The assignment DIFFERS from
+    single-level argmax (a vector near a super boundary may land in a
+    neighboring child cell) — that is the documented trade of every
+    hierarchical quantizer, priced in recall by the multi-probe
+    machinery, not a correctness loss: the oracle computes the
+    identical two-level route.
     """
     from northwind_warehouse_spark.functions.vectors import Q, norm2_q
 
@@ -433,42 +451,56 @@ def ivf_assign_two_level(
         )
         .select("super_id", "cent_id", "cvec", "cn2")
     )
-    kids_row = (
-        routed.groupBy("super_id")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("cent_id", "cvec", "cn2"))
-            ).alias("children")
-        )
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct("super_id", "children"))
-            ).alias("kmap")
-        )
-    )
-    lut = supers_row.crossJoin(kids_row)  # one row: supers + kmap
-    scored = (
-        base.crossJoin(F.broadcast(lut))
-        .withColumn(
-            "_sid",
-            (-F.expr(super_argmax.format(v=vec_col, n2="n2"))["neg"]).cast("bigint"),
-        )
-        .withColumn(
-            "best",
-            F.expr(
-                f"""array_max(transform(element_at(kmap, _sid), c -> struct(
-                    CAST(aggregate(zip_with({vec_col}, c.cvec, {Q}),
-                                   CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
-                      / sqrt(CAST(n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos,
-                    -c.cent_id AS neg)))"""
-            ),
-        )
-    )
-    return scored.select(
+    from northwind_warehouse_spark.operators.joins import MAX_BROADCAST_BYTES
+
+    with_super = base.crossJoin(F.broadcast(supers_row)).select(
         F.col(id_col),
         F.col(vec_col),
         "n2",
-        (-F.col("best.neg")).cast("bigint").alias("cell_id"),
+        (-F.expr(super_argmax.format(v=vec_col, n2="n2"))["neg"])
+        .cast("bigint")
+        .alias("_sid"),
+    )
+    # level-2: equi-join on super_id (fan-out ~k/s children per vector),
+    # argmax collapsed map-side before the vec_id exchange. The build
+    # side is k rows BY THE PARAMETER, so the broadcast gate uses
+    # parameter-derived bytes (the optimizer cannot estimate a
+    # crossJoin-derived relation — its stat is wildly inflated and the
+    # size gate would wrongly decline): hint while k centroids fit the
+    # broadcast bound, let AQE pick the join from runtime sizes beyond
+    # it (k ∝ n/128 under the occupancy-scaled policy ⇒ at true corpus
+    # scale this side is GB-sized and must shuffle, not broadcast).
+    children = routed
+    if n_centroids * _CENTROID_EST_BYTES <= MAX_BROADCAST_BYTES:
+        children = F.broadcast(children)
+    scored = with_super.join(
+        children, with_super["_sid"] == routed["super_id"]
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "n2",
+        F.struct(
+            F.expr(
+                f"""CAST(aggregate(zip_with({vec_col}, cvec, {Q}),
+                                   CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+                    / sqrt(CAST(n2 AS DOUBLE) * CAST(cn2 AS DOUBLE))"""
+            ).alias("cos"),
+            (-F.col("cent_id")).alias("neg"),
+        ).alias("cand"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.first(vec_col).alias(vec_col),
+            F.first("n2").alias("n2"),
+            F.max("cand").alias("best"),
+        )
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "n2",
+            (-F.col("best.neg")).cast("bigint").alias("cell_id"),
+        )
     )
 
 

@@ -5974,7 +5974,10 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = table_rows(sf_dir, "embeddings")  # cached footer count — zero jobs
     n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
     assigned = sim.ivf_assign_two_level(e, n_centroids=n_cents)
-    capped = _knn_sample_to_cap(assigned)
+    # persist-after-cap (the LSH-family r6 pattern): capped feeds BOTH
+    # self-join sides AND the per-cell count — without it the whole
+    # assignment + cap-window lineage re-executes three times
+    capped = _knn_sample_to_cap(assigned).persist()
     a = capped.select(
         "cell_id", F.col("vec_id").alias("src"),
         F.col("embedding").alias("va"), F.col("n2").alias("na2"),
