@@ -9251,7 +9251,9 @@ def ivf_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         cb_next = (
             cb_el.select("j", "i", F.col("w").alias("w_old"))
-            .join(newc, ["j", "i"], "left")
+            # newc is k·dim-bounded (per-centroid means) — hint it so the
+            # codebook update never plans an SMJ over a 512-row relation
+            .join(F.broadcast(newc), ["j", "i"], "left")
             .select("j", "i", F.coalesce("w", "w_old").alias("w"))
         )
         dist_updated = ael.join(maybe_broadcast(cb_next), ["j", "i"]).agg(
