@@ -353,7 +353,18 @@ def main() -> None:
     # least-noise estimate of a deterministic workload). Rows that stay
     # non-monotone get a visible flag instead of shipping unexplained.
     flagged = [n for n in queries if results[3][n] > results[10][n]]
-    print("re-measuring non-monotone rows:", flagged)
+    # ALSO re-measure every row whose single-run ratio exceeds 2.5 — the
+    # protocol threshold for "needs explanation": a single sweep reading
+    # on a shared sandbox routinely inflates a flat row past 3×
+    # (order_fulfillment_sla read 3.1× in one r7 sweep and min-of-2 FLAT
+    # solo), and a ratio that survives the min-of-2 is real growth to
+    # annotate, not noise to hand-wave.
+    flagged += [
+        n
+        for n in queries
+        if n not in flagged and results[10][n] / max(results[1][n], 0.01) > 2.5
+    ]
+    print("re-measuring non-monotone/high-ratio rows:", flagged)
     for factor in (1, 3, 10):
         for name in flagged:
             t0 = time.perf_counter()
@@ -397,8 +408,10 @@ def main() -> None:
         "dominated by fixed per-stage overhead, not data — the single-file 1×",
         "inputs scan on one task while the replicated tables fan out across all",
         "cores. A super-linear ratio would flag a skew or driver bottleneck.",
-        "Non-monotone rows are re-measured (per-factor min of two runs);",
-        "any that stay non-monotone are marked † as residual sandbox noise.",
+        "Non-monotone rows AND rows whose single-run 10×/1× ratio exceeds",
+        "2.5 are re-measured (per-factor min of two runs); non-monotone",
+        "survivors are marked † as residual sandbox noise, and ratios that",
+        "survive the min-of-2 are real growth, annotated below.",
         "The former weak-tail rows (knn_graph_cell_local, ivf_cell_occupancy,",
         "equi_depth_histogram) carry an extra 30× measurement proving their",
         "round-7 fixes hold past 10× (all other rows: —); those rows are",
@@ -459,6 +472,13 @@ def main() -> None:
         "  scan/shuffle-bound. On real 10× data (new baskets, not copies)",
         "  the prune keeps its selectivity; same replication-regime class as",
         "  the documented dedup_embedding_cosine exclusion.",
+        "- **tfidf_top_terms / bigram_lm_quality / events_weekly_active** —",
+        "  the generic LINEAR-work case: replication grows the token-,",
+        "  bigram- and event-grain work exactly 10× (document copies carry",
+        "  per-copy-suffixed tokens, so postings AND vocabulary scale ~10×;",
+        "  events are key-shifted rows), while the 1× baseline is",
+        "  overhead-dominated (0.5-1.1 s absolute). A ~3× wall for 10× work",
+        "  is sub-linear per byte — scan/shuffle-bound, nothing to fix.",
         "- **lm_quality_terciles** — round-6 rewrite ranks inside score-bucket",
         "  partitions (≤1001 value-range buckets/source) with broadcast",
         "  prefix counts; the former per-source near-global sort is gone.",
