@@ -391,11 +391,14 @@ def ivf_assign_two_level(
     √k super structs — ~750 KB even at 8M centroids — resolved per row
     with higher-order functions, zero shuffle); level 2 is a size-GATED
     equi-join on super_id against the k-row children relation followed
-    by a map-side-combined argmax aggregate. The children side goes
-    through maybe_broadcast, so at demo scale the whole assignment is
-    broadcast-join-only, and at corpus scale — where k ∝ n/128 makes
-    the children relation GB-sized — it degrades to AQE's shuffle join
-    instead of a driver-sized broadcast. (Packing all k centroids into
+    by a map-side-combined argmax aggregate. The children side's
+    broadcast hint is gated on PARAMETER-derived bytes
+    (n_centroids × _CENTROID_EST_BYTES vs MAX_BROADCAST_BYTES — the
+    optimizer cannot estimate a crossJoin-derived relation, so the
+    stats-based gate would wrongly decline), making the whole
+    assignment broadcast-join-only at demo scale while at corpus scale
+    — where k ∝ n/128 makes the children relation GB-sized — it
+    degrades to AQE's shuffle join instead of a driver-sized broadcast. (Packing all k centroids into
     one nested-array row would be zero-shuffle here but builds that
     array in a single task — a driver/memory cliff at large k; the
     equi-join has no cliff.) Zero UDF throughout. The tie rule at BOTH
