@@ -3462,13 +3462,15 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select("doc_id", F.split("text", " ").alias("toks")).filter(
         F.expr("size(toks) >= 3")
     )
+    # persisted (the boilerplate_prune pattern): the trigram explode is
+    # the dominant scan and feeds both the df count and the tag-back join
     tri = toks.select(
         "doc_id",
         F.expr(
             "explode(transform(sequence(1, size(toks) - 2), "
             "i -> concat_ws(' ', toks[i - 1], toks[i], toks[i + 1])))"
         ).alias("tri"),
-    )
+    ).persist()
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     df_counts = tri.groupBy("tri").agg(F.countDistinct("doc_id").alias("df"))
     boiler = (

@@ -1840,3 +1840,76 @@ def test_ivf_train_rounds_monotone_descent(spark):
     for prev, nxt in zip(rows, rows[1:]):
         assert nxt.dist_assign <= prev.dist_updated  # exact invariant
         assert nxt.dist_assign <= prev.dist_assign  # net per-round descent
+
+
+def test_ivf_assign_two_level_matches_python_reference(spark):
+    """Engine-independent semantic check of the hierarchical route: a
+    pure-Python reimplementation of the exact arithmetic (floor-1e6
+    quantization, int64 dots, IEEE-double cosine, max-cos/min-id ties,
+    self-routing supers) must agree with the Spark expression pipeline
+    on a deterministic synthetic corpus — catches expression-level bugs
+    the DuckDB oracle could share if the SQL mirrored a wrong design."""
+    import math
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from northwind_warehouse_spark.operators.similarity import (
+        ceil_isqrt,
+        ivf_assign_two_level,
+    )
+
+    # deterministic pseudo-random vectors via an integer LCG (no RNG
+    # in tests either — reruns must be identical)
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            yield x
+
+    g = lcg(42)
+    dim, n, k = 8, 60, 12
+    vecs = [
+        [((next(g) >> 16) % 2001 - 1000) / 1000.0 for _ in range(dim)]
+        for _ in range(n)
+    ]
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(n)]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    df = spark.createDataFrame(rows, schema)
+
+    # python reference with the IDENTICAL arithmetic (float32 narrowing
+    # first, like the ArrayType(FloatType) column)
+    import struct
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    q = [[math.floor(f32(x) * 1_000_000.0) for x in v] for v in vecs]
+    n2 = [sum(e * e for e in v) for v in q]
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(q[a], q[b]))
+        return float(dot) / math.sqrt(float(n2[a]) * float(n2[b]))
+
+    def argbest(i, cands):
+        return max(cands, key=lambda c: (cos(i, c), -c))
+
+    s = ceil_isqrt(k)
+    supers = list(range(s))
+    route = {c: (c if c < s else argbest(c, supers)) for c in range(k)}
+    children = {sid: [c for c in range(k) if route[c] == sid] for sid in supers}
+    expected = {}
+    for i in range(n):
+        sid = argbest(i, supers)
+        expected[i] = argbest(i, children[sid])
+
+    got = {r.vec_id: r.cell_id for r in ivf_assign_two_level(df, n_centroids=k).collect()}
+    assert got == expected
