@@ -1918,7 +1918,7 @@ def bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     token→frequency join shuffles on term; hot stopword keys are the
     classic skew case AQE's skew-join splitting handles."""
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term")).persist()
     tot = tok.agg(F.count(F.lit(1)).alias("total_tok"))
     uni = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
     uni_ppm = uni.crossJoin(F.broadcast(tot)).select(
@@ -2397,7 +2397,7 @@ def dedup_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a 100 TB corpus where exact verification is unaffordable."""
     d = load(spark, sf_dir, "documents")
     sh_arr = sim.shingle_arrays(d)
-    sig = sim.minhash_signatures(sh_arr)
+    sig = sim.minhash_signatures(sh_arr).persist()
     pairs = sim.lsh_candidate_pairs(sig)
     a = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(f"mh{s}").alias(f"a{s}") for s in range(sim.N_SEEDS)])
     b = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(f"mh{s}").alias(f"b{s}") for s in range(sim.N_SEEDS)])
@@ -4062,6 +4062,7 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bv"),
     ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+    bands = bands.persist()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -4411,7 +4412,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     while Jaccard stays below 70% — exactly the pairs a Jaccard-only
     pipeline would keep twice."""
     d = load(spark, sf_dir, "documents")
-    sh_arr = sim.shingle_arrays(d)
+    sh_arr = sim.shingle_arrays(d).persist()
     pairs = sim.lsh_candidate_pairs(sim.minhash_signatures(sh_arr))
     a = sh_arr.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh_arr.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -4539,7 +4540,7 @@ def minhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: truth-pair count, found count, recall ppm, per Jaccard
     decile of the truth pairs (near-misses live in the lowest band)."""
     d = load(spark, sf_dir, "documents")
-    sh = sim.shingle_arrays(d)
+    sh = sim.shingle_arrays(d).persist()
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     truth = (
@@ -5662,7 +5663,7 @@ def lm_quality_terciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
-    tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("term"))
+    tok = d.select("doc_id", "source", F.explode(F.split("text", " ")).alias("term")).persist()
     tot = tok.agg(F.count(F.lit(1)).alias("total_tok"))
     uni_ppm = (
         tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
@@ -6293,7 +6294,7 @@ def distinctive_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(F.split("text", " ")).alias("term"))
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("term")).persist()
     per_src = tok.groupBy("source", "term").agg(F.count(F.lit(1)).alias("cnt_src"))
     glob = tok.groupBy("term").agg(F.count(F.lit(1)).alias("cnt_all"))
     src_tot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("tokens_src"))
@@ -7089,7 +7090,7 @@ def collocation_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(F.split("text", " ").alias("w"))
     uni = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
-    )
+    ).persist()
     n_tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
     bg = (
         toks.filter(F.size("w") >= 2)
@@ -7565,7 +7566,7 @@ def source_vocab_tv_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     join so missing terms read as 0; the pair fold is sources²-bounded.
     """
     d = load(spark, sf_dir, "documents")
-    tok = d.select("source", F.explode(F.split("text", " ")).alias("t"))
+    tok = d.select("source", F.explode(F.split("text", " ")).alias("t")).persist()
     top = (
         tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.desc("c"), "t")
