@@ -82,6 +82,12 @@ def main() -> None:
         ).collect()[0].cs
 
     N_RUNS = 3
+    # record machine load around the timed window (round-7 verdict #3:
+    # a bench taken under concurrent-Spark load read as a +15% phantom
+    # regression; the loadavg stamps let a reader adjudicate recorded
+    # numbers without a re-run — a 1/5/15-min loadavg well above the
+    # local[N] core count means the run shared the box)
+    load_before = list(os.getloadavg())
     for name in names:  # warmup pass: codegen + footers + broadcasts
         force(qs[name](spark, sf_dir))
     per_query_runs: dict[str, list[float]] = {n: [] for n in names}
@@ -111,6 +117,9 @@ def main() -> None:
         # r1-r6 comparable subtotal: the original 12-query set only
         "legacy12_total": legacy_total,
         "queries_runs": per_query_runs,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "ncpu": os.cpu_count(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()

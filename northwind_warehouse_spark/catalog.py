@@ -75,31 +75,35 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return df
 
 
-_ROW_COUNTS: dict[tuple[str, str], int] = {}
+_ROW_COUNTS: dict[tuple[str, int, int], int] = {}
 
 
 def table_rows(sf_dir: str, table: str) -> int:
     """Exact row count of ``{sf_dir}/{table}.parquet`` from parquet
-    FOOTER metadata — zero Spark jobs, cached per (sf_dir, table) for
-    the process lifetime (round-6 verdict #5: occupancy-scaled policies
-    were paying one driver-side ``df.count()`` job per query
-    invocation).
+    FOOTER metadata — zero Spark jobs, cached for the process lifetime
+    (round-6 verdict #5: occupancy-scaled policies were paying one
+    driver-side ``df.count()`` job per query invocation).
+
+    The cache key is (path, mtime_ns, size): a table rewritten
+    in-process (e.g. a scale-smoke dir rebuilt with mode=overwrite)
+    invalidates its entry automatically, so corpus-size-derived
+    parameters (IVF centroid counts, adaptive sample ppm) can never
+    silently desync from the oracle's ``count(*)`` on the new file.
 
     The footer count is exactly what both engines see: Spark's
-    metadata-only count and DuckDB's ``count(*)`` read the same file,
-    so corpus-size-dependent parameters (IVF centroid counts, adaptive
-    sample ppm) derived from it stay oracle-mirrorable as scalar
-    subqueries. Handles both single files and Spark-written directories
-    of part files (the scale-smoke layout)."""
+    metadata-only count and DuckDB's ``count(*)`` read the same file.
+    Handles both single files and Spark-written directories of part
+    files (the scale-smoke layout; directory mtime changes when part
+    files are replaced)."""
     if table not in TABLES:
         raise KeyError(f"unknown table {table!r}; expected one of {TABLES}")
-    key = (sf_dir.rstrip("/"), table)
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    st = os.stat(path)
+    key = (path, st.st_mtime_ns, st.st_size)
     if key not in _ROW_COUNTS:
         import pyarrow.dataset as ds
 
-        _ROW_COUNTS[key] = ds.dataset(
-            f"{key[0]}/{table}.parquet", format="parquet"
-        ).count_rows()
+        _ROW_COUNTS[key] = ds.dataset(path, format="parquet").count_rows()
     return _ROW_COUNTS[key]
 
 
