@@ -230,6 +230,30 @@ def bad_helper_propagation(spark, sf_dir):
     return e.join(F.broadcast(capped), "vec_id")
 
 
+def bad_occupancy_scaled_codebook(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    n_cents = max(8, table_rows(sf_dir, "embeddings") // 128)
+    el = e.select("vec_id", F.expr("posexplode(embedding)").alias("i", "x"))
+    newc = el.groupBy("j", "i").agg(F.avg("x").alias("w"))
+    return el.join(F.broadcast(newc), ["j", "i"])
+
+
+def ok_param_gated_codebook(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    n_cents = max(8, table_rows(sf_dir, "embeddings") // 128)
+    el = e.select("vec_id", F.expr("posexplode(embedding)").alias("i", "x"))
+    newc = el.groupBy("j", "i").agg(F.avg("x").alias("w"))
+    hinted = F.broadcast(newc) if n_cents * 64 * 64 <= MAX_BROADCAST_BYTES else newc
+    return el.join(hinted, ["j", "i"])
+
+
+def ok_constant_codebook_grain(spark, sf_dir):
+    e = load(spark, sf_dir, "embeddings")
+    el = e.select("vec_id", F.expr("posexplode(embedding)").alias("i", "x"))
+    newc = el.groupBy("j", "i").agg(F.avg("x").alias("w"))
+    return el.join(F.broadcast(newc), ["j", "i"])
+
+
 def ok_bounded_aggregates(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     thresh = o.agg(F.max("o_totalprice").alias("mx"))
@@ -246,6 +270,11 @@ def ok_bounded_aggregates(spark, sf_dir):
         "bad_pair_derived",
         "bad_grain_growing_agg",
         "bad_helper_propagation",
+        # round-8: codebook-grain agg hard-hinted inside a function whose
+        # centroid count is occupancy-scaled (table_rows) — flagged; the
+        # same agg behind a parameter-derived MAX_BROADCAST_BYTES gate,
+        # or under a CONSTANT centroid count, stays clean
+        "bad_occupancy_scaled_codebook",
     }, f"lint flagged: {sorted(flagged_fns)}\n" + "\n".join(v)
 
 

@@ -70,6 +70,17 @@ GROWING_KEYS = {
     "c_custkey", "p_partkey", "s_suppkey", "bucket_id", "band_id",
     "customer_id", "order_id", "event_id",
 }
+# codebook-grain keys (centroid id / element index): an agg over these
+# has k·dim rows — bounded while the centroid count is a module
+# CONSTANT, but GROWING inside any function that derives its centroid
+# count from the corpus row count (``table_rows`` ⇒ the occupancy-scaled
+# policy, k ∝ n/128). The round-7 blind spot: a hard hint on such an
+# agg goes unflagged until the constant is switched to the scaled
+# policy — so in table_rows-calling functions these keys join
+# GROWING_KEYS, and the escape hatch is the parameter-derived gate
+# (``F.broadcast(x) if <param bytes> <= MAX_BROADCAST_BYTES else x``),
+# which the linter recognizes and exempts.
+OCCUPANCY_KEYS = {"j", "i"}
 
 
 def _call_root(node: ast.expr) -> tuple[str | None, list[str], list[ast.Call]]:
@@ -103,7 +114,9 @@ def _str_constants(call: ast.Call) -> set[str]:
     return out
 
 
-def _chain_bounds(methods: list[str], calls: list[ast.Call]) -> bool:
+def _chain_bounds(
+    methods: list[str], calls: list[ast.Call], growing_keys: set[str] = GROWING_KEYS
+) -> bool:
     """True when the method chain bounds output cardinality: a ``limit``,
     or an ``agg`` whose grain is NOT a growing key. ``groupBy(<growing
     key>).agg`` keeps the growing classification — its row count tracks
@@ -116,7 +129,7 @@ def _chain_bounds(methods: list[str], calls: list[ast.Call]) -> bool:
         if (
             isinstance(call.func, ast.Attribute)
             and call.func.attr in ("groupBy", "groupby")
-            and (_str_constants(call) & GROWING_KEYS)
+            and (_str_constants(call) & growing_keys)
         ):
             return False
     return True
@@ -143,7 +156,9 @@ def _is_growing_load(node: ast.expr) -> bool:
     return False
 
 
-def _classify(node: ast.expr, env: dict[str, bool]) -> bool:
+def _classify(
+    node: ast.expr, env: dict[str, bool], growing_keys: set[str] = GROWING_KEYS
+) -> bool:
     """True = growing."""
     if _is_growing_load(node):
         return True
@@ -171,14 +186,14 @@ def _classify(node: ast.expr, env: dict[str, bool]) -> bool:
         root, methods, calls = _call_root(node)
         if root_growing is None:
             root_growing = env.get(root, False) if root else False
-        if root_growing and not _chain_bounds(methods, calls):
+        if root_growing and not _chain_bounds(methods, calls, growing_keys):
             return True
         # plain helper calls (`_cap(assigned)`, `helper(df, spark)`)
         # preserve grain unless the chain above bounds it: propagate
         # growth through the call's dataframe arguments
         if (
             isinstance(node, ast.Call)
-            and not _chain_bounds(methods, calls)
+            and not _chain_bounds(methods, calls, growing_keys)
             and any(
                 isinstance(a, ast.Name) and env.get(a.id, False) for a in node.args
             )
@@ -193,12 +208,38 @@ class _FnLinter(ast.NodeVisitor):
         self.violations: list[tuple[str, int, str]] = []
 
     def visit_FunctionDef(self, fn: ast.FunctionDef) -> None:
+        # a function that reads the corpus row count derives
+        # occupancy-SCALED parameters: codebook-grain aggs (j/i) stop
+        # counting as bounded there (round-7 verdict #5)
+        calls_table_rows = any(
+            isinstance(n, ast.Call)
+            and (
+                (isinstance(n.func, ast.Name) and n.func.id == "table_rows")
+                or (isinstance(n.func, ast.Attribute) and n.func.attr == "table_rows")
+            )
+            for n in ast.walk(fn)
+        )
+        keys = GROWING_KEYS | OCCUPANCY_KEYS if calls_table_rows else GROWING_KEYS
+        # hard hints guarded by a parameter-derived size gate
+        # (`F.broadcast(x) if <bytes> <= MAX_BROADCAST_BYTES else x`, or
+        # the if-statement form) are the SANCTIONED escape hatch — the
+        # hint self-disables when the parameter outgrows the ceiling
+        gated: set[int] = set()
+        for n in ast.walk(fn):
+            test = None
+            if isinstance(n, (ast.IfExp, ast.If)):
+                test = n.test
+            if test is not None and any(
+                isinstance(t, ast.Name) and t.id == "MAX_BROADCAST_BYTES"
+                for t in ast.walk(test)
+            ):
+                gated.update(id(x) for x in ast.walk(n))
         env: dict[str, bool] = {}
         for node in ast.walk(fn):
             if isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
                 node.targets[0], ast.Name
             ):
-                env[node.targets[0].id] = _classify(node.value, env)
+                env[node.targets[0].id] = _classify(node.value, env, keys)
         for node in ast.walk(fn):
             if (
                 isinstance(node, ast.Call)
@@ -207,7 +248,8 @@ class _FnLinter(ast.NodeVisitor):
                 and isinstance(node.func.value, ast.Name)
                 and node.func.value.id == "F"
                 and node.args
-                and _classify(node.args[0], env)
+                and id(node) not in gated
+                and _classify(node.args[0], env, keys)
             ):
                 src = ast.unparse(node.args[0])[:60]
                 self.violations.append((fn.name, node.lineno, src))
