@@ -296,46 +296,80 @@ def ann_bruteforce_topk(
     )
 
 
+# element-wise floor(x·10⁶) quantization of a float vector column and the
+# exact int64 dot over two already-quantized arrays. Quantize-ONCE shape:
+# each corpus row materializes its quantized array a single time and
+# every centroid dot reuses it (the former per-centroid zip_with(float,
+# float, Q) re-quantized the row's elements once per centroid —
+# arithmetically identical ints, k× the FLOOR work).
+QUANT = "transform({v}, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+IDOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def _quantized_base(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, _vq quantized array, n2) — the shared map-only prologue
+    of every IVF/ANN assignment. n2 = Σ(_vq²) equals functions.vectors.
+    norm2_q exactly (same floor-1e6 ints)."""
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.expr(QUANT.format(v=vec_col)).alias("_vq"),
+    ).withColumn("n2", F.expr(IDOT.format(a="_vq", b="_vq")))
+
+
+def _centroid_rows(
+    base: DataFrame, n_centroids: int, centroids: DataFrame | None, id_col: str
+) -> DataFrame:
+    """The centroid relation (cent_id, cqvec: array<bigint>, cn2).
+
+    ``centroids=None`` keeps the deterministic first-``n_centroids``
+    convention (a seed codebook); passing a TRAINED codebook (the
+    :func:`ivf_train_codebook` Lloyd output — same schema) is the
+    production shape: the assignment join is identical, only the
+    centroid relation is swapped, exactly how a FAISS-style index feeds
+    a trained coarse quantizer into the same scan."""
+    if centroids is not None:
+        return centroids.select("cent_id", "cqvec", "cn2")
+    return base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"),
+        F.col("_vq").alias("cqvec"),
+        F.col("n2").alias("cn2"),
+    )
+
+
 def ivf_assign(
     embeddings: DataFrame,
     n_centroids: int = 8,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Assign every vector to its nearest (max-cosine) centroid cell.
 
-    IVF coarse quantization: centroids here are a deterministic sample
-    (the first ``n_centroids`` vectors) — a real k-means refinement is
-    just iterations of this same assign step plus a per-cell mean, same
-    join shape. The assignment itself is MAP-ONLY: the centroid set is
-    collapsed to one array row, broadcast, and each corpus row computes
-    its argmax with higher-order functions — zero shuffle over the
-    corpus, which is what lets the index build scan 100 TB once.
+    IVF coarse quantization. ``centroids`` supplies a trained codebook
+    relation (cent_id, cqvec, cn2 — see :func:`ivf_train_codebook`);
+    when None, centroids are the deterministic first ``n_centroids``
+    vectors. The assignment itself is MAP-ONLY either way: the centroid
+    set is collapsed to one array row, broadcast, and each corpus row
+    computes its argmax with higher-order functions — zero shuffle over
+    the corpus, which is what lets the index build scan 100 TB once.
     Ties break to the lowest centroid id (max over (cosine, -cent_id)).
     """
-    from northwind_warehouse_spark.functions.vectors import Q, norm2_q
-
-    base = embeddings.select(F.col(id_col), F.col(vec_col), norm2_q(vec_col).alias("n2"))
-    cents = (
-        base.filter(F.col(id_col) < n_centroids)
-        .select(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(id_col).alias("cent_id"),
-                        F.col(vec_col).alias("cvec"),
-                        F.col("n2").alias("cn2"),
-                    )
-                )
-            ).alias("cents")
-        )
+    base = _quantized_base(embeddings, id_col, vec_col)
+    cents = _centroid_rows(base, n_centroids, centroids, id_col).select(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cqvec", "cn2"))
+        ).alias("cents")
     )
+    dot = IDOT.format(a="_vq", b="c.cqvec")
     scored = base.crossJoin(F.broadcast(cents)).withColumn(
         "best",
         F.expr(
             f"""array_max(transform(cents, c -> struct(
-                CAST(aggregate(zip_with({vec_col}, c.cvec, {Q}),
-                               CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+                CAST({dot} AS DOUBLE)
                   / sqrt(CAST(n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos,
                 -c.cent_id AS neg)))"""
         ),
@@ -354,6 +388,12 @@ def ivf_assign(
 # corpus under the n/128 occupancy policy; beyond that the children
 # relation shuffles
 _CENTROID_EST_BYTES = 512
+# replication factor for the level-2 join's salt when the broadcast gate
+# is CLOSED: the √k-key exchange splits into √k·_L2_SALT reduce keys.
+# 8 replicas cost 8× the (children-side only) shuffle bytes — children
+# are the SMALL side by construction — and cap any single reduce key at
+# n/(√k·8) probe rows.
+_L2_SALT = 8
 
 
 def ceil_isqrt(n: int) -> int:
@@ -370,6 +410,7 @@ def ivf_assign_two_level(
     embeddings: DataFrame,
     n_centroids: int = 8,
     n_super: int | None = None,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -411,18 +452,17 @@ def ivf_assign_two_level(
     hierarchical quantizer, priced in recall by the multi-probe
     machinery, not a correctness loss: the oracle computes the
     identical two-level route.
-    """
-    from northwind_warehouse_spark.functions.vectors import Q, norm2_q
 
+    ``centroids`` swaps in a TRAINED codebook (cent_id, cqvec, cn2 —
+    :func:`ivf_train_codebook`'s Lloyd output, ids 0..k-1, so the first
+    ``n_super`` trained centroids are the supers); None keeps the
+    first-k seed convention.
+    """
     if n_super is None:
         n_super = ceil_isqrt(n_centroids)
 
-    base = embeddings.select(F.col(id_col), F.col(vec_col), norm2_q(vec_col).alias("n2"))
-    cents_rows = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"),
-        F.col(vec_col).alias("cvec"),
-        F.col("n2").alias("cn2"),
-    )
+    base = _quantized_base(embeddings, id_col, vec_col)
+    cents_rows = _centroid_rows(base, n_centroids, centroids, id_col)
     supers_row = (
         cents_rows.filter(F.col("cent_id") < n_super)
         .select(
@@ -430,7 +470,7 @@ def ivf_assign_two_level(
                 F.collect_list(
                     F.struct(
                         F.col("cent_id").alias("sid"),
-                        F.col("cvec").alias("svec"),
+                        F.col("cqvec").alias("sqvec"),
                         F.col("cn2").alias("sn2"),
                     )
                 )
@@ -438,8 +478,7 @@ def ivf_assign_two_level(
         )
     )
     super_argmax = f"""array_max(transform(supers, c -> struct(
-        CAST(aggregate(zip_with({{v}}, c.svec, {Q}),
-                       CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+        CAST({IDOT.format(a="{v}", b="c.sqvec")} AS DOUBLE)
           / sqrt(CAST({{n2}} AS DOUBLE) * CAST(c.sn2 AS DOUBLE)) AS cos,
         -c.sid AS neg)))"""
     # level-1 routing of the k centroids (k·s work — centroid-sized, not
@@ -449,18 +488,19 @@ def ivf_assign_two_level(
         .withColumn(
             "super_id",
             F.when(F.col("cent_id") < n_super, F.col("cent_id")).otherwise(
-                (-F.expr(super_argmax.format(v="cvec", n2="cn2"))["neg"]).cast("bigint")
+                (-F.expr(super_argmax.format(v="cqvec", n2="cn2"))["neg"]).cast("bigint")
             ),
         )
-        .select("super_id", "cent_id", "cvec", "cn2")
+        .select("super_id", "cent_id", "cqvec", "cn2")
     )
     from northwind_warehouse_spark.operators.joins import MAX_BROADCAST_BYTES
 
     with_super = base.crossJoin(F.broadcast(supers_row)).select(
         F.col(id_col),
         F.col(vec_col),
+        "_vq",
         "n2",
-        (-F.expr(super_argmax.format(v=vec_col, n2="n2"))["neg"])
+        (-F.expr(super_argmax.format(v="_vq", n2="n2"))["neg"])
         .cast("bigint")
         .alias("_sid"),
     )
@@ -470,22 +510,39 @@ def ivf_assign_two_level(
     # parameter-derived bytes (the optimizer cannot estimate a
     # crossJoin-derived relation — its stat is wildly inflated and the
     # size gate would wrongly decline): hint while k centroids fit the
-    # broadcast bound, let AQE pick the join from runtime sizes beyond
-    # it (k ∝ n/128 under the occupancy-scaled policy ⇒ at true corpus
-    # scale this side is GB-sized and must shuffle, not broadcast).
-    children = routed
+    # broadcast bound. Beyond it (k ∝ n/128 ⇒ the children side is
+    # GB-sized and must shuffle) the raw join key has only √k DISTINCT
+    # values — a low-cardinality, potentially hot-keyed exchange over
+    # the full corpus at exactly the scale where the gate first closes
+    # (round-7 verdict #2) — so the closed branch SALTS it: probes
+    # hash-split into _L2_SALT slices, children replicated ×_L2_SALT,
+    # giving √k·_L2_SALT reduce keys with a per-key probe bound of
+    # n/(√k·_L2_SALT). Row-multiset identical (each probe row matches
+    # exactly one replica of each of its super's children).
     if n_centroids * _CENTROID_EST_BYTES <= MAX_BROADCAST_BYTES:
-        children = F.broadcast(children)
-    scored = with_super.join(
-        children, with_super["_sid"] == routed["super_id"]
-    ).select(
+        children = F.broadcast(routed)
+        joined = with_super.join(
+            children, with_super["_sid"] == children["super_id"]
+        )
+    else:
+        probes = with_super.withColumn(
+            "_salt", F.pmod(F.xxhash64(F.col(id_col)), F.lit(_L2_SALT)).cast("int")
+        )
+        children = routed.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(_L2_SALT - 1)))
+        )
+        joined = probes.join(
+            children,
+            (probes["_sid"] == children["super_id"])
+            & (probes["_salt"] == children["_salt"]),
+        )
+    scored = joined.select(
         F.col(id_col),
         F.col(vec_col),
         "n2",
         F.struct(
             F.expr(
-                f"""CAST(aggregate(zip_with({vec_col}, cvec, {Q}),
-                                   CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+                f"""CAST({IDOT.format(a="_vq", b="cqvec")} AS DOUBLE)
                     / sqrt(CAST(n2 AS DOUBLE) * CAST(cn2 AS DOUBLE))"""
             ).alias("cos"),
             (-F.col("cent_id")).alias("neg"),
@@ -512,6 +569,7 @@ def ivf_probe_cells(
     n_centroids: int = 8,
     n_probe: int = 2,
     centroids_from: DataFrame | None = None,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -531,32 +589,29 @@ def ivf_probe_cells(
     corpus row. Multi-probe is what keeps recall up when n_centroids is
     scaled with the corpus: a query near a cell boundary searches its P
     nearest cells instead of just the one it lands in, at ~P/n_centroids
-    of the corpus scanned."""
-    from northwind_warehouse_spark.functions.vectors import Q, norm2_q
+    of the corpus scanned.
 
-    src = centroids_from if centroids_from is not None else embeddings
-    base = embeddings.select(F.col(id_col), F.col(vec_col), norm2_q(vec_col).alias("n2"))
-    cents = (
-        src.select(F.col(id_col), F.col(vec_col), norm2_q(vec_col).alias("n2"))
-        .filter(F.col(id_col) < n_centroids)
-        .select(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(id_col).alias("cent_id"),
-                        F.col(vec_col).alias("cvec"),
-                        F.col("n2").alias("cn2"),
-                    )
-                )
-            ).alias("cents")
+    ``centroids`` (a trained codebook relation — cent_id, cqvec, cn2)
+    overrides both conventions, same contract as :func:`ivf_assign`."""
+    base = _quantized_base(embeddings, id_col, vec_col)
+    if centroids is not None:
+        cents_rows = centroids.select("cent_id", "cqvec", "cn2")
+    else:
+        src = centroids_from if centroids_from is not None else embeddings
+        cents_rows = _centroid_rows(
+            _quantized_base(src, id_col, vec_col), n_centroids, None, id_col
         )
+    cents = cents_rows.select(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cqvec", "cn2"))
+        ).alias("cents")
     )
+    dot = IDOT.format(a="_vq", b="c.cqvec")
     ranked = base.crossJoin(F.broadcast(cents)).withColumn(
         "top_cells",
         F.expr(
             f"""slice(array_sort(transform(cents, c -> struct(
-                CAST(aggregate(zip_with({vec_col}, c.cvec, {Q}),
-                               CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE)
+                CAST({dot} AS DOUBLE)
                   / sqrt(CAST(n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos,
                 c.cent_id AS cent_id)),
                 (l, r) -> CASE WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1

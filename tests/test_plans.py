@@ -351,6 +351,38 @@ def test_broadcast_gate_closed_degrades_to_smj(spark):
         J.MAX_BROADCAST_BYTES = prev_bytes
 
 
+def test_two_level_closed_gate_salts_and_stays_oracle_identical(spark):
+    """Round-7 verdict #2: when the parameter-derived gate declines the
+    children broadcast, ivf_assign_two_level's level-2 join shuffles on
+    super_id — a key with only √k distinct values, a hot-key exchange
+    at exactly the scale where the gate first closes. The closed branch
+    now SALTS the key (probes hash-split into _L2_SALT slices, children
+    replicated ×_L2_SALT). Forcing the gate closed must (a) actually
+    take the salted branch (the _salt column appears in the executed
+    join), (b) run without error, and (c) stay oracle-identical — the
+    salt changes the partitioning, never the row multiset."""
+    import __spark_entry__ as E
+    import northwind_warehouse_spark.operators.joins as J
+    from northwind_warehouse_spark.plans.llm import knn_graph_cell_local
+    from tests.oracle_util import compare
+
+    prev_bytes = J.MAX_BROADCAST_BYTES
+    try:
+        J.MAX_BROADCAST_BYTES = 0
+        df = knn_graph_cell_local(spark, SF_SMOKE)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "_salt" in plan, "closed gate did not take the salted branch"
+        probs = compare(
+            knn_graph_cell_local(spark, SF_SMOKE),
+            E.oracle_sql()["knn_graph_cell_local"],
+            SF_SMOKE,
+        )
+        assert not probs, f"closed-gate salted results diverged: {probs}"
+    finally:
+        J.MAX_BROADCAST_BYTES = prev_bytes
+
+
 def test_no_cartesian_product_in_any_registered_plan(spark):
     """Global plan discipline: NO registered query may plan a
     CartesianProduct — the unbounded cross join that is always a
