@@ -564,6 +564,117 @@ def ivf_assign_two_level(
     )
 
 
+# trained-coarse-quantizer knobs: one Lloyd round over a deterministic
+# 25% md5-lottery training sample. Under the occupancy-pinned policy
+# (k = n/128) a 25% sample is EXACTLY the FAISS max_points_per_centroid
+# discipline (32 training points per centroid = 32k = n/4 rows); with a
+# FIXED k it is an upper bound the lottery ppm could be tightened to at
+# corpus scale. |x| ≤ 2 ⇒ xq ∈ [−2·10⁶, 2·10⁶]; the offset makes the
+# floor-mean's div operands non-negative so Spark's `div` and DuckDB's
+# `//` agree (both then floor).
+IVF_CB_TRAIN_PPM = 250_000
+_CB_XQ_OFF = 2_000_000
+
+
+def _pack_codebook(cb_el: DataFrame) -> DataFrame:
+    """Element-grain codebook (j, i, w) → (cent_id, cqvec, cn2), the
+    relation every assignment operator accepts as ``centroids``."""
+    return (
+        cb_el.groupBy("j")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(i, w))), s -> s.w)"
+            ).alias("cqvec"),
+            F.expr("CAST(sum(w * w) AS BIGINT)").alias("cn2"),
+        )
+        .select(F.col("j").alias("cent_id"), "cqvec", "cn2")
+    )
+
+
+def ivf_train_codebook(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    rounds: int = 1,
+    train_ppm: int = IVF_CB_TRAIN_PPM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd-trained IVF coarse codebook — the PRODUCTION centroid
+    relation (cent_id, cqvec, cn2) that :func:`ivf_assign`,
+    :func:`ivf_assign_two_level` and :func:`ivf_probe_cells` take as
+    ``centroids`` (round-7 verdict #1: the serving paths previously
+    seeded cells from arbitrary first-k vectors).
+
+    Spherical k-means, trained with the SERVING metric and the SERVING
+    route: each round assigns the deterministic ``train_ppm`` lottery
+    sample to cells via the same two-level max-cosine assignment the
+    index serves with (a vector trains toward exactly the centroid it
+    would be routed to — FAISS trains its coarse quantizer with the
+    quantizer it ships), then recomputes each non-empty cell's centroid
+    as the element-wise integer floor-mean of its members' quantized
+    elements; empty cells keep their previous centroid, so ids stay
+    0..k-1 and the first √k remain the supers. Seeds are the first-k
+    vectors (k-means++ would add driver-sequential sampling for little
+    gain at one refinement round).
+
+    Scale shape per round: the training assignment is the n·2√k
+    two-level scan over ppm·n rows (map-only + the gated/salted
+    children join); the update is one map-side-combined (cell, dim)
+    aggregate over sample elements; the codebook stays a k-row
+    DataFrame end to end — never collected, broadcast only through the
+    parameter-gated hints inside the assignment. The returned relation
+    is persisted: it feeds at least two consumers in every downstream
+    assignment (supers row + children), and without the persist the
+    whole training lineage would re-execute per consumer.
+
+    Exact-integer arithmetic throughout (floor-1e6 quantization,
+    OFF-shifted floor-mean), so the full train→assign pipeline is
+    oracle-mirrorable CTE by CTE."""
+    base = _quantized_base(embeddings, id_col, vec_col)
+    cb_el = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("j"),
+        F.posexplode("_vq").alias("i0", "w"),
+    ).select("j", (F.col("i0") + 1).alias("i"), "w")
+    train = embeddings.filter(
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ivfcb|"), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16, 10,
+        ).cast("long") % 1_000_000
+        < train_ppm
+    )
+    from northwind_warehouse_spark.operators.joins import MAX_BROADCAST_BYTES
+
+    cb = None
+    for _ in range(rounds):
+        cb = _pack_codebook(cb_el).persist()
+        assigned = ivf_assign_two_level(
+            train, n_centroids=n_centroids, centroids=cb,
+            id_col=id_col, vec_col=vec_col,
+        )
+        mel = assigned.select(
+            F.col("cell_id").alias("j"),
+            F.posexplode(F.expr(QUANT.format(v=vec_col))).alias("i0", "xq"),
+        ).select("j", (F.col("i0") + 1).alias("i"), "xq")
+        newc = mel.groupBy("j", "i").agg(
+            F.expr(
+                f"CAST((sum(xq) + {_CB_XQ_OFF} * count(*)) div count(*)"
+                f" - {_CB_XQ_OFF} AS BIGINT)"
+            ).alias("w")
+        )
+        # k·dim rows BY PARAMETER — parameter-gated hint (64 B/element
+        # row est.), same discipline as the level-2 children join
+        if n_centroids * 64 * 64 <= MAX_BROADCAST_BYTES:
+            newc = F.broadcast(newc)
+        cb_el = (
+            cb_el.select("j", "i", F.col("w").alias("w_old"))
+            .join(newc, ["j", "i"], "left")
+            .select("j", "i", F.coalesce("w", "w_old").alias("w"))
+        )
+    return _pack_codebook(cb_el).persist()
+
+
 def ivf_probe_cells(
     embeddings: DataFrame,
     n_centroids: int = 8,

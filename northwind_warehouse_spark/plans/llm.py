@@ -1173,16 +1173,21 @@ _IVF_QUERY_LO, _IVF_QUERY_HI = 8, 18  # 10 query vectors, disjoint from centroid
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned ANN top-3: vectors are coarse-quantized to their
-    nearest-centroid cell (operators/similarity.py::ivf_assign — a
-    MAP-ONLY argmax over a broadcast centroid array), then each query
-    searches only its own cell. At 100 TB the cell assignment is one
-    corpus scan and the candidate set per query shrinks ~n_centroids-fold;
-    nprobe>1 is the same plan with a top-p cells array explode."""
+    """IVF-partitioned ANN top-3 served from the TRAINED coarse
+    quantizer: the codebook is one Lloyd round over the deterministic
+    25% lottery sample (operators/similarity.py::ivf_train_codebook —
+    round-7 verdict #1: no more arbitrary first-k seed cells on a
+    serving path), every vector is then coarse-quantized to its
+    nearest trained centroid (ivf_assign — a MAP-ONLY argmax over the
+    broadcast k-row codebook), and each query searches only its own
+    cell. At 100 TB the cell assignment is one corpus scan and the
+    candidate set per query shrinks ~n_centroids-fold; nprobe>1 is the
+    same plan with a top-p cells array explode."""
     e = load(spark, sf_dir, "embeddings")
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
 
-    assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS)
+    cb = sim.ivf_train_codebook(e, n_centroids=IVF_N_CENTROIDS)
+    assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS, centroids=cb)
     q = assigned.filter(
         (F.col("vec_id") >= _IVF_QUERY_LO) & (F.col("vec_id") < _IVF_QUERY_HI)
     ).select(
@@ -1216,33 +1221,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_ann_ivf_topk() -> str:
     return f"""
-    WITH el AS (
-        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
-        FROM embeddings
+    WITH {_o_trained_cb_sql(str(IVF_N_CENTROIDS))},
+    cbn1 AS (
+        SELECT j, CAST(sum(w * w) AS BIGINT) AS cn2 FROM cb1 GROUP BY j
     ),
-    q AS (
-        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
-        FROM el
+    pdot AS (
+        SELECT a.vec_id, c.j AS cent_id, CAST(sum(a.xq * c.w) AS BIGINT) AS dot
+        FROM q a JOIN cb1 c ON c.i = a.i
+        GROUP BY a.vec_id, c.j
     ),
-    n2 AS (
-        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
-    ),
-    cdot AS (
-        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
-        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {IVF_N_CENTROIDS}
-        GROUP BY a.vec_id, c.vec_id
-    ),
-    ccos AS (
+    pcos AS (
         SELECT d.vec_id, d.cent_id,
-               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
-        FROM cdot d
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(cc.cn2 AS DOUBLE)) AS cos
+        FROM pdot d
         JOIN n2 na ON na.vec_id = d.vec_id
-        JOIN n2 nc ON nc.vec_id = d.cent_id
+        JOIN cbn1 cc ON cc.j = d.cent_id
     ),
     assign AS (
         SELECT vec_id, cent_id AS cell_id FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
-            FROM ccos
+            FROM pcos
         ) WHERE rk = 1
     ),
     pairs AS (
@@ -5842,20 +5840,100 @@ _KNN_NCENTS_SQL = (
 )
 
 
-def _knn_two_level_assign_sql() -> str:
-    """Shared oracle CTE chain ending in ``assign0(vec_id, cell_id)`` —
-    the exact SQL mirror of
-    operators/similarity.py::ivf_assign_two_level under the
-    occupancy-pinned centroid policy (n_centroids = greatest(8,
-    ceil(n/_KNN_TARGET_CELL)), n_super = ceil(sqrt(n_centroids))).
+_IVF_CB_LOT = (
+    "CAST(('0x' || substr(md5('ivfcb|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 1000000"
+)
+_CB_XQ_OFF = 2_000_000  # |x| ≤ 2 ⇒ xq ≥ −2·10⁶; shift makes // a true floor
 
-    The ``params`` CTE reproduces ceil_isqrt exactly despite float
-    sqrt: s0 = floor(sqrt(nc)) may be off by one in either direction,
-    so a two-step CASE corrects it in exact integer arithmetic. The
-    two-level route (vector → nearest super → argmax over that super's
-    children; a super is its own child by construction) matches the
-    Spark side CTE by CTE, including the tie rule (cos DESC, id ASC)
-    at both levels."""
+
+def _o_two_level_chain(sfx: str, probe: str, cb: str) -> str:
+    """Parameterized oracle CTE fragment (no leading WITH/comma) ending
+    in ``assign{sfx}(vec_id, cell_id)``: the two-level max-cosine
+    assignment of ``probe``(vec_id) rows against the ELEMENT-GRAIN
+    codebook CTE ``cb``(j, i, w) — the exact SQL mirror of
+    operators/similarity.py::ivf_assign_two_level with a ``centroids``
+    relation. Requires CTEs q(vec_id, i, xq), n2(vec_id, n2) and
+    params(nc, ns). Tie rule at both levels: cos DESC, id ASC; a super
+    is its own child by construction."""
+    return f"""cbn{sfx} AS (
+        SELECT j, CAST(sum(w * w) AS BIGINT) AS cn2 FROM {cb} GROUP BY j
+    ),
+    sdot{sfx} AS (
+        SELECT a.vec_id, c.j AS sid, CAST(sum(a.xq * c.w) AS BIGINT) AS dot
+        FROM q a JOIN {probe} t ON t.vec_id = a.vec_id
+        JOIN {cb} c ON c.i = a.i
+        JOIN params p ON c.j < p.ns
+        GROUP BY a.vec_id, c.j
+    ),
+    scos{sfx} AS (
+        SELECT d.vec_id, d.sid,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(cs.cn2 AS DOUBLE)) AS cos
+        FROM sdot{sfx} d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN cbn{sfx} cs ON cs.j = d.sid
+    ),
+    vsup{sfx} AS (
+        SELECT vec_id, sid AS super_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rk
+            FROM scos{sfx}
+        ) WHERE rk = 1
+    ),
+    csd{sfx} AS (
+        SELECT a.j AS cj, c.j AS sid, CAST(sum(a.w * c.w) AS BIGINT) AS dot
+        FROM {cb} a JOIN {cb} c ON c.i = a.i JOIN params p ON c.j < p.ns
+        GROUP BY a.j, c.j
+    ),
+    csc{sfx} AS (
+        SELECT d.cj, d.sid,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(ca.cn2 AS DOUBLE) * CAST(cs.cn2 AS DOUBLE)) AS cos
+        FROM csd{sfx} d
+        JOIN cbn{sfx} ca ON ca.j = d.cj
+        JOIN cbn{sfx} cs ON cs.j = d.sid
+    ),
+    csup{sfx} AS (
+        -- a super-centroid is its own child (mirrors the Spark-side
+        -- F.when guard against exact-cosine-tie re-routing emptying a
+        -- super's child list)
+        SELECT r.cj AS cent_id,
+               CASE WHEN r.cj < p.ns THEN r.cj ELSE r.sid END AS super_id
+        FROM (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY cj ORDER BY cos DESC, sid) AS rk
+                FROM csc{sfx}) WHERE rk = 1
+        ) r, params p
+    ),
+    cdot{sfx} AS (
+        SELECT va.vec_id, cs.cent_id, CAST(sum(qa.xq * c.w) AS BIGINT) AS dot
+        FROM vsup{sfx} va
+        JOIN csup{sfx} cs ON cs.super_id = va.super_id
+        JOIN q qa ON qa.vec_id = va.vec_id
+        JOIN {cb} c ON c.j = cs.cent_id AND c.i = qa.i
+        GROUP BY va.vec_id, cs.cent_id
+    ),
+    ccos{sfx} AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(cc.cn2 AS DOUBLE)) AS cos
+        FROM cdot{sfx} d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN cbn{sfx} cc ON cc.j = d.cent_id
+    ),
+    assign{sfx} AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+            FROM ccos{sfx}
+        ) WHERE rk = 1
+    )"""
+
+
+def _o_trained_cb_sql(nc_sql: str, train_ppm: int = sim.IVF_CB_TRAIN_PPM) -> str:
+    """Oracle CTE fragment: base element/params CTEs + the seed
+    codebook + ONE Lloyd round (the exact mirror of
+    operators/similarity.py::ivf_train_codebook, rounds=1) ending in
+    ``cb1(j, i, w)`` — the trained element-grain codebook the
+    production assignment chains consume. The ``params`` CTE reproduces
+    ceil_isqrt exactly despite float sqrt (two-step CASE correction in
+    exact integers)."""
     return f"""el AS (
         SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
         FROM embeddings
@@ -5873,55 +5951,42 @@ def _knn_two_level_assign_sql() -> str:
                     WHEN (s0 + 1) * (s0 + 1) >= nc THEN s0 + 1
                     ELSE s0 + 2 END AS ns
         FROM (SELECT nc, CAST(floor(sqrt(CAST(nc AS DOUBLE))) AS BIGINT) AS s0
-              FROM (SELECT {_KNN_NCENTS_SQL} AS nc))
+              FROM (SELECT {nc_sql} AS nc))
     ),
-    sdot AS (
-        SELECT a.vec_id, c.vec_id AS sid, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
-        FROM q a JOIN q c ON a.i = c.i JOIN params p ON c.vec_id < p.ns
-        GROUP BY a.vec_id, c.vec_id
+    cb0 AS (
+        SELECT q.vec_id AS j, q.i, q.xq AS w FROM q JOIN params p ON q.vec_id < p.nc
     ),
-    scos AS (
-        SELECT d.vec_id, d.sid,
-               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
-        FROM sdot d
-        JOIN n2 na ON na.vec_id = d.vec_id
-        JOIN n2 nb ON nb.vec_id = d.sid
+    tr AS (
+        SELECT vec_id FROM embeddings WHERE {_IVF_CB_LOT} < {train_ppm}
     ),
-    vsuper AS (
-        SELECT vec_id, sid AS super_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rk
-            FROM scos
-        ) WHERE rk = 1
+    {_o_two_level_chain("t", "tr", "cb0")},
+    newc AS (
+        SELECT t.cell_id AS j, a.i,
+               CAST((sum(a.xq) + {_CB_XQ_OFF} * count(*)) // count(*)
+                    - {_CB_XQ_OFF} AS BIGINT) AS w
+        FROM assignt t JOIN q a ON a.vec_id = t.vec_id
+        GROUP BY t.cell_id, a.i
     ),
-    csuper AS (
-        -- a super-centroid is its own child by construction (mirrors
-        -- the Spark-side F.when guard against exact-cosine-tie
-        -- re-routing emptying a super's child list)
-        SELECT v.vec_id AS cent_id,
-               CASE WHEN v.vec_id < p.ns THEN v.vec_id ELSE v.super_id END AS super_id
-        FROM vsuper v JOIN params p ON v.vec_id < p.nc
-    ),
-    cdot AS (
-        SELECT va.vec_id, cs.cent_id, CAST(sum(qa.xq * qc.xq) AS BIGINT) AS dot
-        FROM vsuper va
-        JOIN csuper cs ON cs.super_id = va.super_id
-        JOIN q qa ON qa.vec_id = va.vec_id
-        JOIN q qc ON qc.vec_id = cs.cent_id AND qc.i = qa.i
-        GROUP BY va.vec_id, cs.cent_id
-    ),
-    ccos AS (
-        SELECT d.vec_id, d.cent_id,
-               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cos
-        FROM cdot d
-        JOIN n2 na ON na.vec_id = d.vec_id
-        JOIN n2 nb ON nb.vec_id = d.cent_id
-    ),
-    assign0 AS (
-        SELECT vec_id, cent_id AS cell_id FROM (
-            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
-            FROM ccos
-        ) WHERE rk = 1
+    cb1 AS (
+        SELECT c.j, c.i, coalesce(n.w, c.w) AS w
+        FROM cb0 c LEFT JOIN newc n ON n.j = c.j AND n.i = c.i
     )"""
+
+
+def _knn_two_level_assign_sql() -> str:
+    """Shared oracle CTE chain ending in ``assign0(vec_id, cell_id)``:
+    TRAINED-codebook two-level assignment under the occupancy-pinned
+    centroid policy (n_centroids = greatest(8, ceil(n/_KNN_TARGET_CELL)),
+    n_super = ceil(sqrt(n_centroids))) — seed first-k codebook, one
+    Lloyd round over the deterministic 25% lottery sample
+    (cb0 → assignt → cb1), then the production two-level assignment of
+    EVERY vector against cb1. Mirrors ivf_train_codebook ∘
+    ivf_assign_two_level CTE by CTE."""
+    return (
+        _o_trained_cb_sql(_KNN_NCENTS_SQL)
+        + ",\n    "
+        + _o_two_level_chain("0", "n2", "cb1")
+    )
 
 
 def _knn_sample_to_cap(assigned: DataFrame) -> DataFrame:
@@ -5960,10 +6025,13 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     occupancy pinned at _KNN_TARGET_CELL — n is one cached
     parquet-footer read, catalog.table_rows: zero Spark jobs,
     mirrored as a scalar subquery in the oracle);
-    cell assignment is the TWO-LEVEL coarse quantizer
-    (sim.ivf_assign_two_level — n·2√k dot products instead of the
-    quadratic n·k flat scan, still map-only; round-6 verdict #1);
-    over-cap cells
+    cells are served from the TRAINED coarse quantizer
+    (sim.ivf_train_codebook: one Lloyd round over the deterministic
+    25% lottery sample — the FAISS per-centroid training quota under
+    the occupancy policy — feeding sim.ivf_assign_two_level's
+    production assignment, n·2√k dot products instead of the quadratic
+    n·k flat scan; round-7 verdict #1: serving paths no longer seed
+    cells from arbitrary first-k vectors); over-cap cells
     are SAMPLED to _KNN_CELL_CAP by a deterministic lottery (a cell is
     a population — never dropped); pair generation is a cell-keyed
     equi-self-join bounded at cap² per cell; the top-k window
@@ -5976,7 +6044,8 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     n = table_rows(sf_dir, "embeddings")  # cached footer count — zero jobs
     n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
-    assigned = sim.ivf_assign_two_level(e, n_centroids=n_cents)
+    cb = sim.ivf_train_codebook(e, n_centroids=n_cents)
+    assigned = sim.ivf_assign_two_level(e, n_centroids=n_cents, centroids=cb)
     # persist-after-cap (the LSH-family r6 pattern): capped feeds BOTH
     # self-join sides AND the per-cell count — without it the whole
     # assignment + cap-window lineage re-executes three times
@@ -7712,17 +7781,21 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     kNN-graph sample-to-cap policy then bounds.
 
     Scale shape: n is one cached parquet-footer read (catalog.table_rows
-    — zero Spark jobs; oracle-mirrored as a scalar subquery); assignment
-    is the two-level coarse quantizer (sim.ivf_assign_two_level — n·2√k
-    dots, map-only; round-6 verdict #1); one cell-grain rollup, then
-    band arithmetic over ≤ ~40 rows."""
+    — zero Spark jobs; oracle-mirrored as a scalar subquery); cells come
+    from the TRAINED coarse quantizer (sim.ivf_train_codebook — one
+    Lloyd round on the 25% lottery sample — feeding
+    sim.ivf_assign_two_level, n·2√k dots; round-7 verdict #1), so this
+    audit now measures the occupancy the trained codebook actually
+    serves; one cell-grain rollup, then band arithmetic over ≤ ~40
+    rows."""
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "embeddings")
     n = table_rows(sf_dir, "embeddings")  # cached footer count — zero jobs
     n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
+    cb = sim.ivf_train_codebook(e, n_centroids=n_cents)
     sizes = (
-        sim.ivf_assign_two_level(e, n_centroids=n_cents)
+        sim.ivf_assign_two_level(e, n_centroids=n_cents, centroids=cb)
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )

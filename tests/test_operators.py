@@ -1913,3 +1913,147 @@ def test_ivf_assign_two_level_matches_python_reference(spark):
 
     got = {r.vec_id: r.cell_id for r in ivf_assign_two_level(df, n_centroids=k).collect()}
     assert got == expected
+
+
+def test_ivf_train_codebook_matches_python_reference(spark):
+    """Engine-independent semantic check of the TRAINED coarse
+    quantizer (round-7 verdict #1): a pure-Python reimplementation of
+    one Lloyd round — md5-lottery 25% training sample, two-level
+    max-cosine assignment against the first-k seed codebook,
+    OFF-shifted integer floor-mean update, empty cells keep their
+    seed — followed by the production two-level assignment against the
+    trained codebook, must agree with
+    ivf_assign_two_level(centroids=ivf_train_codebook(...)) on a
+    deterministic synthetic corpus. Catches expression-level bugs the
+    DuckDB oracle could share if the SQL mirrored a wrong design."""
+    import hashlib
+    import math
+    import struct
+
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from northwind_warehouse_spark.operators.similarity import (
+        _CB_XQ_OFF,
+        ceil_isqrt,
+        ivf_assign_two_level,
+        ivf_train_codebook,
+    )
+
+    def lcg(seed):
+        x = seed
+        while True:
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            yield x
+
+    g = lcg(7)
+    dim, n, k = 8, 80, 12
+    vecs = [
+        [((next(g) >> 16) % 2001 - 1000) / 1000.0 for _ in range(dim)]
+        for _ in range(n)
+    ]
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)], schema
+    )
+
+    def f32(x):
+        return struct.unpack("f", struct.pack("f", x))[0]
+
+    q = [[math.floor(f32(x) * 1_000_000.0) for x in v] for v in vecs]
+
+    def n2_of(w):
+        return sum(e * e for e in w)
+
+    def cosq(a, b):
+        dot = sum(x * y for x, y in zip(a, b))
+        return float(dot) / math.sqrt(float(n2_of(a)) * float(n2_of(b)))
+
+    def two_level_assign(probe_ids, cb):
+        """cb: list of k quantized centroid vectors (index = cent_id)."""
+        s = ceil_isqrt(len(cb))
+        supers = list(range(s))
+
+        def best(v, cands):
+            return max(cands, key=lambda c: (cosq(v, cb[c]), -c))
+
+        route = {c: (c if c < s else best(cb[c], supers)) for c in range(len(cb))}
+        children = {sid: [c for c in range(len(cb)) if route[c] == sid] for sid in supers}
+        out = {}
+        for i in probe_ids:
+            sid = best(q[i], supers)
+            out[i] = best(q[i], children[sid])
+        return out
+
+    # one Lloyd round, exactly the operator's arithmetic
+    train = [
+        i for i in range(n)
+        if int(hashlib.md5(f"ivfcb|{i}".encode()).hexdigest()[:8], 16) % 1_000_000
+        < 250_000
+    ]
+    assert train, "lottery must pick a non-empty training sample"
+    cb0 = [list(q[j]) for j in range(k)]
+    t_assign = two_level_assign(train, cb0)
+    cb1 = [list(c) for c in cb0]
+    for j in range(k):
+        members = [i for i in train if t_assign[i] == j]
+        if members:
+            cnt = len(members)
+            cb1[j] = [
+                (sum(q[i][d] for i in members) + _CB_XQ_OFF * cnt) // cnt - _CB_XQ_OFF
+                for d in range(dim)
+            ]
+    expected = two_level_assign(range(n), cb1)
+
+    cb = ivf_train_codebook(df, n_centroids=k, rounds=1)
+    got = {
+        r.vec_id: r.cell_id
+        for r in ivf_assign_two_level(df, n_centroids=k, centroids=cb).collect()
+    }
+    assert got == expected
+
+
+def test_ivf_trained_codebook_improves_quantization(spark):
+    """The point of training (round-7 verdict #1's quality bar): the
+    trained codebook must serve cells at least as TIGHT as the first-k
+    seed on the quantizer's own objective — mean cosine of each vector
+    to its assigned centroid (what bounds cell-local kNN quality).
+    Occupancy BALANCE is deliberately not asserted: Lloyd optimizes
+    distortion, not balance (measured r8: mean assigned-cosine +16% at
+    sf0.01 / +11% at sf0.1 after one round, bands unchanged in
+    structure)."""
+    from northwind_warehouse_spark.catalog import load, table_rows
+    from northwind_warehouse_spark.operators import similarity as sim
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    n = table_rows(SF_SMOKE, "embeddings")
+    k = max(8, (n + 127) // 128)
+
+    def mean_assigned_cos(cb):
+        a = sim.ivf_assign_two_level(e, n_centroids=k, centroids=cb)
+        cents = (
+            cb if cb is not None
+            else sim._centroid_rows(
+                sim._quantized_base(e, "vec_id", "embedding"), k, None, "vec_id"
+            )
+        )
+        j = a.join(cents, a["cell_id"] == cents["cent_id"])
+        dot = sim.IDOT.format(a=sim.QUANT.format(v="embedding"), b="cqvec")
+        return j.select(
+            (
+                F.expr(f"CAST({dot} AS DOUBLE)")
+                / F.sqrt(F.col("n2").cast("double") * F.col("cn2").cast("double"))
+            ).alias("c")
+        ).agg(F.avg("c")).collect()[0][0]
+
+    base = mean_assigned_cos(None)
+    trained = mean_assigned_cos(sim.ivf_train_codebook(e, n_centroids=k))
+    assert trained >= base, f"training degraded the quantizer: {trained} < {base}"
