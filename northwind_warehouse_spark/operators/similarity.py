@@ -307,6 +307,13 @@ IDOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
     "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
 )
+# max-cosine argmax over a broadcast `supers` struct array — shared by
+# the batch two-level assignment and its streaming reformulation
+# (placeholders: {v} = quantized vector column, {n2} = its norm column)
+_SUPER_ARGMAX = f"""array_max(transform(supers, c -> struct(
+        CAST({IDOT.format(a="{v}", b="c.sqvec")} AS DOUBLE)
+          / sqrt(CAST({{n2}} AS DOUBLE) * CAST(c.sn2 AS DOUBLE)) AS cos,
+        -c.sid AS neg)))"""
 
 
 def _quantized_base(embeddings: DataFrame, id_col: str, vec_col: str) -> DataFrame:
@@ -477,10 +484,7 @@ def ivf_assign_two_level(
             ).alias("supers")
         )
     )
-    super_argmax = f"""array_max(transform(supers, c -> struct(
-        CAST({IDOT.format(a="{v}", b="c.sqvec")} AS DOUBLE)
-          / sqrt(CAST({{n2}} AS DOUBLE) * CAST(c.sn2 AS DOUBLE)) AS cos,
-        -c.sid AS neg)))"""
+    super_argmax = _SUPER_ARGMAX
     # level-1 routing of the k centroids (k·s work — centroid-sized, not
     # corpus-sized); a super is its own child by construction
     routed = (
@@ -675,6 +679,93 @@ def ivf_train_codebook(
     return _pack_codebook(cb_el).persist()
 
 
+def ivf_assign_stream(
+    embeddings: DataFrame,
+    n_centroids: int,
+    centroids: DataFrame,
+    n_super: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """MAP-ONLY two-level assignment — the STREAMING-SAFE reformulation
+    of :func:`ivf_assign_two_level` for ingest-time indexing of
+    arriving vectors against a static (trained) codebook.
+
+    The batch operator's level 2 is an equi-join followed by a groupBy
+    argmax — a shuffle aggregate a stateless stream cannot run. Here
+    the argmax moves IN-ROW: the static side pre-packs each super's
+    child list into one array row (√k rows × ~√k structs each — per-
+    super packing bounds any single array at ~√k, avoiding the
+    single-task cliff of packing all k centroids into one row), and an
+    arriving vector resolves its super via the broadcast supers row
+    (constant-key stream-static join) then argmaxes over its super's
+    packed children (√k-row broadcast equi-join). Two stream-static
+    broadcast joins, zero state, no watermark — the route, tie rules
+    (cos DESC, id ASC at both levels) and exact-integer arithmetic are
+    IDENTICAL to the batch operator, asserted row-equal in
+    tests/test_streaming.py. Works on batch DataFrames too (used by
+    the equality test's oracle side indirectly via the batch twin)."""
+    if n_super is None:
+        n_super = ceil_isqrt(n_centroids)
+    cents_rows = centroids.select("cent_id", "cqvec", "cn2")
+    supers_row = (
+        cents_rows.filter(F.col("cent_id") < n_super)
+        .select(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cent_id").alias("sid"),
+                        F.col("cqvec").alias("sqvec"),
+                        F.col("cn2").alias("sn2"),
+                    )
+                )
+            ).alias("supers")
+        )
+    )
+    packed = (
+        cents_rows.crossJoin(F.broadcast(supers_row))
+        .withColumn(
+            "super_id",
+            F.when(F.col("cent_id") < n_super, F.col("cent_id")).otherwise(
+                (-F.expr(_SUPER_ARGMAX.format(v="cqvec", n2="cn2"))["neg"]).cast("bigint")
+            ),
+        )
+        .groupBy("super_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "cqvec", "cn2"))
+            ).alias("children")
+        )
+    )
+    base = _quantized_base(embeddings, id_col, vec_col)
+    with_sid = (
+        base.withColumn("_one", F.lit(1))
+        .join(F.broadcast(supers_row.withColumn("_one", F.lit(1))), "_one")
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            "_vq",
+            "n2",
+            (-F.expr(_SUPER_ARGMAX.format(v="_vq", n2="n2"))["neg"])
+            .cast("bigint")
+            .alias("_sid"),
+        )
+    )
+    joined = with_sid.join(F.broadcast(packed), with_sid["_sid"] == packed["super_id"])
+    best = F.expr(
+        f"""array_max(transform(children, c -> struct(
+            CAST({IDOT.format(a="_vq", b="c.cqvec")} AS DOUBLE)
+              / sqrt(CAST(n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos,
+            -c.cent_id AS neg)))"""
+    )
+    return joined.withColumn("best", best).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "n2",
+        (-F.col("best.neg")).cast("bigint").alias("cell_id"),
+    )
+
+
 def ivf_probe_cells(
     embeddings: DataFrame,
     n_centroids: int = 8,
@@ -798,14 +889,24 @@ def pq_encode(embeddings: DataFrame, codebook: DataFrame, id_col: str = "vec_id"
     smaller), and encoding is MAP-ONLY — one broadcast of the one-row
     codebook, higher-order functions, no shuffle over the corpus.
     ``extra_cols`` ride along untouched (e.g. the IVF cell_id, so one
-    corpus scan yields the full IVF-PQ index)."""
+    corpus scan yields the full IVF-PQ index). Streaming-safe: on a
+    streaming input the one-row codebook attaches via a constant-key
+    stream-static broadcast join (semantically the same cross join;
+    Structured Streaming only plans the equi form), so the encoder
+    deploys verbatim at the ingest edge."""
     sdist = _PQ_SDIST.format(a="eq", b="c")
+    sel = embeddings.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        F.expr(_PQ_QUANT.format(v=vec_col)).alias("eq"),
+    )
+    if embeddings.isStreaming:
+        with_cb = sel.withColumn("_one", F.lit(1)).join(
+            F.broadcast(codebook.withColumn("_one", F.lit(1))), "_one"
+        ).drop("_one")
+    else:
+        with_cb = sel.crossJoin(F.broadcast(codebook))
     return (
-        embeddings.select(
-            F.col(id_col), *[F.col(c) for c in extra_cols],
-            F.expr(_PQ_QUANT.format(v=vec_col)).alias("eq"),
-        )
-        .crossJoin(F.broadcast(codebook))
+        with_cb
         .withColumn(
             "dists",
             F.expr(f"transform(sequence(0, {PQ_M - 1}), s -> transform(cws, c -> {sdist}))"),

@@ -450,6 +450,35 @@ def simhash_stream(incoming: DataFrame) -> DataFrame:
     return simhash_fp(incoming, n_bits=_SIMHASH_FP_BITS)
 
 
+def ivf_pq_ingest_stream(
+    incoming: DataFrame,
+    n_centroids: int,
+    centroids: DataFrame,
+    pq_codebook: DataFrame,
+) -> DataFrame:
+    """Ingest-time vector indexing: assign each arriving embedding to
+    its trained-IVF cell and PQ-encode it against the static codebooks
+    — the streaming deployment of the batch index build
+    (ivf_assign_two_level ∘ pq_encode), closing the last §2C family
+    with no ingest-time story (round-7 verdict #6).
+
+    Stream-static and STATELESS: the trained coarse codebook and the
+    PQ codebook are small static relations the batch trainer refreshes
+    between restarts (exactly like dedup_stream_vs_corpus's
+    fingerprints); assignment uses the map-only reformulation
+    (operators/similarity.py::ivf_assign_stream — per-super packed
+    children, in-row argmax, two broadcast joins) because the batch
+    operator's groupBy argmax cannot run statelessly on a stream; the
+    PQ encoder is the batch pq_encode verbatim (its codebook join is
+    stream-safe). No watermark, no growing state; (cell_id, codes) are
+    row-equal to the batch index on the same rows — asserted in
+    tests/test_streaming.py."""
+    from northwind_warehouse_spark.operators import similarity as sim
+
+    assigned = sim.ivf_assign_stream(incoming, n_centroids, centroids)
+    return sim.pq_encode(assigned, pq_codebook, extra_cols=("cell_id",))
+
+
 DEBOUNCE_STATE_SCHEMA = StructType([StructField("last_ts", TimestampType())])
 
 DEBOUNCE_OUT_SCHEMA = StructType([
