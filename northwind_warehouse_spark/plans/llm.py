@@ -4326,6 +4326,164 @@ def oracle_ann_ivfpq_topk() -> str:
     """
 
 
+def ann_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-5 served from a PERSISTED index (round-7 verdict
+    #7 — the real 100-TB serving shape: the index is built ONCE per
+    corpus refresh and queried many times; every other ann_* plan
+    rebuilds its index inside the query DAG, which is the right demo
+    shape but not the production one).
+
+    Build-once: the first call per (session, corpus) trains the coarse
+    quantizer (sim.ivf_train_codebook), assigns + PQ-encodes the corpus
+    in one scan, and writes the (vec_id, cell_id, codes) index as a
+    BUCKETED-BY-CELL external lake table (sources/bucketing.py — codes
+    are PQ_M small ints, 16-64× smaller than the raw vectors). Every
+    call — including the first — then SERVES from the stored table: the
+    raw corpus is touched only for the 10 query vectors, the candidate
+    join broadcasts the per-query (cell, ADC-LUT) rows against the
+    index scan (zero Exchange on the index side), and bucketing by
+    cell_id additionally makes cell-grain maintenance (occupancy
+    audits, per-cell compaction) shuffle-free — both asserted in
+    tests/test_plans.py. Results are identical to computing the index
+    inline, which is exactly what the DuckDB oracle does."""
+    import hashlib as _hl
+
+    from northwind_warehouse_spark.sources.bucketing import write_bucketed
+
+    e = load(spark, sf_dir, "embeddings")
+    cb = sim.ivf_train_codebook(e, n_centroids=IVF_N_CENTROIDS)
+    pqcb = sim.pq_codebook(e)
+    # keyed by (applicationId, sf_dir): per-session isolation, same
+    # discipline as the dedup_minhash_lsh_lake checkpoint (a real
+    # deployment would key by source-table version instead)
+    tag = _hl.md5(
+        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+    ).hexdigest()[:12]
+    table = f"nws_ivfpq_index_{tag}"
+    if not spark.catalog.tableExists(table):
+        assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS, centroids=cb)
+        enc = sim.pq_encode(assigned, pqcb, extra_cols=("cell_id",))
+        write_bucketed(
+            enc.select("vec_id", "cell_id", "codes"),
+            table,
+            ["cell_id"],
+            n_buckets=8,
+            sort_cols=["cell_id", "vec_id"],
+            path=f"/tmp/nws_ivfpq_index/{tag}",
+        )
+    idx = spark.table(table)
+
+    from pyspark.sql.window import Window
+
+    sdist = sim._PQ_SDIST.format(a="eq", b="c")
+    qa = sim.ivf_assign(
+        e.filter(F.col("vec_id") < 10), n_centroids=IVF_N_CENTROIDS, centroids=cb
+    )
+    luts = (
+        qa.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cell_id").alias("qcell"),
+            F.expr(sim._PQ_QUANT.format(v="embedding")).alias("eq"),
+        )
+        .crossJoin(F.broadcast(pqcb))
+        .withColumn(
+            "lut",
+            F.expr(
+                f"transform(sequence(0, {sim.PQ_M - 1}), s -> transform(cws, c -> {sdist}))"
+            ),
+        )
+        .select("query_id", "qcell", "lut")
+    )
+    scored = (
+        idx.join(
+            maybe_broadcast(luts),
+            (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("qcell").alias("cell_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c + 1)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 5)
+        .select("query_id", "cell_id", "neighbor_id", "adist", "nn_rank")
+        .orderBy("query_id", "nn_rank")
+    )
+
+
+def oracle_ann_ivfpq_from_index() -> str:
+    return f"""
+    WITH {_o_trained_cb_sql(str(IVF_N_CENTROIDS))},
+    cbn1 AS (
+        SELECT j, CAST(sum(w * w) AS BIGINT) AS cn2 FROM cb1 GROUP BY j
+    ),
+    pdot AS (
+        SELECT a.vec_id, c.j AS cent_id, CAST(sum(a.xq * c.w) AS BIGINT) AS dot
+        FROM q a JOIN cb1 c ON c.i = a.i
+        GROUP BY a.vec_id, c.j
+    ),
+    pcos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(cc.cn2 AS DOUBLE)) AS cos
+        FROM pdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN cbn1 cc ON cc.j = d.cent_id
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+            FROM pcos
+        ) WHERE rk = 1
+    ),
+    cw AS (
+        SELECT vec_id, rn - 1 AS j FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY CAST(('0x' || substr(md5('pq|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                         vec_id) AS rn
+            FROM embeddings)
+        WHERE rn <= {sim.PQ_NC}
+    ),
+    cwel AS (
+        SELECT cw.j, q.i, q.xq FROM cw JOIN q USING (vec_id)
+    ),
+    subd AS (
+        SELECT a.vec_id, (a.i - 1) // {sim.PQ_SUB} AS s, c.j,
+               CAST(sum((a.xq - c.xq) * (a.xq - c.xq)) AS BIGINT) AS d
+        FROM q a JOIN cwel c ON a.i = c.i
+        GROUP BY a.vec_id, (a.i - 1) // {sim.PQ_SUB}, c.j
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM subd)
+        WHERE rn = 1
+    ),
+    adist AS (
+        SELECT qd.vec_id AS query_id, aq.cell_id, c.vec_id AS neighbor_id,
+               CAST(sum(qd.d) AS BIGINT) AS adist
+        FROM codes c
+        JOIN subd qd ON qd.s = c.s AND qd.j = c.code
+        JOIN assign ac ON ac.vec_id = c.vec_id
+        JOIN assign aq ON aq.vec_id = qd.vec_id
+        WHERE qd.vec_id < 10 AND c.vec_id <> qd.vec_id AND ac.cell_id = aq.cell_id
+        GROUP BY qd.vec_id, aq.cell_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS nn_rank
+        FROM adist
+    )
+    SELECT query_id, cell_id, neighbor_id, adist, nn_rank
+    FROM ranked WHERE nn_rank <= 5 ORDER BY query_id, nn_rank
+    """
+
+
 def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering structure of the near-dup candidate graph:
     edge / wedge / triangle counts and the clustering coefficient in

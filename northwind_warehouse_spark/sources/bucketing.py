@@ -23,9 +23,16 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
+    """``path`` makes the table EXTERNAL (data at an explicit location,
+    e.g. a lake prefix outside the session warehouse dir) while keeping
+    the bucketing metadata in the catalog — reads still consume the
+    buckets shuffle-free."""
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
+    if path is not None:
+        writer = writer.option("path", path)
     writer.format("parquet").saveAsTable(table)
 
 

@@ -383,6 +383,48 @@ def test_two_level_closed_gate_salts_and_stays_oracle_identical(spark):
         J.MAX_BROADCAST_BYTES = prev_bytes
 
 
+def test_ivfpq_index_served_from_bucketed_storage(spark):
+    """The persisted-index serving shape (round-7 verdict #7): the
+    first ann_ivfpq_from_index call writes the (vec_id, cell_id, codes)
+    index as a bucketed-by-cell table; serving then (a) reads the
+    STORED table (its scan appears in the executed plan), (b) joins the
+    broadcast per-query LUT rows against it with NO Exchange on the
+    index side, and (c) supports shuffle-free cell-grain maintenance —
+    a groupBy(cell_id) aggregate over the stored index plans ZERO
+    Exchange because the bucketing already satisfies the distribution."""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.plans.llm import ann_ivfpq_from_index
+
+    df = ann_ivfpq_from_index(spark, SF_SMOKE)
+    df.collect()
+    plan = _plan(df)
+    assert "nws_ivfpq_index_" in plan, "serving plan does not read the stored index"
+    idx_table = next(
+        t.name for t in spark.catalog.listTables()
+        if t.name.startswith("nws_ivfpq_index_")
+    )
+    idx = spark.table(idx_table)
+    # (b) candidate join: broadcast on the query side — the index-side
+    # scan feeds the join directly (bucketed scan, no repartitioning)
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    # (c) cell-grain maintenance over the stored index: zero Exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = idx.groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+        agg.collect()
+        agg_plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in agg_plan, (
+            "cell-grain aggregate over the bucketed index must not shuffle:\n"
+            + agg_plan[:500]
+        )
+        assert agg.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_no_cartesian_product_in_any_registered_plan(spark):
     """Global plan discipline: NO registered query may plan a
     CartesianProduct — the unbounded cross join that is always a

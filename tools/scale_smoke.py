@@ -154,6 +154,10 @@ def main() -> None:
         "simhash_hamming_pairs": llm.simhash_hamming_pairs,
         "embedding_outliers": llm.embedding_outliers,
         "ann_ivfpq_topk": llm.ann_ivfpq_topk,
+        # round-8: persisted-index serving (build-once per (session,
+        # dir) — the per-factor dirs differ, so each factor measures
+        # one build + one stored-index serve)
+        "ann_ivfpq_from_index": llm.ann_ivfpq_from_index,
         # third/fourth-wave additions
         "scd3_users": medallion.scd3_users,
         "asof_events_forward": medallion.asof_events_forward,
