@@ -8710,8 +8710,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     positive band (cosine ranks 4–8 within the query's IVF cell) — the
     standard recipe (near-but-not-nearest = hard negatives) producing
     the (query, negative) manifest a contrastive trainer consumes.
-    Same bounded candidate shape as ann_ivf_topk: cell assignment is
-    map-only, the search never leaves the query's cell.
+    Same bounded candidate shape AND same TRAINED index as
+    ann_ivf_topk (the negative band is defined relative to the
+    positives that index emits, so the two queries must share one
+    codebook — round-8): cell assignment is map-only over the trained
+    k-row codebook, the search never leaves the query's cell.
 
     Scale shape: broadcast query batch against the cell-partitioned
     corpus, per-query top-k window over a cell-bounded candidate set;
@@ -8719,7 +8722,8 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
 
-    assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS)
+    cb = sim.ivf_train_codebook(e, n_centroids=IVF_N_CENTROIDS)
+    assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS, centroids=cb)
     q = assigned.filter(
         (F.col("vec_id") >= _IVF_QUERY_LO) & (F.col("vec_id") < _IVF_QUERY_HI)
     ).select(
@@ -8755,33 +8759,26 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_hard_negative_mining() -> str:
     return f"""
-    WITH el AS (
-        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
-        FROM embeddings
+    WITH {_o_trained_cb_sql(str(IVF_N_CENTROIDS))},
+    cbn1 AS (
+        SELECT j, CAST(sum(w * w) AS BIGINT) AS cn2 FROM cb1 GROUP BY j
     ),
-    q AS (
-        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
-        FROM el
+    pdot AS (
+        SELECT a.vec_id, c.j AS cent_id, CAST(sum(a.xq * c.w) AS BIGINT) AS dot
+        FROM q a JOIN cb1 c ON c.i = a.i
+        GROUP BY a.vec_id, c.j
     ),
-    n2 AS (
-        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
-    ),
-    cdot AS (
-        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
-        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {IVF_N_CENTROIDS}
-        GROUP BY a.vec_id, c.vec_id
-    ),
-    ccos AS (
+    pcos AS (
         SELECT d.vec_id, d.cent_id,
-               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
-        FROM cdot d
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(cc.cn2 AS DOUBLE)) AS cos
+        FROM pdot d
         JOIN n2 na ON na.vec_id = d.vec_id
-        JOIN n2 nc ON nc.vec_id = d.cent_id
+        JOIN cbn1 cc ON cc.j = d.cent_id
     ),
     assign AS (
         SELECT vec_id, cent_id AS cell_id FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
-            FROM ccos
+            FROM pcos
         ) WHERE rk = 1
     ),
     pairs AS (
