@@ -289,24 +289,34 @@ def test_nanos_timestamp_with_submicro_residue_floors(spark, tmp_path):
 def test_table_rows_matches_spark_count_and_caches(spark):
     """catalog.table_rows reads the parquet FOOTER (zero Spark jobs) and
     must equal Spark's count at every SF; repeated calls hit the cache
-    (round-6 verdict #5: one count per (sf_dir, table) per process, not
-    one per query invocation). Also covers the directory-of-part-files
-    layout scale_smoke writes."""
+    (round-6 verdict #5: one count per file identity per process, not
+    one per query invocation; round-8: the key is (path, mtime, size)
+    so an in-process rewrite invalidates the entry). Also covers the
+    directory-of-part-files layout scale_smoke writes."""
+    import os
+
     from northwind_warehouse_spark.catalog import _ROW_COUNTS, load, table_rows
 
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         for t in ("embeddings", "orders"):
             assert table_rows(sf, t) == load(spark, sf, t).count()
-            assert (sf, t) in _ROW_COUNTS
+            path = f"{sf}/{t}.parquet"
+            st = os.stat(path)
+            assert (path, st.st_mtime_ns, st.st_size) in _ROW_COUNTS
 
-    # directory layout: write a 2-part parquet dir and count it
+    # directory layout + rewrite invalidation: a table rewritten
+    # in-process must be re-counted (stale counts fed occupancy-scaled
+    # parameters before round 8)
     import tempfile
 
     with tempfile.TemporaryDirectory() as d:
-        load(spark, "/root/testdata/sf0.001", "orders").repartition(2).write.mode(
-            "overwrite"
-        ).parquet(f"{d}/orders.parquet")
+        o = load(spark, "/root/testdata/sf0.001", "orders")
+        o.repartition(2).write.mode("overwrite").parquet(f"{d}/orders.parquet")
         assert table_rows(d, "orders") == 1500
+        o.limit(100).repartition(1).write.mode("overwrite").parquet(
+            f"{d}/orders.parquet"
+        )
+        assert table_rows(d, "orders") == 100
 
     import pytest
 
