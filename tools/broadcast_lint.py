@@ -57,7 +57,7 @@ GROWING_FUNCS = {
     "simhash_fp", "simhash32", "lsh_buckets",
     "ivf_assign", "ivf_assign_two_level", "ivf_probe_cells", "pq_encode",
     # trained codebook: k rows, but k is occupancy-scalable (∝ n/128)
-    "ivf_train_codebook",
+    "ivf_train_codebook", "_trained_cb",
 }
 # helpers whose OUTPUT is bounded by construction regardless of input
 # size (fixed-shape codebooks/LUTs) — growth does not propagate through
