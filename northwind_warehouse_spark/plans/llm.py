@@ -1306,34 +1306,31 @@ _MP_N_CENTROIDS = 16
 _MP_NPROBE = 2
 _MP_QUERY_LO, _MP_QUERY_HI = 16, 26
 
-# shared oracle scaffolding: quantized elements, norms, centroid ranks
-_MP_BASE_CTES = f"""
-    el AS (
-        SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i
-        FROM embeddings
+# shared oracle scaffolding: trained codebook (cb1), per-vector
+# centroid ranks against it, single-probe assignment, query probes,
+# candidates. Lazy (a function, not a module constant) because it
+# composes _o_trained_cb_sql, which is defined further down with the
+# occupancy-scaled constants it also serves.
+def _mp_base_ctes() -> str:
+    return f"""{_o_trained_cb_sql(str(_MP_N_CENTROIDS))},
+    cbn1 AS (
+        SELECT j, CAST(sum(w * w) AS BIGINT) AS cn2 FROM cb1 GROUP BY j
     ),
-    q AS (
-        SELECT vec_id, i, CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT) AS xq
-        FROM el
+    mdot AS (
+        SELECT a.vec_id, c.j AS cent_id, CAST(sum(a.xq * c.w) AS BIGINT) AS dot
+        FROM q a JOIN cb1 c ON c.i = a.i
+        GROUP BY a.vec_id, c.j
     ),
-    n2 AS (
-        SELECT vec_id, CAST(sum(xq * xq) AS BIGINT) AS n2 FROM q GROUP BY vec_id
-    ),
-    cdot AS (
-        SELECT a.vec_id, c.vec_id AS cent_id, CAST(sum(a.xq * c.xq) AS BIGINT) AS dot
-        FROM q a JOIN q c ON a.i = c.i AND c.vec_id < {_MP_N_CENTROIDS}
-        GROUP BY a.vec_id, c.vec_id
-    ),
-    ccos AS (
+    mcos AS (
         SELECT d.vec_id, d.cent_id,
-               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nc.n2 AS DOUBLE)) AS cos
-        FROM cdot d
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(cc.cn2 AS DOUBLE)) AS cos
+        FROM mdot d
         JOIN n2 na ON na.vec_id = d.vec_id
-        JOIN n2 nc ON nc.vec_id = d.cent_id
+        JOIN cbn1 cc ON cc.j = d.cent_id
     ),
     rankedc AS (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
-        FROM ccos
+        FROM mcos
     ),
     assign AS (
         SELECT vec_id, cent_id AS cell_id FROM rankedc WHERE rk = 1
@@ -1354,15 +1351,19 @@ _MP_BASE_CTES = f"""
 
 def _mp_query_probes(spark: SparkSession, sf_dir: str):
     """(assigned corpus, query probe rows) shared by the two multi-probe
-    plans. Probes are computed for the 10-query batch ONLY (the
-    production shape — centroids still come from the full corpus)."""
+    plans. Probes are computed for the 10-query batch ONLY, and both
+    the corpus assignment and the probes rank against the TRAINED
+    coarse codebook (round-8: the session-cached _trained_cb, so the
+    multi-probe index shares the train-once contract of the other
+    serving paths)."""
     e = load(spark, sf_dir, "embeddings")
-    assigned = sim.ivf_assign(e, n_centroids=_MP_N_CENTROIDS)
+    cb = _trained_cb(spark, sf_dir, _MP_N_CENTROIDS)
+    assigned = sim.ivf_assign(e, n_centroids=_MP_N_CENTROIDS, centroids=cb)
     q = sim.ivf_probe_cells(
         e.filter((F.col("vec_id") >= _MP_QUERY_LO) & (F.col("vec_id") < _MP_QUERY_HI)),
         n_centroids=_MP_N_CENTROIDS,
         n_probe=_MP_NPROBE,
-        centroids_from=e,
+        centroids=cb,
     ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
@@ -1412,7 +1413,7 @@ def ann_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_ann_ivf_multiprobe_topk() -> str:
     return f"""
-    WITH {_MP_BASE_CTES},
+    WITH {_mp_base_ctes()},
     dots AS (
         SELECT p.query_id, p.cell_id, p.probe_rank, p.neighbor_id,
                CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
@@ -1511,7 +1512,7 @@ def ann_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def oracle_ann_ivf_multiprobe_recall() -> str:
     return f"""
-    WITH {_MP_BASE_CTES},
+    WITH {_mp_base_ctes()},
     tdots AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
                CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
