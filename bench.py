@@ -52,12 +52,17 @@ LEGACY_12 = [
 ]
 # round-6 heavy hitters (round-6 verdict #4): the queries whose scale
 # behavior the SCALING file watches — timed here so per-round perf
-# evidence covers the new surface, reported as a separate subtotal
+# evidence covers the new surface. The first four are the r7 set (their
+# sum + legacy12 = "extended16_total", comparable to BENCH_r07's
+# "value"); round 8 appends the persisted-index serving query, whose
+# steady-state latency IS the production-serving claim (index built in
+# the warmup pass, timed passes read the stored bucketed table).
 EXTENDED = [
     "part_cooccurrence_topk",
     "knn_graph_cell_local",
     "dedup_prefix_filter_join",
     "curate_corpus",
+    "ann_ivfpq_from_index",
 ]
 HEADLINE = LEGACY_12 + EXTENDED
 
@@ -105,6 +110,8 @@ def main() -> None:
     timings = {n: round(median(r), 3) for n, r in per_query_runs.items()}
     run_totals = [round(sum(per_query_runs[n][i] for n in names), 3) for i in range(N_RUNS)]
     legacy_total = round(sum(t for n, t in timings.items() if n in LEGACY_12), 3)
+    r7_set = set(LEGACY_12) | set(EXTENDED[:4])
+    extended16_total = round(sum(t for n, t in timings.items() if n in r7_set), 3)
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
@@ -116,6 +123,9 @@ def main() -> None:
         "median": round(median(run_totals), 3),
         # r1-r6 comparable subtotal: the original 12-query set only
         "legacy12_total": legacy_total,
+        # r7-comparable subtotal: legacy12 + the four round-6 heavy
+        # hitters (= BENCH_r07's full "value" scope)
+        "extended16_total": extended16_total,
         "queries_runs": per_query_runs,
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],

@@ -2057,3 +2057,28 @@ def test_ivf_trained_codebook_improves_quantization(spark):
     base = mean_assigned_cos(None)
     trained = mean_assigned_cos(sim.ivf_train_codebook(e, n_centroids=k))
     assert trained >= base, f"training degraded the quantizer: {trained} < {base}"
+
+
+def test_ivf_train_codebook_multi_round_shape(spark):
+    """rounds>1 keeps the codebook contract every consumer relies on:
+    exactly k centroids with ids 0..k-1 (the first √k stay the
+    supers), dim-length quantized arrays, and cn2 consistent with the
+    packed elements — and the downstream assignment stays total."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.similarity import (
+        ivf_assign_two_level,
+        ivf_train_codebook,
+    )
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    k = 8
+    cb = ivf_train_codebook(e, n_centroids=k, rounds=2)
+    rows = cb.collect()
+    assert sorted(r.cent_id for r in rows) == list(range(k))
+    for r in rows:
+        assert len(r.cqvec) == 64
+        assert r.cn2 == sum(w * w for w in r.cqvec)
+    assigned = ivf_assign_two_level(e, n_centroids=k, centroids=cb)
+    cells = {r.vec_id: r.cell_id for r in assigned.collect()}
+    assert len(cells) == e.count()
+    assert all(0 <= c < k for c in cells.values())
