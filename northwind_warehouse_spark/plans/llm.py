@@ -4248,7 +4248,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding are both map-only broadcast computations; pq_encode carries
     cell_id through), queries broadcast their LUT + cell, and the scored
     shuffle carries only (query, neighbor, adist) rows from the query's
-    own cell. Integer-exact ADC distances."""
+    own cell. Integer-exact ADC distances.
+
+    This is the INLINE-BUILD demo (first-k seed cells, index computed
+    inside the query DAG — the one-scan composition is the point); the
+    production serving twin is :func:`ann_ivfpq_from_index` (trained
+    cells, index persisted bucketed-by-cell, queried from storage)."""
     from pyspark.sql.window import Window
 
     e = load(spark, sf_dir, "embeddings")
