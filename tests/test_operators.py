@@ -2082,3 +2082,27 @@ def test_ivf_train_codebook_multi_round_shape(spark):
     cells = {r.vec_id: r.cell_id for r in assigned.collect()}
     assert len(cells) == e.count()
     assert all(0 <= c < k for c in cells.values())
+
+
+def test_probe_rank_one_reproduces_assignment_under_trained_cb(spark):
+    """ivf_probe_cells' documented contract — probe_rank=1 equals the
+    single-probe assignment — must hold under a TRAINED codebook too
+    (both rank the same relation with the same tie rule)."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.similarity import (
+        ivf_assign,
+        ivf_probe_cells,
+        ivf_train_codebook,
+    )
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    k = 16
+    cb = ivf_train_codebook(e, n_centroids=k)
+    want = {r.vec_id: r.cell_id for r in ivf_assign(e, n_centroids=k, centroids=cb).collect()}
+    got = {
+        r.vec_id: r.cell_id
+        for r in ivf_probe_cells(e, n_centroids=k, n_probe=2, centroids=cb)
+        .filter("probe_rank = 1")
+        .collect()
+    }
+    assert got == want and len(got) > 0
