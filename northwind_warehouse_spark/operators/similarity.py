@@ -754,7 +754,18 @@ def ivf_assign_stream(
             .alias("_sid"),
         )
     )
-    joined = with_sid.join(F.broadcast(packed), with_sid["_sid"] == packed["super_id"])
+    # the packed relation is √k rows but ~k centroid structs in TOTAL —
+    # the same parameter-growing bytes as the batch children side, so
+    # the same parameter-derived gate applies: hint while k centroids
+    # fit the bound; beyond it leave the stream-static equi-join
+    # unhinted (at that scale a real deployment ships the quantizer to
+    # the ingest workers as the persisted index, not a per-batch
+    # broadcast)
+    from northwind_warehouse_spark.operators.joins import MAX_BROADCAST_BYTES
+
+    if n_centroids * _CENTROID_EST_BYTES <= MAX_BROADCAST_BYTES:
+        packed = F.broadcast(packed)
+    joined = with_sid.join(packed, with_sid["_sid"] == packed["super_id"])
     best = F.expr(
         f"""array_max(transform(children, c -> struct(
             CAST({IDOT.format(a="_vq", b="c.cqvec")} AS DOUBLE)
