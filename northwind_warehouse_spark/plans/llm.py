@@ -9477,10 +9477,17 @@ def ivf_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus) is computed once and persisted across rounds; the
     codebook stays a k·dim-row DataFrame (never collected) that
     broadcasts into the assignment join; per-centroid means are
-    map-side-combined aggregates. The production deployment would feed
-    the trained codebook to ivf_assign / ivf_assign_two_level in place
-    of the first-k convention — same join shape, swapped centroid
-    relation."""
+    map-side-combined aggregates.
+
+    Relationship to the PRODUCTION trainer (round 8): the serving
+    paths train with operators/similarity.py::ivf_train_codebook —
+    spherical k-means under the SERVING metric (cosine) and the
+    serving two-level route, because a vector should train toward the
+    centroid it will be routed to. THIS query deliberately keeps the
+    L2 objective: squared-L2 Lloyd has the exact integer monotone-
+    descent invariant the test asserts (cosine Lloyd has no such exact
+    per-round certificate), so it remains the verifiable-descent
+    demonstration while _trained_cb serves the indexes."""
     e = load(spark, sf_dir, "embeddings")
     el = (
         e.filter(F.expr(_IVF_TRAIN_LOT) < _IVF_TRAIN_PPM)
