@@ -45,7 +45,7 @@ def main() -> None:
             n = e.count()
             k = max(8, (n + 127) // 128)
             counts = {}
-            for salt in (1, sim.__dict__.get("_L2_SALT_PROBE", 8)):
+            for salt in (1, 8):
                 sim._L2_SALT = salt
                 df = sim.ivf_assign_two_level(e, n_centroids=k)
                 df.count()  # warm (footers, codegen)
