@@ -4386,11 +4386,18 @@ def ann_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     cb = _trained_cb(spark, sf_dir, IVF_N_CENTROIDS)
     pqcb = sim.pq_codebook(e)
-    # keyed by (applicationId, sf_dir): per-session isolation, same
-    # discipline as the dedup_minhash_lsh_lake checkpoint (a real
-    # deployment would key by source-table version instead)
+    # keyed by (applicationId, corpus FILE identity): per-session
+    # isolation like the dedup_minhash_lsh_lake checkpoint, plus the
+    # mtime/size component so an in-process rewrite of the corpus
+    # rebuilds the index instead of serving a stale one (the
+    # catalog.table_rows discipline; a real deployment would key by
+    # source-table version)
+    import os as _os
+
+    _st = _os.stat(f"{sf_dir.rstrip('/')}/embeddings.parquet")
     tag = _hl.md5(
-        f"{spark.sparkContext.applicationId}|{sf_dir}".encode()
+        f"{spark.sparkContext.applicationId}|{sf_dir}|"
+        f"{_st.st_mtime_ns}|{_st.st_size}".encode()
     ).hexdigest()[:12]
     table = f"nws_ivfpq_index_{tag}"
     if not spark.catalog.tableExists(table):
