@@ -612,12 +612,20 @@ def ivf_train_codebook(
     ``centroids`` (round-7 verdict #1: the serving paths previously
     seeded cells from arbitrary first-k vectors).
 
-    Spherical k-means, trained with the SERVING metric and the SERVING
-    route: each round assigns the deterministic ``train_ppm`` lottery
-    sample to cells via the same two-level max-cosine assignment the
-    index serves with (a vector trains toward exactly the centroid it
-    would be routed to — FAISS trains its coarse quantizer with the
-    quantizer it ships), then recomputes each non-empty cell's centroid
+    Spherical k-means, trained with the SERVING metric (max-cosine)
+    and the TWO-LEVEL route: each round assigns the deterministic
+    ``train_ppm`` lottery sample to cells via
+    :func:`ivf_assign_two_level` — so for the consumers that serve
+    through the two-level route (knn_graph_cell_local,
+    ivf_cell_occupancy, the streaming ingest twin) a vector trains
+    toward exactly the centroid it would be routed to, FAISS-style.
+    Consumers that serve with the FLAT :func:`ivf_assign` argmax
+    (ann_ivf_topk, the multiprobe family, hard_negative_mining, the
+    stored-index path) serve an approximation-trained codebook: the
+    two-level training route can assign a sample vector to a centroid
+    the flat global argmax would not pick, so train-route ≡
+    serve-route holds only for the two-level consumers. Each round
+    then recomputes each non-empty cell's centroid
     as the element-wise integer floor-mean of its members' quantized
     elements; empty cells keep their previous centroid, so ids stay
     0..k-1 and the first √k remain the supers. Seeds are the first-k
@@ -653,9 +661,15 @@ def ivf_train_codebook(
     )
     from northwind_warehouse_spark.operators.joins import MAX_BROADCAST_BYTES
 
-    cb = None
+    # per-round intermediate codebooks are persisted (each feeds BOTH
+    # sides of the round's two-level assignment); they must also be
+    # UNPERSISTED once the final codebook is materialized, or every
+    # training round pins a stale k-row lineage in executor memory for
+    # the life of the session (round-8 advice)
+    round_cbs: list[DataFrame] = []
     for _ in range(rounds):
         cb = _pack_codebook(cb_el).persist()
+        round_cbs.append(cb)
         assigned = ivf_assign_two_level(
             train, n_centroids=n_centroids, centroids=cb,
             id_col=id_col, vec_col=vec_col,
@@ -679,7 +693,14 @@ def ivf_train_codebook(
             .join(newc, ["j", "i"], "left")
             .select("j", "i", F.coalesce("w", "w_old").alias("w"))
         )
-    return _pack_codebook(cb_el).persist()
+    final = _pack_codebook(cb_el).persist()
+    # materialize the final codebook THROUGH the cached intermediates
+    # (one pass — the work every consumer would trigger anyway), then
+    # release them; the k-row final stays pinned for the serving paths
+    final.count()
+    for rcb in round_cbs:
+        rcb.unpersist()
+    return final
 
 
 def ivf_assign_stream(

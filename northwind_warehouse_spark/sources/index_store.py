@@ -1,0 +1,176 @@
+"""Cross-session index artifact store — build once per CORPUS REFRESH,
+adopt everywhere.
+
+An ANN index (coarse codebook, PQ codebook, encoded vector table) is an
+artifact of a corpus VERSION, not of a Spark session: at 100 TB the
+whole point of persisting it is that no later session ever re-scans the
+corpus to recreate it. This module gives index producers the same
+lifecycle discipline the lake sources already have:
+
+- **Content-identity tags.** Artifacts live at ``<root>/<tag>`` where
+  the tag hashes the corpus file identity (path, mtime, size — the
+  ``catalog.table_rows`` convention). Deterministic builders mean a
+  stored artifact is value-identical to a rebuild, so adoption is
+  observationally equal to retraining.
+- **Atomic publish.** Builders write to a pid-suffixed temp directory
+  and ``os.rename`` into place; a concurrent publisher of the same tag
+  loses the race harmlessly (identical content) and discards its copy.
+  Readers only ever see a complete artifact (``_SUCCESS`` present).
+- **Adopt, never rebuild.** ``ensure_bucketed_table`` registers a
+  published bucketed artifact in a fresh session's catalog with a
+  ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL — zero data jobs;
+  the bucket ids come from the file names the original
+  ``write_bucketed`` produced, so co-located reads stay shuffle-free
+  across sessions (asserted in tests/test_index_store.py).
+- **Manifest-first vacuum.** ``<root>/MANIFEST.json`` maps each logical
+  key (corpus path [+ parameters]) to its CURRENT tag. Publishing a new
+  tag updates the manifest BEFORE removing the superseded tag's
+  directory and catalog entry — the ``sources/versioned.py::vacuum``
+  discipline: a crash between the two steps leaves an unreferenced
+  directory (harmless, re-vacuumable), never a manifest pointing at
+  removed files.
+
+Reference parity: the reference warehouse materializes models as
+persistent tables that survive runs and rebuilds incrementally
+(models/dwh/fact_order.sql is ``materialized='incremental'`` precisely
+so nothing re-scans from scratch); this module is that discipline
+applied to index state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from northwind_warehouse_spark.sources.bucketing import write_bucketed
+
+
+def is_published(root: str, tag: str) -> bool:
+    """A tag is published when its directory carries the _SUCCESS marker
+    (Spark writes it last, so presence ⇒ the artifact is complete)."""
+    return os.path.isfile(os.path.join(root, tag, "_SUCCESS"))
+
+
+def _promote(tmp: str, final: str) -> None:
+    """Atomically move a complete temp build into place; if another
+    publisher won the race (deterministic build ⇒ identical content),
+    discard ours."""
+    if is_published(os.path.dirname(final), os.path.basename(final)):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
+    try:
+        os.rename(tmp, final)
+    except OSError:
+        # final appeared between the check and the rename — lost race
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def publish_parquet(df: DataFrame, root: str, tag: str) -> str:
+    """Publish ``df`` as a plain parquet artifact at ``<root>/<tag>``
+    (atomic tmp + rename). No-op if the tag is already published.
+    Returns the artifact path."""
+    final = os.path.join(root, tag)
+    if not is_published(root, tag):
+        os.makedirs(root, exist_ok=True)
+        tmp = f"{final}.build-{os.getpid()}"
+        df.write.mode("overwrite").parquet(tmp)
+        _promote(tmp, final)
+    return final
+
+
+def _manifest_path(root: str) -> str:
+    return os.path.join(root, "MANIFEST.json")
+
+
+def read_manifest(root: str) -> dict[str, str]:
+    try:
+        with open(_manifest_path(root)) as f:
+            return json.load(f)
+    except (FileNotFoundError, json.JSONDecodeError):
+        return {}
+
+
+def vacuum_superseded(
+    root: str,
+    key: str,
+    new_tag: str,
+    spark: SparkSession | None = None,
+    table_prefix: str | None = None,
+) -> str | None:
+    """Point the manifest's ``key`` at ``new_tag`` and remove the
+    superseded tag's artifact: manifest FIRST (crash-safe — see module
+    docstring), then the old catalog table (this session's catalog; an
+    in-memory catalog is per-session anyway) and the old directory.
+    Returns the vacuumed tag, or None if nothing was superseded."""
+    os.makedirs(root, exist_ok=True)
+    manifest = read_manifest(root)
+    old = manifest.get(key)
+    if old == new_tag:
+        return None
+    manifest[key] = new_tag
+    tmp = _manifest_path(root) + f".tmp-{os.getpid()}"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, _manifest_path(root))
+    if old is None:
+        return None
+    if spark is not None and table_prefix is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {table_prefix}{old}")
+    shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    return old
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    root: str,
+    tag: str,
+    build_df: Callable[[], DataFrame],
+    schema_ddl: str,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str],
+    n_buckets: int,
+    manifest_key: str | None = None,
+    table_prefix: str | None = None,
+) -> DataFrame:
+    """Serve the bucketed artifact ``<root>/<tag>`` as catalog table
+    ``table``, building it only if no session has published it yet.
+
+    Three tiers, cheapest first: (1) the table is already in THIS
+    session's catalog → return it (zero work); (2) the artifact is
+    published on disk → ADOPT it with a CREATE TABLE ... CLUSTERED BY
+    ... LOCATION DDL (zero data jobs — the cross-session path); (3)
+    nothing exists → run ``build_df()`` once, write it bucketed via a
+    throwaway external table bound to a temp location, drop the binding
+    (external ⇒ files survive), promote atomically, then adopt.
+
+    ``manifest_key`` enables supersede-vacuum: after serving the new
+    tag, any older tag recorded for the key is dropped from the catalog
+    (``table_prefix + old_tag``) and removed from disk, manifest-first.
+    """
+    if not spark.catalog.tableExists(table):
+        if not is_published(root, tag):
+            os.makedirs(root, exist_ok=True)
+            final = os.path.join(root, tag)
+            tmp = f"{final}.build-{os.getpid()}"
+            build_tbl = f"{table}__build_{os.getpid()}"
+            spark.sql(f"DROP TABLE IF EXISTS {build_tbl}")
+            write_bucketed(
+                build_df(), build_tbl, list(bucket_cols),
+                n_buckets=n_buckets, sort_cols=list(sort_cols), path=tmp,
+            )
+            spark.sql(f"DROP TABLE {build_tbl}")
+            _promote(tmp, final)
+        spark.sql(
+            f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+            f"CLUSTERED BY ({', '.join(bucket_cols)}) "
+            f"SORTED BY ({', '.join(sort_cols)}) INTO {n_buckets} BUCKETS "
+            f"LOCATION '{os.path.join(root, tag)}'"
+        )
+    if manifest_key is not None:
+        vacuum_superseded(root, manifest_key, tag, spark=spark, table_prefix=table_prefix)
+    return spark.table(table)

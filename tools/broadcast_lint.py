@@ -225,17 +225,37 @@ class _FnLinter(ast.NodeVisitor):
         # hard hints guarded by a parameter-derived size gate
         # (`F.broadcast(x) if <bytes> <= MAX_BROADCAST_BYTES else x`, or
         # the if-statement form) are the SANCTIONED escape hatch — the
-        # hint self-disables when the parameter outgrows the ceiling
+        # hint self-disables when the parameter outgrows the ceiling.
+        # Only the F.broadcast call that IS the gated expression is
+        # exempt (the IfExp body, or the value of an assignment directly
+        # inside the If body) — exempting every descendant of the
+        # conditional would silently pass unrelated hard hints parked in
+        # either branch (round-8 advice).
         gated: set[int] = set()
+
+        def _is_bcast_call(x: ast.expr) -> bool:
+            return (
+                isinstance(x, ast.Call)
+                and isinstance(x.func, ast.Attribute)
+                and x.func.attr == "broadcast"
+                and isinstance(x.func.value, ast.Name)
+                and x.func.value.id == "F"
+            )
+
         for n in ast.walk(fn):
-            test = None
-            if isinstance(n, (ast.IfExp, ast.If)):
-                test = n.test
-            if test is not None and any(
+            if not isinstance(n, (ast.IfExp, ast.If)) or not any(
                 isinstance(t, ast.Name) and t.id == "MAX_BROADCAST_BYTES"
-                for t in ast.walk(test)
+                for t in ast.walk(n.test)
             ):
-                gated.update(id(x) for x in ast.walk(n))
+                continue
+            if isinstance(n, ast.IfExp):
+                for branch in (n.body, n.orelse):
+                    if _is_bcast_call(branch):
+                        gated.add(id(branch))
+            else:
+                for stmt in n.body + n.orelse:
+                    if isinstance(stmt, ast.Assign) and _is_bcast_call(stmt.value):
+                        gated.add(id(stmt.value))
         env: dict[str, bool] = {}
         for node in ast.walk(fn):
             if isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
