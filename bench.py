@@ -63,6 +63,13 @@ EXTENDED = [
     "dedup_prefix_filter_join",
     "curate_corpus",
     "ann_ivfpq_from_index",
+    # round-9 (round-8 verdict #6): the INLINE-build twin of the stored
+    # index, timed under the same median-of-3 + loadavg protocol, so the
+    # serving-vs-inline amortization claim is a recorded, re-runnable
+    # number in every BENCH_r{N} instead of an ad-hoc measurement — and
+    # the multi-probe stored-index serving shape beside it
+    "ann_ivfpq_topk",
+    "ann_ivfpq_multiprobe_from_index",
 ]
 HEADLINE = LEGACY_12 + EXTENDED
 

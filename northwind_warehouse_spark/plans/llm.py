@@ -4631,6 +4631,304 @@ def oracle_ann_ivfpq_from_index() -> str:
     """
 
 
+# stored-index multi-probe serving: P nearest trained cells per query
+_IDX_NPROBE = 2
+
+
+def _o_idx_probe_ctes() -> str:
+    """Shared oracle scaffolding for the stored-index serving family:
+    trained codebook (cb1) → per-vector centroid cosines (pcos) → the
+    flat single-probe assignment the stored index was built with
+    (assign — the oracle twin of the nws_ivfpq_index table's cell_id
+    column) → the query batch's _IDX_NPROBE nearest cells (qprobe)."""
+    return f"""{_o_trained_cb_sql(str(IVF_N_CENTROIDS))},
+    cbn1 AS (
+        SELECT j, CAST(sum(w * w) AS BIGINT) AS cn2 FROM cb1 GROUP BY j
+    ),
+    pdot AS (
+        SELECT a.vec_id, c.j AS cent_id, CAST(sum(a.xq * c.w) AS BIGINT) AS dot
+        FROM q a JOIN cb1 c ON c.i = a.i
+        GROUP BY a.vec_id, c.j
+    ),
+    pcos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(cc.cn2 AS DOUBLE)) AS cos
+        FROM pdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN cbn1 cc ON cc.j = d.cent_id
+    ),
+    rankedc AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
+        FROM pcos
+    ),
+    assign AS (
+        SELECT vec_id, cent_id AS cell_id FROM rankedc WHERE rk = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cent_id AS cell_id, CAST(rk AS BIGINT) AS probe_rank
+        FROM rankedc WHERE rk <= {_IDX_NPROBE} AND vec_id < 10
+    )"""
+
+
+def ann_ivfpq_multiprobe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe serving from the STORED IVF-PQ index (round-8
+    verdict #4): each query ADC-scans its _IDX_NPROBE nearest trained
+    cells instead of only the one it lands in — the standard recall
+    repair for boundary queries, now on the production (persisted)
+    path, where round 8 served single-probe only. The stored table is
+    bucketed by cell_id, so a P-cell probe is P bucket-local scans: the
+    per-(query, probe) LUT rows broadcast against the one index scan
+    exactly like the single-probe plan (zero Exchange on the index
+    side), and cells partition the corpus, so no neighbor appears twice
+    across probes — the top-5 window needs no dedup. Recall gain over
+    single-probe is measured by :func:`ann_ivfpq_from_index_recall`."""
+    from pyspark.sql.window import Window
+
+    idx = _ivfpq_index(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    cb = _trained_cb(spark, sf_dir, IVF_N_CENTROIDS)
+    pqcb = _stored_pq_cb(spark, sf_dir)
+    sdist = sim._PQ_SDIST.format(a="eq", b="c")
+    qp = sim.ivf_probe_cells(
+        e.filter(F.col("vec_id") < 10),
+        n_centroids=IVF_N_CENTROIDS,
+        n_probe=_IDX_NPROBE,
+        centroids=cb,
+    )
+    luts = (
+        qp.select(
+            F.col("vec_id").alias("query_id"),
+            "probe_rank",
+            F.col("cell_id").alias("qcell"),
+            F.expr(sim._PQ_QUANT.format(v="embedding")).alias("eq"),
+        )
+        .crossJoin(F.broadcast(pqcb))
+        .withColumn(
+            "lut",
+            F.expr(
+                f"transform(sequence(0, {sim.PQ_M - 1}), s -> transform(cws, c -> {sdist}))"
+            ),
+        )
+        .select("query_id", "probe_rank", "qcell", "lut")
+    )
+    scored = (
+        idx.join(
+            maybe_broadcast(luts),
+            (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("qcell").alias("cell_id"),
+            "probe_rank",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                "aggregate(zip_with(lut, codes, (l, c) -> element_at(l, c + 1)), "
+                "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+            ).alias("adist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adist").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("nn_rank", F.row_number().over(w))
+        .filter(F.col("nn_rank") <= 5)
+        .select("query_id", "cell_id", "probe_rank", "neighbor_id", "adist", "nn_rank")
+        .orderBy("query_id", "nn_rank")
+    )
+
+
+def oracle_ann_ivfpq_multiprobe_from_index() -> str:
+    return f"""
+    WITH {_o_idx_probe_ctes()},
+    cw AS (
+        SELECT vec_id, rn - 1 AS j FROM (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY CAST(('0x' || substr(md5('pq|' || CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                         vec_id) AS rn
+            FROM embeddings)
+        WHERE rn <= {sim.PQ_NC}
+    ),
+    cwel AS (
+        SELECT cw.j, q.i, q.xq FROM cw JOIN q USING (vec_id)
+    ),
+    subd AS (
+        SELECT a.vec_id, (a.i - 1) // {sim.PQ_SUB} AS s, c.j,
+               CAST(sum((a.xq - c.xq) * (a.xq - c.xq)) AS BIGINT) AS d
+        FROM q a JOIN cwel c ON a.i = c.i
+        GROUP BY a.vec_id, (a.i - 1) // {sim.PQ_SUB}, c.j
+    ),
+    codes AS (
+        SELECT vec_id, s, j AS code FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d, j) AS rn
+            FROM subd)
+        WHERE rn = 1
+    ),
+    adist AS (
+        SELECT qd.vec_id AS query_id, qp.cell_id, qp.probe_rank, c.vec_id AS neighbor_id,
+               CAST(sum(qd.d) AS BIGINT) AS adist
+        FROM codes c
+        JOIN subd qd ON qd.s = c.s AND qd.j = c.code
+        JOIN assign ac ON ac.vec_id = c.vec_id
+        JOIN qprobe qp ON qp.query_id = qd.vec_id AND qp.cell_id = ac.cell_id
+        WHERE c.vec_id <> qd.vec_id
+        GROUP BY qd.vec_id, qp.cell_id, qp.probe_rank, c.vec_id
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS nn_rank
+        FROM adist
+    )
+    SELECT query_id, cell_id, probe_rank, neighbor_id, adist, nn_rank
+    FROM ranked WHERE nn_rank <= 5 ORDER BY query_id, nn_rank
+    """
+
+
+def ann_ivfpq_from_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for the STORED-index serving paths (round-8 verdict
+    #4: the inline indexes had recall gates, the persisted one did
+    not): per query, candidate-set recall@5 of single-probe
+    (probe_rank=1 cells only) vs _IDX_NPROBE-probe serving against the
+    brute-force exact-cosine ground truth, with candidates drawn from
+    the stored table's cell assignments — the gate measures the index
+    that is actually served, not an inline rebuild. Hits are counted by
+    candidate MEMBERSHIP (cell recall — the IVF recall decomposition:
+    ADC ranking inside a probed cell is the PQ approximation the
+    ann_pq_recall gate already grades), so recall_multi ≥ recall_single
+    is structural (probe-set superset) and the gap is exactly what
+    multi-probe buys on the production path."""
+    from northwind_warehouse_spark.functions.vectors import (
+        cosine_from_parts,
+        dot_q,
+        norm2_q,
+    )
+    from pyspark.sql.window import Window
+
+    idx = _ivfpq_index(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    cb = _trained_cb(spark, sf_dir, IVF_N_CENTROIDS)
+    qp = sim.ivf_probe_cells(
+        e.filter(F.col("vec_id") < 10),
+        n_centroids=IVF_N_CENTROIDS,
+        n_probe=_IDX_NPROBE,
+        centroids=cb,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        "probe_rank",
+        F.col("cell_id").alias("qcell"),
+    )
+    pairs = idx.join(
+        maybe_broadcast(qp),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id"), "probe_rank")
+
+    base = e.select("vec_id", "embedding", norm2_q("embedding").alias("n2"))
+    tq = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("n2").alias("qn2"),
+    )
+    tscored = base.join(maybe_broadcast(tq), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        dot_q("qvec", "embedding").alias("dot"),
+        F.col("qn2").alias("n2a"),
+        F.col("n2").alias("n2b"),
+    ).withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    truth = (
+        tscored.withColumn("nn_rank", F.row_number().over(wt))
+        .filter(F.col("nn_rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+
+    hit_s = truth.join(
+        maybe_broadcast(
+            pairs.filter(F.col("probe_rank") == 1).select("query_id", "neighbor_id")
+        ),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits_single"))
+    hit_m = truth.join(
+        maybe_broadcast(pairs.select("query_id", "neighbor_id").distinct()),
+        ["query_id", "neighbor_id"],
+        "left_semi",
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits_multi"))
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        n_true.join(hit_s, "query_id", "left")
+        .join(hit_m, "query_id", "left")
+        .select(
+            "query_id",
+            "n_true",
+            F.coalesce("n_hits_single", F.lit(0)).cast("bigint").alias("n_hits_single"),
+            F.coalesce("n_hits_multi", F.lit(0)).cast("bigint").alias("n_hits_multi"),
+        )
+        .withColumn("recall_single_ppm", F.expr("n_hits_single * 1000000 div n_true"))
+        .withColumn("recall_multi_ppm", F.expr("n_hits_multi * 1000000 div n_true"))
+        .orderBy("query_id")
+    )
+
+
+def oracle_ann_ivfpq_from_index_recall() -> str:
+    return f"""
+    WITH {_o_idx_probe_ctes()},
+    cand AS (
+        SELECT qp.query_id, qp.probe_rank, a.vec_id AS neighbor_id
+        FROM qprobe qp JOIN assign a
+          ON a.cell_id = qp.cell_id AND a.vec_id <> qp.query_id
+    ),
+    tdots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+        FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    tscored AS (
+        SELECT query_id, neighbor_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM tdots
+        JOIN n2 na ON na.vec_id = query_id
+        JOIN n2 nb ON nb.vec_id = neighbor_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM tscored
+        ) WHERE rk <= 5
+    ),
+    n_true_t AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM truth GROUP BY query_id
+    ),
+    hs AS (
+        SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits_single
+        FROM truth t
+        WHERE EXISTS (
+            SELECT 1 FROM cand c
+            WHERE c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+              AND c.probe_rank = 1
+        )
+        GROUP BY t.query_id
+    ),
+    hm AS (
+        SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits_multi
+        FROM truth t
+        WHERE EXISTS (
+            SELECT 1 FROM cand c
+            WHERE c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        )
+        GROUP BY t.query_id
+    )
+    SELECT n_true_t.query_id, n_true,
+           CAST(coalesce(n_hits_single, 0) AS BIGINT) AS n_hits_single,
+           CAST(coalesce(n_hits_multi, 0) AS BIGINT) AS n_hits_multi,
+           CAST(coalesce(n_hits_single, 0) * 1000000 // n_true AS BIGINT) AS recall_single_ppm,
+           CAST(coalesce(n_hits_multi, 0) * 1000000 // n_true AS BIGINT) AS recall_multi_ppm
+    FROM n_true_t
+    LEFT JOIN hs ON hs.query_id = n_true_t.query_id
+    LEFT JOIN hm ON hm.query_id = n_true_t.query_id
+    ORDER BY 1
+    """
+
+
 def dedup_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global clustering structure of the near-dup candidate graph:
     edge / wedge / triangle counts and the clustering coefficient in

@@ -479,6 +479,57 @@ def ivf_pq_ingest_stream(
     return sim.pq_encode(assigned, pq_codebook, extra_cols=("cell_id",))
 
 
+def ivf_pq_index_maintain_stream(
+    incoming: DataFrame,
+    n_centroids: int,
+    centroids: DataFrame,
+    pq_codebook: DataFrame,
+    table: str,
+    checkpoint_dir: str,
+    n_buckets: int = 8,
+):
+    """Keep the STORED bucketed IVF-PQ index fresh from the ingest
+    stream (round-8 verdict #3): arriving vectors are assigned +
+    PQ-encoded by :func:`ivf_pq_ingest_stream` against the FROZEN
+    quantizer (the codebooks of the last full refresh — FAISS's
+    ``add()`` discipline: the stream maintains the index between
+    refreshes, it never moves centroids), and each micro-batch is
+    APPENDED to the index table with the table's own bucket spec, so
+    new rows land in the correct cell buckets and the index's
+    co-located candidate joins and shuffle-free cell-grain maintenance
+    aggregates survive every append (asserted in
+    tests/test_streaming.py).
+
+    foreachBatch because bucketed writes are a batch-writer feature —
+    the same shape as scd2_streaming_merge; availableNow + checkpoint
+    give exactly-once appends per micro-batch. The maintained table is
+    row-equal to a full rebuild over old ∪ new under the frozen
+    codebooks (assignment and encoding are per-row maps, so
+    append(build(old), encode(new)) ≡ build(old ∪ new) — the
+    scd2_merge invariant shape, asserted in tests/test_streaming.py).
+    """
+    enc = ivf_pq_ingest_stream(incoming, n_centroids, centroids, pq_codebook)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        (
+            batch.select("vec_id", "cell_id", "codes")
+            .write.mode("append")
+            .format("parquet")
+            .bucketBy(n_buckets, "cell_id")
+            .sortBy("cell_id", "vec_id")
+            .saveAsTable(table)
+        )
+
+    q = (
+        enc.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
 DEBOUNCE_STATE_SCHEMA = StructType([StructField("last_ts", TimestampType())])
 
 DEBOUNCE_OUT_SCHEMA = StructType([

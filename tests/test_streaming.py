@@ -733,3 +733,69 @@ def test_ivf_assign_stream_equals_batch_two_level(spark):
             for r in sim.ivf_assign_stream(e, k, cb).collect()
         }
         assert got == want and len(got) > 0, f"k={k}"
+
+
+def test_ivf_pq_index_maintain_stream_equals_rebuild(spark, tmp_path):
+    """Maintained ≡ rebuilt (round-8 verdict #3): streaming new vectors
+    into the STORED bucketed index through ivf_pq_index_maintain_stream
+    must leave the table row-equal to a full batch rebuild over
+    old ∪ new under the same FROZEN codebooks — and the appends must
+    not break the bucketing contract (cell-grain aggregate still plans
+    ZERO Exchange)."""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators import similarity as sim
+    from northwind_warehouse_spark.sources.bucketing import write_bucketed
+    from northwind_warehouse_spark.streaming.jobs import ivf_pq_index_maintain_stream
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    old, new = e.filter(F.col("vec_id") < 70), e.filter(F.col("vec_id") >= 70)
+    k = 16
+    # the FROZEN quantizer: trained at the last full refresh (old corpus)
+    cb = sim.ivf_train_codebook(old, n_centroids=k)
+    pqcb = sim.pq_codebook(old)
+
+    def build(corpus):
+        return sim.pq_encode(
+            sim.ivf_assign_two_level(corpus, n_centroids=k, centroids=cb),
+            pqcb, extra_cols=("cell_id",),
+        ).select("vec_id", "cell_id", "codes")
+
+    table = "ivfpq_maintained_test"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_bucketed(
+        build(old), table, ["cell_id"], n_buckets=8,
+        sort_cols=["cell_id", "vec_id"], path=str(tmp_path / "idx"),
+    )
+
+    src = str(tmp_path / "vec_stream")
+    new.coalesce(1).write.mode("overwrite").parquet(src)
+    incoming = spark.readStream.schema(e.schema).parquet(src)
+    ivf_pq_index_maintain_stream(
+        incoming, k, cb, pqcb, table, str(tmp_path / "ckpt_maint"), n_buckets=8
+    )
+
+    maintained = {
+        (r.vec_id, r.cell_id, tuple(r.codes))
+        for r in spark.table(table).collect()
+    }
+    rebuilt = {
+        (r.vec_id, r.cell_id, tuple(r.codes)) for r in build(e).collect()
+    }
+    assert maintained == rebuilt and len(maintained) > len(
+        {(r.vec_id,) for r in old.select("vec_id").collect()}
+    ) // 2
+
+    # the appended files keep the bucket contract: cell-grain
+    # maintenance over the maintained table still plans zero Exchange
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        agg = spark.table(table).groupBy("cell_id").agg(F.count(F.lit(1)).alias("n"))
+        agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:500]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -256,6 +256,30 @@ class _FnLinter(ast.NodeVisitor):
                 for stmt in n.body + n.orelse:
                     if isinstance(stmt, ast.Assign) and _is_bcast_call(stmt.value):
                         gated.add(id(stmt.value))
+        # FLAT ivf_assign is n·k dot products — fine while k is a module
+        # CONSTANT, quadratic the moment the same function derives its
+        # centroid count from the corpus row count (the occupancy
+        # policy, k ∝ n/128). ivf_assign_two_level exists for exactly
+        # that regime (n·2√k), so a flat assign inside a
+        # table_rows-calling function is a red regardless of broadcast
+        # hints (round-8 verdict #5: nothing guarded the combination).
+        if calls_table_rows:
+            for node in ast.walk(fn):
+                if (
+                    isinstance(node, ast.Call)
+                    and (
+                        (isinstance(node.func, ast.Name) and node.func.id == "ivf_assign")
+                        or (
+                            isinstance(node.func, ast.Attribute)
+                            and node.func.attr == "ivf_assign"
+                        )
+                    )
+                ):
+                    self.violations.append(
+                        (fn.name, node.lineno,
+                         "flat ivf_assign under a table_rows-derived centroid "
+                         "count — use ivf_assign_two_level")
+                    )
         env: dict[str, bool] = {}
         for node in ast.walk(fn):
             if isinstance(node, ast.Assign) and len(node.targets) == 1 and isinstance(
@@ -274,7 +298,7 @@ class _FnLinter(ast.NodeVisitor):
                 and _classify(node.args[0], env, keys)
             ):
                 src = ast.unparse(node.args[0])[:60]
-                self.violations.append((fn.name, node.lineno, src))
+                self.violations.append((fn.name, node.lineno, f"F.broadcast({src})"))
         # don't recurse into nested defs twice
         self.generic_visit(fn)
 
@@ -285,9 +309,9 @@ def find_violations(paths: list[Path] | None = None) -> list[str]:
         tree = ast.parse(path.read_text())
         linter = _FnLinter(path)
         linter.visit(tree)
-        for fn, line, src in linter.violations:
+        for fn, line, msg in linter.violations:
             rel = path.relative_to(REPO) if path.is_relative_to(REPO) else path
-            out.append(f"{rel}:{line} in {fn}(): F.broadcast({src})")
+            out.append(f"{rel}:{line} in {fn}(): {msg}")
     return out
 
 

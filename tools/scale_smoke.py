@@ -158,6 +158,9 @@ def main() -> None:
         # dir) — the per-factor dirs differ, so each factor measures
         # one build + one stored-index serve)
         "ann_ivfpq_from_index": llm.ann_ivfpq_from_index,
+        # round-9: multi-probe serving + recall gate on the stored path
+        "ann_ivfpq_multiprobe_from_index": llm.ann_ivfpq_multiprobe_from_index,
+        "ann_ivfpq_from_index_recall": llm.ann_ivfpq_from_index_recall,
         # third/fourth-wave additions
         "scd3_users": medallion.scd3_users,
         "asof_events_forward": medallion.asof_events_forward,
