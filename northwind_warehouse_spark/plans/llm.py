@@ -4479,6 +4479,32 @@ def _ivfpq_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivfpq_compact_index(spark: SparkSession, sf_dir: str) -> dict:
+    """Maintenance entry point: compact the corpus's stored IVF-PQ
+    index back to one right-sized file per cell bucket after streaming
+    appends (sources/index_store.py::compact_bucketed_table — the
+    OPTIMIZE step of the maintain-stream story; bucket contract and
+    serving results preserved, asserted in tests/test_index_store.py).
+    Returns before/after file counts."""
+    import hashlib as _hl
+
+    from northwind_warehouse_spark.sources import index_store
+
+    path, mtime_ns, size = _corpus_identity(sf_dir)
+    tag = _hl.md5(f"{path}|{mtime_ns}|{size}".encode()).hexdigest()[:12]
+    _ivfpq_index(spark, sf_dir)  # ensure built/adopted in this session
+    return index_store.compact_bucketed_table(
+        spark,
+        f"nws_ivfpq_index_{tag}",
+        _IVFPQ_ROOT,
+        tag,
+        schema_ddl="vec_id BIGINT, cell_id BIGINT, codes ARRAY<INT>",
+        bucket_cols=["cell_id"],
+        sort_cols=["cell_id", "vec_id"],
+        n_buckets=_IVFPQ_N_BUCKETS,
+    )
+
+
 def _ivfpq_query_luts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query serving rows against the STORED artifacts: coarse-cell
     of each of the 10 query vectors (flat argmax against the adopted

@@ -174,3 +174,74 @@ def ensure_bucketed_table(
     if manifest_key is not None:
         vacuum_superseded(root, manifest_key, tag, spark=spark, table_prefix=table_prefix)
     return spark.table(table)
+
+
+def _count_parquet_files(path: str) -> int:
+    n = 0
+    for _root, _dirs, files in os.walk(path):
+        n += sum(1 for f in files if f.endswith(".parquet"))
+    return n
+
+
+def compact_bucketed_table(
+    spark: SparkSession,
+    table: str,
+    root: str,
+    tag: str,
+    schema_ddl: str,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str],
+    n_buckets: int,
+) -> dict:
+    """Per-bucket small-files compaction for a stored bucketed index —
+    the OPTIMIZE step of the maintenance story: every streaming append
+    (ivf_pq_index_maintain_stream) adds one file per (micro-batch,
+    bucket), and at 100 TB the footer/open overhead of thousands of
+    KB-scale bucket files dominates the serving scan.
+
+    The rewrite is BUCKET-LOCAL — zero Exchange: the bucketed scan is
+    FORCED (autoBucketedScan normally disables it for plain scans
+    because no join/agg consumes the distribution — exactly backwards
+    here, where the distribution IS the point: with it disabled the
+    read degrades to one task per small file and the writer faithfully
+    reproduces the fragmentation), so each task receives exactly one
+    bucket's file group and the writer emits ONE file per non-empty
+    bucket, sorted by ``sort_cols``. The swap is the
+    ``lake.compact_table`` discipline (write beside, swap directories,
+    re-register the DDL), and the bucket CONTRACT is preserved:
+    cell-grain aggregates still plan zero Exchange after compaction
+    (tests/test_index_store.py asserts files shrink to ≤ n_buckets,
+    rows survive, serving results are unchanged). Returns before/after
+    file counts."""
+    final = os.path.join(root, tag)
+    before = _count_parquet_files(final)
+    tmp = f"{final}.compact-{os.getpid()}"
+    build_tbl = f"{table}__compact_{os.getpid()}"
+    spark.sql(f"DROP TABLE IF EXISTS {build_tbl}")
+    prev_auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try:
+        (
+            spark.table(table)
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, *bucket_cols)
+            .sortBy(*sort_cols)
+            .option("path", tmp)
+            .format("parquet")
+            .saveAsTable(build_tbl)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_auto)
+    spark.sql(f"DROP TABLE {build_tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    old = f"{final}.old-{os.getpid()}"
+    os.rename(final, old)
+    os.rename(tmp, final)
+    shutil.rmtree(old, ignore_errors=True)
+    spark.sql(
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) "
+        f"SORTED BY ({', '.join(sort_cols)}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{final}'"
+    )
+    return {"files_before": before, "files_after": _count_parquet_files(final)}
