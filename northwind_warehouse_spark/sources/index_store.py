@@ -124,6 +124,39 @@ def vacuum_superseded(
     return old
 
 
+def gc_unreferenced(root: str, older_than_s: float = 3600.0) -> list[str]:
+    """Remove artifact directories no manifest entry references — the
+    backstop for the two ways an unreferenced dir can exist: a vacuum
+    interrupted between its manifest write and its rmtree (the
+    documented crash window), and tags from retired keying schemes.
+
+    Only DIRECTORIES OLDER than ``older_than_s`` are collected: a
+    concurrent publisher sits briefly in the published-but-not-yet-
+    manifested window, and its ``.build-<pid>`` temp dirs are still
+    being written — age is the guard against collecting either
+    mid-flight. Returns the removed tag names. Deliberate manual/cron
+    maintenance, never called implicitly (same stance as
+    sources/versioned.py::vacuum)."""
+    import time
+
+    removed: list[str] = []
+    if not os.path.isdir(root):
+        return removed
+    referenced = set(read_manifest(root).values())
+    now = time.time()
+    for name in os.listdir(root):
+        p = os.path.join(root, name)
+        if (
+            not os.path.isdir(p)
+            or name in referenced
+            or now - os.stat(p).st_mtime < older_than_s
+        ):
+            continue
+        shutil.rmtree(p, ignore_errors=True)
+        removed.append(name)
+    return removed
+
+
 def ensure_bucketed_table(
     spark: SparkSession,
     table: str,

@@ -330,3 +330,29 @@ def test_full_lifecycle_outlives_session_absorbs_stream_serves_multiprobe(tmp_pa
         f"maintained+compacted index: {b['calls']}"
     )
     assert b["rows"] == a["rows"], "adopted serving diverged from the maintaining session"
+
+
+def test_gc_unreferenced_respects_manifest_and_age(tmp_path):
+    """gc_unreferenced removes only artifact dirs that are BOTH
+    unreferenced by the manifest AND older than the age guard — a
+    mid-flight publisher (fresh dir, or a .build temp) is never
+    collected."""
+    import time
+
+    from northwind_warehouse_spark.sources import index_store
+
+    root = str(tmp_path / "store")
+    for tag in ("current", "orphan_old", "orphan_fresh"):
+        os.makedirs(os.path.join(root, tag))
+        Path(root, tag, "_SUCCESS").touch()
+    os.makedirs(os.path.join(root, "t.build-123"))
+    index_store.vacuum_superseded(root, "corpus", "current")
+    old = time.time() - 7200
+    os.utime(os.path.join(root, "orphan_old"), (old, old))
+    os.utime(os.path.join(root, "t.build-123"), (old, old))
+
+    removed = index_store.gc_unreferenced(root)
+    assert sorted(removed) == ["orphan_old", "t.build-123"]
+    left = sorted(os.listdir(root))
+    assert "current" in left and "orphan_fresh" in left
+    assert "orphan_old" not in left and "t.build-123" not in left
