@@ -10,8 +10,10 @@ checksum over every output column — unlike count(), Catalyst cannot
 prune the final projections, so all result expressions really run.
 
 The set is the round-1 LEGACY_12 (kept verbatim so r1..r6 history
-stays comparable — their sum is reported as "legacy12_total") plus the
-round-6 heavy hitters (EXTENDED); "value" covers both.
+stays comparable — their sum is reported as "legacy12_total") plus
+EXTENDED: the round-6 heavy hitters, the round-8 stored-index serving
+query, and the round-9 inline-build twin + multi-probe serving (the
+recorded amortization pair); "value" covers all of them.
 
 Methodology: one un-timed warmup execution per query (JIT/codegen
 compile, parquet footer cache, broadcast build), then THREE timed

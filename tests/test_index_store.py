@@ -356,3 +356,52 @@ def test_gc_unreferenced_respects_manifest_and_age(tmp_path):
     left = sorted(os.listdir(root))
     assert "current" in left and "orphan_fresh" in left
     assert "orphan_old" not in left and "t.build-123" not in left
+
+
+def test_manifest_invariants_under_random_publish_vacuum_sequences(tmp_path):
+    """Property: under ANY interleaving of publish+vacuum across keys,
+    (a) the manifest always points each key at its latest tag, (b)
+    every referenced tag's artifact exists and is published, (c) no
+    referenced artifact is ever removed — by vacuum OR by the
+    age-guarded gc — and (d) gc leaves exactly the referenced set
+    among old directories."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from northwind_warehouse_spark.sources import index_store
+
+    ops = st.lists(
+        st.tuples(st.sampled_from(["k1", "k2", "k3"]), st.integers(0, 9)),
+        min_size=1, max_size=25,
+    )
+
+    counter = [0]
+
+    @settings(max_examples=40, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(ops)
+    def run(seq):
+        counter[0] += 1
+        root = str(tmp_path / f"store{counter[0]}")
+        latest: dict[str, str] = {}
+        for key, n in seq:
+            tag = f"{key}-t{n}"
+            # publish (the mkdir+_SUCCESS state publish_parquet promotes to)
+            os.makedirs(os.path.join(root, tag), exist_ok=True)
+            Path(root, tag, "_SUCCESS").touch()
+            index_store.vacuum_superseded(root, key, tag)
+            latest[key] = tag
+            manifest = index_store.read_manifest(root)
+            assert manifest == latest
+            for t in manifest.values():
+                assert index_store.is_published(root, t), (t, sorted(os.listdir(root)))
+        # age everything, then gc: referenced tags must survive,
+        # everything else must go
+        for name in os.listdir(root):
+            p = os.path.join(root, name)
+            if os.path.isdir(p):
+                os.utime(p, (1, 1))
+        index_store.gc_unreferenced(root, older_than_s=3600)
+        dirs = {n for n in os.listdir(root) if os.path.isdir(os.path.join(root, n))}
+        assert dirs == set(latest.values())
+
+    run()
