@@ -869,6 +869,118 @@ def ivf_probe_cells(
     )
 
 
+def ivf_probe_cells_two_level(
+    embeddings: DataFrame,
+    n_centroids: int,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    n_super: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe shortlist under the TWO-LEVEL route: each vector's
+    ``n_probe`` nearest (max-cosine) cells AMONG ITS ROUTED SUPER'S
+    CHILDREN, exploded to one row per probe with ``probe_rank``
+    1..n_probe.
+
+    This is the multi-probe companion of :func:`ivf_assign_two_level`
+    for indexes BUILT with the two-level route: ``probe_rank = 1``
+    reproduces the two-level assignment cell exactly (same route, same
+    argmax, same tie rule — cos DESC then lowest cent_id at both
+    levels), so a corpus vector used as a query always probes the cell
+    the stored index filed it under — the invariant the flat
+    :func:`ivf_probe_cells` cannot give a two-level-built index (its
+    global argmax can disagree with the routed assignment near super
+    boundaries, which is exactly the maintained-index divergence the
+    round-9 advice flagged). Probes 2..P are the sibling cells a
+    boundary vector most plausibly leaked neighbors into. The probe
+    set is capped by the routed super's child count (~k/√k = √k cells
+    — at the occupancy policy's corpus scale √k is hundreds, so P ≪
+    cap; at toy SFs a sparse super may yield fewer than P probes,
+    which the recall gate's multi ≥ single comparison tolerates by
+    construction).
+
+    Physical shape: the same two broadcast joins as
+    :func:`ivf_assign_stream` (supers row + per-super PACKED child
+    arrays — per-super packing bounds any single array at ~√k structs),
+    with the in-row argmax generalized to an in-row sorted top-P slice.
+    Map-only over the probe rows, stream-safe, zero shuffle — the probe
+    batch is usually queries, not the corpus. The packed static side
+    grows with the PARAMETER k, so its broadcast hint is gated on
+    parameter-derived bytes exactly like the assignment operators."""
+    if n_super is None:
+        n_super = ceil_isqrt(n_centroids)
+    cents_rows = centroids.select("cent_id", "cqvec", "cn2")
+    supers_row = (
+        cents_rows.filter(F.col("cent_id") < n_super)
+        .select(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cent_id").alias("sid"),
+                        F.col("cqvec").alias("sqvec"),
+                        F.col("cn2").alias("sn2"),
+                    )
+                )
+            ).alias("supers")
+        )
+    )
+    packed = (
+        cents_rows.crossJoin(F.broadcast(supers_row))
+        .withColumn(
+            "super_id",
+            F.when(F.col("cent_id") < n_super, F.col("cent_id")).otherwise(
+                (-F.expr(_SUPER_ARGMAX.format(v="cqvec", n2="cn2"))["neg"]).cast("bigint")
+            ),
+        )
+        .groupBy("super_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("cent_id", "cqvec", "cn2"))
+            ).alias("children")
+        )
+    )
+    base = _quantized_base(embeddings, id_col, vec_col)
+    with_sid = base.crossJoin(F.broadcast(supers_row)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "_vq",
+        "n2",
+        (-F.expr(_SUPER_ARGMAX.format(v="_vq", n2="n2"))["neg"])
+        .cast("bigint")
+        .alias("_sid"),
+    )
+    from northwind_warehouse_spark.operators.joins import MAX_BROADCAST_BYTES
+
+    if n_centroids * _CENTROID_EST_BYTES <= MAX_BROADCAST_BYTES:
+        packed = F.broadcast(packed)
+    joined = with_sid.join(packed, with_sid["_sid"] == packed["super_id"])
+    dot = IDOT.format(a="_vq", b="c.cqvec")
+    ranked = joined.withColumn(
+        "top_cells",
+        F.expr(
+            f"""slice(array_sort(transform(children, c -> struct(
+                CAST({dot} AS DOUBLE)
+                  / sqrt(CAST(n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos,
+                c.cent_id AS cent_id)),
+                (l, r) -> CASE WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1
+                               WHEN l.cent_id < r.cent_id THEN -1
+                               WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END),
+                1, {n_probe})"""
+        ),
+    )
+    return ranked.select(
+        F.col(id_col), F.col(vec_col), F.col("n2"),
+        F.posexplode("top_cells").alias("_pr0", "_pc"),
+    ).select(
+        F.col(id_col),
+        F.col(vec_col),
+        "n2",
+        (F.col("_pr0") + 1).cast("bigint").alias("probe_rank"),
+        F.col("_pc.cent_id").alias("cell_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the compressed-index ANN path
 # ---------------------------------------------------------------------------

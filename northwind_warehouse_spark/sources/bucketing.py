@@ -24,12 +24,21 @@ def write_bucketed(
     sort_cols: Sequence[str] | None = None,
     mode: str = "overwrite",
     path: str | None = None,
+    partition_cols: Sequence[str] | None = None,
 ) -> None:
     """``path`` makes the table EXTERNAL (data at an explicit location,
     e.g. a lake prefix outside the session warehouse dir) while keeping
     the bucketing metadata in the catalog — reads still consume the
-    buckets shuffle-free."""
-    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    buckets shuffle-free. ``partition_cols`` adds hive-style partition
+    directories ABOVE the bucket files (each partition carries its own
+    bucket file set; the bucket distribution stays table-wide, so
+    bucket-keyed joins/aggregates remain shuffle-free across
+    partitions while filters on the partition column prune at the
+    directory level)."""
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer = writer.bucketBy(n_buckets, *bucket_cols)
     writer = writer.sortBy(*(sort_cols or bucket_cols))
     if path is not None:
         writer = writer.option("path", path)

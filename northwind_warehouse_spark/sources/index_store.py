@@ -9,26 +9,47 @@ lifecycle discipline the lake sources already have:
 
 - **Content-identity tags.** Artifacts live at ``<root>/<tag>`` where
   the tag hashes the corpus file identity (path, mtime, size — the
-  ``catalog.table_rows`` convention). Deterministic builders mean a
-  stored artifact is value-identical to a rebuild, so adoption is
-  observationally equal to retraining.
+  ``catalog.table_rows`` convention) plus the index FORMAT parameters.
+  Deterministic builders mean a stored artifact is value-identical to a
+  rebuild, so adoption is observationally equal to retraining.
+- **Revision tags.** A maintenance REWRITE of the same logical content
+  (per-bucket compaction) publishes under ``<identity>_r<N>`` and
+  retargets the manifest — never an in-place swap of a directory a
+  concurrent reader may have open (round-9 advice: the two-rename swap
+  had a crash window that left the manifest pointing at a vanished
+  directory). ``resolve_tag`` lets a fresh session find the current
+  revision of an identity tag through the manifest.
 - **Atomic publish.** Builders write to a pid-suffixed temp directory
   and ``os.rename`` into place; a concurrent publisher of the same tag
   loses the race harmlessly (identical content) and discards its copy.
-  Readers only ever see a complete artifact (``_SUCCESS`` present).
+  Readers only ever see a complete artifact (``_SUCCESS`` present); a
+  final directory WITHOUT ``_SUCCESS`` is crash residue and is replaced
+  by the fresh complete build rather than served (round-9 advice).
 - **Adopt, never rebuild.** ``ensure_bucketed_table`` registers a
   published bucketed artifact in a fresh session's catalog with a
   ``CREATE TABLE ... CLUSTERED BY ... LOCATION`` DDL — zero data jobs;
   the bucket ids come from the file names the original
   ``write_bucketed`` produced, so co-located reads stay shuffle-free
   across sessions (asserted in tests/test_index_store.py).
-- **Manifest-first vacuum.** ``<root>/MANIFEST.json`` maps each logical
-  key (corpus path [+ parameters]) to its CURRENT tag. Publishing a new
-  tag updates the manifest BEFORE removing the superseded tag's
-  directory and catalog entry — the ``sources/versioned.py::vacuum``
-  discipline: a crash between the two steps leaves an unreferenced
-  directory (harmless, re-vacuumable), never a manifest pointing at
-  removed files.
+- **Manifest-first vacuum, under a lock.** ``<root>/MANIFEST.json``
+  maps each logical key (corpus path [+ parameters]) to its CURRENT
+  tag and GENERATION. Publishing a new tag updates the manifest BEFORE
+  removing the superseded tag's directory and catalog entry — the
+  ``sources/versioned.py::vacuum`` discipline: a crash between the two
+  steps leaves an unreferenced directory (harmless, re-vacuumable),
+  never a manifest pointing at removed files. Every manifest
+  read-modify-write holds an ``fcntl.flock`` on ``MANIFEST.lock`` so
+  two processes updating different keys under a shared root cannot
+  interleave and lose an entry (round-9 advice).
+- **Generations.** Streaming maintenance appends rows to a published
+  index under the frozen quantizer; each maintenance run records a
+  GENERATION bump on the manifest entry, and appended rows land in a
+  ``gen=<N>`` partition. The tag therefore still names exactly what a
+  rebuild of the corpus file produces (generation 0); readers that
+  want the maintained state opt into the higher generations, readers
+  that need build-identity (the registered demo queries and their
+  DuckDB oracles) prune to ``gen=0`` — content identity stays honest
+  after maintenance (round-9 verdict #3).
 
 Reference parity: the reference warehouse materializes models as
 persistent tables that survive runs and rebuilds incrementally
@@ -43,6 +64,7 @@ import json
 import os
 import shutil
 from collections.abc import Callable, Sequence
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -58,15 +80,25 @@ def is_published(root: str, tag: str) -> bool:
 def _promote(tmp: str, final: str) -> None:
     """Atomically move a complete temp build into place; if another
     publisher won the race (deterministic build ⇒ identical content),
-    discard ours."""
-    if is_published(os.path.dirname(final), os.path.basename(final)):
-        shutil.rmtree(tmp, ignore_errors=True)
-        return
-    try:
-        os.rename(tmp, final)
-    except OSError:
-        # final appeared between the check and the rename — lost race
-        shutil.rmtree(tmp, ignore_errors=True)
+    discard ours. A pre-existing final directory WITHOUT ``_SUCCESS``
+    is crash residue (a partially-removed vacuum leftover, an
+    interrupted copy): serving it would silently return partial data,
+    so it is removed and the rename retried (round-9 advice)."""
+    root, tag = os.path.dirname(final), os.path.basename(final)
+    for _ in range(2):
+        if is_published(root, tag):
+            shutil.rmtree(tmp, ignore_errors=True)
+            return
+        try:
+            os.rename(tmp, final)
+            return
+        except OSError:
+            # final appeared between the check and the rename: either a
+            # racing publisher's COMPLETE artifact (loop re-checks and
+            # discards ours) or _SUCCESS-less residue (remove and retry)
+            if os.path.isdir(final) and not is_published(root, tag):
+                shutil.rmtree(final, ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def publish_parquet(df: DataFrame, root: str, tag: str) -> str:
@@ -86,12 +118,105 @@ def _manifest_path(root: str) -> str:
     return os.path.join(root, "MANIFEST.json")
 
 
-def read_manifest(root: str) -> dict[str, str]:
+def _normalize(entry) -> dict:
+    """Manifest entries are ``{"tag": str, "gen": int}``; pre-round-10
+    manifests stored a bare tag string — normalize on read."""
+    if isinstance(entry, str):
+        return {"tag": entry, "gen": 0}
+    return {"tag": entry["tag"], "gen": int(entry.get("gen", 0))}
+
+
+def read_manifest_entries(root: str) -> dict[str, dict]:
     try:
         with open(_manifest_path(root)) as f:
-            return json.load(f)
+            raw = json.load(f)
     except (FileNotFoundError, json.JSONDecodeError):
         return {}
+    return {k: _normalize(v) for k, v in raw.items()}
+
+
+def read_manifest(root: str) -> dict[str, str]:
+    """key → current tag (the pre-generation view every existing caller
+    uses; generation lives in :func:`read_manifest_entries`)."""
+    return {k: v["tag"] for k, v in read_manifest_entries(root).items()}
+
+
+def manifest_generation(root: str, key: str) -> int:
+    return read_manifest_entries(root).get(key, {"gen": 0})["gen"]
+
+
+@contextmanager
+def _manifest_lock(root: str):
+    """Serialize manifest read-modify-writes across PROCESSES sharing a
+    root: two sessions vacuuming different keys must not interleave and
+    lose an entry (after which gc would collect the lost key's live
+    artifact). fcntl.flock on a sidecar lock file — advisory, but every
+    writer in this module takes it."""
+    import fcntl
+
+    os.makedirs(root, exist_ok=True)
+    lock_path = os.path.join(root, "MANIFEST.lock")
+    fd = os.open(lock_path, os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX)
+        yield
+    finally:
+        fcntl.flock(fd, fcntl.LOCK_UN)
+        os.close(fd)
+
+
+def _update_manifest(root: str, fn: Callable[[dict[str, dict]], None]) -> dict[str, dict]:
+    """Locked read-modify-replace of the manifest; ``fn`` mutates the
+    entries dict in place. Returns the written entries."""
+    with _manifest_lock(root):
+        entries = read_manifest_entries(root)
+        fn(entries)
+        tmp = _manifest_path(root) + f".tmp-{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(entries, f, indent=1, sort_keys=True)
+        os.replace(tmp, _manifest_path(root))
+    return entries
+
+
+def bump_generation(root: str, key: str) -> int:
+    """Record a maintenance run (streaming appends) on ``key``'s current
+    entry: the artifact's content now exceeds what a rebuild of the
+    corpus file produces, and the manifest says so. Returns the new
+    generation (the ``gen=<N>`` partition the run's appends land in)."""
+    state: dict[str, int] = {}
+
+    def _bump(entries: dict[str, dict]) -> None:
+        cur = entries.get(key)
+        if cur is None:
+            raise KeyError(f"bump_generation: no manifest entry for {key!r}")
+        cur["gen"] += 1
+        state["gen"] = cur["gen"]
+
+    _update_manifest(root, _bump)
+    return state["gen"]
+
+
+def base_tag(tag: str) -> str:
+    """Identity prefix of a tag: revisions are ``<identity>_r<N>``."""
+    return tag.split("_r", 1)[0]
+
+
+def revision_of(tag: str) -> int:
+    parts = tag.split("_r", 1)
+    return int(parts[1]) if len(parts) == 2 else 0
+
+
+def resolve_tag(root: str, key: str, identity_tag: str) -> str:
+    """The tag a session should SERVE for an identity: the manifest's
+    current tag when it is a revision of the same identity (a compacted
+    rewrite of identical logical content), else the identity tag itself
+    (no entry yet, or the entry names a different corpus version). A
+    manifest tag whose artifact is missing/incomplete (crash residue)
+    falls back to the identity tag — the caller rebuilds."""
+    cur = read_manifest(root).get(key)
+    if cur is not None and base_tag(cur) == identity_tag and is_published(root, cur):
+        return cur
+    return identity_tag
 
 
 def vacuum_superseded(
@@ -100,24 +225,29 @@ def vacuum_superseded(
     new_tag: str,
     spark: SparkSession | None = None,
     table_prefix: str | None = None,
+    gen: int | None = None,
 ) -> str | None:
     """Point the manifest's ``key`` at ``new_tag`` and remove the
     superseded tag's artifact: manifest FIRST (crash-safe — see module
     docstring), then the old catalog table (this session's catalog; an
     in-memory catalog is per-session anyway) and the old directory.
+    ``gen`` carries the entry's generation forward (None resets to 0 —
+    a fresh build of a new corpus version has no maintained appends).
     Returns the vacuumed tag, or None if nothing was superseded."""
-    os.makedirs(root, exist_ok=True)
-    manifest = read_manifest(root)
-    old = manifest.get(key)
-    if old == new_tag:
+    state: dict[str, str | None] = {"old": None}
+
+    def _retarget(entries: dict[str, dict]) -> None:
+        cur = entries.get(key)
+        if cur is not None and cur["tag"] == new_tag:
+            state["noop"] = True
+            return
+        state["old"] = cur["tag"] if cur is not None else None
+        entries[key] = {"tag": new_tag, "gen": 0 if gen is None else gen}
+
+    _update_manifest(root, _retarget)
+    if state.get("noop") or state["old"] is None:
         return None
-    manifest[key] = new_tag
-    tmp = _manifest_path(root) + f".tmp-{os.getpid()}"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
-    os.replace(tmp, _manifest_path(root))
-    if old is None:
-        return None
+    old = state["old"]
     if spark is not None and table_prefix is not None:
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}{old}")
     shutil.rmtree(os.path.join(root, old), ignore_errors=True)
@@ -157,34 +287,82 @@ def gc_unreferenced(root: str, older_than_s: float = 3600.0) -> list[str]:
     return removed
 
 
-def ensure_bucketed_table(
+def _bucketed_ddl(
+    table: str,
+    schema_ddl: str,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str],
+    n_buckets: int,
+    location: str,
+    partition_col: str | None,
+) -> str:
+    part = f"PARTITIONED BY ({partition_col}) " if partition_col else ""
+    return (
+        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
+        f"{part}"
+        f"CLUSTERED BY ({', '.join(bucket_cols)}) "
+        f"SORTED BY ({', '.join(sort_cols)}) INTO {n_buckets} BUCKETS "
+        f"LOCATION '{location}'"
+    )
+
+
+def _adopt(
     spark: SparkSession,
     table: str,
     root: str,
     tag: str,
+    schema_ddl: str,
+    bucket_cols: Sequence[str],
+    sort_cols: Sequence[str],
+    n_buckets: int,
+    partition_col: str | None,
+) -> None:
+    spark.sql(
+        _bucketed_ddl(
+            table, schema_ddl, bucket_cols, sort_cols, n_buckets,
+            os.path.join(root, tag), partition_col,
+        )
+    )
+    if partition_col:
+        # register existing partition directories — metadata-only
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
+def ensure_bucketed_table(
+    spark: SparkSession,
+    table_prefix: str,
+    root: str,
+    identity_tag: str,
     build_df: Callable[[], DataFrame],
     schema_ddl: str,
     bucket_cols: Sequence[str],
     sort_cols: Sequence[str],
     n_buckets: int,
-    manifest_key: str | None = None,
-    table_prefix: str | None = None,
-) -> DataFrame:
-    """Serve the bucketed artifact ``<root>/<tag>`` as catalog table
-    ``table``, building it only if no session has published it yet.
+    manifest_key: str,
+    partition_col: str | None = None,
+) -> tuple[DataFrame, str]:
+    """Serve the current revision of ``identity_tag`` as catalog table
+    ``<table_prefix><tag>``, building it only if no session has
+    published it yet. Returns ``(df, tag)`` — the served relation and
+    the RESOLVED tag (a compacted revision when one is manifested).
 
-    Three tiers, cheapest first: (1) the table is already in THIS
-    session's catalog → return it (zero work); (2) the artifact is
-    published on disk → ADOPT it with a CREATE TABLE ... CLUSTERED BY
-    ... LOCATION DDL (zero data jobs — the cross-session path); (3)
+    Three tiers, cheapest first: (1) the resolved tag's table is
+    already in THIS session's catalog → return it (zero work); (2) the
+    artifact is published on disk → ADOPT it with a CREATE TABLE ...
+    CLUSTERED BY ... LOCATION DDL (zero data jobs — the cross-session
+    path; partitioned artifacts add one MSCK REPAIR metadata job); (3)
     nothing exists → run ``build_df()`` once, write it bucketed via a
     throwaway external table bound to a temp location, drop the binding
     (external ⇒ files survive), promote atomically, then adopt.
 
-    ``manifest_key`` enables supersede-vacuum: after serving the new
+    ``manifest_key`` drives both revision RESOLUTION (serve the
+    manifest's compacted ``_r<N>`` tag when one supersedes the identity
+    tag) and supersede-VACUUM: after serving a freshly built identity
     tag, any older tag recorded for the key is dropped from the catalog
-    (``table_prefix + old_tag``) and removed from disk, manifest-first.
+    and removed from disk, manifest-first, under the manifest lock.
     """
+    tag = resolve_tag(root, manifest_key, identity_tag)
+    table = f"{table_prefix}{tag}"
     if not spark.catalog.tableExists(table):
         if not is_published(root, tag):
             os.makedirs(root, exist_ok=True)
@@ -195,18 +373,22 @@ def ensure_bucketed_table(
             write_bucketed(
                 build_df(), build_tbl, list(bucket_cols),
                 n_buckets=n_buckets, sort_cols=list(sort_cols), path=tmp,
+                partition_cols=[partition_col] if partition_col else None,
             )
             spark.sql(f"DROP TABLE {build_tbl}")
             _promote(tmp, final)
-        spark.sql(
-            f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
-            f"CLUSTERED BY ({', '.join(bucket_cols)}) "
-            f"SORTED BY ({', '.join(sort_cols)}) INTO {n_buckets} BUCKETS "
-            f"LOCATION '{os.path.join(root, tag)}'"
+        _adopt(
+            spark, table, root, tag, schema_ddl,
+            bucket_cols, sort_cols, n_buckets, partition_col,
         )
-    if manifest_key is not None:
+    if tag == identity_tag and read_manifest(root).get(manifest_key) != tag:
+        # fresh build (or first adoption) of the identity itself: record
+        # it and retire any different-identity predecessor, resetting
+        # the generation — a new corpus version starts un-maintained.
+        # Skipped when the manifest already points here: steady-state
+        # serving takes no manifest lock.
         vacuum_superseded(root, manifest_key, tag, spark=spark, table_prefix=table_prefix)
-    return spark.table(table)
+    return spark.table(table), tag
 
 
 def _count_parquet_files(path: str) -> int:
@@ -218,13 +400,14 @@ def _count_parquet_files(path: str) -> int:
 
 def compact_bucketed_table(
     spark: SparkSession,
-    table: str,
+    table_prefix: str,
     root: str,
-    tag: str,
+    manifest_key: str,
     schema_ddl: str,
     bucket_cols: Sequence[str],
     sort_cols: Sequence[str],
     n_buckets: int,
+    partition_col: str | None = None,
 ) -> dict:
     """Per-bucket small-files compaction for a stored bucketed index —
     the OPTIMIZE step of the maintenance story: every streaming append
@@ -239,42 +422,63 @@ def compact_bucketed_table(
     read degrades to one task per small file and the writer faithfully
     reproduces the fragmentation), so each task receives exactly one
     bucket's file group and the writer emits ONE file per non-empty
-    bucket, sorted by ``sort_cols``. The swap is the
-    ``lake.compact_table`` discipline (write beside, swap directories,
-    re-register the DDL), and the bucket CONTRACT is preserved:
-    cell-grain aggregates still plan zero Exchange after compaction
-    (tests/test_index_store.py asserts files shrink to ≤ n_buckets,
-    rows survive, serving results are unchanged). Returns before/after
-    file counts."""
-    final = os.path.join(root, tag)
-    before = _count_parquet_files(final)
-    tmp = f"{final}.compact-{os.getpid()}"
-    build_tbl = f"{table}__compact_{os.getpid()}"
+    (partition, bucket), sorted by ``sort_cols``.
+
+    Crash-safe swap (round-9 advice — the old in-place double-rename
+    left a window where the manifest referenced a tag with no
+    directory): the rewrite is PUBLISHED as a NEW revision tag
+    ``<identity>_r<N+1>`` (atomic tmp+rename, _SUCCESS-gated) and the
+    manifest is retargeted through the standard
+    :func:`vacuum_superseded` path — manifest first, old directory
+    last, generation carried forward. A crash anywhere leaves either
+    the old revision fully served (new dir is an unreferenced,
+    gc-collectable orphan) or the new revision fully served (old dir
+    is the orphan); concurrent adopted readers of the old table keep a
+    complete directory until the final rmtree, never a half-swapped
+    one. The bucket CONTRACT is preserved: cell-grain aggregates still
+    plan zero Exchange after compaction (tests/test_index_store.py).
+    Returns before/after file counts and the old/new tags."""
+    entries = read_manifest_entries(root)
+    if manifest_key not in entries:
+        raise KeyError(f"compact_bucketed_table: no manifest entry for {manifest_key!r}")
+    cur = entries[manifest_key]
+    old_tag, gen = cur["tag"], cur["gen"]
+    old_table = f"{table_prefix}{old_tag}"
+    if not spark.catalog.tableExists(old_table):
+        _adopt(
+            spark, old_table, root, old_tag, schema_ddl,
+            bucket_cols, sort_cols, n_buckets, partition_col,
+        )
+    new_tag = f"{base_tag(old_tag)}_r{revision_of(old_tag) + 1}"
+    final = os.path.join(root, new_tag)
+    before = _count_parquet_files(os.path.join(root, old_tag))
+    tmp = f"{final}.build-{os.getpid()}"
+    build_tbl = f"{table_prefix}compact_{os.getpid()}"
     spark.sql(f"DROP TABLE IF EXISTS {build_tbl}")
     prev_auto = spark.conf.get("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
     spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     try:
-        (
-            spark.table(table)
-            .write.mode("overwrite")
-            .bucketBy(n_buckets, *bucket_cols)
-            .sortBy(*sort_cols)
-            .option("path", tmp)
-            .format("parquet")
-            .saveAsTable(build_tbl)
+        write_bucketed(
+            spark.table(old_table), build_tbl, list(bucket_cols),
+            n_buckets=n_buckets, sort_cols=list(sort_cols), path=tmp,
+            partition_cols=[partition_col] if partition_col else None,
         )
     finally:
         spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev_auto)
     spark.sql(f"DROP TABLE {build_tbl}")
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    old = f"{final}.old-{os.getpid()}"
-    os.rename(final, old)
-    os.rename(tmp, final)
-    shutil.rmtree(old, ignore_errors=True)
-    spark.sql(
-        f"CREATE TABLE {table} ({schema_ddl}) USING PARQUET "
-        f"CLUSTERED BY ({', '.join(bucket_cols)}) "
-        f"SORTED BY ({', '.join(sort_cols)}) INTO {n_buckets} BUCKETS "
-        f"LOCATION '{final}'"
+    _promote(tmp, final)
+    _adopt(
+        spark, f"{table_prefix}{new_tag}", root, new_tag, schema_ddl,
+        bucket_cols, sort_cols, n_buckets, partition_col,
     )
-    return {"files_before": before, "files_after": _count_parquet_files(final)}
+    # manifest-first retarget; drops the old catalog table and removes
+    # the old directory only after the manifest points at the new tag
+    vacuum_superseded(
+        root, manifest_key, new_tag, spark=spark, table_prefix=table_prefix, gen=gen,
+    )
+    return {
+        "files_before": before,
+        "files_after": _count_parquet_files(final),
+        "old_tag": old_tag,
+        "new_tag": new_tag,
+    }

@@ -55,7 +55,8 @@ GROWING_FUNCS = {
     "shingle_arrays", "shingles", "minhash_signatures", "band_rows",
     "lsh_candidate_pairs", "pair_jaccard", "cap_buckets",
     "simhash_fp", "simhash32", "lsh_buckets",
-    "ivf_assign", "ivf_assign_two_level", "ivf_probe_cells", "pq_encode",
+    "ivf_assign", "ivf_assign_two_level", "ivf_probe_cells",
+    "ivf_probe_cells_two_level", "pq_encode",
     # trained codebook: k rows, but k is occupancy-scalable (∝ n/128)
     "ivf_train_codebook", "_trained_cb",
 }
