@@ -96,12 +96,32 @@ def main() -> None:
         ).collect()[0].cs
 
     N_RUNS = 3
-    # record machine load around the timed window (round-7 verdict #3:
-    # a bench taken under concurrent-Spark load read as a +15% phantom
-    # regression; the loadavg stamps let a reader adjudicate recorded
-    # numbers without a re-run — a 1/5/15-min loadavg well above the
-    # local[N] core count means the run shared the box)
+    # QUIET GUARD (round-9 verdict #8): the recorded BENCH_r{N} must be
+    # the protocol number, not a shared-box artifact (shared-sandbox
+    # load inflates every query ~20%). The documented bound is
+    # ncpu/8 on the 1-minute loadavg; if the box is louder, WAIT (up to
+    # QUIET_WAIT_S, polling) for it to drain before timing, and if it
+    # never drains, proceed but stamp quiet=false so the reader knows
+    # the number is not protocol-grade. (Round-7 verdict #3 added the
+    # before/after stamps; this makes the precondition active.)
+    QUIET_BOUND = (os.cpu_count() or 8) / 8
+    QUIET_WAIT_S = 300
+    waited = 0
+    while os.getloadavg()[0] > QUIET_BOUND and waited < QUIET_WAIT_S:
+        print(
+            f"bench: loadavg {os.getloadavg()[0]:.2f} > bound {QUIET_BOUND:.2f}, "
+            f"waiting for quiet ({waited}s)...", file=sys.stderr,
+        )
+        time.sleep(15)
+        waited += 15
     load_before = list(os.getloadavg())
+    quiet = load_before[0] <= QUIET_BOUND
+    if not quiet:
+        print(
+            f"bench: WARNING — still loud after {QUIET_WAIT_S}s "
+            f"(loadavg {load_before[0]:.2f} > bound {QUIET_BOUND:.2f}); "
+            "recording with quiet=false", file=sys.stderr,
+        )
     for name in names:  # warmup pass: codegen + footers + broadcasts
         force(qs[name](spark, sf_dir))
     per_query_runs: dict[str, list[float]] = {n: [] for n in names}
@@ -136,6 +156,8 @@ def main() -> None:
         # hitters (= BENCH_r07's full "value" scope)
         "extended16_total": extended16_total,
         "queries_runs": per_query_runs,
+        "quiet": quiet,
+        "loadavg_bound": round(QUIET_BOUND, 2),
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "ncpu": os.cpu_count(),

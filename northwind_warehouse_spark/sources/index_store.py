@@ -167,14 +167,18 @@ def _manifest_lock(root: str):
 
 def _update_manifest(root: str, fn: Callable[[dict[str, dict]], None]) -> dict[str, dict]:
     """Locked read-modify-replace of the manifest; ``fn`` mutates the
-    entries dict in place. Returns the written entries."""
+    entries dict in place. A no-op mutation skips the rewrite (every
+    steady-state serve re-asserts its current tag — no point churning
+    the file). Returns the (possibly unchanged) entries."""
     with _manifest_lock(root):
         entries = read_manifest_entries(root)
+        before = json.dumps(entries, sort_keys=True)
         fn(entries)
-        tmp = _manifest_path(root) + f".tmp-{os.getpid()}"
-        with open(tmp, "w") as f:
-            json.dump(entries, f, indent=1, sort_keys=True)
-        os.replace(tmp, _manifest_path(root))
+        if json.dumps(entries, sort_keys=True) != before:
+            tmp = _manifest_path(root) + f".tmp-{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(entries, f, indent=1, sort_keys=True)
+            os.replace(tmp, _manifest_path(root))
     return entries
 
 

@@ -2106,3 +2106,36 @@ def test_probe_rank_one_reproduces_assignment_under_trained_cb(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_two_level_probe_rank_one_reproduces_two_level_assignment(spark):
+    """ivf_probe_cells_two_level's contract (the stored-index serving
+    route, round 10): probe_rank=1 must equal ivf_assign_two_level's
+    cell for EVERY vector (same route, same argmax, same tie rule), so
+    a corpus vector used as a query always probes the cell the stored
+    index filed it under; probes 2..P are distinct sibling cells of the
+    same routed super."""
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.similarity import (
+        ivf_assign_two_level,
+        ivf_probe_cells_two_level,
+        ivf_train_codebook,
+    )
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    for k in (8, 16):
+        cb = ivf_train_codebook(e, n_centroids=k)
+        want = {
+            r.vec_id: r.cell_id
+            for r in ivf_assign_two_level(e, n_centroids=k, centroids=cb).collect()
+        }
+        probes = ivf_probe_cells_two_level(e, k, cb, n_probe=2).collect()
+        got = {r.vec_id: r.cell_id for r in probes if r.probe_rank == 1}
+        assert got == want and len(got) > 0, f"k={k}"
+        # per-vector probe cells are distinct (cells partition the corpus,
+        # so multi-probe candidate sets need no dedup)
+        per_vec: dict[int, set[int]] = {}
+        for r in probes:
+            assert r.cell_id not in per_vec.setdefault(r.vec_id, set()), r
+            per_vec[r.vec_id].add(r.cell_id)
+        cb.unpersist()

@@ -393,10 +393,20 @@ def main() -> None:
     # 2.5 threshold — on term-grain joins whose hot keys (stopwords)
     # are the skew candidates at corpus scale, so the next reader
     # should see a measured 30× cell, not proximity to the line.
+    # Round 10 adds the stored-index serving family vs its inline twin
+    # (round-9 verdict #1 'done' criterion): with the occupancy-scaled
+    # persisted index, the SERVING wall should stay ~flat at 10×/30×
+    # (the query batch ADC-scans ~P·occupancy candidate rows regardless
+    # of n) while the inline ann_ivfpq_topk keeps growing (it rebuilds
+    # its index inside the query DAG every call). Min-of-2 per factor
+    # makes the stored rows pure serving: the first run builds+publishes
+    # once per factor corpus, the second adopts the stored artifact.
     TAIL_30X = (
         "knn_graph_cell_local", "ivf_cell_occupancy", "equi_depth_histogram",
         "dedup_prefix_filter_join",
         "tfidf_top_terms", "bigram_lm_quality", "bpe_encode",
+        "ann_ivfpq_from_index", "ann_ivfpq_multiprobe_from_index",
+        "ann_ivfpq_topk",
     )
     dirs[30] = build_scaled(spark, 30)
     spark.read.parquet(f"{dirs[30]}/lineitem.parquet").count()
@@ -444,11 +454,14 @@ def main() -> None:
         "survivors are marked † as residual sandbox noise, and ratios that",
         "survive the min-of-2 are real growth, annotated below.",
         "The graded tail rows (knn_graph_cell_local, ivf_cell_occupancy,",
-        "equi_depth_histogram, dedup_prefix_filter_join, and — round 9 —",
-        "the vocabulary-join tail tfidf_top_terms / bigram_lm_quality /",
-        "bpe_encode) carry an extra 30× measurement proving their fixes and",
-        "annotations hold past 10× (all other rows: —); those rows are",
-        "min-of-2 at every factor, same least-noise rule as re-measures.",
+        "equi_depth_histogram, dedup_prefix_filter_join, the round-9",
+        "vocabulary-join tail tfidf_top_terms / bigram_lm_quality /",
+        "bpe_encode, and — round 10 — the stored-index serving family",
+        "ann_ivfpq_from_index / ann_ivfpq_multiprobe_from_index beside its",
+        "inline twin ann_ivfpq_topk) carry an extra 30× measurement proving",
+        "their fixes and annotations hold past 10× (all other rows: —);",
+        "those rows are min-of-2 at every factor, same least-noise rule as",
+        "re-measures.",
         "",
         "| query | 1× (s) | 3× (s) | 10× (s) | 10×/1× ratio | 30× (s) | 30×/10× ratio |",
         "| --- | --- | --- | --- | --- | --- | --- |",
@@ -471,6 +484,8 @@ def main() -> None:
         "knn_graph_cell_local", "ivf_cell_occupancy",
         "equi_depth_histogram", "lm_quality_terciles",
         "tfidf_top_terms", "bigram_lm_quality", "bpe_encode",
+        "ann_ivfpq_from_index", "ann_ivfpq_multiprobe_from_index",
+        "ann_ivfpq_topk",
     }
     linear_survivors = sorted(
         n for n in queries
@@ -571,6 +586,36 @@ def main() -> None:
         )
         + " (vs 3× more data) are the proof the",
         "  growth stays at-or-below postings-linear past 10×.",
+        "  Round 10 fixes bpe_encode's per-round lineage re-execution",
+        "  (each round's re-indexed tokens are now persisted and the",
+        "  predecessor released, so the per-round pair-count aggregate",
+        "  reads the cache instead of re-running every prior round's",
+        "  merge chain — O(rounds·corpus), not O(rounds²·corpus));",
+        "  measured min-of-2: 9.2→4.9s at 10×, 14.6→7.9s at 30×.",
+        "- **stored-index serving vs inline build (round-10 verdict #1)**",
+        "  — ann_ivfpq_from_index / ann_ivfpq_multiprobe_from_index serve",
+        "  the PERSISTED occupancy-scaled index (k = max(8, n/128):",
+        "  16/47/157/469 cells at 1×/3×/10×/30×, two-level build route,",
+        "  bucket count sized by table BYTES — a measured round-10",
+        "  decision: k-tied buckets regressed 30× serving 3× on",
+        "  footer/task overhead of 469 near-empty files, and a",
+        "  literal-IN probe-cell scan prune was measured and DECLINED",
+        "  (+0.6s collect overhead at every tested scale, wins only",
+        "  once the gen-0 scan is I/O-bound): per-query work is the",
+        "  broadcast LUT join against the gen-0 scan plus ~P·occupancy",
+        "  candidate ADC rows — the serving walls "
+        + " / ".join(
+            f"{n}: " + "/".join(str(results[f][n]) for f in (1, 3, 10, 30)) + "s"
+            for n in ("ann_ivfpq_from_index", "ann_ivfpq_multiprobe_from_index")
+        ),
+        "  at 1×/3×/10×/30× stay ~flat while the inline twin",
+        "  ann_ivfpq_topk (index rebuilt inside the query DAG: "
+        + "/".join(str(results[f]["ann_ivfpq_topk"]) for f in (1, 3, 10, 30))
+        + "s) keeps",
+        "  growing with the corpus — the dbt incremental-vs-full-refresh",
+        "  gap, measured on the vector path. (Min-of-2 per factor: the",
+        "  first run pays the once-per-corpus build+publish+recall-gate,",
+        "  the second adopts the stored artifact — steady-state serving.)",
         "",
         "## Closed-gate two-level join (round-7 verdict #2, measured r8)",
         "",
