@@ -1287,6 +1287,42 @@ def _stored_pq_cb(spark: SparkSession, sf_dir: str):
     return pqcb
 
 
+# two-level probe ROUTING cache — the quantizer structure a FAISS index
+# keeps resident: supers_row (√k super structs, one row) and packed
+# (per-super child arrays, √k rows) are pure functions of the trained
+# codebook, but rebuilding them is a k-row aggregate PER QUERY CALL —
+# per-serve work that grows with the occupancy-scaled k. Same session
+# discipline as _TRAINED_CBS: persisted handles keyed by (corpus
+# identity, k), tagged with the owning applicationId, superseded/stale
+# entries unpersisted and evicted. No on-disk artifact: the relations
+# derive from the already-persisted k-row codebook in two tiny jobs, so
+# cross-session publishing would save nothing.
+_ROUTINGS: dict[tuple, tuple[str, tuple]] = {}
+
+
+def _probe_routing(spark: SparkSession, sf_dir: str, n_centroids: int):
+    path, mtime_ns, size = _corpus_identity(sf_dir)
+    fkey = (path, mtime_ns, size, n_centroids)
+    app = spark.sparkContext.applicationId
+    cur = _ROUTINGS.get(fkey)
+    if cur is not None and cur[0] == app:
+        return cur[1]
+    cb = _trained_cb(spark, sf_dir, n_centroids)
+    supers_row, packed = sim.two_level_routing(cb, n_centroids)
+    routing = (supers_row.persist(), packed.persist())
+    for k in [
+        k for k in _ROUTINGS
+        if (k[0], k[3]) == (path, n_centroids) and (k != fkey or _ROUTINGS[k][0] != app)
+    ]:
+        try:
+            for df in _ROUTINGS.pop(k)[1]:
+                df.unpersist()
+        except Exception:
+            pass
+    _ROUTINGS[fkey] = (app, routing)
+    return routing
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN top-3 served from the TRAINED coarse
     quantizer: the codebook is one Lloyd round over the deterministic
@@ -4570,7 +4606,8 @@ def _publish_recall_gate(
 
     e = load(spark, sf_dir, "embeddings")
     qp = sim.ivf_probe_cells_two_level(
-        e.filter(F.col("vec_id") < 10), k, cb, n_probe=_IDX_NPROBE
+        e.filter(F.col("vec_id") < 10), k, cb, n_probe=_IDX_NPROBE,
+        routing=_probe_routing(spark, sf_dir, k),
     ).select(F.col("vec_id").alias("query_id"), F.col("cell_id").alias("qcell"))
     cand = (
         assigned.join(
@@ -4759,7 +4796,8 @@ def _ivfpq_query_luts(spark: SparkSession, sf_dir: str, n_probe: int = 1) -> Dat
     pqcb = _stored_pq_cb(spark, sf_dir)
     sdist = sim._PQ_SDIST.format(a="eq", b="c")
     qp = sim.ivf_probe_cells_two_level(
-        e.filter(F.col("vec_id") < 10), k, cb, n_probe=n_probe
+        e.filter(F.col("vec_id") < 10), k, cb, n_probe=n_probe,
+        routing=_probe_routing(spark, sf_dir, k),
     )
     return (
         qp.select(
@@ -5016,7 +5054,8 @@ def ann_ivfpq_from_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, _ = _ivfpq_params(sf_dir)
     cb = _trained_cb(spark, sf_dir, k)
     qp = sim.ivf_probe_cells_two_level(
-        e.filter(F.col("vec_id") < 10), k, cb, n_probe=_IDX_NPROBE
+        e.filter(F.col("vec_id") < 10), k, cb, n_probe=_IDX_NPROBE,
+        routing=_probe_routing(spark, sf_dir, k),
     ).select(
         F.col("vec_id").alias("query_id"),
         "probe_rank",
