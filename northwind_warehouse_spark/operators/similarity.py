@@ -801,6 +801,19 @@ def ivf_assign_stream(
     )
 
 
+def flat_probe_cents(centroids: DataFrame) -> DataFrame:
+    """The ONE-ROW packed centroid array the flat probe scans — a pure
+    function of the codebook (a k-row collect_list aggregate). Serving
+    caches persist it per (corpus, k) so the aggregate doesn't re-run
+    per query call (plans/llm.py::_flat_cents), exactly like the
+    two-level routing tables."""
+    return centroids.select("cent_id", "cqvec", "cn2").select(
+        F.array_sort(
+            F.collect_list(F.struct("cent_id", "cqvec", "cn2"))
+        ).alias("cents")
+    )
+
+
 def ivf_probe_cells(
     embeddings: DataFrame,
     n_centroids: int = 8,
@@ -809,6 +822,7 @@ def ivf_probe_cells(
     centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents_row: DataFrame | None = None,
 ) -> DataFrame:
     """Multi-probe IVF shortlist: each vector's ``n_probe`` nearest
     (max-cosine) centroid cells, exploded to one row per probe with
@@ -829,20 +843,21 @@ def ivf_probe_cells(
     of the corpus scanned.
 
     ``centroids`` (a trained codebook relation — cent_id, cqvec, cn2)
-    overrides both conventions, same contract as :func:`ivf_assign`."""
+    overrides both conventions, same contract as :func:`ivf_assign`;
+    ``cents_row`` supplies :func:`flat_probe_cents`'s pre-packed
+    one-row array (typically persisted by a serving cache)."""
     base = _quantized_base(embeddings, id_col, vec_col)
-    if centroids is not None:
-        cents_rows = centroids.select("cent_id", "cqvec", "cn2")
+    if cents_row is not None:
+        cents = cents_row
     else:
-        src = centroids_from if centroids_from is not None else embeddings
-        cents_rows = _centroid_rows(
-            _quantized_base(src, id_col, vec_col), n_centroids, None, id_col
-        )
-    cents = cents_rows.select(
-        F.array_sort(
-            F.collect_list(F.struct("cent_id", "cqvec", "cn2"))
-        ).alias("cents")
-    )
+        if centroids is not None:
+            cents_rows = centroids.select("cent_id", "cqvec", "cn2")
+        else:
+            src = centroids_from if centroids_from is not None else embeddings
+            cents_rows = _centroid_rows(
+                _quantized_base(src, id_col, vec_col), n_centroids, None, id_col
+            )
+        cents = flat_probe_cents(cents_rows)
     dot = IDOT.format(a="_vq", b="c.cqvec")
     ranked = base.crossJoin(F.broadcast(cents)).withColumn(
         "top_cells",
@@ -931,22 +946,26 @@ def ivf_probe_cells_two_level(
     CHILDREN, exploded to one row per probe with ``probe_rank``
     1..n_probe.
 
-    This is the multi-probe companion of :func:`ivf_assign_two_level`
-    for indexes BUILT with the two-level route: ``probe_rank = 1``
-    reproduces the two-level assignment cell exactly (same route, same
-    argmax, same tie rule — cos DESC then lowest cent_id at both
-    levels), so a corpus vector used as a query always probes the cell
-    the stored index filed it under — the invariant the flat
-    :func:`ivf_probe_cells` cannot give a two-level-built index (its
-    global argmax can disagree with the routed assignment near super
-    boundaries, which is exactly the maintained-index divergence the
-    round-9 advice flagged). Probes 2..P are the sibling cells a
-    boundary vector most plausibly leaked neighbors into. The probe
-    set is capped by the routed super's child count (~k/√k = √k cells
-    — at the occupancy policy's corpus scale √k is hundreds, so P ≪
-    cap; at toy SFs a sparse super may yield fewer than P probes,
-    which the recall gate's multi ≥ single comparison tolerates by
-    construction).
+    This is the ROUTE-CONSISTENT multi-probe companion of
+    :func:`ivf_assign_two_level`: ``probe_rank = 1`` reproduces the
+    two-level assignment cell exactly (same route, same argmax, same
+    tie rule — cos DESC then lowest cent_id at both levels), so a
+    corpus vector used as a query always probes the cell a
+    two-level-built index filed it under; probes 2..P are the sibling
+    cells of the same routed super. The probe set is capped by the
+    routed super's child count (~√k cells).
+
+    MEASURED AND DECLINED for the stored-index serving paths
+    (round 10, NPROBE.json): because a boundary query's true nearest
+    cells often live under a DIFFERENT super than the router's pick,
+    within-super probing costs 12-22 pp of candidate recall at P=4 vs
+    the flat :func:`ivf_probe_cells` over the same trained codebook —
+    and the flat scan is affordable for any bounded QUERY batch
+    (10·k dots; only the CORPUS assignment must avoid n·k, which is
+    what the two-level route is for). Kept as the operator for
+    consumers whose probe batch IS corpus-sized (where the flat scan
+    would resurrect the quadratic) and as the documented
+    route-consistency alternative.
 
     Physical shape: the same two broadcast joins as
     :func:`ivf_assign_stream` (supers row + per-super PACKED child

@@ -1287,40 +1287,38 @@ def _stored_pq_cb(spark: SparkSession, sf_dir: str):
     return pqcb
 
 
-# two-level probe ROUTING cache — the quantizer structure a FAISS index
-# keeps resident: supers_row (√k super structs, one row) and packed
-# (per-super child arrays, √k rows) are pure functions of the trained
-# codebook, but rebuilding them is a k-row aggregate PER QUERY CALL —
-# per-serve work that grows with the occupancy-scaled k. Same session
-# discipline as _TRAINED_CBS: persisted handles keyed by (corpus
-# identity, k), tagged with the owning applicationId, superseded/stale
-# entries unpersisted and evicted. No on-disk artifact: the relations
-# derive from the already-persisted k-row codebook in two tiny jobs, so
+# flat-probe CENTROID-ARRAY cache — the quantizer structure a FAISS
+# index keeps resident: the one-row packed centroid array the query
+# probe scans is a pure function of the trained codebook, but
+# rebuilding it is a k-row aggregate PER QUERY CALL — per-serve work
+# that grows with the occupancy-scaled k. Same session discipline as
+# _TRAINED_CBS: persisted handles keyed by (corpus identity, k),
+# tagged with the owning applicationId, superseded/stale entries
+# unpersisted and evicted. No on-disk artifact: the relation derives
+# from the already-persisted k-row codebook in one tiny job, so
 # cross-session publishing would save nothing.
-_ROUTINGS: dict[tuple, tuple[str, tuple]] = {}
+_FLAT_CENTS: dict[tuple, tuple[str, object]] = {}
 
 
-def _probe_routing(spark: SparkSession, sf_dir: str, n_centroids: int):
+def _flat_cents(spark: SparkSession, sf_dir: str, n_centroids: int):
     path, mtime_ns, size = _corpus_identity(sf_dir)
     fkey = (path, mtime_ns, size, n_centroids)
     app = spark.sparkContext.applicationId
-    cur = _ROUTINGS.get(fkey)
+    cur = _FLAT_CENTS.get(fkey)
     if cur is not None and cur[0] == app:
         return cur[1]
     cb = _trained_cb(spark, sf_dir, n_centroids)
-    supers_row, packed = sim.two_level_routing(cb, n_centroids)
-    routing = (supers_row.persist(), packed.persist())
+    cents = sim.flat_probe_cents(cb).persist()
     for k in [
-        k for k in _ROUTINGS
-        if (k[0], k[3]) == (path, n_centroids) and (k != fkey or _ROUTINGS[k][0] != app)
+        k for k in _FLAT_CENTS
+        if (k[0], k[3]) == (path, n_centroids) and (k != fkey or _FLAT_CENTS[k][0] != app)
     ]:
         try:
-            for df in _ROUTINGS.pop(k)[1]:
-                df.unpersist()
+            _FLAT_CENTS.pop(k)[1].unpersist()
         except Exception:
             pass
-    _ROUTINGS[fkey] = (app, routing)
-    return routing
+    _FLAT_CENTS[fkey] = (app, cents)
+    return cents
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4528,13 +4526,18 @@ _IVFPQ_TARGET_CELL = 128
 _IVFPQ_ROW_BYTES = 64          # vec_id + cell_id + PQ_M int codes + row overhead
 _IVFPQ_BUCKET_BYTES = 32 << 20
 _IVFPQ_MAX_BUCKETS = 1024
-# stored-index multi-probe serving: P nearest cells (within the routed
-# super — the two-level probe) per query. MEASURED default
-# (tools/nprobe_probe.py → NPROBE.json, round 10): at the occupancy-
-# scaled k, P=4 buys +8-18 pp candidate recall over P=1 (0.50/0.58/0.58
-# vs 0.36/0.42/0.40 at sf0.001/0.01/0.1) for ≤1.7× candidate rows — and
-# at corpus scale P·occupancy ≈ 512 candidate rows/query regardless of
-# n, so the extra probes are noise next to the index scan they prune.
+# stored-index multi-probe serving: P nearest trained cells per query,
+# by the FLAT probe over all k centroids — the query batch is BOUNDED
+# (never corpus-sized), so scanning the whole codebook per query is
+# 10·k dots at any scale, exactly FAISS's nprobe selection; only the
+# CORPUS assignment must stay two-level (that is where n·k would be
+# quadratic). Both the route and P are MEASURED (tools/nprobe_probe.py
+# → NPROBE.json, round 10): flat probing buys +12-22 pp candidate
+# recall at P=4 over the route-consistent within-super probe
+# (0.72/0.70/0.68 vs 0.50/0.58/0.58 at sf0.001/0.01/0.1), and P=4 buys
+# +18-38 pp over P=1 for ≤2× candidate rows — at corpus scale
+# P·occupancy ≈ 512 candidate rows/query regardless of n, so the extra
+# probes are noise next to the index scan they prune.
 _IDX_NPROBE = 4
 # Publish-time ACCEPT GATE floor: candidate recall@5 of the
 # _IDX_NPROBE-probe serving path over the 10-query eval batch, in ppm,
@@ -4546,8 +4549,9 @@ _IDX_NPROBE = 4
 # and far above what a broken assignment scores (a mis-routed index
 # parks candidates in cells the queries never probe ⇒ recall collapses
 # toward zero) — asserted by the planted-low-recall refusal test in
-# tests/test_index_store.py. Measured P=4 recall: 500k/580k/580k ppm at
-# sf0.001/0.01/0.1 (NPROBE.json) — the floor leaves ~20% margin.
+# tests/test_index_store.py. Measured flat-probe P=4 recall:
+# 720k/700k/680k ppm at sf0.001/0.01/0.1 (NPROBE.json) — the floor
+# leaves ~70% margin.
 _IVFPQ_MIN_RECALL_PPM = 400_000
 
 
@@ -4590,9 +4594,9 @@ def _publish_recall_gate(
     spark: SparkSession, sf_dir: str, assigned: DataFrame, cb: DataFrame, k: int
 ) -> int:
     """The accept gate run once per index BUILD, before publish:
-    candidate recall@5 of _IDX_NPROBE-probe serving (two-level probes
-    against the assignment about to be stored) vs the brute-force
-    exact-cosine truth for the 10-query eval batch. Costs one corpus
+    candidate recall@5 of _IDX_NPROBE-probe serving (the flat query
+    probe against the assignment about to be stored) vs the
+    brute-force exact-cosine truth for the 10-query eval batch. Costs one corpus
     scan for the truth — against a build that already scanned the
     corpus to assign and encode it. Returns the measured ppm; raises
     :class:`IndexRecallGateError` below the documented floor."""
@@ -4605,9 +4609,9 @@ def _publish_recall_gate(
     )
 
     e = load(spark, sf_dir, "embeddings")
-    qp = sim.ivf_probe_cells_two_level(
-        e.filter(F.col("vec_id") < 10), k, cb, n_probe=_IDX_NPROBE,
-        routing=_probe_routing(spark, sf_dir, k),
+    qp = sim.ivf_probe_cells(
+        e.filter(F.col("vec_id") < 10), n_centroids=k, n_probe=_IDX_NPROBE,
+        centroids=cb, cents_row=_flat_cents(spark, sf_dir, k),
     ).select(F.col("vec_id").alias("query_id"), F.col("cell_id").alias("qcell"))
     cand = (
         assigned.join(
@@ -4781,23 +4785,26 @@ def ivfpq_compact_index(spark: SparkSession, sf_dir: str) -> dict:
 
 def _ivfpq_query_luts(spark: SparkSession, sf_dir: str, n_probe: int = 1) -> DataFrame:
     """Per-(query, probe) serving rows against the STORED artifacts:
-    each of the 10 query vectors routes through the SAME two-level
-    occupancy-scaled trained quantizer the index was built with
-    (operators/similarity.py::ivf_probe_cells_two_level — probe_rank=1
-    IS the build-time assignment cell, so a corpus vector used as a
-    query always probes the cell the stored index filed it under),
+    each of the 10 query vectors takes its top-P cells from a FLAT
+    scan of all k trained centroids (operators/similarity.py::
+    ivf_probe_cells over the session-cached packed array — FAISS's
+    nprobe selection: the QUERY batch is bounded, so 10·k dots is
+    trivial at any scale; only the CORPUS assignment must avoid n·k),
     plus the query's ADC lookup table against the adopted PQ codebook.
+    The flat probe is a MEASURED choice over the route-consistent
+    within-super probe: +12-22 pp candidate recall at P=4
+    (NPROBE.json), because a boundary query's nearest cells often live
+    under a different super than the one the two-level router picks.
     Touches the raw corpus ONLY for the 10 query rows (vec_id < 10 is
-    pushed to the scan); per query the routing is s + √k dots — never
-    a k-wide flat scan, which the occupancy policy makes corpus-sized."""
+    pushed to the scan)."""
     e = load(spark, sf_dir, "embeddings")
     k, _ = _ivfpq_params(sf_dir)
     cb = _trained_cb(spark, sf_dir, k)
     pqcb = _stored_pq_cb(spark, sf_dir)
     sdist = sim._PQ_SDIST.format(a="eq", b="c")
-    qp = sim.ivf_probe_cells_two_level(
-        e.filter(F.col("vec_id") < 10), k, cb, n_probe=n_probe,
-        routing=_probe_routing(spark, sf_dir, k),
+    qp = sim.ivf_probe_cells(
+        e.filter(F.col("vec_id") < 10), n_centroids=k, n_probe=n_probe,
+        centroids=cb, cents_row=_flat_cents(spark, sf_dir, k),
     )
     return (
         qp.select(
@@ -4912,25 +4919,38 @@ def _o_pq_codes_ctes() -> str:
 
 def _o_idx_probe_ctes() -> str:
     """Shared oracle scaffolding for the stored-index serving family —
-    the exact SQL mirror of the round-10 occupancy-scaled two-level
-    index: trained codebook at k = greatest(8, ceil(n/128)) (cb1, one
-    Lloyd round — _o_trained_cb_sql), the TWO-LEVEL assignment of every
+    the exact SQL mirror of the round-10 occupancy-scaled index:
+    trained codebook at k = greatest(8, ceil(n/128)) (cb1, one Lloyd
+    round — _o_trained_cb_sql), the TWO-LEVEL assignment of every
     corpus vector (assign0, via _o_two_level_chain — the oracle twin of
     the stored table's gen-0 cell_id column), and the query batch's
-    within-routed-super top-_IDX_NPROBE probes (qprobe — ranked over
-    ccos0, the chain's per-vector cosines against its routed super's
-    children, so probe_rank=1 ≡ assign0 exactly as
-    ivf_probe_cells_two_level's rank 1 ≡ ivf_assign_two_level)."""
+    FLAT top-_IDX_NPROBE probes over all k trained centroids (qprobe —
+    the ivf_probe_cells route: the bounded query batch scans the whole
+    codebook exactly like FAISS's nprobe selection; measured +12-22 pp
+    candidate recall at P=4 over within-super probing, NPROBE.json)."""
     return (
         _o_trained_cb_sql(_KNN_NCENTS_SQL)
         + ",\n    "
         + _o_two_level_chain("0", "n2", "cb1")
         + f""",
+    qpdot AS (
+        SELECT a.vec_id, c.j AS cent_id, CAST(sum(a.xq * c.w) AS BIGINT) AS dot
+        FROM q a JOIN cb1 c ON c.i = a.i
+        WHERE a.vec_id < 10
+        GROUP BY a.vec_id, c.j
+    ),
+    qpcos AS (
+        SELECT d.vec_id, d.cent_id,
+               CAST(d.dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(cc.cn2 AS DOUBLE)) AS cos
+        FROM qpdot d
+        JOIN n2 na ON na.vec_id = d.vec_id
+        JOIN cbn0 cc ON cc.j = d.cent_id
+    ),
     qprobe AS (
         SELECT vec_id AS query_id, cent_id AS cell_id, CAST(rk AS BIGINT) AS probe_rank
         FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
-            FROM ccos0 WHERE vec_id < 10
+            FROM qpcos
         ) WHERE rk <= {_IDX_NPROBE}
     )"""
     )
@@ -4962,13 +4982,13 @@ def oracle_ann_ivfpq_from_index() -> str:
 
 def ann_ivfpq_multiprobe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe serving from the STORED IVF-PQ index (round-8
-    verdict #4): each query ADC-scans its _IDX_NPROBE nearest cells
-    AMONG ITS ROUTED SUPER'S CHILDREN (the two-level probe — the same
-    route the occupancy-scaled index was built with, so probe_rank=1
-    is exactly the query's stored cell and probes 2..P are the sibling
-    cells a boundary query most plausibly leaked neighbors into)
-    instead of only the one it lands in — the standard recall repair
-    for boundary queries, on the production (persisted) path. The
+    verdict #4): each query ADC-scans its _IDX_NPROBE nearest trained
+    cells by the FLAT probe over all k centroids (the measured route —
+    a boundary query's nearest cells often live under a different
+    super than the two-level router's pick, so the flat probe buys
+    +12-22 pp candidate recall at P=4 over within-super probing,
+    NPROBE.json) instead of only its top-1 cell — the standard recall
+    repair for boundary queries, on the production (persisted) path. The
     stored table is bucketed by cell_id, so a P-cell probe is P
     bucket-local scans: the per-(query, probe) LUT rows broadcast
     against the one gen-0 index scan exactly like the single-probe
@@ -5053,9 +5073,9 @@ def ann_ivfpq_from_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     k, _ = _ivfpq_params(sf_dir)
     cb = _trained_cb(spark, sf_dir, k)
-    qp = sim.ivf_probe_cells_two_level(
-        e.filter(F.col("vec_id") < 10), k, cb, n_probe=_IDX_NPROBE,
-        routing=_probe_routing(spark, sf_dir, k),
+    qp = sim.ivf_probe_cells(
+        e.filter(F.col("vec_id") < 10), n_centroids=k, n_probe=_IDX_NPROBE,
+        centroids=cb, cents_row=_flat_cents(spark, sf_dir, k),
     ).select(
         F.col("vec_id").alias("query_id"),
         "probe_rank",

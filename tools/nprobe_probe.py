@@ -1,8 +1,14 @@
 #!/usr/bin/env python3
-"""Measure the stored-index nprobe knob (round-9 verdict #6): candidate
-recall@5 and candidate-set cost of P ∈ {1, 2, 4} two-level probes at
-the occupancy-scaled k, per SF — the rounds_probe.py pattern: measure
-the knob, adopt the measured default, record the JSON.
+"""Measure the stored-index probe knobs (round-9 verdict #6): candidate
+recall@5 and candidate-set cost of P ∈ {1, 2, 4} probes at the
+occupancy-scaled k, for BOTH query-probe routes — flat (top-P over all
+k trained centroids: 10·k dots for the bounded query batch, FAISS's
+nprobe selection) and two_level (within the routed super: route-
+consistent with the index build) — per SF. The rounds_probe.py
+pattern: measure the knob, adopt the measured default, record the
+JSON. Round-10 decision: FLAT + P=4 (flat buys +12-22 pp recall at
+P=4; within-super probing constrains a boundary query to one super's
+children).
 
 Recall is CANDIDATE recall (cell membership of the brute-force top-5 —
 the IVF decomposition: ADC ranking quality inside a probed cell is
@@ -65,35 +71,41 @@ def measure(spark, sf_dir: str, probes=(1, 2, 4)) -> dict:
     )
     n_true = truth.count()
     pmax = max(probes)
-    qp = sim.ivf_probe_cells_two_level(
-        e.filter(F.col("vec_id") < 10), k, cb, n_probe=pmax
-    ).select(
-        F.col("vec_id").alias("query_id"), "probe_rank",
-        F.col("cell_id").alias("qcell"),
-    ).persist()
-    out = {"k": k, "n_true": n_true, "probes": {}}
-    for p in probes:
-        cand = (
-            assigned.join(
-                maybe_broadcast(qp.filter(F.col("probe_rank") <= p)),
-                (F.col("cell_id") == F.col("qcell"))
-                & (F.col("vec_id") != F.col("query_id")),
+    qb = e.filter(F.col("vec_id") < 10)
+    routes = {
+        "flat": sim.ivf_probe_cells(qb, n_centroids=k, n_probe=pmax, centroids=cb),
+        "two_level": sim.ivf_probe_cells_two_level(qb, k, cb, n_probe=pmax),
+    }
+    out = {"k": k, "n_true": n_true, "routes": {}}
+    for route, qp0 in routes.items():
+        qp = qp0.select(
+            F.col("vec_id").alias("query_id"), "probe_rank",
+            F.col("cell_id").alias("qcell"),
+        ).persist()
+        by_p = {}
+        for p in probes:
+            cand = (
+                assigned.join(
+                    maybe_broadcast(qp.filter(F.col("probe_rank") <= p)),
+                    (F.col("cell_id") == F.col("qcell"))
+                    & (F.col("vec_id") != F.col("query_id")),
+                )
+                .select("query_id", F.col("vec_id").alias("neighbor_id"))
+                .distinct()
+                .persist()
             )
-            .select("query_id", F.col("vec_id").alias("neighbor_id"))
-            .distinct()
-            .persist()
-        )
-        n_cand = cand.count()
-        hits = truth.join(cand, ["query_id", "neighbor_id"], "left_semi").count()
-        cand.unpersist()
-        out["probes"][str(p)] = {
-            "recall_ppm": hits * 1_000_000 // n_true,
-            "hits": hits,
-            "candidate_rows": n_cand,
-        }
+            n_cand = cand.count()
+            hits = truth.join(cand, ["query_id", "neighbor_id"], "left_semi").count()
+            cand.unpersist()
+            by_p[str(p)] = {
+                "recall_ppm": hits * 1_000_000 // n_true,
+                "hits": hits,
+                "candidate_rows": n_cand,
+            }
+        qp.unpersist()
+        out["routes"][route] = by_p
     assigned.unpersist()
     truth.unpersist()
-    qp.unpersist()
     return out
 
 
