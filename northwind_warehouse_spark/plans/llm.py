@@ -1736,13 +1736,18 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     One map-side explode of (w[i], w[i+1]) pairs + one groupBy(pair)
     shuffle with partial counts — at 100 TB this is the same shape as a
     word count, the canonical linear-scale aggregation. A full BPE
-    trainer is this op iterated with a merge-apply map between rounds."""
+    trainer is this op iterated with a merge-apply map between rounds.
+    The token array is STAGED through its own projection: a lambda body
+    that says split(text) re-tokenizes the whole document once per
+    PAIR (higher-order functions get no loop-invariant hoisting —
+    measured 3.5× on the trigram twin), while w[i] on a staged
+    attribute is O(1)."""
     d = load(spark, sf_dir, "documents")
-    pairs = d.select(
+    pairs = d.select(F.expr("split(text, ' ')").alias("w")).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1),"
-                " i -> struct(split(text, ' ')[i-1] AS a, split(text, ' ')[i] AS b))"
+                "transform(sequence(1, size(w) - 1),"
+                " i -> struct(w[i-1] AS a, w[i] AS b))"
             )
         ).alias("p")
     ).select(F.col("p.a").alias("tok_a"), F.col("p.b").alias("tok_b"))
@@ -3041,15 +3046,18 @@ def dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One shuffle on (doc_id, trigram) — the per-doc n-gram histogram is
     a partial-aggregating groupBy, never an array blowup held in one
-    row, so a pathological 1 GB document still aggregates distributed."""
+    row, so a pathological 1 GB document still aggregates distributed.
+    The token array is STAGED before the trigram lambda (split inside
+    the lambda body re-tokenizes the document once per trigram —
+    measured 3.5×; see bpe_pair_stats)."""
     d = load(spark, sf_dir, "documents")
-    tri = d.select(
+    tri = d.select("doc_id", F.expr("split(text, ' ')").alias("w")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "CASE WHEN size(split(text,' ')) >= 3 THEN"
-                " transform(sequence(0, size(split(text,' ')) - 3),"
-                " i -> concat_ws(' ', slice(split(text,' '), i + 1, 3)))"
+                "CASE WHEN size(w) >= 3 THEN"
+                " transform(sequence(0, size(w) - 3),"
+                " i -> concat_ws(' ', slice(w, i + 1, 3)))"
                 " ELSE array() END"
             )
         ).alias("tri"),
@@ -3435,7 +3443,14 @@ def winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and without the barrier Catalyst collapses the winnow transform
     into the post-explode projections — re-evaluating the whole per-doc
     hashing once per exploded row per branch (measured 280s -> 3s at
-    sf0.001; the blowup factor is exactly the mean fingerprints/doc)."""
+    sf0.001; the blowup factor is exactly the mean fingerprints/doc).
+    `rare` deliberately has NO persist of its own even though it feeds
+    both pair-join sides: with `sel` cached, re-deriving rare per side
+    is one cheap cached-scan + df-agg, and materializing it was
+    measured a small LOSS at 10× (3× A/B min-of-2: 5.3-6.4s persisted
+    vs 5.1-5.5s not — the barrier's write cost exceeds the saved
+    recompute; the self-join persist rule targets EXPENSIVE uncached
+    upstreams)."""
     sel = _winnow_sel(load(spark, sf_dir, "documents")).select(
         "doc_id", F.expr("CAST(size(sel) AS BIGINT)").alias("n_sel"), "sel"
     ).persist()
@@ -4076,17 +4091,22 @@ def ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     used to rank crawl snapshots by marginal contribution.
 
     Two well-spread shuffles: trigram -> min(doc_id) (map-side partial
-    min), then doc_id for the rollup. Exact-ppm ratio."""
+    min), then doc_id for the rollup. Exact-ppm ratio. The token array
+    is STAGED before the trigram lambda (split inside the lambda body
+    re-tokenizes the document once per trigram — measured 3.5×; see
+    bpe_pair_stats), and the exploded trigrams are persisted because
+    they feed BOTH the first-occurrence aggregate and the join probe —
+    without the barrier the whole extraction re-executes per consumer."""
     d = load(spark, sf_dir, "documents")
-    tri = d.select(
+    tri = d.select("doc_id", F.expr("split(text, ' ')").alias("w")).select(
         "doc_id",
         F.explode(
             F.expr(
-                "array_distinct(transform(sequence(1, greatest(size(split(text, ' ')) - 2, 0)), "
-                "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+                "array_distinct(transform(sequence(1, greatest(size(w) - 2, 0)), "
+                "i -> concat_ws(' ', slice(w, i, 3))))"
             )
         ).alias("tri"),
-    )
+    ).persist()
     first = tri.groupBy("tri").agg(F.min("doc_id").alias("first_doc"))
     per_doc = (
         tri.join(first, "tri")
@@ -8340,7 +8360,12 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: curate_corpus's funnel (aggregates + spread joins, no
     windows) followed by a verdict-grain rollup and a tiny per-source
-    total broadcast."""
+    total broadcast. The two consumers of `verdicts` are fine: the
+    funnel's dominant trigram explode is persisted inside
+    curate_corpus, so the second aggregate reads the cache — an
+    algebraic single-pass variant (per-source total as a window over
+    the verdict-grain rollup) was measured consistently ~0.3s SLOWER
+    at 10× (3× A/B min-of-2) and declined."""
     verdicts = curate_corpus(spark, sf_dir)
     agg = verdicts.groupBy("source", "verdict").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -9868,22 +9893,34 @@ def quality_gate_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage counts cannot (order hides attribution).
 
     Scale shape: all three gate booleans in one map pass (token/list
-    algebra per row), one conditional aggregation, a 3-row stack."""
+    algebra per row), one conditional aggregation, a 3-row stack. The
+    token array and the trigram array are STAGED through their own
+    projections (Catalyst's CollapseProject keeps a non-cheap
+    expression staged when the upper projection references it more
+    than once), so split(text) is evaluated once per row instead of
+    ~8 times and the trigram transform once instead of twice —
+    same values, same oracle."""
     d = load(spark, sf_dir, "documents")
-    flags = d.select(
-        F.expr(f"size(split(text, ' ')) >= {_GATE_MIN_TOKENS}").alias("p_len"),
+    toks = d.select(F.expr("split(text, ' ')").alias("t"))
+    staged = toks.select(
+        F.expr("size(t)").alias("n"),
         F.expr(
-            f"{ _GATE_MIN_STOP_X20 } * size(filter(split(text, ' '),"
-            f" x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) * 20"
-            f" >= size(split(text, ' '))"
-        ).alias("p_stop"),
+            "size(filter(t,"
+            " x -> x IN ('the','a','of','and','to','in','is','on','for','with')))"
+        ).alias("n_stop"),
         F.expr(
-            "CASE WHEN size(split(text, ' ')) < 3 THEN true ELSE"
-            " CAST(size(transform(sequence(0, size(split(text, ' ')) - 3),"
-            "   i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))"
-            "  - size(array_distinct(transform(sequence(0, size(split(text, ' ')) - 3),"
-            "   i -> concat_ws(' ', split(text, ' ')[i], split(text, ' ')[i+1], split(text, ' ')[i+2])))) AS DECIMAL(38,0))"
-            f" * 1000000 div size(transform(sequence(0, size(split(text, ' ')) - 3), i -> i))"
+            "CASE WHEN size(t) < 3 THEN array('') ELSE"
+            " transform(sequence(0, size(t) - 3),"
+            "   i -> concat_ws(' ', t[i], t[i+1], t[i+2])) END"
+        ).alias("tri"),
+    )
+    flags = staged.select(
+        F.expr(f"n >= {_GATE_MIN_TOKENS}").alias("p_len"),
+        F.expr(f"{ _GATE_MIN_STOP_X20 } * n_stop * 20 >= n").alias("p_stop"),
+        F.expr(
+            "CASE WHEN n < 3 THEN true ELSE"
+            " CAST(size(tri) - size(array_distinct(tri)) AS DECIMAL(38,0))"
+            f" * 1000000 div (n - 2)"
             f" <= {_GATE_MAX_DUP_PPM} END"
         ).alias("p_rep"),
     )

@@ -40,27 +40,35 @@ def replicate(spark, table: str, factor: int, key_cols: dict[str, int], out_dir:
 
 
 def replicate_documents(spark, factor: int, out_dir: str) -> None:
-    """Shifted doc_ids AND per-copy token perturbation: replicated copies
-    must NOT share shingles, otherwise every LSH bucket grows `factor`-fold
-    and pair work grows factor² — which would measure the (real, but
-    different) duplicate-explosion regime instead of corpus growth."""
+    """Shifted doc_ids AND per-copy content perturbation: replicated
+    copies must NOT share shingles OR char n-grams, otherwise every LSH
+    bucket / fingerprint's document frequency grows `factor`-fold and
+    pair work grows factor² — which would measure the (real, but
+    different) duplicate-explosion regime instead of corpus growth.
+
+    The perturbation is a per-copy CHARACTER CIPHER (alphabet rotated
+    by the copy index via translate): a previous version suffixed each
+    token with '_c{i}', which de-collided WORD-grain shingles but kept
+    most CHAR 5-grams identical across copies — winnow fingerprints'
+    df grew ~factor, their pair fan-out factor², and past the df≤20
+    rarity cap the shared fingerprints vanished entirely (measured:
+    winnow_overlap_pairs 7.7s at 10× under suffixes vs linear under
+    the cipher). The cipher changes every letter/digit, so both grains
+    de-collide; spaces and punctuation are left alone, so token
+    boundaries, lengths and per-doc structure are exactly preserved."""
+    import string
+
     from pyspark.sql import functions as F
 
+    alphabet = string.ascii_lowercase + string.ascii_uppercase + string.digits
     df = spark.read.parquet(f"{BASE_SF}/documents.parquet")
     parts = []
     for i in range(factor):
         part = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
         if i > 0:
-            # NOTE: interpolate the copy index INSIDE the f-string — a
-            # previous version evaluated '_{0}' eagerly, giving every
-            # copy the same '_0' suffix, which made copies 1..9 mutual
-            # duplicates and pushed all dedup queries into the
-            # duplicate-explosion regime this function exists to avoid.
+            rot = i % len(alphabet)
             part = part.withColumn(
-                "text",
-                F.concat_ws(
-                    " ", F.expr(f"transform(split(text, ' '), t -> concat(t, '_c{i}'))")
-                ),
+                "text", F.translate("text", alphabet, alphabet[rot:] + alphabet[:rot])
             )
         parts.append(part)
     out = parts[0]
@@ -401,12 +409,17 @@ def main() -> None:
     # its index inside the query DAG every call). Min-of-2 per factor
     # makes the stored rows pure serving: the first run builds+publishes
     # once per factor corpus, the second adopts the stored artifact.
+    # Round 10 adds the staged-lambda / single-pass-funnel fixes
+    # (ngram_novelty, quality_gate_ablation) and winnow_overlap_pairs
+    # (whose former superlinear growth was the suffix-perturbation
+    # char-gram collision artifact the cipher replicator fixes).
     TAIL_30X = (
         "knn_graph_cell_local", "ivf_cell_occupancy", "equi_depth_histogram",
         "dedup_prefix_filter_join",
         "tfidf_top_terms", "bigram_lm_quality", "bpe_encode",
         "ann_ivfpq_from_index", "ann_ivfpq_multiprobe_from_index",
         "ann_ivfpq_topk",
+        "ngram_novelty", "quality_gate_ablation", "winnow_overlap_pairs",
     )
     dirs[30] = build_scaled(spark, 30)
     spark.read.parquet(f"{dirs[30]}/lineitem.parquet").count()
@@ -486,6 +499,7 @@ def main() -> None:
         "tfidf_top_terms", "bigram_lm_quality", "bpe_encode",
         "ann_ivfpq_from_index", "ann_ivfpq_multiprobe_from_index",
         "ann_ivfpq_topk",
+        "ngram_novelty", "quality_gate_ablation", "winnow_overlap_pairs",
     }
     linear_survivors = sorted(
         n for n in queries
@@ -553,7 +567,7 @@ def main() -> None:
         + (", ".join(linear_survivors) or "none")
         + "):",
         "  replication grows token-, shingle-, event- or per-doc-grain work",
-        "  exactly 10× (document copies carry per-copy-suffixed tokens, so",
+        "  exactly 10× (document copies carry per-copy-ciphered tokens, so",
         "  postings AND vocabulary scale ~10×; events are key-shifted",
         "  rows; multimodal fan-out is per-asset), while the 1× baseline",
         "  is overhead-dominated at small absolutes. A ~3× wall for 10×",
@@ -572,7 +586,7 @@ def main() -> None:
             for n in ("tfidf_top_terms", "bigram_lm_quality", "bpe_encode")
         ),
         "  at 1×/3×/10×/30×. The work is postings-linear by construction",
-        "  (replicated documents carry per-copy-suffixed tokens, so the",
+        "  (replicated documents carry per-copy-ciphered tokens, so the",
         "  vocabulary AND the postings both scale with the factor), and the",
         "  hot-key side is BOUNDED: the stopword list is a fixed constant",
         "  (functions/text.py STOPWORDS) and bpe_encode joins a broadcast",
@@ -616,6 +630,36 @@ def main() -> None:
         "  gap, measured on the vector path. (Min-of-2 per factor: the",
         "  first run pays the once-per-corpus build+publish+recall-gate,",
         "  the second adopts the stored artifact — steady-state serving.)",
+        "- **staged token arrays (round 10)** — a lambda body that says",
+        "  split(text) re-tokenizes the whole document once per ELEMENT",
+        "  (higher-order functions get no loop-invariant hoisting and",
+        "  Catalyst's subexpression elimination skips lambda bodies —",
+        "  measured 3.5× on the trigram extraction in isolation):",
+        "  bpe_pair_stats, dup_ngram_fraction and ngram_novelty now",
+        "  stage the split through their own projection and index the",
+        "  attribute (pre-fix 10× walls 2.86/2.48/5.51s →",
+        "  0.5/1.3/2.3s); quality_gate_ablation stages the token AND",
+        "  trigram arrays (split was evaluated ~8× per row, the trigram",
+        "  transform twice: 7.96s → 0.66s at 10×); ngram_novelty also",
+        "  persists its exploded trigrams (they feed both the",
+        "  first-occurrence aggregate and the join probe over an",
+        "  otherwise-uncached extraction). Two companion candidates were",
+        "  measured and DECLINED (3× A/B min-of-2 each): persisting",
+        "  winnow_overlap_pairs' rare-fingerprint relation (upstream",
+        "  already cached — the barrier's write cost exceeded the saved",
+        "  recompute) and a single-pass algebraic-window rewrite of",
+        "  curation_funnel_report (curate_corpus persists its dominant",
+        "  explode, so the second consumer reads cache and the extra",
+        "  window only added overhead).",
+        "- **winnow_overlap_pairs under the cipher replicator (round",
+        "  10)** — the former 7.9s @10× wall was a REPLICATION ARTIFACT:",
+        "  suffix-perturbed copies de-collided word shingles but kept",
+        "  most CHAR 5-grams identical, so fingerprint df grew ~factor,",
+        "  pair fan-out factor², and past the df≤20 cap the shared",
+        "  fingerprints vanished. The per-copy character cipher",
+        "  de-collides char grams too; this run's row measures true",
+        "  corpus growth (output pairs grow linearly — within-copy",
+        "  pairs only).",
         "",
         "## Closed-gate two-level join (round-7 verdict #2, measured r8)",
         "",
