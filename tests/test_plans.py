@@ -310,6 +310,89 @@ def ok_two_level_assign_occupancy_scaled(spark, sf_dir):
     }, f"lint flagged: {sorted(flagged_fns)}\n" + "\n".join(v)
 
 
+def test_no_heavy_expression_inside_lambda_bodies():
+    """Round-10 discipline: a lambda body that re-derives a whole-row
+    value (split(text), md5(text), regexp_extract_all(text)) evaluates
+    it once per array ELEMENT — higher-order functions get no
+    loop-invariant hoisting and Catalyst's subexpression elimination
+    skips lambda bodies (measured 3.5× on the trigram extraction;
+    bpe_pair_stats 2.86→0.5s at 10× from staging the split). The tree
+    must stay clean: stage the array in its own projection and index
+    the attribute."""
+    from tools.lambda_lint import find_violations
+
+    v = find_violations()
+    assert not v, "heavy expressions inside lambda bodies:\n" + "\n".join(v)
+
+
+def test_lambda_lint_catches_seeded_violations(tmp_path):
+    """The lambda lint itself is tested: seed the exact pre-round-10
+    anti-patterns (split(text) re-evaluated per trigram / per pair) and
+    assert they red; the legitimate idioms must stay clean — the heavy
+    call as the HOF's ARGUMENT (once per row), the heavy call applied
+    to the lambda's OWN variable (per-element work IS the semantics),
+    DuckDB ``string_split`` inside an ``oracle_*`` function, and the
+    staged-attribute form the fixes adopted."""
+    from tools.lambda_lint import find_violations
+
+    seeded = tmp_path / "seeded_lambda_plan.py"
+    seeded.write_text(
+        '''
+def bad_trigram_resplit(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 3),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"
+    ).alias("tri"))
+
+
+def bad_pair_resplit_fstring(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    sep = " "
+    return d.select(F.expr(
+        f"transform(sequence(1, size(split(text, '{sep}')) - 1),"
+        f" i -> struct(split(text, '{sep}')[i-1] AS a))"
+    ).alias("p"))
+
+
+def ok_heavy_as_hof_argument(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(F.expr(
+        "size(filter(split(text, ' '), x -> x IN ('the', 'a')))"
+    ).alias("n_stop"))
+
+
+def ok_lambda_var_work(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(F.expr(
+        "aggregate(transform(split(text, '\\\\. '), s -> size(split(s, ' '))),"
+        " CAST(0 AS BIGINT), (a, v) -> a + v)"
+    ).alias("n"))
+
+
+def ok_staged_attribute(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    return d.select(F.expr("split(text, ' ')").alias("w")).select(F.expr(
+        "transform(sequence(0, size(w) - 3), i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"
+    ).alias("tri"))
+
+
+def oracle_ok_duckdb_dialect():
+    return """
+    SELECT list_transform(generate_series(1, len(string_split(text, ' ')) - 2),
+        i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')) AS tri
+    FROM documents
+    """
+'''
+    )
+    v = find_violations([seeded])
+    flagged_fns = {line.split(" in ")[1].split("(")[0] for line in v}
+    assert flagged_fns == {
+        "bad_trigram_resplit",
+        "bad_pair_resplit_fstring",
+    }, f"lint flagged: {sorted(flagged_fns)}\n" + "\n".join(v)
+
+
 def test_maybe_broadcast_gates_on_size(spark):
     """maybe_broadcast hints under the byte bound and returns the plan
     UNHINTED above it (so AQE, not the hint, decides at scale)."""
