@@ -474,7 +474,14 @@ def main() -> None:
         "inline twin ann_ivfpq_topk) carry an extra 30× measurement proving",
         "their fixes and annotations hold past 10× (all other rows: —);",
         "those rows are min-of-2 at every factor, same least-noise rule as",
-        "re-measures.",
+        "re-measures. Min-of-2 semantics, stated plainly: the two runs",
+        "share a session, so a row whose plan persists a relation (sel,",
+        "per-round toks, the stored index) reads that cache on run 2 —",
+        "the min measures STEADY-STATE re-serving (deliberate for the",
+        "stored-index rows: run 1 pays the once-per-corpus build; run 2",
+        "is adoption; same warm semantics for winnow_overlap_pairs and",
+        "ngram_novelty whose 30× mins ride their own persists). The",
+        "cold single-pass cost is the main-sweep (non-tail) reading.",
         "",
         "| query | 1× (s) | 3× (s) | 10× (s) | 10×/1× ratio | 30× (s) | 30×/10× ratio |",
         "| --- | --- | --- | --- | --- | --- | --- |",
