@@ -450,6 +450,20 @@ def main() -> None:
             if name == "dedup_prefix_filter_join":
                 pfj_pairs[factor] = cnt
             results.setdefault(factor, {})[name] = best
+    # least-noise rule at the 30× boundary: a 30× min BELOW the 10×
+    # cell means the 10× reading is noise (the workload is
+    # deterministic and work is monotone in the factor) — re-measure
+    # the inverted cell once more and keep the min, so the table
+    # doesn't ship a 10× wall the 30× run just disproved (r10: the
+    # sweep's bpe_encode 10× read 9.9s against a 5.9s 30× min).
+    for name in TAIL_30X:
+        for lo, hi in ((10, 30), (3, 10), (1, 3)):
+            if results[hi][name] < results[lo][name]:
+                t0 = time.perf_counter()
+                queries[name](spark, dirs[lo]).count()
+                results[lo][name] = min(
+                    results[lo][name], round(time.perf_counter() - t0, 2)
+                )
     print(30, results[30], "pfj_pairs", pfj_pairs)
 
     lines = [
@@ -474,7 +488,10 @@ def main() -> None:
         "inline twin ann_ivfpq_topk) carry an extra 30× measurement proving",
         "their fixes and annotations hold past 10× (all other rows: —);",
         "those rows are min-of-2 at every factor, same least-noise rule as",
-        "re-measures. Min-of-2 semantics, stated plainly: the two runs",
+        "re-measures, and a factor-pair INVERSION (a higher factor's min",
+        "below a lower one's — impossible for a deterministic monotone",
+        "workload) re-measures the lower cell once more.",
+        "Min-of-2 semantics, stated plainly: the two runs",
         "share a session, so a row whose plan persists a relation (sel,",
         "per-round toks, the stored index) reads that cache on run 2 —",
         "the min measures STEADY-STATE re-serving (deliberate for the",
