@@ -83,7 +83,11 @@ def _promote(tmp: str, final: str) -> None:
     discard ours. A pre-existing final directory WITHOUT ``_SUCCESS``
     is crash residue (a partially-removed vacuum leftover, an
     interrupted copy): serving it would silently return partial data,
-    so it is removed and the rename retried (round-9 advice)."""
+    so it is removed and the rename retried (round-9 advice). If after
+    the retries the tag is STILL not published (residue that cannot be
+    removed, an unwritable root), this RAISES instead of returning —
+    a silent return here would hand the caller's adopt step an
+    incomplete directory to serve as if it were the artifact."""
     root, tag = os.path.dirname(final), os.path.basename(final)
     for _ in range(2):
         if is_published(root, tag):
@@ -98,7 +102,15 @@ def _promote(tmp: str, final: str) -> None:
             # discards ours) or _SUCCESS-less residue (remove and retry)
             if os.path.isdir(final) and not is_published(root, tag):
                 shutil.rmtree(final, ignore_errors=True)
+    if is_published(root, tag):
+        shutil.rmtree(tmp, ignore_errors=True)
+        return
     shutil.rmtree(tmp, ignore_errors=True)
+    raise RuntimeError(
+        f"index_store._promote: could not publish {final} — the final "
+        f"directory is unpublishable residue (no _SUCCESS) and could not "
+        f"be replaced; refusing to let it be adopted as the artifact"
+    )
 
 
 def publish_parquet(df: DataFrame, root: str, tag: str) -> str:

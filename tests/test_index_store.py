@@ -218,6 +218,35 @@ def test_promote_replaces_success_less_residue(spark, tmp_path):
     assert spark.read.parquet(p).count() == 10
 
 
+def test_promote_raises_on_unremovable_residue(spark, tmp_path, monkeypatch):
+    """If the final directory is _SUCCESS-less residue that CANNOT be
+    replaced (rename keeps failing, rmtree is ineffective), _promote
+    must RAISE rather than return: a silent return hands the caller's
+    adopt step an incomplete directory to serve as the artifact."""
+    import pytest
+
+    from northwind_warehouse_spark.sources import index_store
+
+    root = str(tmp_path / "store")
+    residue = Path(root, "tag")
+    residue.mkdir(parents=True)
+    (residue / "part-00000-stale.parquet").write_bytes(b"partial")
+
+    def _always_fail_rename(src, dst):
+        raise OSError("simulated: final recreated by a concurrent writer")
+
+    def _ineffective_rmtree(path, ignore_errors=False):
+        return None  # simulated: removal has no effect (permissions)
+
+    monkeypatch.setattr(index_store.os, "rename", _always_fail_rename)
+    monkeypatch.setattr(index_store.shutil, "rmtree", _ineffective_rmtree)
+    tmp = str(tmp_path / "store" / "tag.build-1")
+    Path(tmp).mkdir()
+    with pytest.raises(RuntimeError, match="could not publish"):
+        index_store._promote(tmp, str(residue))
+    assert not index_store.is_published(root, "tag")
+
+
 def test_manifest_lock_serializes_cross_process_updates(tmp_path):
     """Round-9 advice: unlocked read-modify-writes from two processes
     vacuuming DIFFERENT keys could interleave and lose one key's entry
