@@ -94,8 +94,22 @@ def _string_constants(fn: ast.FunctionDef) -> list[tuple[int, str]]:
     including f-string literal parts (formatted values become a
     placeholder so patterns spanning them still read naturally)."""
     out: list[tuple[int, str]] = []
+    # fragments of f-strings are visited again as bare Constants by
+    # ast.walk — scan each f-string ONCE via its joined form (r10
+    # advice: the double visit duplicated violation lines and scanned
+    # fragments out of their joined context)
+    fstring_parts: set[int] = {
+        id(v)
+        for n in ast.walk(fn)
+        if isinstance(n, ast.JoinedStr)
+        for v in n.values
+    }
     for n in ast.walk(fn):
-        if isinstance(n, ast.Constant) and isinstance(n.value, str):
+        if (
+            isinstance(n, ast.Constant)
+            and isinstance(n.value, str)
+            and id(n) not in fstring_parts
+        ):
             out.append((n.lineno, n.value))
         elif isinstance(n, ast.JoinedStr):
             parts = []

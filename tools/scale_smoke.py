@@ -66,7 +66,13 @@ def replicate_documents(spark, factor: int, out_dir: str) -> None:
     for i in range(factor):
         part = df.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
         if i > 0:
-            rot = i % len(alphabet)
+            # 1 + (i-1) % (len-1): every copy i > 0 gets a DISTINCT
+            # NON-ZERO rotation for i up to len(alphabet) (r10 advice:
+            # `i % len` is the identity at i = 62 — copies 62, 124, …
+            # would be exact duplicates of copy 0, silently resurrecting
+            # the duplicate-explosion artifact this cipher exists to
+            # avoid). Current max factor is 30; this removes the latch.
+            rot = 1 + (i - 1) % (len(alphabet) - 1)
             part = part.withColumn(
                 "text", F.translate("text", alphabet, alphabet[rot:] + alphabet[:rot])
             )
@@ -456,6 +462,7 @@ def main() -> None:
     # the inverted cell once more and keep the min, so the table
     # doesn't ship a 10× wall the 30× run just disproved (r10: the
     # sweep's bpe_encode 10× read 9.9s against a 5.9s 30× min).
+    tail_inverted: set[str] = set()
     for name in TAIL_30X:
         for lo, hi in ((10, 30), (3, 10), (1, 3)):
             if results[hi][name] < results[lo][name]:
@@ -464,6 +471,16 @@ def main() -> None:
                 results[lo][name] = min(
                     results[lo][name], round(time.perf_counter() - t0, 2)
                 )
+                # visible flag when the pair is STILL inverted after the
+                # re-measure (r10 advice: the non-monotone pass prints a
+                # flag for surviving anomalies; this pass shipped them
+                # silently)
+                if results[hi][name] < results[lo][name]:
+                    tail_inverted.add(name)
+                    print(
+                        f"STILL-INVERTED after re-measure: {name} "
+                        f"{lo}x={results[lo][name]}s > {hi}x={results[hi][name]}s"
+                    )
     print(30, results[30], "pfj_pairs", pfj_pairs)
 
     lines = [
@@ -490,7 +507,9 @@ def main() -> None:
         "those rows are min-of-2 at every factor, same least-noise rule as",
         "re-measures, and a factor-pair INVERSION (a higher factor's min",
         "below a lower one's — impossible for a deterministic monotone",
-        "workload) re-measures the lower cell once more.",
+        "workload) re-measures the lower cell once more; a pair that",
+        "STAYS inverted after that re-measure is marked ‡ (residual",
+        "sandbox noise on the lower cell, never shipped silently).",
         "Min-of-2 semantics, stated plainly: the two runs",
         "share a session, so a row whose plan persists a relation (sel,",
         "per-round toks, the stored index) reads that cache on run 2 —",
@@ -506,6 +525,8 @@ def main() -> None:
     for name in queries:
         t1, t3, t10 = results[1][name], results[3][name], results[10][name]
         mark = " †" if t3 > t10 else ""
+        if name in tail_inverted:
+            mark += " ‡"
         t30 = results[30].get(name)
         tail = (
             f" {t30} | {round(t30 / max(t10, 0.01), 1)} |"
