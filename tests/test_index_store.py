@@ -108,10 +108,13 @@ def _patch_roots(monkeypatch, tmp_path) -> None:
 
 
 def test_corpus_rewrite_vacuums_superseded_artifacts(spark, tmp_path, monkeypatch):
-    """Round-8 verdict #2: rewriting the corpus must (a) serve a NEW
-    index tag, (b) drop the superseded catalog table and remove its
-    directory (manifest-first), and (c) unpersist + evict the stale
+    """Round-8 verdict #2 (+ round-10 #2 retention grace): rewriting
+    the corpus must (a) serve a NEW index tag, (b) drop the superseded
+    catalog table (manifest-first) while RETAINING its directory for
+    the gc grace window, and (c) unpersist + evict the stale
     trained-codebook handle instead of leaking its pinned lineage."""
+    import time
+
     import northwind_warehouse_spark.plans.llm as L
     from northwind_warehouse_spark.sources import index_store
 
@@ -135,10 +138,19 @@ def test_corpus_rewrite_vacuums_superseded_artifacts(spark, tmp_path, monkeypatc
     manifest = index_store.read_manifest(str(tmp_path / "idx"))
     tag2 = manifest[corpus_path]
     assert tag2 != tag1
-    assert not (tmp_path / "idx" / tag1).exists(), "superseded index dir leaked"
+    # retention grace: the superseded dir is RETAINED (a concurrent
+    # adopted reader may still be scanning it) and only the age-guarded
+    # gc removes it
+    assert index_store.is_published(str(tmp_path / "idx"), tag1), (
+        "superseded index dir must stay servable through the grace window"
+    )
     assert not spark.catalog.tableExists(f"nws_ivfpq_index_{tag1}"), (
         "superseded catalog table leaked"
     )
+    old_t = time.time() - 7200
+    os.utime(str(tmp_path / "idx" / tag1), (old_t, old_t))
+    assert tag1 in index_store.gc_unreferenced(str(tmp_path / "idx"))
+    assert not (tmp_path / "idx" / tag1).exists()
     assert (tmp_path / "idx" / tag2 / "_SUCCESS").is_file()
     # a fresh corpus version starts un-maintained
     assert index_store.manifest_generation(str(tmp_path / "idx"), corpus_path) == 0
@@ -153,31 +165,50 @@ def test_corpus_rewrite_vacuums_superseded_artifacts(spark, tmp_path, monkeypatc
     spark.sql(f"DROP TABLE IF EXISTS nws_ivfpq_index_{tag2}")
 
 
-def test_vacuum_is_manifest_first(tmp_path):
-    """index_store.vacuum_superseded writes the manifest BEFORE removing
-    the superseded directory (the sources/versioned.py discipline): an
-    interrupted vacuum can leave an unreferenced directory, never a
-    manifest entry pointing at removed files."""
+def test_vacuum_is_manifest_first_with_retention_grace(tmp_path):
+    """index_store.vacuum_superseded writes the manifest FIRST (the
+    sources/versioned.py discipline) and RETAINS the superseded
+    directory under the gc retention grace (round-10 verdict #2: an
+    immediate rmtree could vanish a directory under a concurrent
+    reader that adopted the old tag): the old dir stays complete, its
+    mtime restarts the grace clock at supersession time, and only the
+    age-guarded gc_unreferenced removes it."""
+    import time
+
     from northwind_warehouse_spark.sources import index_store
 
     root = str(tmp_path / "store")
     for tag in ("t1", "t2"):
         os.makedirs(os.path.join(root, tag), exist_ok=True)
         Path(root, tag, "_SUCCESS").touch()
+    # backdate t1's publish so the test can see vacuum RESTART the clock
+    old = time.time() - 7200
+    os.utime(os.path.join(root, "t1"), (old, old))
 
     assert index_store.vacuum_superseded(root, "corpus", "t1") is None
     assert index_store.read_manifest(root) == {"corpus": "t1"}
     assert index_store.is_published(root, "t1")
 
-    # supersede: t1 must be removed and the manifest must point at t2
-    removed = index_store.vacuum_superseded(root, "corpus", "t2")
-    assert removed == "t1"
+    # supersede: manifest points at t2; t1 RETAINED, complete, clock
+    # restarted (an hour-old artifact superseded NOW must not be
+    # instantly collectable)
+    retired = index_store.vacuum_superseded(root, "corpus", "t2")
+    assert retired == "t1"
     assert index_store.read_manifest(root) == {"corpus": "t2"}
-    assert not os.path.exists(os.path.join(root, "t1"))
+    assert index_store.is_published(root, "t1"), "grace must keep t1 servable"
     assert index_store.is_published(root, "t2")
+    assert index_store.gc_unreferenced(root, older_than_s=3600) == [], (
+        "just-superseded dir collected inside its grace window"
+    )
 
     # idempotent: re-vacuuming the current tag is a no-op
     assert index_store.vacuum_superseded(root, "corpus", "t2") is None
+    assert index_store.is_published(root, "t2")
+
+    # aged past the grace, gc collects exactly the unreferenced tag
+    os.utime(os.path.join(root, "t1"), (old, old))
+    assert index_store.gc_unreferenced(root, older_than_s=3600) == ["t1"]
+    assert not os.path.exists(os.path.join(root, "t1"))
     assert index_store.is_published(root, "t2")
 
 
@@ -346,8 +377,16 @@ def test_compaction_restores_one_file_per_bucket(spark, tmp_path, monkeypatch):
     assert new_tag != tag0 and index_store.base_tag(new_tag) == tag0
 
     # the swap is a manifest retarget, never an in-place rewrite: old
-    # table dropped, old dir gone, new tag served, generation preserved
+    # table dropped, new tag served, generation preserved; the old dir
+    # is RETAINED complete for the gc retention grace (r11 — concurrent
+    # adopted readers must never lose their directory mid-scan)
     assert index_store.read_manifest(idx_root)[corpus_path] == new_tag
+    assert index_store.is_published(idx_root, tag0)
+    import time as _time
+
+    _old_t = _time.time() - 7200
+    os.utime(str(tmp_path / "idx" / tag0), (_old_t, _old_t))
+    assert tag0 in index_store.gc_unreferenced(idx_root)
     assert not (tmp_path / "idx" / tag0).exists()
     assert not spark.catalog.tableExists(table)
     new_table = f"nws_ivfpq_index_{new_tag}"
@@ -375,11 +414,14 @@ def test_compaction_restores_one_file_per_bucket(spark, tmp_path, monkeypatch):
 
 
 def test_compaction_crash_windows_leave_servable_index(spark, tmp_path, monkeypatch):
-    """Round-10 verdict #2 'done' criterion: inject a crash on either
-    side of the compaction's manifest retarget; both windows must leave
-    a complete, manifest-referenced, SERVABLE index plus one
-    unreferenced orphan directory that gc_unreferenced collects — never
-    a manifest pointing at a missing or half-written directory."""
+    """Round-9/10 verdict #2 'done' criterion: a crash BEFORE the
+    compaction's manifest retarget leaves the old revision fully
+    served and the new dir a gc-collectable orphan; AFTER the retarget
+    (the normal post-vacuum state under the r11 retention grace) the
+    new revision serves while the old dir stays complete until the
+    age-guarded gc collects it — never a manifest pointing at a
+    missing or half-written directory, never a directory vanishing
+    under a concurrent adopted reader."""
     import time
 
     import northwind_warehouse_spark.plans.llm as L
@@ -416,23 +458,101 @@ def test_compaction_crash_windows_leave_servable_index(spark, tmp_path, monkeypa
     # a real restart has an empty catalog — mirror that here
     spark.sql(f"DROP TABLE IF EXISTS nws_ivfpq_index_{orphan_a}")
 
-    # window B: crash AFTER the manifest retargets, BEFORE the old
-    # directory is removed — new revision served, old dir orphans
-    def _crash_before_rmtree(path, **k):
-        raise RuntimeError("injected crash before old-dir removal")
-
-    monkeypatch.setattr(index_store.shutil, "rmtree", _crash_before_rmtree)
-    with pytest.raises(RuntimeError, match="injected crash"):
-        L.ivfpq_compact_index(spark, sf_dir)
-    monkeypatch.undo()
-    _patch_roots(monkeypatch, tmp_path)  # undo() reverted the roots too
+    # window B: a crash (or just a pause) AFTER the manifest retargets
+    # — under the retention grace this is the NORMAL post-vacuum state:
+    # new revision served, old revision RETAINED complete until the
+    # age-guarded gc collects it
+    L.ivfpq_compact_index(spark, sf_dir)
     tag1 = index_store.read_manifest(idx_root)[corpus_path]
     assert tag1 == f"{tag0}_r1" and index_store.is_published(idx_root, tag1)
     assert L.ann_ivfpq_from_index(spark, sf_dir).collect() == rows0
-    assert index_store.is_published(idx_root, tag0), "old dir must still be complete"
+    assert index_store.is_published(idx_root, tag0), (
+        "superseded revision must stay complete through the grace window"
+    )
+    assert index_store.gc_unreferenced(idx_root, older_than_s=3600) == [], (
+        "grace clock must restart at supersession, not publish, time"
+    )
     os.utime(os.path.join(idx_root, tag0), (old, old))
     assert tag0 in index_store.gc_unreferenced(idx_root)
     spark.sql(f"DROP TABLE IF EXISTS nws_ivfpq_index_{tag1}")
+
+
+def test_concurrent_reader_of_superseded_tag_survives_vacuum(spark, tmp_path, monkeypatch):
+    """Round-10 verdict #2 'done' criterion, two sessions: a reader
+    process resolves the manifest to the CURRENT tag, then the writer
+    compacts (publishing a new revision and vacuuming the old tag),
+    and ONLY THEN does the reader scan the directory it adopted — the
+    scan must succeed, because vacuum retains superseded directories
+    under the gc retention grace instead of rmtree'ing them out from
+    under in-flight readers. Once aged past the grace, gc collects."""
+    import time
+
+    import northwind_warehouse_spark.plans.llm as L
+    from northwind_warehouse_spark.sources import index_store
+
+    _patch_roots(monkeypatch, tmp_path)
+    sf_dir = _write_corpus(tmp_path / "corpus")
+    idx_root = str(tmp_path / "idx")
+    corpus_path = f"{sf_dir}/embeddings.parquet"
+
+    L.ann_ivfpq_from_index(spark, sf_dir).collect()  # build + publish
+    tag0 = index_store.read_manifest(idx_root)[corpus_path]
+
+    flags = tmp_path / "flags"
+    flags.mkdir()
+    reader_script = (
+        "import glob, os, sys, time\n"
+        "import duckdb\n"
+        "from northwind_warehouse_spark.sources import index_store\n"
+        "idx_root, key, flags = sys.argv[1], sys.argv[2], sys.argv[3]\n"
+        "tag = index_store.read_manifest(idx_root)[key]\n"
+        "adopted_dir = os.path.join(idx_root, tag)\n"
+        "open(os.path.join(flags, 'adopted'), 'w').write(tag)\n"
+        "for _ in range(600):\n"
+        "    if os.path.exists(os.path.join(flags, 'vacuumed')):\n"
+        "        break\n"
+        "    time.sleep(0.1)\n"
+        "else:\n"
+        "    raise SystemExit('writer never vacuumed')\n"
+        "n = duckdb.sql(\n"
+        "    f\"SELECT count(*) FROM read_parquet('{adopted_dir}/**/*.parquet')\"\n"
+        ").fetchone()[0]\n"
+        "print(f'READER::{tag}::{n}')\n"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", reader_script, idx_root, corpus_path, str(flags)],
+        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+    try:
+        for _ in range(600):
+            if (flags / "adopted").exists():
+                break
+            time.sleep(0.1)
+        else:
+            pytest.fail("reader never adopted a tag")
+        assert (flags / "adopted").read_text() == tag0
+
+        # writer: compact → new revision published, tag0 vacuumed
+        out = L.ivfpq_compact_index(spark, sf_dir)
+        assert out["old_tag"] == tag0 and out["new_tag"] == f"{tag0}_r1"
+        (flags / "vacuumed").touch()
+
+        stdout, stderr = proc.communicate(timeout=120)
+        assert proc.returncode == 0, f"reader died:\n{stdout[-2000:]}\n{stderr[-2000:]}"
+        line = next(l for l in stdout.splitlines() if l.startswith("READER::"))
+        _, read_tag, n_rows = line.split("::")
+        assert read_tag == tag0 and int(n_rows) > 0, (
+            "reader's post-vacuum scan of the superseded dir failed"
+        )
+    finally:
+        if proc.poll() is None:
+            proc.kill()
+
+    # aged past the grace, the superseded revision is collectable
+    old_t = time.time() - 7200
+    os.utime(os.path.join(idx_root, tag0), (old_t, old_t))
+    assert tag0 in index_store.gc_unreferenced(idx_root)
+    spark.sql(f"DROP TABLE IF EXISTS nws_ivfpq_index_{tag0}_r1")
 
 
 def test_maintenance_is_a_generation_and_registered_serving_stays_build_identical(

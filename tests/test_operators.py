@@ -2139,3 +2139,109 @@ def test_two_level_probe_rank_one_reproduces_two_level_assignment(spark):
             assert r.cell_id not in per_vec.setdefault(r.vec_id, set()), r
             per_vec[r.vec_id].add(r.cell_id)
         cb.unpersist()
+
+def test_hier_probe_identities_and_bounds(spark):
+    """ivf_probe_cells_hier is the scale-safe generalization of BOTH
+    probe routes (round-10 verdict #1): at S ≥ ⌈√k⌉ (all supers) it
+    must reproduce the FLAT probe row-for-row (every centroid is a
+    child of exactly one super, so the probed union is the whole
+    codebook and the tie rule matches at every stage); at S = 1 it
+    must reproduce the within-super TWO-LEVEL probe row-for-row; and
+    at intermediate S the probed cells must be exactly the top-P over
+    the S routed supers' children — verified against a Python
+    reference on the collected relations."""
+    from pyspark.sql import functions as F
+
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.operators.similarity import (
+        ceil_isqrt,
+        ivf_probe_cells,
+        ivf_probe_cells_hier,
+        ivf_probe_cells_two_level,
+        ivf_train_codebook,
+    )
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    cols = ["vec_id", "probe_rank", "cell_id"]
+    for k, p in ((8, 4), (16, 3)):
+        ns = ceil_isqrt(k)
+        cb = ivf_train_codebook(e, n_centroids=k)
+        qb = e.filter(F.col("vec_id") < 25)
+        flat = {
+            (r.vec_id, r.probe_rank, r.cell_id)
+            for r in ivf_probe_cells(
+                qb, n_centroids=k, n_probe=p, centroids=cb
+            ).select(cols).collect()
+        }
+        hier_all = {
+            (r.vec_id, r.probe_rank, r.cell_id)
+            for r in ivf_probe_cells_hier(
+                qb, k, cb, n_probe=p, n_super_probe=ns
+            ).select(cols).collect()
+        }
+        assert hier_all == flat and len(flat) > 0, f"k={k}: hier(S=√k) != flat"
+        two = {
+            (r.vec_id, r.probe_rank, r.cell_id)
+            for r in ivf_probe_cells_two_level(qb, k, cb, n_probe=p)
+            .select(cols).collect()
+        }
+        hier_one = {
+            (r.vec_id, r.probe_rank, r.cell_id)
+            for r in ivf_probe_cells_hier(
+                qb, k, cb, n_probe=p, n_super_probe=1
+            ).select(cols).collect()
+        }
+        assert hier_one == two, f"k={k}: hier(S=1) != two_level"
+
+        # intermediate S: per-query probed set == top-P over the union
+        # of the S nearest supers' children, via a Python reference
+        s_mid = 2
+        assert s_mid < ns or k == 8  # k=8 → ns=3 → s_mid genuinely partial
+        hier_mid = ivf_probe_cells_hier(
+            qb, k, cb, n_probe=p, n_super_probe=s_mid
+        ).select(cols).collect()
+        # Python reference over the quantized relations
+        import math
+
+        cents = {
+            r.cent_id: (list(r.cqvec), r.cn2)
+            for r in cb.select("cent_id", "cqvec", "cn2").collect()
+        }
+        sup_of = {}
+        for cid, (cq, cn2) in cents.items():
+            if cid < ns:
+                sup_of[cid] = cid
+            else:
+                best = max(
+                    (
+                        (
+                            sum(a * b for a, b in zip(cq, cents[s][0]))
+                            / math.sqrt(cn2 * cents[s][1]),
+                            -s,
+                        )
+                        for s in range(ns)
+                    )
+                )
+                sup_of[cid] = -best[1]
+        rows = qb.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"
+            ).alias("vq"),
+        ).collect()
+        want_mid = set()
+        for r in rows:
+            vq = list(r.vq)
+            n2 = sum(x * x for x in vq)
+
+            def cos(cid):
+                cq, cn2 = cents[cid]
+                return sum(a * b for a, b in zip(vq, cq)) / math.sqrt(n2 * cn2)
+
+            top_s = sorted(range(ns), key=lambda s: (-cos(s), s))[:s_mid]
+            children = [c for c in cents if sup_of[c] in top_s]
+            top_p = sorted(children, key=lambda c: (-cos(c), c))[:p]
+            for rank, cid in enumerate(top_p, 1):
+                want_mid.add((r.vec_id, rank, cid))
+        assert {(r.vec_id, r.probe_rank, r.cell_id) for r in hier_mid} == want_mid
+        cb.unpersist()

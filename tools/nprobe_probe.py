@@ -1,43 +1,129 @@
 #!/usr/bin/env python3
-"""Measure the stored-index probe knobs (round-9 verdict #6): candidate
-recall@5 and candidate-set cost of P ∈ {1, 2, 4} probes at the
-occupancy-scaled k, for BOTH query-probe routes — flat (top-P over all
-k trained centroids: 10·k dots for the bounded query batch, FAISS's
-nprobe selection) and two_level (within the routed super: route-
-consistent with the index build) — per SF. The rounds_probe.py
-pattern: measure the knob, adopt the measured default, record the
-JSON. Round-10 decision: FLAT + P=4 (flat buys +12-22 pp recall at
-P=4; within-super probing constrains a boundary query to one super's
-children).
+"""Measure the stored-index probe knobs (round-9 verdict #6, extended
+round 11 with the hierarchical route and a forced-large-k regime):
+candidate recall@5 and candidate-set cost per probe route × P at the
+occupancy-scaled k, per SF.
+
+Routes:
+
+- ``flat`` — top-P over all k trained centroids (10·k dots for the
+  bounded query batch, FAISS's nprobe selection). One k-struct packed
+  row: fine at measured k, the corpus-linear ceiling at k→millions
+  (round-10 verdict #1).
+- ``two_level`` — within the routed super only (route-consistent with
+  the index build; ≡ hier at S=1). Measured round 10: loses 12-22 pp
+  of candidate recall at P=4 because boundary queries' true nearest
+  cells live under OTHER supers.
+- ``hier_S<S>`` — the widened-super hierarchical probe
+  (operators/similarity.py::ivf_probe_cells_hier): rank the √k supers,
+  scan the S nearest supers' children, global top-P over the union —
+  O(S·√k) per query, no row above ~√k structs. S ≥ √k reproduces
+  ``flat`` exactly (asserted in tests/test_operators.py), so only
+  S < √k appears in the sweep.
+
+The FORCED-LARGE-K regime (``--largek``) replicates the sf0.1
+embeddings into ``factor`` mutually-decorrelated ISOMETRIC copies —
+per-copy dimension rotation (r = i mod 64) plus global negation for
+i ≥ 64. Rotation/negation preserve every intra-copy dot product
+exactly (the base corpus's cluster geometry survives in each copy)
+while cross-copy cosines decorrelate, so the union grows the cluster
+POPULATION ×factor — the embedding twin of the documents character
+cipher (tools/scale_smoke.py) — instead of planting exact duplicates
+whose candidate recall would be trivially inflated (a replica lands in
+the query's own cell by construction). factor ≤ 128 keeps every
+(rotation, sign) pair distinct.
 
 Recall is CANDIDATE recall (cell membership of the brute-force top-5 —
 the IVF decomposition: ADC ranking quality inside a probed cell is
 graded separately by ann_pq_recall), measured on exactly the assignment
 the stored index persists (ivf_train_codebook ∘ ivf_assign_two_level at
 k = max(8, n/128)); cost is the total candidate rows the 10-query batch
-ADC-scans, i.e. the per-query work the P knob buys recall with.
+ADC-scans plus the probe-side dot count implied by the route.
 
-Usage: python tools/nprobe_probe.py [sf_dir ...]   (default sf0.01 sf0.1)
-Prints one JSON object; the adopted default lives in
-plans/llm._IDX_NPROBE and the publish floor in _IVFPQ_MIN_RECALL_PPM.
+Usage: python tools/nprobe_probe.py [sf_dir ...] [--largek [FACTOR]]
+Prints one JSON object; the adopted policy lives in
+plans/llm.py::_idx_nprobe / _idx_super_probe / _ivfpq_min_recall_ppm.
 """
 
 from __future__ import annotations
 
 import json
 import sys
+import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
+LARGEK_WORK = "/tmp/nws_nprobe_largek"
+LARGEK_FACTOR = 125
 
-def measure(spark, sf_dir: str, probes=(1, 2, 4)) -> dict:
+
+def build_largek(spark, factor: int = LARGEK_FACTOR, variant: str = "iso",
+                 base: str = "/root/testdata/sf0.1") -> str:
+    """Write a forced-large-k embeddings corpus and return its dir.
+    Skips if already built. Two variants, because replication MODELS a
+    growth regime and the regime decides what the probe measurement can
+    see:
+
+    - ``iso`` — mutually-decorrelated ISOMETRIC copies (per-copy dim
+      rotation, negation past 64): cluster POPULATION grows ×factor,
+      cross-copy cosines ≈ 0. Models independent-corpus growth. Block
+      structure is PERFECT: a query's relevant cells group under few
+      supers, so it cannot stress super-boundary behavior (measured
+      round 11: every route identical at every P).
+    - ``mix`` — partial-correlation copies v + ½·rot_i(v) (rotation
+      always non-zero, negation past 63): each copy keeps cos ≈ 0.89
+      to its base vector while deviating in a per-copy direction, so a
+      query's true nearest neighbors are its drifted replicas SPREAD
+      ACROSS CELLS — the near-duplicate-drift retrieval workload, and
+      the instance that actually exercises widened-super probing."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    assert factor <= 125, "(rotation, sign) pairs repeat"
+    out_dir = f"{LARGEK_WORK}/{variant}_x{factor}"
+    if os.path.exists(f"{out_dir}/embeddings.parquet/_SUCCESS"):
+        return out_dir
+    df = spark.read.parquet(f"{base}/embeddings.parquet")
+    parts = []
+    for i in range(factor):
+        part = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
+        if i > 0:
+            if variant == "iso":
+                r, neg = i % 64, (i // 64) % 2
+            else:
+                r, neg = 1 + (i - 1) % 63, (i // 64) % 2
+            rot = (
+                f"concat(slice(embedding, {r + 1}, {64 - r}), "
+                f"slice(embedding, 1, {r}))"
+                if r
+                else "embedding"
+            )
+            if neg:
+                rot = f"transform({rot}, x -> -x)"
+            expr = (
+                rot if variant == "iso"
+                else f"zip_with(embedding, {rot}, (x, y) -> x + 0.5 * y)"
+            )
+            part = part.withColumn("embedding", F.expr(expr))
+        parts.append(part)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.repartition(32).write.mode("overwrite").parquet(
+        f"{out_dir}/embeddings.parquet"
+    )
+    return out_dir
+
+
+def measure(spark, sf_dir: str, probes=(1, 2, 4), supers=(2, 4)) -> dict:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
     import northwind_warehouse_spark.operators.similarity as sim
-    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.catalog import load, table_rows
     from northwind_warehouse_spark.functions.vectors import (
         cosine_from_parts, dot_q, norm2_q,
     )
@@ -45,7 +131,9 @@ def measure(spark, sf_dir: str, probes=(1, 2, 4)) -> dict:
     from northwind_warehouse_spark.plans.llm import _ivfpq_params, _trained_cb
 
     e = load(spark, sf_dir, "embeddings")
+    n = table_rows(sf_dir, "embeddings")
     k, _ = _ivfpq_params(sf_dir)
+    n_super = sim.ceil_isqrt(k)
     cb = _trained_cb(spark, sf_dir, k)
     assigned = sim.ivf_assign_two_level(e, n_centroids=k, centroids=cb).persist()
 
@@ -76,12 +164,20 @@ def measure(spark, sf_dir: str, probes=(1, 2, 4)) -> dict:
         "flat": sim.ivf_probe_cells(qb, n_centroids=k, n_probe=pmax, centroids=cb),
         "two_level": sim.ivf_probe_cells_two_level(qb, k, cb, n_probe=pmax),
     }
-    out = {"k": k, "n_true": n_true, "routes": {}}
+    for s in supers:
+        if s < n_super:  # S ≥ √k ≡ flat (proven identity) — not re-measured
+            routes[f"hier_S{s}"] = sim.ivf_probe_cells_hier(
+                qb, k, cb, n_probe=pmax, n_super_probe=s
+            )
+    out = {"n": n, "k": k, "n_super": n_super, "n_true": n_true, "routes": {}}
     for route, qp0 in routes.items():
         qp = qp0.select(
             F.col("vec_id").alias("query_id"), "probe_rank",
             F.col("cell_id").alias("qcell"),
         ).persist()
+        t0 = time.perf_counter()
+        qp.count()
+        probe_wall = round(time.perf_counter() - t0, 3)
         by_p = {}
         for p in probes:
             cand = (
@@ -103,19 +199,37 @@ def measure(spark, sf_dir: str, probes=(1, 2, 4)) -> dict:
                 "candidate_rows": n_cand,
             }
         qp.unpersist()
-        out["routes"][route] = by_p
+        out["routes"][route] = {"probe_wall_s": probe_wall, **by_p}
     assigned.unpersist()
     truth.unpersist()
     return out
 
 
 def main() -> None:
-    sf_dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
+    args = sys.argv[1:]
+    largek = None
+    if "--largek" in args:
+        i = args.index("--largek")
+        args.pop(i)
+        largek = LARGEK_FACTOR
+        if i < len(args) and args[i].isdigit():
+            largek = int(args.pop(i))
+    sf_dirs = args or [
+        "/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1",
+    ]
     from northwind_warehouse_spark.session import get_spark
 
     spark = get_spark("nws-nprobe")
     spark.sparkContext.setLogLevel("ERROR")
     result = {sf.rstrip("/").rsplit("/", 1)[-1]: measure(spark, sf) for sf in sf_dirs}
+    if largek:
+        for variant in ("iso", "mix"):
+            lk_dir = build_largek(spark, largek, variant)
+            result[f"largek_{variant}_x{largek}"] = measure(
+                spark, lk_dir,
+                probes=(1, 2, 4, 8, 16, 32, 64),
+                supers=(1, 2, 4, 8, 16, 32),
+            )
     print(json.dumps(result, indent=1))
     spark.stop()
 
