@@ -1321,6 +1321,64 @@ def _flat_cents(spark: SparkSession, sf_dir: str, n_centroids: int):
     return cents
 
 
+# two-level ROUTING-TABLE cache for the hierarchical query probe —
+# the (supers_row, packed children) relations two_level_routing builds
+# are pure functions of the trained codebook, but rebuilding them is a
+# k-row aggregate per query call. Same session discipline as
+# _FLAT_CENTS. Used only at k > _IDX_SUPER_PROBE² (the hier branch of
+# the route policy), so the tested small-k corpora never populate it.
+_PROBE_ROUTINGS: dict[tuple, tuple[str, tuple]] = {}
+
+
+def _probe_routing(spark: SparkSession, sf_dir: str, n_centroids: int):
+    path, mtime_ns, size = _corpus_identity(sf_dir)
+    fkey = (path, mtime_ns, size, n_centroids)
+    app = spark.sparkContext.applicationId
+    cur = _PROBE_ROUTINGS.get(fkey)
+    if cur is not None and cur[0] == app:
+        return cur[1]
+    cb = _trained_cb(spark, sf_dir, n_centroids)
+    supers_row, packed = sim.two_level_routing(cb, n_centroids)
+    routing = (supers_row.persist(), packed.persist())
+    for k in [
+        k for k in _PROBE_ROUTINGS
+        if (k[0], k[3]) == (path, n_centroids) and (k != fkey or _PROBE_ROUTINGS[k][0] != app)
+    ]:
+        try:
+            old = _PROBE_ROUTINGS.pop(k)[1]
+            old[0].unpersist()
+            old[1].unpersist()
+        except Exception:
+            pass
+    _PROBE_ROUTINGS[fkey] = (app, routing)
+    return routing
+
+
+def _idx_query_probe(
+    spark: SparkSession, sf_dir: str, queries, k: int, n_probe: int
+):
+    """THE stored-index query probe — the single entry every serving
+    path and the publish gate route through, so route, S and P always
+    come from the one measured policy (_idx_super_probe / _idx_nprobe;
+    see the policy block above those functions): FLAT over the
+    session-cached packed centroid array while S(k) covers the
+    codebook (k ≤ _IDX_SUPER_PROBE², where hier(S ≥ √k) ≡ flat is the
+    proven operator identity), the widened-super hierarchical probe
+    over the session-cached routing tables beyond — O(S·√k) per query,
+    no O(k) row anywhere (round-10 verdict #1)."""
+    s = _idx_super_probe(k)
+    if s >= sim.ceil_isqrt(k):
+        return sim.ivf_probe_cells(
+            queries, n_centroids=k, n_probe=n_probe,
+            centroids=_trained_cb(spark, sf_dir, k),
+            cents_row=_flat_cents(spark, sf_dir, k),
+        )
+    return sim.ivf_probe_cells_hier(
+        queries, k, _trained_cb(spark, sf_dir, k), n_probe=n_probe,
+        n_super_probe=s, routing=_probe_routing(spark, sf_dir, k),
+    )
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned ANN top-3 served from the TRAINED coarse
     quantizer: the codebook is one Lloyd round over the deterministic
@@ -4550,33 +4608,71 @@ _IVFPQ_TARGET_CELL = 128
 _IVFPQ_ROW_BYTES = 64          # vec_id + cell_id + PQ_M int codes + row overhead
 _IVFPQ_BUCKET_BYTES = 32 << 20
 _IVFPQ_MAX_BUCKETS = 1024
-# stored-index multi-probe serving: P nearest trained cells per query,
-# by the FLAT probe over all k centroids — the query batch is BOUNDED
-# (never corpus-sized), so scanning the whole codebook per query is
-# 10·k dots at any scale, exactly FAISS's nprobe selection; only the
-# CORPUS assignment must stay two-level (that is where n·k would be
-# quadratic). Both the route and P are MEASURED (tools/nprobe_probe.py
-# → NPROBE.json, round 10): flat probing buys +12-22 pp candidate
-# recall at P=4 over the route-consistent within-super probe
-# (0.72/0.70/0.68 vs 0.50/0.58/0.58 at sf0.001/0.01/0.1), and P=4 buys
-# +18-38 pp over P=1 for ≤2× candidate rows — at corpus scale
-# P·occupancy ≈ 512 candidate rows/query regardless of n, so the extra
-# probes are noise next to the index scan they prune.
-_IDX_NPROBE = 4
-# Publish-time ACCEPT GATE floor: candidate recall@5 of the
-# _IDX_NPROBE-probe serving path over the 10-query eval batch, in ppm,
-# measured on the exact assignment about to be published (round-9
-# verdict #5: the recall REPORT existed but nothing enforced it —
-# FAISS-style index acceptance as policy, the dbt analogy being schema
-# tests that FAIL the run rather than print). The floor sits under the
-# measured production recall at every SF (see SURVEY §2C / NPROBE.json)
-# and far above what a broken assignment scores (a mis-routed index
-# parks candidates in cells the queries never probe ⇒ recall collapses
-# toward zero) — asserted by the planted-low-recall refusal test in
-# tests/test_index_store.py. Measured flat-probe P=4 recall:
-# 720k/700k/680k ppm at sf0.001/0.01/0.1 (NPROBE.json) — the floor
-# leaves ~70% margin.
-_IVFPQ_MIN_RECALL_PPM = 400_000
+# ----- stored-index QUERY-PROBE POLICY (round 11: P, S and the recall
+# floor are FUNCTIONS of k derived from the NPROBE.json sweep — three
+# real SFs plus two forced-large-k regimes at k = 1954 — replacing the
+# round-10 constants that were calibrated only at k = 8-16) -----
+#
+# Route (tools/nprobe_probe.py, round 10 + 11 measurements):
+# - SMALL k (8-16, the real corpora): FLAT top-P over all k trained
+#   centroids beats within-super probing by +8-22 pp candidate recall
+#   at P=4 (a boundary query's nearest cells live under other supers),
+#   and the one-row k-struct pack is trivially affordable.
+# - LARGE k (1954, both forced regimes — isometric population-growth
+#   copies AND partial-correlation near-duplicate-drift copies): every
+#   route ties at EVERY P (iso: a query's top-32 cells all nest under
+#   its top-1 super; mix: trivially 100%) — the within-super recall
+#   loss is a SMALL-SUPER-COUNT phenomenon, gone by √k = 45.
+# - The flat pack is the remaining scale ceiling (round-10 verdict #1:
+#   O(k) bytes in ONE row/broadcast — the next unpartitioned fact at
+#   k in the millions).
+# Adopted policy: serve FLAT while S0 = 8 supers covers the codebook
+# (k ≤ 64 — where hier(S ≥ √k) ≡ flat row-for-row anyway, the proven
+# operator identity), and the widened-super HIERARCHICAL probe
+# (ivf_probe_cells_hier, S = 8) beyond — O(√k + 8√k) dots per query,
+# no row above ~√k structs, measured recall ≡ flat at the forced
+# k = 1954 in both regimes (NPROBE.json hier_S8 rows).
+_IDX_SUPER_PROBE = 8
+
+
+def _idx_super_probe(k: int) -> int:
+    """S(k): supers probed by the serving-path query probe — all of
+    them (≡ flat) up to k = _IDX_SUPER_PROBE², capped at
+    _IDX_SUPER_PROBE beyond (see policy block above)."""
+    return min(sim.ceil_isqrt(k), _IDX_SUPER_PROBE)
+
+
+def _idx_nprobe(k: int) -> int:
+    """P(k): probed cells per query — max(4, ⌈√k⌉ // 3), the measured
+    recall-holding curve (NPROBE.json): fixed P=4 probes a shrinking
+    corpus fraction as the occupancy policy drives k up (round-10
+    verdict #4 — candidate recall@5 measured 52% at the forced
+    k = 1954 vs 68-72% at k = 8-16), while P = ⌈√k⌉//3 recovers it
+    (P(1954) = 15; the neighboring sweep point P=16 measures 74% on
+    the iso regime, the harder of the
+    two forced corpora). P(k) = 4 for every k ≤ 196, so the tested
+    SFs (k = 8/16) and their oracles are pinned at the round-10
+    adopted value."""
+    return max(4, sim.ceil_isqrt(k) // 3)
+
+
+def _ivfpq_min_recall_ppm(k: int) -> int:
+    """Publish-time ACCEPT GATE floor as a function of k: candidate
+    recall@5 of the P(k)-probe serving path over the 10-query eval
+    batch, in ppm, measured on the exact assignment about to be
+    published (round-9 verdict #5 — FAISS-style index acceptance as
+    policy, the dbt analogy being schema tests that FAIL the run).
+    The floor is one constant across regimes BECAUSE P(k) holds the
+    measured curve flat (NPROBE.json): 720k/700k/680k ppm at
+    k = 8/8/16 (P=4) and 740k ppm at the forced k = 1954 (sweep point
+    P=16 beside P(1954)=15, iso regime; mix measures 1000k at every
+    P) — ≥ 40% margin at
+    every measured regime, far above what a broken assignment scores
+    (a mis-routed index parks candidates in cells the queries never
+    probe ⇒ recall collapses toward zero) — asserted by the
+    planted-low-recall refusal test in tests/test_index_store.py.
+    Re-derive from tools/nprobe_probe.py before changing k/P/route."""
+    return 400_000
 
 
 class IndexRecallGateError(RuntimeError):
@@ -4618,12 +4714,14 @@ def _publish_recall_gate(
     spark: SparkSession, sf_dir: str, assigned: DataFrame, cb: DataFrame, k: int
 ) -> int:
     """The accept gate run once per index BUILD, before publish:
-    candidate recall@5 of _IDX_NPROBE-probe serving (the flat query
-    probe against the assignment about to be stored) vs the
-    brute-force exact-cosine truth for the 10-query eval batch. Costs one corpus
+    candidate recall@5 of P(k)-probe serving — THROUGH the same
+    _idx_query_probe policy entry the serving paths use, so the gate
+    always grades the route/S/P actually served — against the
+    assignment about to be stored vs the brute-force exact-cosine
+    truth for the 10-query eval batch. Costs one corpus
     scan for the truth — against a build that already scanned the
     corpus to assign and encode it. Returns the measured ppm; raises
-    :class:`IndexRecallGateError` below the documented floor."""
+    :class:`IndexRecallGateError` below the k-policy floor."""
     from pyspark.sql.window import Window
 
     from northwind_warehouse_spark.functions.vectors import (
@@ -4633,9 +4731,8 @@ def _publish_recall_gate(
     )
 
     e = load(spark, sf_dir, "embeddings")
-    qp = sim.ivf_probe_cells(
-        e.filter(F.col("vec_id") < 10), n_centroids=k, n_probe=_IDX_NPROBE,
-        centroids=cb, cents_row=_flat_cents(spark, sf_dir, k),
+    qp = _idx_query_probe(
+        spark, sf_dir, e.filter(F.col("vec_id") < 10), k, _idx_nprobe(k)
     ).select(F.col("vec_id").alias("query_id"), F.col("cell_id").alias("qcell"))
     cand = (
         assigned.join(
@@ -4673,11 +4770,12 @@ def _publish_recall_gate(
         .collect()[0]
     )
     recall_ppm = int(row.hits) * 1_000_000 // int(row.total)
-    if recall_ppm < _IVFPQ_MIN_RECALL_PPM:
+    if recall_ppm < _ivfpq_min_recall_ppm(k):
         raise IndexRecallGateError(
             f"IVF-PQ index publish refused: candidate recall@5 "
-            f"{recall_ppm} ppm < floor {_IVFPQ_MIN_RECALL_PPM} ppm "
-            f"(k={k}, P={_IDX_NPROBE}, eval batch vec_id<10)"
+            f"{recall_ppm} ppm < floor {_ivfpq_min_recall_ppm(k)} ppm "
+            f"(k={k}, P={_idx_nprobe(k)}, S={_idx_super_probe(k)}, "
+            f"eval batch vec_id<10)"
         )
     return recall_ppm
 
@@ -4809,26 +4907,22 @@ def ivfpq_compact_index(spark: SparkSession, sf_dir: str) -> dict:
 
 def _ivfpq_query_luts(spark: SparkSession, sf_dir: str, n_probe: int = 1) -> DataFrame:
     """Per-(query, probe) serving rows against the STORED artifacts:
-    each of the 10 query vectors takes its top-P cells from a FLAT
-    scan of all k trained centroids (operators/similarity.py::
-    ivf_probe_cells over the session-cached packed array — FAISS's
-    nprobe selection: the QUERY batch is bounded, so 10·k dots is
-    trivial at any scale; only the CORPUS assignment must avoid n·k),
-    plus the query's ADC lookup table against the adopted PQ codebook.
-    The flat probe is a MEASURED choice over the route-consistent
-    within-super probe: +12-22 pp candidate recall at P=4
-    (NPROBE.json), because a boundary query's nearest cells often live
-    under a different super than the one the two-level router picks.
-    Touches the raw corpus ONLY for the 10 query rows (vec_id < 10 is
-    pushed to the scan)."""
+    each of the 10 query vectors takes its top-P cells through the
+    MEASURED route policy (:func:`_idx_query_probe` — flat over the
+    session-cached packed array at k ≤ 64, where flat beats
+    within-super probing by +8-22 pp candidate recall at P=4 and
+    hier(S ≥ √k) ≡ flat anyway; the widened-super hierarchical probe
+    at larger k, where the sweep measures the routes tied and the flat
+    pack's O(k) single row is the scale ceiling — NPROBE.json, rounds
+    10-11), plus the query's ADC lookup table against the adopted PQ
+    codebook. Touches the raw corpus ONLY for the 10 query rows
+    (vec_id < 10 is pushed to the scan)."""
     e = load(spark, sf_dir, "embeddings")
     k, _ = _ivfpq_params(sf_dir)
-    cb = _trained_cb(spark, sf_dir, k)
     pqcb = _stored_pq_cb(spark, sf_dir)
     sdist = sim._PQ_SDIST.format(a="eq", b="c")
-    qp = sim.ivf_probe_cells(
-        e.filter(F.col("vec_id") < 10), n_centroids=k, n_probe=n_probe,
-        centroids=cb, cents_row=_flat_cents(spark, sf_dir, k),
+    qp = _idx_query_probe(
+        spark, sf_dir, e.filter(F.col("vec_id") < 10), k, n_probe
     )
     return (
         qp.select(
@@ -4881,9 +4975,14 @@ def ann_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical to computing the index inline, which is exactly what the
     DuckDB oracle does. Multi-probe serving from the same stored
     index: :func:`ann_ivfpq_multiprobe_from_index`."""
-    idx = _ivfpq_index(spark, sf_dir)
-    luts = _ivfpq_query_luts(spark, sf_dir).drop("probe_rank")
+    return _ivfpq_adc_topk(_ivfpq_index(spark, sf_dir),
+                           _ivfpq_query_luts(spark, sf_dir).drop("probe_rank"))
 
+
+def _ivfpq_adc_topk(idx: DataFrame, luts: DataFrame) -> DataFrame:
+    """Shared ADC serving body: broadcast the per-query (cell, LUT)
+    rows against an index relation (gen-0 or maintained — the caller
+    picks), ADC-score, top-5 per query."""
     from pyspark.sql.window import Window
 
     scored = (
@@ -4907,6 +5006,22 @@ def ann_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= 5)
         .select("query_id", "cell_id", "neighbor_id", "adist", "nn_rank")
         .orderBy("query_id", "nn_rank")
+    )
+
+
+def ann_ivfpq_from_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving twin over the MAINTAINED view (gen 0 ∪ every streamed
+    append generation) — deliberately NOT a registered query: gen-0 is
+    the oracle contract (the stored tag's content identity), while
+    this reader is what a deployment serves BETWEEN full refreshes.
+    Exists so the maintenance lifecycle has a measured serving number
+    (tools/scale_smoke.py maintained-serving section: N appended
+    micro-batches fragment the table — one file per (batch, bucket) —
+    then ivfpq_compact_index restores one file per (gen, bucket) and
+    the wall recovers)."""
+    return _ivfpq_adc_topk(
+        _ivfpq_index_maintained(spark, sf_dir),
+        _ivfpq_query_luts(spark, sf_dir).drop("probe_rank"),
     )
 
 
@@ -4943,15 +5058,21 @@ def _o_pq_codes_ctes() -> str:
 
 def _o_idx_probe_ctes() -> str:
     """Shared oracle scaffolding for the stored-index serving family —
-    the exact SQL mirror of the round-10 occupancy-scaled index:
-    trained codebook at k = greatest(8, ceil(n/128)) (cb1, one Lloyd
-    round — _o_trained_cb_sql), the TWO-LEVEL assignment of every
-    corpus vector (assign0, via _o_two_level_chain — the oracle twin of
-    the stored table's gen-0 cell_id column), and the query batch's
-    FLAT top-_IDX_NPROBE probes over all k trained centroids (qprobe —
-    the ivf_probe_cells route: the bounded query batch scans the whole
-    codebook exactly like FAISS's nprobe selection; measured +12-22 pp
-    candidate recall at P=4 over within-super probing, NPROBE.json)."""
+    the exact SQL mirror of the occupancy-scaled index under the
+    round-11 probe POLICY: trained codebook at k = greatest(8,
+    ceil(n/128)) (cb1, one Lloyd round — _o_trained_cb_sql), the
+    TWO-LEVEL assignment of every corpus vector (assign0, via
+    _o_two_level_chain — the oracle twin of the stored table's gen-0
+    cell_id column), and the query batch's top-P(k) probe (qprobe)
+    with P(k) = greatest(4, ns // 3) COMPUTED IN-QUERY from the params
+    CTE — the exact mirror of plans/llm._idx_nprobe at any k. The
+    probe is written in the FLAT form (rank all k centroids), which IS
+    the route policy's result wherever the oracle runs: at the oracle
+    SFs k ≤ 16 ≤ _IDX_SUPER_PROBE², where _idx_query_probe serves flat
+    and the hier route at S ≥ √k is row-identical by the proven
+    operator identity (tests/test_operators.py); the k > 64 hier
+    branch has its own oracle-checked gate twin at a genuinely partial
+    S (ann_ivfpq_hier_probe_recall)."""
     return (
         _o_trained_cb_sql(_KNN_NCENTS_SQL)
         + ",\n    "
@@ -4975,7 +5096,7 @@ def _o_idx_probe_ctes() -> str:
         FROM (
             SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS rk
             FROM qpcos
-        ) WHERE rk <= {_IDX_NPROBE}
+        ) WHERE rk <= (SELECT greatest(4, ns // 3) FROM params)
     )"""
     )
 
@@ -5006,13 +5127,14 @@ def oracle_ann_ivfpq_from_index() -> str:
 
 def ann_ivfpq_multiprobe_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe serving from the STORED IVF-PQ index (round-8
-    verdict #4): each query ADC-scans its _IDX_NPROBE nearest trained
-    cells by the FLAT probe over all k centroids (the measured route —
-    a boundary query's nearest cells often live under a different
-    super than the two-level router's pick, so the flat probe buys
-    +12-22 pp candidate recall at P=4 over within-super probing,
-    NPROBE.json) instead of only its top-1 cell — the standard recall
-    repair for boundary queries, on the production (persisted) path. The
+    verdict #4): each query ADC-scans its P(k) (_idx_nprobe) nearest trained
+    cells through the measured route policy (_idx_query_probe: flat at
+    k ≤ 64 where it buys +8-22 pp candidate recall over within-super
+    probing, widened-super hierarchical beyond where the sweep
+    measures the routes tied and the flat pack's O(k) row is the scale
+    ceiling — NPROBE.json, rounds 10-11) instead of only its top-1
+    cell — the standard recall repair for boundary queries, on the
+    production (persisted) path. The
     stored table is bucketed by cell_id, so a P-cell probe is P
     bucket-local scans: the per-(query, probe) LUT rows broadcast
     against the one gen-0 index scan exactly like the single-probe
@@ -5024,7 +5146,8 @@ def ann_ivfpq_multiprobe_from_index(spark: SparkSession, sf_dir: str) -> DataFra
     from pyspark.sql.window import Window
 
     idx = _ivfpq_index(spark, sf_dir)
-    luts = _ivfpq_query_luts(spark, sf_dir, n_probe=_IDX_NPROBE)
+    k, _ = _ivfpq_params(sf_dir)
+    luts = _ivfpq_query_luts(spark, sf_dir, n_probe=_idx_nprobe(k))
     scored = (
         idx.join(
             maybe_broadcast(luts),
@@ -5077,7 +5200,7 @@ def ann_ivfpq_from_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for the STORED-index serving paths (round-8 verdict
     #4: the inline indexes had recall gates, the persisted one did
     not): per query, candidate-set recall@5 of single-probe
-    (probe_rank=1 cells only) vs _IDX_NPROBE-probe serving against the
+    (probe_rank=1 cells only) vs P(k)-probe serving against the
     brute-force exact-cosine ground truth, with candidates drawn from
     the stored table's cell assignments — the gate measures the index
     that is actually served, not an inline rebuild. Hits are counted by
@@ -5096,10 +5219,8 @@ def ann_ivfpq_from_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = _ivfpq_index(spark, sf_dir)
     e = load(spark, sf_dir, "embeddings")
     k, _ = _ivfpq_params(sf_dir)
-    cb = _trained_cb(spark, sf_dir, k)
-    qp = sim.ivf_probe_cells(
-        e.filter(F.col("vec_id") < 10), n_centroids=k, n_probe=_IDX_NPROBE,
-        centroids=cb, cents_row=_flat_cents(spark, sf_dir, k),
+    qp = _idx_query_probe(
+        spark, sf_dir, e.filter(F.col("vec_id") < 10), k, _idx_nprobe(k)
     ).select(
         F.col("vec_id").alias("query_id"),
         "probe_rank",
@@ -5216,6 +5337,172 @@ def oracle_ann_ivfpq_from_index_recall() -> str:
     FROM n_true_t
     LEFT JOIN hs ON hs.query_id = n_true_t.query_id
     LEFT JOIN hm ON hm.query_id = n_true_t.query_id
+    ORDER BY 1
+    """
+
+
+# Fixed S for the hier-route gate twin: genuinely PARTIAL at every
+# tested SF (n_super = ⌈√k⌉ ≥ 3 at k ≥ 8), so the query exercises the
+# hierarchical semantics — super ranking, child-union restriction,
+# global top-P — that the serving paths only take at k > 64.
+_IDX_HIER_GATE_S = 2
+
+
+def ann_ivfpq_hier_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checked GATE TWIN of the hier branch of the round-11
+    probe route policy (the verdict-ordered serving-route recall row):
+    per query, candidate recall@5 of the WIDENED-SUPER hierarchical
+    probe (operators/similarity.py::ivf_probe_cells_hier) at a FIXED
+    partial S = 2 against the STORED gen-0 index, vs the brute-force
+    exact-cosine truth. The serving paths take this route only at
+    k > _IDX_SUPER_PROBE² (where the flat pack's one O(k) row is the
+    scale ceiling — round-10 verdict #1); the tested corpora serve the
+    flat branch, so THIS query pins the hier semantics to a DuckDB
+    value check at every CI run: top-S supers by (cos DESC, sid ASC),
+    candidate cells restricted to those supers' children via the
+    centroid→super routing, global top-P(k) by (cos DESC, cent_id
+    ASC). Candidates come from the stored table's cell assignments —
+    the relation the k > 64 regime would actually scan."""
+    from pyspark.sql.window import Window
+
+    from northwind_warehouse_spark.functions.vectors import (
+        cosine_from_parts,
+        dot_q,
+        norm2_q,
+    )
+
+    idx = _ivfpq_index(spark, sf_dir)
+    e = load(spark, sf_dir, "embeddings")
+    k, _ = _ivfpq_params(sf_dir)
+    cb = _trained_cb(spark, sf_dir, k)
+    qp = sim.ivf_probe_cells_hier(
+        e.filter(F.col("vec_id") < 10), k, cb,
+        n_probe=_idx_nprobe(k), n_super_probe=_IDX_HIER_GATE_S,
+    ).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cell_id").alias("qcell"),
+    )
+    n_probed = qp.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_probed_cells")
+    )
+    cand = idx.join(
+        maybe_broadcast(qp),
+        (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", F.col("vec_id").alias("neighbor_id")).distinct()
+
+    base = e.select("vec_id", "embedding", norm2_q("embedding").alias("n2"))
+    tq = base.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("n2").alias("qn2"),
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    truth = (
+        base.join(maybe_broadcast(tq), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot_q("qvec", "embedding").alias("dot"),
+            F.col("qn2").alias("n2a"),
+            F.col("n2").alias("n2b"),
+        )
+        .withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
+        .withColumn("nn_rank", F.row_number().over(wt))
+        .filter(F.col("nn_rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    hits = truth.join(
+        maybe_broadcast(cand), ["query_id", "neighbor_id"], "left_semi"
+    ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
+    return (
+        n_true.join(maybe_broadcast(n_probed), "query_id")
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            "n_probed_cells",
+            "n_true",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+        )
+        .withColumn("recall_ppm", F.expr("n_hits * 1000000 div n_true"))
+        .orderBy("query_id")
+    )
+
+
+def oracle_ann_ivfpq_hier_probe_recall() -> str:
+    return f"""
+    WITH {_o_idx_probe_ctes()},
+    qsuptop AS (
+        -- each query's S nearest supers (cos DESC, sid ASC) — scos0 is
+        -- the corpus-wide query→super cosine relation of the two-level
+        -- chain, filtered to the query batch
+        SELECT vec_id AS query_id, sid AS super_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, sid) AS rk
+            FROM scos0 WHERE vec_id < 10
+        ) WHERE rk <= {_IDX_HIER_GATE_S}
+    ),
+    hprobe AS (
+        -- global top-P(k) over the union of the probed supers'
+        -- children: qpcos (query→centroid cosines) restricted via the
+        -- centroid→super routing csup0
+        SELECT query_id, cent_id AS cell_id FROM (
+            SELECT ts.query_id, qc.cent_id, qc.cos,
+                   row_number() OVER (
+                       PARTITION BY ts.query_id
+                       ORDER BY qc.cos DESC, qc.cent_id
+                   ) AS rk
+            FROM qsuptop ts
+            JOIN csup0 cs ON cs.super_id = ts.super_id
+            JOIN qpcos qc ON qc.vec_id = ts.query_id AND qc.cent_id = cs.cent_id
+        ) WHERE rk <= (SELECT greatest(4, ns // 3) FROM params)
+    ),
+    np AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_probed_cells
+        FROM hprobe GROUP BY query_id
+    ),
+    cand AS (
+        SELECT DISTINCT hp.query_id, a.vec_id AS neighbor_id
+        FROM hprobe hp JOIN assign0 a
+          ON a.cell_id = hp.cell_id AND a.vec_id <> hp.query_id
+    ),
+    tdots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               CAST(sum(a.xq * b.xq) AS BIGINT) AS dot
+        FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+        WHERE a.vec_id < 10
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    tscored AS (
+        SELECT query_id, neighbor_id,
+               CAST(dot AS DOUBLE) / sqrt(CAST(na.n2 AS DOUBLE) * CAST(nb.n2 AS DOUBLE)) AS cosine
+        FROM tdots
+        JOIN n2 na ON na.vec_id = query_id
+        JOIN n2 nb ON nb.vec_id = neighbor_id
+    ),
+    truth AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+            FROM tscored
+        ) WHERE rk <= 5
+    ),
+    n_true_t AS (
+        SELECT query_id, CAST(count(*) AS BIGINT) AS n_true FROM truth GROUP BY query_id
+    ),
+    hh AS (
+        SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM truth t
+        WHERE EXISTS (
+            SELECT 1 FROM cand c
+            WHERE c.query_id = t.query_id AND c.neighbor_id = t.neighbor_id
+        )
+        GROUP BY t.query_id
+    )
+    SELECT n_true_t.query_id, np.n_probed_cells, n_true,
+           CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(coalesce(n_hits, 0) * 1000000 // n_true AS BIGINT) AS recall_ppm
+    FROM n_true_t
+    JOIN np ON np.query_id = n_true_t.query_id
+    LEFT JOIN hh ON hh.query_id = n_true_t.query_id
     ORDER BY 1
     """
 
@@ -6916,16 +7203,20 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocity ⇒ hub-dominated cells, poor index quality).
 
     Scale shape: the centroid count GROWS with the corpus (mean
-    occupancy pinned at _KNN_TARGET_CELL — n is one cached
-    parquet-footer read, catalog.table_rows: zero Spark jobs,
-    mirrored as a scalar subquery in the oracle);
-    cells are served from the TRAINED coarse quantizer
-    (sim.ivf_train_codebook: one Lloyd round over the deterministic
-    25% lottery sample — the FAISS per-centroid training quota under
-    the occupancy policy — feeding sim.ivf_assign_two_level's
-    production assignment, n·2√k dot products instead of the quadratic
-    n·k flat scan; round-7 verdict #1: serving paths no longer seed
-    cells from arbitrary first-k vectors); over-cap cells
+    occupancy pinned at _KNN_TARGET_CELL — the same k = max(8, n/128)
+    policy as the stored IVF-PQ index, mirrored as a scalar subquery
+    in the oracle). The cell assignment is READ FROM THE STORED GEN-0
+    INDEX (round-10 verdict #4: the per-query two-level re-derivation
+    — n·2√k dots against the session-cached codebook — re-computed
+    exactly the (vec_id, cell_id) relation the index store already
+    persists; the stored table's gen-0 scan carries zero Exchange and
+    its cell_id IS the two-level assignment, the content identity the
+    tag names, so the oracle is unchanged). MEASURED adopt (min-of-2
+    warm, r11): 2.27→1.95s at sf0.1, 5.0→4.31s at 10× — the remaining
+    wall is the cap window + cap²-bounded scoring, not assignment.
+    Raw embeddings join in by vec_id for the cosine scoring (the index
+    stores PQ codes, not raw vectors; ADC-approximate scoring would
+    change results). Over-cap cells
     are SAMPLED to _KNN_CELL_CAP by a deterministic lottery (a cell is
     a population — never dropped); pair generation is a cell-keyed
     equi-self-join bounded at cap² per cell; the top-k window
@@ -6933,13 +7224,17 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs, non-empty at any scale."""
     from pyspark.sql.window import Window
 
-    from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q
+    from northwind_warehouse_spark.functions.vectors import (
+        cosine_from_parts,
+        dot_q,
+        norm2_q,
+    )
 
     e = load(spark, sf_dir, "embeddings")
-    n = table_rows(sf_dir, "embeddings")  # cached footer count — zero jobs
-    n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
-    cb = _trained_cb(spark, sf_dir, n_cents)
-    assigned = sim.ivf_assign_two_level(e, n_centroids=n_cents, centroids=cb)
+    idx = _ivfpq_index(spark, sf_dir).select("vec_id", "cell_id")
+    assigned = e.select(
+        "vec_id", "embedding", norm2_q("embedding").alias("n2")
+    ).join(idx, "vec_id")
     # persist-after-cap (the LSH-family r6 pattern): capped feeds BOTH
     # self-join sides AND the per-cell count — without it the whole
     # assignment + cap-window lineage re-executes three times

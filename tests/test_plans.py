@@ -476,21 +476,25 @@ def test_two_level_closed_gate_salts_and_stays_oracle_identical(spark):
     take the salted branch (the _salt column appears in the executed
     join), (b) run without error, and (c) stay oracle-identical — the
     salt changes the partitioning, never the row multiset."""
+    # vehicle: ivf_cell_occupancy — the registered query that still
+    # derives the two-level assignment INLINE (knn_graph_cell_local,
+    # the former vehicle, reads the stored gen-0 assignment since r11
+    # and no longer exercises the level-2 join)
     import __spark_entry__ as E
     import northwind_warehouse_spark.operators.joins as J
-    from northwind_warehouse_spark.plans.llm import knn_graph_cell_local
+    from northwind_warehouse_spark.plans.llm import ivf_cell_occupancy
     from tests.oracle_util import compare
 
     prev_bytes = J.MAX_BROADCAST_BYTES
     try:
         J.MAX_BROADCAST_BYTES = 0
-        df = knn_graph_cell_local(spark, SF_SMOKE)
+        df = ivf_cell_occupancy(spark, SF_SMOKE)
         df.collect()
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "_salt" in plan, "closed gate did not take the salted branch"
         probs = compare(
-            knn_graph_cell_local(spark, SF_SMOKE),
-            E.oracle_sql()["knn_graph_cell_local"],
+            ivf_cell_occupancy(spark, SF_SMOKE),
+            E.oracle_sql()["ivf_cell_occupancy"],
             SF_SMOKE,
         )
         assert not probs, f"closed-gate salted results diverged: {probs}"

@@ -104,6 +104,88 @@ def build_scaled(spark, factor: int) -> str:
     return out_dir
 
 
+def measure_maintained_serving(spark, dirs: dict[int, str]) -> dict:
+    """Round-10 verdict #7: the maintained-generation reader
+    (gen 0 ∪ streamed appends) had lifecycle tests but no recorded
+    serving number. Per factor: build the stored index under a PRIVATE
+    root (isolation — the shared /tmp store and its catalog tables are
+    untouched), run N micro-batch appends through the PRODUCTION
+    maintain entry (ivfpq_maintain_from_stream — each bumps the
+    manifest generation and lands one file per (batch, bucket)),
+    measure maintained-view serving FRAGMENTED, compact
+    (ivfpq_compact_index → one file per (gen, bucket) under a new
+    revision tag), measure again. Min-of-2 warm, same semantics as the
+    graded tail's stored-index rows."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    import northwind_warehouse_spark.plans.llm as L
+    from northwind_warehouse_spark.catalog import load
+
+    out: dict[int, dict] = {}
+    saved = (L._IVF_CB_ROOT, L._PQ_CB_ROOT, L._IVFPQ_ROOT)
+    maint_root = f"{WORK}/idx_maint"
+    shutil.rmtree(maint_root, ignore_errors=True)
+    L._IVF_CB_ROOT = f"{maint_root}/cb"
+    L._PQ_CB_ROOT = f"{maint_root}/pq"
+    L._IVFPQ_ROOT = f"{maint_root}/idx"
+    try:
+        for factor in (1, 10):
+            sf_dir = dirs[factor]
+            # the identity tag is root-independent: evict catalog
+            # entries an earlier pass registered against the shared
+            # root so this section's index lives under the private one
+            spark.sql(
+                f"DROP TABLE IF EXISTS nws_ivfpq_index_{L._ivfpq_identity_tag(sf_dir)}"
+            )
+
+            def t(fn, n=2):
+                best = None
+                for _ in range(n):
+                    t0 = time.perf_counter()
+                    fn(spark, sf_dir).count()
+                    w = time.perf_counter() - t0
+                    best = w if best is None else min(best, w)
+                return round(best, 2)
+
+            t_gen0 = t(L.ann_ivfpq_from_index)  # run 1 builds, run 2 serves
+            e = load(spark, sf_dir, "embeddings")
+            n_batches = 8
+            for i in range(n_batches):
+                new = e.filter(F.col("vec_id") % 97 == i).limit(64).select(
+                    (F.col("vec_id") + F.lit(100_000_000 * (i + 1))).alias("vec_id"),
+                    "embedding",
+                )
+                src = f"{maint_root}/stream_src/{factor}_{i}"
+                new.coalesce(1).write.mode("overwrite").parquet(src)
+                incoming = spark.readStream.schema(new.schema).parquet(src)
+                q, _gen = L.ivfpq_maintain_from_stream(
+                    spark, sf_dir, incoming, f"{maint_root}/ckpt/{factor}_{i}"
+                )
+                q.awaitTermination(180)
+            t_frag = t(L.ann_ivfpq_from_index_maintained)
+            stats = L.ivfpq_compact_index(spark, sf_dir)
+            t_comp = t(L.ann_ivfpq_from_index_maintained)
+            out[factor] = {
+                "gen0": t_gen0,
+                "maintained_fragmented": t_frag,
+                "maintained_compacted": t_comp,
+                "files_before": stats["files_before"],
+                "files_after": stats["files_after"],
+                "generations": n_batches,
+            }
+            print("maintained-serving", factor, out[factor])
+    finally:
+        L._IVF_CB_ROOT, L._PQ_CB_ROOT, L._IVFPQ_ROOT = saved
+        # drop the private-root catalog tables so later consumers
+        # re-adopt the shared-store artifacts
+        for row in spark.sql("SHOW TABLES").collect():
+            if row.tableName.startswith("nws_ivfpq_index_"):
+                spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
+    return out
+
+
 def main() -> None:
     from northwind_warehouse_spark.plans import analytics, medallion
     from northwind_warehouse_spark.session import get_spark
@@ -483,6 +565,8 @@ def main() -> None:
                     )
     print(30, results[30], "pfj_pairs", pfj_pairs)
 
+    maintained = measure_maintained_serving(spark, dirs)
+
     lines = [
         "# SCALING — measured wall-clock vs data volume",
         "",
@@ -720,6 +804,25 @@ def main() -> None:
         "only the SMALL children side (×8) and never changes the row",
         "multiset; oracle equality under the forced-closed gate is",
         "asserted in tests/test_plans.py.",
+        "",
+        "## Maintained-generation serving (round-11, r10 verdict #7)",
+        "",
+        "The maintained reader (gen 0 ∪ streamed appends) measured as a",
+        "serving number, not just lifecycle tests: per factor, 8",
+        "micro-batch appends through ivfpq_maintain_from_stream (each",
+        "bumps the manifest generation and lands one file per",
+        "(batch, bucket) — the fragmentation regime), then",
+        "ivfpq_compact_index (one file per (gen, bucket), new revision",
+        "tag, retention-grace vacuum). Min-of-2 warm, private index",
+        "root; gen-0 column = the registered serving wall for",
+        "comparison.",
+        "",
+        "| factor | gen-0 (s) | maintained, 8-gen fragmented (s) | maintained, compacted (s) | files before → after |",
+        "| --- | --- | --- | --- | --- |",
+    ] + [
+        f"| {factor}× | {m['gen0']} | {m['maintained_fragmented']} | "
+        f"{m['maintained_compacted']} | {m['files_before']} → {m['files_after']} |"
+        for factor, m in sorted(maintained.items())
     ]
     (REPO / "SCALING.md").write_text("\n".join(lines) + "\n")
     print("wrote SCALING.md")
