@@ -598,3 +598,49 @@ def test_no_cartesian_product_in_any_registered_plan(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct planned in: {offenders}"
+
+def test_idx_query_probe_dispatches_hier_branch_past_the_super_bound(spark, monkeypatch):
+    """The round-11 probe POLICY entry (_idx_query_probe) must
+    actually take the HIERARCHICAL branch when S(k) no longer covers
+    the codebook — the branch production only reaches at k > 64, so
+    force it at the smoke SF by shrinking _IDX_SUPER_PROBE: the policy
+    output must be row-identical to ivf_probe_cells_hier at the forced
+    S (same codebook, same P), and the flat branch (default policy at
+    this k) must be row-identical to ivf_probe_cells — i.e. the
+    dispatch is a pure route choice, never a semantics change."""
+    from pyspark.sql import functions as F
+
+    import northwind_warehouse_spark.operators.similarity as sim
+    import northwind_warehouse_spark.plans.llm as L
+    from northwind_warehouse_spark.catalog import load
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    k, _ = L._ivfpq_params(SF_SMOKE)
+    cb = L._trained_cb(spark, SF_SMOKE, k)
+    qb = e.filter(F.col("vec_id") < 10)
+    p = L._idx_nprobe(k)
+    cols = ["vec_id", "probe_rank", "cell_id"]
+
+    def rows(df):
+        return {(r.vec_id, r.probe_rank, r.cell_id) for r in df.select(cols).collect()}
+
+    # default policy at this k: flat branch, ≡ ivf_probe_cells
+    assert L._idx_super_probe(k) >= sim.ceil_isqrt(k)
+    got_flat = rows(L._idx_query_probe(spark, SF_SMOKE, qb, k, p))
+    want_flat = rows(sim.ivf_probe_cells(qb, n_centroids=k, n_probe=p, centroids=cb))
+    assert got_flat == want_flat and got_flat
+
+    # forced past the bound: hier branch, ≡ ivf_probe_cells_hier at S
+    monkeypatch.setattr(L, "_IDX_SUPER_PROBE", 2)
+    s = L._idx_super_probe(k)
+    assert s == 2 < sim.ceil_isqrt(k)
+    got_hier = rows(L._idx_query_probe(spark, SF_SMOKE, qb, k, p))
+    want_hier = rows(sim.ivf_probe_cells_hier(qb, k, cb, n_probe=p, n_super_probe=s))
+    assert got_hier == want_hier and got_hier
+    # and the two branches genuinely differ at this S (the forced
+    # partial probe is not vacuously equal to flat)
+    assert got_hier != got_flat
+    # routing-table session cache: second call reuses the persisted pair
+    r1 = L._probe_routing(spark, SF_SMOKE, k)
+    r2 = L._probe_routing(spark, SF_SMOKE, k)
+    assert r1[0] is r2[0] and r1[1] is r2[1]
