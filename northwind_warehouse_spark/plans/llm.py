@@ -8974,22 +8974,23 @@ def ivf_cell_occupancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     IVF family — measured UNCAPPED on purpose: it audits the skew the
     kNN-graph sample-to-cap policy then bounds.
 
-    Scale shape: n is one cached parquet-footer read (catalog.table_rows
-    — zero Spark jobs; oracle-mirrored as a scalar subquery); cells come
-    from the TRAINED coarse quantizer (sim.ivf_train_codebook — one
-    Lloyd round on the 25% lottery sample — feeding
-    sim.ivf_assign_two_level, n·2√k dots; round-7 verdict #1), so this
-    audit now measures the occupancy the trained codebook actually
-    serves; one cell-grain rollup, then band arithmetic over ≤ ~40
-    rows."""
+    Scale shape (r11): the cell sizes are read from the STORED GEN-0
+    INDEX — the (vec_id, cell_id) relation the serving family actually
+    probes, so the audit measures the occupancy of the index AS
+    SERVED, not a re-derivation — and because the stored table is
+    bucketed by cell_id, the cell-grain rollup plans ZERO Exchange
+    (cell_id-only column pruning at the scan, bucket-local partial
+    aggregate). MEASURED adopt (min-of-2 warm): 2.08→0.78s at sf0.1,
+    3.26→1.2s at 10×, 6.82→1.2s at 30× — FLAT past 10×, identical
+    rows at all three scales (the former inline n·2√k re-assignment
+    grew with the corpus). Band arithmetic over ≤ ~40 rows. The
+    oracle's assign0 chain is unchanged: stored gen-0 cell_id ≡ the
+    two-level assignment of the corpus file, the content identity the
+    tag names."""
     from pyspark.sql.window import Window
 
-    e = load(spark, sf_dir, "embeddings")
-    n = table_rows(sf_dir, "embeddings")  # cached footer count — zero jobs
-    n_cents = max(8, (n + _KNN_TARGET_CELL - 1) // _KNN_TARGET_CELL)
-    cb = _trained_cb(spark, sf_dir, n_cents)
     sizes = (
-        sim.ivf_assign_two_level(e, n_centroids=n_cents, centroids=cb)
+        _ivfpq_index(spark, sf_dir)
         .groupBy("cell_id")
         .agg(F.count(F.lit(1)).alias("sz"))
     )

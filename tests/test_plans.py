@@ -474,30 +474,43 @@ def test_two_level_closed_gate_salts_and_stays_oracle_identical(spark):
     now SALTS the key (probes hash-split into _L2_SALT slices, children
     replicated ×_L2_SALT). Forcing the gate closed must (a) actually
     take the salted branch (the _salt column appears in the executed
-    join), (b) run without error, and (c) stay oracle-identical — the
-    salt changes the partitioning, never the row multiset."""
-    # vehicle: ivf_cell_occupancy — the registered query that still
-    # derives the two-level assignment INLINE (knn_graph_cell_local,
-    # the former vehicle, reads the stored gen-0 assignment since r11
-    # and no longer exercises the level-2 join)
-    import __spark_entry__ as E
-    import northwind_warehouse_spark.operators.joins as J
-    from northwind_warehouse_spark.plans.llm import ivf_cell_occupancy
-    from tests.oracle_util import compare
+    join), (b) run without error, and (c) return the exact open-gate
+    row multiset — the salt changes the partitioning, never the
+    rows."""
+    # vehicle (r11): the OPERATOR directly — every registered query
+    # now reads the stored gen-0 assignment, so the level-2 join's
+    # production consumer is the index BUILD (_ivfpq_table), which is
+    # exactly where the gate first closes at scale. Equality target:
+    # the OPEN-gate (broadcast) output of the same operator — the salt
+    # changes partitioning, never the row multiset, and the open-gate
+    # path is oracle-proven through every stored-index assign0 chain.
+    from pyspark.sql import functions as F
 
+    import northwind_warehouse_spark.operators.joins as J
+    import northwind_warehouse_spark.operators.similarity as sim
+    from northwind_warehouse_spark.catalog import load
+    from northwind_warehouse_spark.plans.llm import _ivfpq_params, _trained_cb
+
+    e = load(spark, SF_SMOKE, "embeddings")
+    k, _ = _ivfpq_params(SF_SMOKE)
+    cb = _trained_cb(spark, SF_SMOKE, k)
+    open_rows = sorted(
+        (r.vec_id, r.cell_id)
+        for r in sim.ivf_assign_two_level(e, n_centroids=k, centroids=cb)
+        .select("vec_id", "cell_id").collect()
+    )
     prev_bytes = J.MAX_BROADCAST_BYTES
     try:
         J.MAX_BROADCAST_BYTES = 0
-        df = ivf_cell_occupancy(spark, SF_SMOKE)
-        df.collect()
+        df = sim.ivf_assign_two_level(e, n_centroids=k, centroids=cb).select(
+            "vec_id", "cell_id"
+        )
+        closed_rows = sorted((r.vec_id, r.cell_id) for r in df.collect())
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "_salt" in plan, "closed gate did not take the salted branch"
-        probs = compare(
-            ivf_cell_occupancy(spark, SF_SMOKE),
-            E.oracle_sql()["ivf_cell_occupancy"],
-            SF_SMOKE,
+        assert closed_rows == open_rows and closed_rows, (
+            "closed-gate salted results diverged from the open-gate output"
         )
-        assert not probs, f"closed-gate salted results diverged: {probs}"
     finally:
         J.MAX_BROADCAST_BYTES = prev_bytes
 
