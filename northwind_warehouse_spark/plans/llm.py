@@ -4711,7 +4711,7 @@ _IVFPQ_SCHEMA_DDL = "vec_id BIGINT, cell_id BIGINT, codes ARRAY<INT>, gen INT"
 
 
 def _publish_recall_gate(
-    spark: SparkSession, sf_dir: str, assigned: DataFrame, cb: DataFrame, k: int
+    spark: SparkSession, sf_dir: str, assigned: DataFrame, k: int
 ) -> int:
     """The accept gate run once per index BUILD, before publish:
     candidate recall@5 of P(k)-probe serving — THROUGH the same
@@ -4807,7 +4807,7 @@ def _ivfpq_table(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, str]:
         assigned = sim.ivf_assign_two_level(e, n_centroids=k, centroids=cb).persist()
         built["assigned"] = assigned
         # accept gate: refuses (raises) before anything is written
-        built["recall_ppm"] = _publish_recall_gate(spark, sf_dir, assigned, cb, k)
+        built["recall_ppm"] = _publish_recall_gate(spark, sf_dir, assigned, k)
         enc = sim.pq_encode(assigned, _stored_pq_cb(spark, sf_dir), extra_cols=("cell_id",))
         return enc.select("vec_id", "cell_id", "codes", F.lit(0).alias("gen"))
 
