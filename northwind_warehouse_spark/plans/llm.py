@@ -7216,7 +7216,13 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     wall is the cap window + cap²-bounded scoring, not assignment.
     Raw embeddings join in by vec_id for the cosine scoring (the index
     stores PQ codes, not raw vectors; ADC-approximate scoring would
-    change results). Over-cap cells
+    change results) and are QUANTIZED ONCE per vector before the
+    self-join (r11, the similarity.py quantize-once shape: dot_q's
+    per-pair zip_with re-ran the FLOOR quantization of both 64-dim
+    operands once per PAIR — cap·n invariant work; arithmetically
+    identical ints, so same cosines, same rows — measured min-of-2:
+    1.81→1.42s at sf0.1, 3.08→2.44s at 10×, 5.76→3.71s at 30×).
+    Over-cap cells
     are SAMPLED to _KNN_CELL_CAP by a deterministic lottery (a cell is
     a population — never dropped); pair generation is a cell-keyed
     equi-self-join bounded at cap² per cell; the top-k window
@@ -7224,35 +7230,33 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs, non-empty at any scale."""
     from pyspark.sql.window import Window
 
-    from northwind_warehouse_spark.functions.vectors import (
-        cosine_from_parts,
-        dot_q,
-        norm2_q,
-    )
+    from northwind_warehouse_spark.functions.vectors import cosine_from_parts
 
     e = load(spark, sf_dir, "embeddings")
     idx = _ivfpq_index(spark, sf_dir).select("vec_id", "cell_id")
-    assigned = e.select(
-        "vec_id", "embedding", norm2_q("embedding").alias("n2")
-    ).join(idx, "vec_id")
+    assigned = (
+        e.select("vec_id", F.expr(sim.QUANT.format(v="embedding")).alias("_vq"))
+        .withColumn("n2", F.expr(sim.IDOT.format(a="_vq", b="_vq")))
+        .join(idx, "vec_id")
+    )
     # persist-after-cap (the LSH-family r6 pattern): capped feeds BOTH
     # self-join sides AND the per-cell count — without it the whole
     # assignment + cap-window lineage re-executes three times
     capped = _knn_sample_to_cap(assigned).persist()
     a = capped.select(
         "cell_id", F.col("vec_id").alias("src"),
-        F.col("embedding").alias("va"), F.col("n2").alias("na2"),
+        F.col("_vq").alias("qa"), F.col("n2").alias("na2"),
     )
     b = capped.select(
         "cell_id", F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("vb"), F.col("n2").alias("nb2"),
+        F.col("_vq").alias("qb"), F.col("n2").alias("nb2"),
     )
     scored = (
         a.join(b, "cell_id")
         .filter(F.col("src") != F.col("dst"))
         .select(
             "cell_id", "src", "dst",
-            dot_q("va", "vb").alias("dot"), "na2", "nb2",
+            F.expr(sim.IDOT.format(a="qa", b="qb")).alias("dot"), "na2", "nb2",
         )
         .withColumn("cosine", cosine_from_parts("dot", "na2", "nb2"))
     )
