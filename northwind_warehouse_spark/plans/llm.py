@@ -678,23 +678,32 @@ def dedup_embedding_cosine(
     pairs = a.join(b, (F.col("b_a") == F.col("b_b")) & (F.col("vec_a") < F.col("vec_b"))).select(
         "vec_a", "vec_b"
     )
-    base = e.select("vec_id", "embedding", norm2_q("embedding").alias("n2"))
+    # quantize-ONCE (r11): floor each vector's 64 elements a single
+    # time in the base projection and score pairs with the plain
+    # integer dot — dot_q re-ran the FLOOR of both operands once per
+    # PAIR (identical ints, identical cosines/rows)
+    base = e.select(
+        "vec_id", F.expr(sim.QUANT.format(v="embedding")).alias("_vq")
+    ).withColumn("n2", F.expr(sim.IDOT.format(a="_vq", b="_vq")))
     scored = (
         pairs.join(
             base.select(
-                F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"),
+                F.col("vec_id").alias("vec_a"), F.col("_vq").alias("qa"),
                 F.col("n2").alias("n2a"),
             ),
             "vec_a",
         )
         .join(
             base.select(
-                F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"),
+                F.col("vec_id").alias("vec_b"), F.col("_vq").alias("qb"),
                 F.col("n2").alias("n2b"),
             ),
             "vec_b",
         )
-        .select("vec_a", "vec_b", dot_q("emb_a", "emb_b").alias("dot"), "n2a", "n2b")
+        .select(
+            "vec_a", "vec_b",
+            F.expr(sim.IDOT.format(a="qa", b="qb")).alias("dot"), "n2a", "n2b",
+        )
         .withColumn("cosine", cosine_from_parts("dot", "n2a", "n2b"))
     )
     return scored.filter(F.col("cosine") > 0.5).select(
