@@ -255,7 +255,13 @@ def vacuum_superseded(
     least :func:`gc_unreferenced`'s ``older_than_s`` grace, and
     (b) starts that grace clock at SUPERSESSION time rather than the
     artifact's publish time (an old artifact superseded a second ago
-    must not be instantly collectable). The age-guarded
+    must not be instantly collectable). The touch happens INSIDE the
+    locked retarget callback, BEFORE the manifest rewrite hits disk
+    (round-11 advice): touching a still-referenced dir is harmless,
+    while the reverse order leaves a crash window in which the old dir
+    is unreferenced but still carries its publish-time mtime — a cron
+    :func:`gc_unreferenced` running inside that window could collect
+    it under an adopted reader. The age-guarded
     :func:`gc_unreferenced` — deliberate maintenance, the
     expire-snapshots discipline sources/versioned.py::vacuum documents
     — is the only place superseded directories are actually removed.
@@ -270,6 +276,14 @@ def vacuum_superseded(
             state["noop"] = True
             return
         state["old"] = cur["tag"] if cur is not None else None
+        if state["old"] is not None:
+            old_dir = os.path.join(root, state["old"])
+            if os.path.isdir(old_dir):
+                # restart the retention-grace clock BEFORE the manifest
+                # rewrite (we still hold the lock; the dir is still
+                # referenced at this instant, so the touch can never be
+                # the thing that exposes it)
+                os.utime(old_dir)
         entries[key] = {"tag": new_tag, "gen": 0 if gen is None else gen}
 
     _update_manifest(root, _retarget)
@@ -278,9 +292,6 @@ def vacuum_superseded(
     old = state["old"]
     if spark is not None and table_prefix is not None:
         spark.sql(f"DROP TABLE IF EXISTS {table_prefix}{old}")
-    old_dir = os.path.join(root, old)
-    if os.path.isdir(old_dir):
-        os.utime(old_dir)  # restart the retention-grace clock
     return old
 
 

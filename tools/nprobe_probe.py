@@ -21,17 +21,16 @@ Routes:
   ``flat`` exactly (asserted in tests/test_operators.py), so only
   S < √k appears in the sweep.
 
-The FORCED-LARGE-K regime (``--largek``) replicates the sf0.1
-embeddings into ``factor`` mutually-decorrelated ISOMETRIC copies —
-per-copy dimension rotation (r = i mod 64) plus global negation for
-i ≥ 64. Rotation/negation preserve every intra-copy dot product
-exactly (the base corpus's cluster geometry survives in each copy)
-while cross-copy cosines decorrelate, so the union grows the cluster
-POPULATION ×factor — the embedding twin of the documents character
-cipher (tools/scale_smoke.py) — instead of planting exact duplicates
-whose candidate recall would be trivially inflated (a replica lands in
-the query's own cell by construction). factor ≤ 128 keeps every
-(rotation, sign) pair distinct.
+The FORCED-LARGE-K regimes (``--largek``) replicate the sf0.1
+embeddings ×factor three ways — ``iso`` (mutually-decorrelated
+isometric copies: per-copy dimension rotation plus global negation,
+the embedding twin of the documents character cipher in
+tools/scale_smoke.py), ``mix`` (partial-correlation drift copies),
+and — round 12 — ``jit`` (full-rank deterministic noise; see
+build_largek). factor ≤ 125 (the assert bound) keeps every variant's
+copies distinct: iso's (rotation, sign) pairs repeat at 128, mix's at
+127 (copies 64 and 127 both get r=1, neg=1 — r11 advice: the old
+"≤ 128" claim was iso-only), and jit's hash noise never repeats.
 
 Recall is CANDIDATE recall (cell membership of the brute-force top-5 —
 the IVF decomposition: ADC ranking quality inside a probed cell is
@@ -48,6 +47,7 @@ plans/llm.py::_idx_nprobe / _idx_super_probe / _ivfpq_min_recall_ppm.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -55,8 +55,24 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
-LARGEK_WORK = "/tmp/nws_nprobe_largek"
+# Rooted under $SPARK_GRAFT_INDEX_ROOT like the package's artifact
+# stores (r11 advice #4): the two-session collision argument — a
+# hard-coded /tmp path can be vacuumed/rebuilt under a concurrent
+# session re-running the sweep — applies to measurement corpora too.
+LARGEK_WORK = os.environ.get("SPARK_GRAFT_INDEX_ROOT", "/tmp") + "/nws_nprobe_largek"
 LARGEK_FACTOR = 125
+# jit-variant noise amplitude: per-element uniform [-σ, σ] on unit
+# vectors → noise norm ≈ σ·√(64/3) ≈ 4.62σ. σ = 0.375 (copy↔base
+# cos ≈ 0.5, copy↔copy ≈ 0.25) was CALIBRATED against the two
+# degenerate extremes (round 12): at σ ≤ 0.30 the family blobs stay
+# tight enough that trained cells latch onto them and every route
+# saturates ≥ 78% together (the mix degeneracy, softened); at
+# σ = 0.45 the corpus is noise-dominated — routes separate hard but
+# recall collapses to 32-52% even at P=64 (truth becomes
+# extreme-value alignment, barely indexable). σ = 0.375 is the
+# measured midpoint where retrieval still works AND the routes
+# separate monotonically in S (see NPROBE.json largek_jit rows).
+JIT_SIGMA = 0.375
 
 
 def build_largek(spark, factor: int = LARGEK_FACTOR, variant: str = "iso",
@@ -74,12 +90,34 @@ def build_largek(spark, factor: int = LARGEK_FACTOR, variant: str = "iso",
       round 11: every route identical at every P).
     - ``mix`` — partial-correlation copies v + ½·rot_i(v) (rotation
       always non-zero, negation past 63): each copy keeps cos ≈ 0.89
-      to its base vector while deviating in a per-copy direction, so a
-      query's true nearest neighbors are its drifted replicas SPREAD
-      ACROSS CELLS — the near-duplicate-drift retrieval workload, and
-      the instance that actually exercises widened-super probing."""
-    import os
-
+      to its base vector while deviating in a per-copy direction — the
+      near-duplicate-drift regime. Measured round 11: recall saturates
+      at 100% for every route at every P, because a family of 125
+      drift copies is a TIGHT, ISOLATED blob and the occupancy policy
+      (k = n/128) affords k-means ~one cell per family — the whole
+      family lands in the query's top-1 cell.
+    - ``jit`` — round 12 (r11 verdict #1: iso and mix are both
+      route-DEGENERATE — iso because copies nest under their
+      original's supers, mix because families monopolize cells): each
+      copy adds FULL-RANK deterministic hash noise,
+      v_i[d] = v[d] + σ·(pmod(xxhash64(vec_id, i, d), 2001)/1000 − 1).
+      A rank-1 perturbation of a few dims (the literal verdict
+      suggestion) is mix with a different direction — the family blob
+      stays tight and cells still latch onto families; full-rank noise
+      at σ = JIT_SIGMA (copy↔base cos ≈ 0.5, copy↔copy ≈ 0.25 — the
+      base corpus is ISOTROPIC: measured intra-label ≈ inter-label
+      cos ≈ 0, nearest-neighbor cos ≈ 0.4) dissolves the blobs until
+      a query's true top-5 is a MIX of its base vector, best-aligned
+      siblings, and extreme-value outsiders, scattered across cells
+      under DIFFERENT supers. This is the high-intrinsic-dimension
+      regime real embedding corpora live in (the one where FAISS
+      recall curves actually bend with nprobe) — the regime where
+      flat / within-super / widened-super probing SEPARATE, making
+      S(k) a measured knob instead of a safe-by-identity choice.
+      Measured (σ calibration, 50 copy-1 queries, k = 1954): at P=64
+      hier_S1 49.2% < hier_S2 58% < hier_S8 65.6% ≤ flat 66.8%, and
+      at P=16 (≈ the served P(k)=15) 42.4% < 44.4% < 46.4% ≤ 46.8%
+      — monotone in S, S=8 within 1 pp of flat, S=1 losing 7-17 pp."""
     from pyspark.sql import functions as F
 
     assert factor <= 125, "(rotation, sign) pairs repeat"
@@ -91,22 +129,33 @@ def build_largek(spark, factor: int = LARGEK_FACTOR, variant: str = "iso",
     for i in range(factor):
         part = df.withColumn("vec_id", F.col("vec_id") + F.lit(i * 10_000_000))
         if i > 0:
-            if variant == "iso":
-                r, neg = i % 64, (i // 64) % 2
+            if variant == "jit":
+                # full-rank deterministic noise, keyed on (base vec_id,
+                # copy, dim) — never repeats across copies, reproducible
+                # across runs; cast back to float so every copy carries
+                # the base corpus's element type
+                expr = (
+                    f"transform(embedding, (x, d) -> cast(x + {JIT_SIGMA} * "
+                    f"(pmod(xxhash64(vec_id, {i}, d), 2001) / 1000.0 - 1.0)"
+                    " as float))"
+                )
             else:
-                r, neg = 1 + (i - 1) % 63, (i // 64) % 2
-            rot = (
-                f"concat(slice(embedding, {r + 1}, {64 - r}), "
-                f"slice(embedding, 1, {r}))"
-                if r
-                else "embedding"
-            )
-            if neg:
-                rot = f"transform({rot}, x -> -x)"
-            expr = (
-                rot if variant == "iso"
-                else f"zip_with(embedding, {rot}, (x, y) -> x + 0.5 * y)"
-            )
+                if variant == "iso":
+                    r, neg = i % 64, (i // 64) % 2
+                else:
+                    r, neg = 1 + (i - 1) % 63, (i // 64) % 2
+                rot = (
+                    f"concat(slice(embedding, {r + 1}, {64 - r}), "
+                    f"slice(embedding, 1, {r}))"
+                    if r
+                    else "embedding"
+                )
+                if neg:
+                    rot = f"transform({rot}, x -> -x)"
+                expr = (
+                    rot if variant == "iso"
+                    else f"zip_with(embedding, {rot}, (x, y) -> x + 0.5 * y)"
+                )
             part = part.withColumn("embedding", F.expr(expr))
         parts.append(part)
     out = parts[0]
@@ -118,7 +167,22 @@ def build_largek(spark, factor: int = LARGEK_FACTOR, variant: str = "iso",
     return out_dir
 
 
-def measure(spark, sf_dir: str, probes=(1, 2, 4), supers=(2, 4)) -> dict:
+def measure(
+    spark, sf_dir: str, probes=(1, 2, 4), supers=(2, 4),
+    query_ids=(0, 10),
+) -> dict:
+    """``query_ids`` — [lo, hi) vec_id range of the eval query batch.
+    Default (0, 10) mirrors the production publish gate's eval batch.
+    The forced-large-k regimes OVERRIDE it to copy-1 ids (round 12):
+    the codebook seeds are the first k vec_ids and the SUPERS are the
+    first √k of those, so a vec_id < 10 query IS the seed of its own
+    super — it sits at its super's center, the least boundary-like
+    point in the corpus, and its top-P cells trivially nest under its
+    own super (measured: even at σ = 0.45 full-rank noise every
+    route's candidate SET was identical — the r11 route-degeneracy was
+    partly THIS, not just corpus geometry). Copy-1 vectors are never
+    seeds, so they land at generic positions where super boundaries
+    are real."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -137,8 +201,10 @@ def measure(spark, sf_dir: str, probes=(1, 2, 4), supers=(2, 4)) -> dict:
     cb = _trained_cb(spark, sf_dir, k)
     assigned = sim.ivf_assign_two_level(e, n_centroids=k, centroids=cb).persist()
 
+    qlo, qhi = query_ids
+    is_q = (F.col("vec_id") >= qlo) & (F.col("vec_id") < qhi)
     base = e.select("vec_id", "embedding", norm2_q("embedding").alias("n2"))
-    tq = base.filter(F.col("vec_id") < 10).select(
+    tq = base.filter(is_q).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
         F.col("n2").alias("qn2"),
@@ -159,7 +225,7 @@ def measure(spark, sf_dir: str, probes=(1, 2, 4), supers=(2, 4)) -> dict:
     )
     n_true = truth.count()
     pmax = max(probes)
-    qb = e.filter(F.col("vec_id") < 10)
+    qb = e.filter(is_q)
     routes = {
         "flat": sim.ivf_probe_cells(qb, n_centroids=k, n_probe=pmax, centroids=cb),
         "two_level": sim.ivf_probe_cells_two_level(qb, k, cb, n_probe=pmax),
@@ -223,12 +289,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     result = {sf.rstrip("/").rsplit("/", 1)[-1]: measure(spark, sf) for sf in sf_dirs}
     if largek:
-        for variant in ("iso", "mix"):
+        for variant in ("iso", "mix", "jit"):
             lk_dir = build_largek(spark, largek, variant)
             result[f"largek_{variant}_x{largek}"] = measure(
                 spark, lk_dir,
                 probes=(1, 2, 4, 8, 16, 32, 64),
                 supers=(1, 2, 4, 8, 16, 32),
+                # copy-1 ids: generic (non-seed) query positions — see
+                # the measure() docstring; 50 queries (vs the gate's
+                # 10) for 0.4%-granularity recall on the route deltas
+                query_ids=(10_000_000, 10_000_050),
             )
     print(json.dumps(result, indent=1))
     spark.stop()
