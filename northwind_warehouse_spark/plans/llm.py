@@ -4618,20 +4618,27 @@ _IVFPQ_ROW_BYTES = 64          # vec_id + cell_id + PQ_M int codes + row overhea
 _IVFPQ_BUCKET_BYTES = 32 << 20
 _IVFPQ_MAX_BUCKETS = 1024
 # ----- stored-index QUERY-PROBE POLICY (round 11: P, S and the recall
-# floor are FUNCTIONS of k derived from the NPROBE.json sweep — three
-# real SFs plus two forced-large-k regimes at k = 1954 — replacing the
-# round-10 constants that were calibrated only at k = 8-16) -----
+# floor are FUNCTIONS of k derived from the NPROBE.json sweep; round
+# 12: the large-k evidence is now DISCRIMINATING — r11's two forced
+# regimes tied across all eight routes partly because the eval queries
+# were the CODEBOOK SEEDS, i.e. each query sat at its own super's
+# center; the r12 sweep queries NON-SEED copy-1 vectors and adds the
+# 'jit' full-rank-noise regime, and the routes separate) -----
 #
-# Route (tools/nprobe_probe.py, round 10 + 11 measurements):
+# Route (tools/nprobe_probe.py, rounds 10-12; NPROBE.json):
 # - SMALL k (8-16, the real corpora): FLAT top-P over all k trained
 #   centroids beats within-super probing by +8-22 pp candidate recall
 #   at P=4 (a boundary query's nearest cells live under other supers),
 #   and the one-row k-struct pack is trivially affordable.
-# - LARGE k (1954, both forced regimes — isometric population-growth
-#   copies AND partial-correlation near-duplicate-drift copies): every
-#   route ties at EVERY P (iso: a query's top-32 cells all nest under
-#   its top-1 super; mix: trivially 100%) — the within-super recall
-#   loss is a SMALL-SUPER-COUNT phenomenon, gone by √k = 45.
+# - LARGE k (1954, three forced regimes, 50 non-seed queries each):
+#   the routes SEPARATE, monotone in S. jit (full-rank noise — the
+#   high-intrinsic-dimension regime): S1 49.2% < S2 58% < S4 61.6% <
+#   S8 65.6% ≤ flat 66.8% at P=64, the same ordering at every P ≥ 8;
+#   iso (decorrelated replicas): S1 14.8% vs S8 38.8% vs flat 36.8%
+#   at P=64; mix (drift replicas): S1 caps at 93.6% vs S8 98-100%.
+#   S = 8 is the measured KNEE: S4 is visibly below flat in every
+#   regime, S16/S32 buy ≤ 1.6 pp more — so S(k) = 8 is now a recall
+#   measurement, not just the safe flat-identity bound.
 # - The flat pack is the remaining scale ceiling (round-10 verdict #1:
 #   O(k) bytes in ONE row/broadcast — the next unpartitioned fact at
 #   k in the millions).
@@ -4639,29 +4646,35 @@ _IVFPQ_MAX_BUCKETS = 1024
 # (k ≤ 64 — where hier(S ≥ √k) ≡ flat row-for-row anyway, the proven
 # operator identity), and the widened-super HIERARCHICAL probe
 # (ivf_probe_cells_hier, S = 8) beyond — O(√k + 8√k) dots per query,
-# no row above ~√k structs, measured recall ≡ flat at the forced
-# k = 1954 in both regimes (NPROBE.json hier_S8 rows).
+# no row above ~√k structs, within ~1 pp of flat recall in the
+# regimes where routes separate (NPROBE.json largek_* hier_S8 rows).
 _IDX_SUPER_PROBE = 8
 
 
 def _idx_super_probe(k: int) -> int:
     """S(k): supers probed by the serving-path query probe — all of
     them (≡ flat) up to k = _IDX_SUPER_PROBE², capped at
-    _IDX_SUPER_PROBE beyond (see policy block above)."""
+    _IDX_SUPER_PROBE beyond. Round 12: the cap is a MEASURED knee, not
+    just the proven-safe bound — in the discriminating large-k sweep
+    (NPROBE.json, non-seed queries) S=8 sits within ~1 pp of flat in
+    every regime while S=4 visibly loses (jit: 61.6% vs 65.6% at
+    P=64) and S=16/32 buy ≤ 1.6 pp for 2-4× the super-scan work
+    (see policy block above)."""
     return min(sim.ceil_isqrt(k), _IDX_SUPER_PROBE)
 
 
 def _idx_nprobe(k: int) -> int:
     """P(k): probed cells per query — max(4, ⌈√k⌉ // 3), the measured
     recall-holding curve (NPROBE.json): fixed P=4 probes a shrinking
-    corpus fraction as the occupancy policy drives k up (round-10
-    verdict #4 — candidate recall@5 measured 52% at the forced
-    k = 1954 vs 68-72% at k = 8-16), while P = ⌈√k⌉//3 recovers it
-    (P(1954) = 15; the neighboring sweep point P=16 measures 74% on
-    the iso regime, the harder of the
-    two forced corpora). P(k) = 4 for every k ≤ 196, so the tested
-    SFs (k = 8/16) and their oracles are pinned at the round-10
-    adopted value."""
+    corpus fraction as the occupancy policy drives k up, and every
+    forced-large-k regime's recall-vs-P curve is still climbing hard
+    through the P(k) region (r12 sweep, non-seed queries, served S=8
+    route at k = 1954: jit 30.8% at P=4 → 46.4% at the sweep point
+    P=16 beside P(1954)=15 → 65.6% at P=64; mix 97.2% → 98.8%; the
+    r11 seed-query basis measured the same shape, 52% → 74% on iso).
+    P(k) = 4 for every k ≤ 196, so the tested SFs (k = 8/16, where
+    flat P=4 measures 68-72%) and their oracles are pinned at the
+    round-10 adopted value."""
     return max(4, sim.ceil_isqrt(k) // 3)
 
 
@@ -4671,15 +4684,28 @@ def _ivfpq_min_recall_ppm(k: int) -> int:
     batch, in ppm, measured on the exact assignment about to be
     published (round-9 verdict #5 — FAISS-style index acceptance as
     policy, the dbt analogy being schema tests that FAIL the run).
-    The floor is one constant across regimes BECAUSE P(k) holds the
-    measured curve flat (NPROBE.json): 720k/700k/680k ppm at
-    k = 8/8/16 (P=4) and 740k ppm at the forced k = 1954 (sweep point
-    P=16 beside P(1954)=15, iso regime; mix measures 1000k at every
-    P) — ≥ 40% margin at
-    every measured regime, far above what a broken assignment scores
-    (a mis-routed index parks candidates in cells the queries never
-    probe ⇒ recall collapses toward zero) — asserted by the
-    planted-low-recall refusal test in tests/test_index_store.py.
+    Basis (NPROBE.json): the REAL corpora measure 680-720k ppm at
+    k = 8/16 under the gate's own protocol (P=4, the vec_id<10 eval
+    batch) — ≥ 70% margin over the floor — and the r12 jit stress
+    regime (full-rank noise, NON-SEED queries, k = 1954) still
+    measures 464k ppm at the served S=8/P(k) point, above the floor
+    in the hardest regime where retrieval still works. The r12 iso
+    stress (decorrelated replicas, non-seed queries) measures 152k —
+    BELOW the floor, and that is the gate doing its job: a corpus
+    whose true neighbors sit at near-isotropic cos ≈ 0.4 genuinely
+    cannot be candidate-recalled at this k/P, and publishing such an
+    index would serve garbage. Honesty note: the production gate's
+    eval batch (vec_id < 10) coincides with the codebook's seed
+    vectors, so its numbers sit at the optimistic end of the
+    NPROBE.json range (seed queries are maximally central in their
+    cells); the real-SF margins above are computed under exactly the
+    protocol the gate itself runs, so the gate's accept/refuse
+    behavior is calibrated against its own measurement, while the
+    non-seed sweep rows bound the pessimistic end. A broken
+    assignment scores far below any of this (a mis-routed index parks
+    candidates in cells the queries never probe ⇒ recall collapses
+    toward zero) — asserted by the planted-low-recall refusal test in
+    tests/test_index_store.py.
     Re-derive from tools/nprobe_probe.py before changing k/P/route."""
     return 400_000
 
@@ -4921,9 +4947,10 @@ def _ivfpq_query_luts(spark: SparkSession, sf_dir: str, n_probe: int = 1) -> Dat
     session-cached packed array at k ≤ 64, where flat beats
     within-super probing by +8-22 pp candidate recall at P=4 and
     hier(S ≥ √k) ≡ flat anyway; the widened-super hierarchical probe
-    at larger k, where the sweep measures the routes tied and the flat
-    pack's O(k) single row is the scale ceiling — NPROBE.json, rounds
-    10-11), plus the query's ADC lookup table against the adopted PQ
+    at larger k, where the r12 discriminating sweep measures S=8
+    within ~1 pp of flat while S ≤ 4 loses and the flat pack's O(k)
+    single row is the scale ceiling — NPROBE.json, rounds
+    10-12), plus the query's ADC lookup table against the adopted PQ
     codebook. Touches the raw corpus ONLY for the 10 query rows
     (vec_id < 10 is pushed to the scan)."""
     e = load(spark, sf_dir, "embeddings")
@@ -5139,9 +5166,10 @@ def ann_ivfpq_multiprobe_from_index(spark: SparkSession, sf_dir: str) -> DataFra
     verdict #4): each query ADC-scans its P(k) (_idx_nprobe) nearest trained
     cells through the measured route policy (_idx_query_probe: flat at
     k ≤ 64 where it buys +8-22 pp candidate recall over within-super
-    probing, widened-super hierarchical beyond where the sweep
-    measures the routes tied and the flat pack's O(k) row is the scale
-    ceiling — NPROBE.json, rounds 10-11) instead of only its top-1
+    probing, widened-super hierarchical beyond where the r12
+    discriminating sweep measures S=8 within ~1 pp of flat and the
+    flat pack's O(k) row is the scale
+    ceiling — NPROBE.json, rounds 10-12) instead of only its top-1
     cell — the standard recall repair for boundary queries, on the
     production (persisted) path. The
     stored table is bucketed by cell_id, so a P-cell probe is P
@@ -7236,7 +7264,20 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     a population — never dropped); pair generation is a cell-keyed
     equi-self-join bounded at cap² per cell; the top-k window
     partitions by source vector; the rollup is cell-grain. Never
-    all-pairs, non-empty at any scale."""
+    all-pairs, non-empty at any scale.
+
+    MEASURED DECLINE (round 12, r11 verdict #7): a per-cell
+    PACKED-ARRAY top-k — collect the capped cell into one struct
+    array, score each member against its cell's packed row inside a
+    higher-order transform, array_sort + slice(3) instead of the
+    row_number window over cap² pair rows — was A/B'd (row-equality
+    asserted, min-of-2 per factor, equal concurrent load): current
+    1.47/2.04/3.66s vs packed 2.02/3.21/6.70s at 1×/10×/30× — the
+    packed form computes the SAME n·cap dots but inside per-row
+    lambdas that fall out of whole-stage codegen (plus the
+    collect_list materialization), while the pair join + window stay
+    columnar; 1.4-1.8× slower everywhere, declined. The cap window's
+    shuffle is not the wall the verdict suspected — the dots are."""
     from pyspark.sql.window import Window
 
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts
