@@ -172,7 +172,10 @@ def measure(
     query_ids=(0, 10),
 ) -> dict:
     """``query_ids`` — [lo, hi) vec_id range of the eval query batch.
-    Default (0, 10) mirrors the production publish gate's eval batch.
+    Default (0, 10) mirrors the REGISTERED serving-recall queries'
+    batch (the oracle contract); the publish gate itself uses the
+    non-seed [k, k+10) range as of round 12 (plans/llm.py::
+    _gate_eval_ids), recorded per-SF as the `<sf>_nonseed` entries.
     The forced-large-k regimes OVERRIDE it to copy-1 ids (round 12):
     the codebook seeds are the first k vec_ids and the SUPERS are the
     first √k of those, so a vec_id < 10 query IS the seed of its own
@@ -287,7 +290,18 @@ def main() -> None:
 
     spark = get_spark("nws-nprobe")
     spark.sparkContext.setLogLevel("ERROR")
-    result = {sf.rstrip("/").rsplit("/", 1)[-1]: measure(spark, sf) for sf in sf_dirs}
+    from northwind_warehouse_spark.plans.llm import _gate_eval_ids, _ivfpq_params
+
+    result = {}
+    for sf in sf_dirs:
+        name = sf.rstrip("/").rsplit("/", 1)[-1]
+        # seed batch (the registered serving-recall queries' protocol)
+        result[name] = measure(spark, sf)
+        # non-seed batch (the publish gate's protocol — _gate_eval_ids)
+        k, _ = _ivfpq_params(sf)
+        result[f"{name}_nonseed"] = measure(
+            spark, sf, query_ids=_gate_eval_ids(sf, k)
+        )
     if largek:
         for variant in ("iso", "mix", "jit"):
             lk_dir = build_largek(spark, largek, variant)
