@@ -96,6 +96,25 @@ def main() -> None:
         ).collect()[0].cs
 
     N_RUNS = 3
+
+    # CPU-SPEED CANARY (round 12): loadavg only counts THIS VM's
+    # runnable tasks — a contended host is invisible to it. Measured
+    # this round: a full bench pass ran 4× slow (runs 42.9/102.8/67.4s
+    # vs 23s quiet) while the 1-minute loadavg read 0.59. A fixed
+    # single-threaded spin loop timed before and after the passes is a
+    # host-independent speed reference: compare the stamps across
+    # BENCH_r{N} files — if the canary moved with the board, the shift
+    # is the box, not the code. Stamped, not gated (its absolute value
+    # is hardware-dependent; its round-over-round stability is the
+    # signal).
+    def spin_canary() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(10_000_000):
+            x += i
+        assert x == 49999995000000
+        return round(time.perf_counter() - t0, 3)
+
     # QUIET GUARD (round-9 verdict #8): the recorded BENCH_r{N} must be
     # the protocol number, not a shared-box artifact (shared-sandbox
     # load inflates every query ~20%). The documented bound is
@@ -137,6 +156,7 @@ def main() -> None:
             f"bound {QUIET_BOUND:.2f}); recording with quiet=false",
             file=sys.stderr,
         )
+    spin_before = spin_canary()
     for name in names:  # warmup pass: codegen + footers + broadcasts
         force(qs[name](spark, sf_dir))
     per_query_runs: dict[str, list[float]] = {n: [] for n in names}
@@ -175,6 +195,10 @@ def main() -> None:
         "loadavg_bound": round(QUIET_BOUND, 2),
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        # single-threaded spin walls bracketing the timed passes — the
+        # host-contention reference loadavg cannot see
+        "spin_before_s": spin_before,
+        "spin_after_s": spin_canary(),
         "ncpu": os.cpu_count(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))

@@ -107,6 +107,28 @@ def _patch_roots(monkeypatch, tmp_path) -> None:
     monkeypatch.setattr(L, "_IVFPQ_ROOT", str(tmp_path / "idx"))
 
 
+def test_gate_eval_ids_are_non_seed(tmp_path):
+    """Round 12: the publish gate's eval batch must avoid the codebook
+    SEEDS (the first k vec_ids — a seed query sits at the center of
+    its own cell/super and grades the index at its optimistic end).
+    [k, k+10) for any normally-sized corpus; a corpus too small for
+    10 non-seed ids falls back toward the tail of its id range
+    instead of crashing or silently evaluating zero queries."""
+    import northwind_warehouse_spark.plans.llm as L
+
+    sf = _write_corpus(tmp_path / "corpus", max_vec_id=50)
+    k, _ = L._ivfpq_params(sf)
+    lo, hi = L._gate_eval_ids(sf, k)
+    assert (lo, hi) == (k, k + 10)  # first 10 non-seed ids
+    assert lo >= k  # no seed id in the batch
+
+    tiny = _write_corpus(tmp_path / "tiny", max_vec_id=12)
+    k2, _ = L._ivfpq_params(tiny)
+    lo2, hi2 = L._gate_eval_ids(tiny, k2)
+    assert hi2 - lo2 == 10 and lo2 == 2  # tail fallback: ids [2, 12)
+    assert hi2 <= 12  # every eval id exists in the corpus
+
+
 def test_corpus_rewrite_vacuums_superseded_artifacts(spark, tmp_path, monkeypatch):
     """Round-8 verdict #2 (+ round-10 #2 retention grace): rewriting
     the corpus must (a) serve a NEW index tag, (b) drop the superseded
