@@ -672,6 +672,46 @@ def test_publish_refuses_planted_low_recall_index(spark, tmp_path, monkeypatch):
     )
 
 
+def test_gate_recall_matches_sweep_measurement(spark, tmp_path, monkeypatch):
+    """Round 12: the floor `_ivfpq_min_recall_ppm` is CALIBRATED by
+    tools/nprobe_probe.py::measure() and ENFORCED by
+    `_publish_recall_gate` — two independent implementations of the
+    same candidate-recall@5 measurement (different candidate-join and
+    truth plumbing). If they ever drift, the gate enforces a floor its
+    calibration never measured. Build a fresh index (capturing the ppm
+    the gate actually computed), run the sweep's measure() on the same
+    corpus at the gate's own protocol (non-seed [k, k+10) queries,
+    flat route, P(k)), and assert the IDENTICAL ppm."""
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    import nprobe_probe as NP
+
+    import northwind_warehouse_spark.plans.llm as L
+
+    _patch_roots(monkeypatch, tmp_path)
+    sf_dir = _write_corpus(tmp_path / "corpus")
+    k, _ = L._ivfpq_params(sf_dir)
+
+    gate_ppm: dict = {}
+    real_gate = L._publish_recall_gate
+
+    def capture(spark_, sf, assigned, k_):
+        gate_ppm["v"] = real_gate(spark_, sf, assigned, k_)
+        return gate_ppm["v"]
+
+    monkeypatch.setattr(L, "_publish_recall_gate", capture)
+    L._ivfpq_table(spark, sf_dir)  # fresh root → builds → gate runs
+    assert "v" in gate_ppm, "fresh build did not run the publish gate"
+
+    p = L._idx_nprobe(k)
+    m = NP.measure(
+        spark, sf_dir, probes=(p,), supers=(),
+        query_ids=L._gate_eval_ids(sf_dir, k),
+    )
+    assert gate_ppm["v"] == m["routes"]["flat"][str(p)]["recall_ppm"]
+
+
 # Session A: build + publish, absorb a stream of new vectors into the
 # stored table as a manifest-recorded GENERATION, compact bucket-locally
 # (publishing a revision tag), serve. Session B (fresh process): adopt
