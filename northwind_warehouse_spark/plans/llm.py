@@ -7285,7 +7285,10 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     Over-cap cells
     are SAMPLED to _KNN_CELL_CAP by a deterministic lottery (a cell is
     a population — never dropped); pair generation is a cell-keyed
-    equi-self-join bounded at cap² per cell; the top-k window
+    TRIANGLE equi-self-join (src < dst — each unordered pair scored
+    once, mirrored back by a projection-only union over the persisted
+    half; round 12, −61/−73/−74% at 1×/10×/30×, see the inline
+    comment) bounded at cap²/2 per cell; the top-k window
     partitions by source vector; the rollup is cell-grain. Never
     all-pairs, non-empty at any scale.
 
@@ -7293,14 +7296,15 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
     PACKED-ARRAY top-k — collect the capped cell into one struct
     array, score each member against its cell's packed row inside a
     higher-order transform, array_sort + slice(3) instead of the
-    row_number window over cap² pair rows — was A/B'd (row-equality
-    asserted, min-of-2 per factor, equal concurrent load): current
+    row_number window over the pair rows — was A/B'd (row-equality
+    asserted, min-of-2 per factor, equal concurrent load): full-join
     1.47/2.04/3.66s vs packed 2.02/3.21/6.70s at 1×/10×/30× — the
     packed form computes the SAME n·cap dots but inside per-row
     lambdas that fall out of whole-stage codegen (plus the
     collect_list materialization), while the pair join + window stay
     columnar; 1.4-1.8× slower everywhere, declined. The cap window's
-    shuffle is not the wall the verdict suspected — the dots are."""
+    shuffle is not the wall the verdict suspected — the DOTS are,
+    which is what the adopted triangle join halves."""
     from pyspark.sql.window import Window
 
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts
@@ -7324,14 +7328,34 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_id", F.col("vec_id").alias("dst"),
         F.col("_vq").alias("qb"), F.col("n2").alias("nb2"),
     )
-    scored = (
+    # TRIANGLE join (round 12): cosine is symmetric — the exact integer
+    # dot and CAST(na2)*CAST(nb2) are both commutative — so each
+    # unordered pair is scored ONCE (src < dst), the half-pair relation
+    # persisted, and the mirror restored by a projection-only union.
+    # Halves the 64-dim integer dots the packed-array A/B proved are
+    # this query's wall; the window input is the same 2·pairs rows
+    # either way, so the plan's scale shape is unchanged, and the cache
+    # is ~cap/2 rows of (ids, cosine) per vector — the same order as
+    # the shuffle the window already performs, spillable. MEASURED
+    # (row-equality asserted, same-session pairs): min-of-2 warm
+    # 2.05→0.79s at sf0.1, 2.89→0.78s at 10×, 3.86→1.02s at 30×
+    # (−61/−73/−74%); cold first runs 5.13→2.38s at 30×.
+    half = (
         a.join(b, "cell_id")
-        .filter(F.col("src") != F.col("dst"))
+        .filter(F.col("src") < F.col("dst"))
         .select(
             "cell_id", "src", "dst",
             F.expr(sim.IDOT.format(a="qa", b="qb")).alias("dot"), "na2", "nb2",
         )
         .withColumn("cosine", cosine_from_parts("dot", "na2", "nb2"))
+        .select("cell_id", "src", "dst", "cosine")
+        .persist()
+    )
+    scored = half.union(
+        half.select(
+            "cell_id", F.col("dst").alias("src"), F.col("src").alias("dst"),
+            "cosine",
+        )
     )
     w = Window.partitionBy("src").orderBy(F.desc("cosine"), "dst")
     edges = (
