@@ -651,8 +651,10 @@ def main() -> None:
         "per-round toks, the stored index) reads that cache on run 2 —",
         "the min measures STEADY-STATE re-serving (deliberate for the",
         "stored-index rows: run 1 pays the once-per-corpus build; run 2",
-        "is adoption; same warm semantics for winnow_overlap_pairs and",
-        "ngram_novelty whose 30× mins ride their own persists). The",
+        "is adoption; same warm semantics for winnow_overlap_pairs,",
+        "ngram_novelty, and — r12 — knn_graph_cell_local, whose 30×",
+        "mins ride their own persists: knn's run 2 re-reads the",
+        "triangle half-pair cache). The",
         "cold single-pass cost is the main-sweep (non-tail) reading.",
         "PROVENANCE (r11 verdict #4): numbers quoted in operator",
         "docstrings and SURVEY are the ADOPTION SESSION'S A/B min-of-2;",
