@@ -7327,11 +7327,19 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brand-pair lift table.
 
     Scale shape: pair fan-out is per-order (bounded by lines-per-order²,
-    a small constant — never parts²); the (a,b) rollup is map-side
-    combined; marginals join through the size gate (part-cardinality =
-    SF-growing); min-support co ≥ 2 prunes the noise tail before the
-    per-part top-k window (partition bounded by a part's distinct
-    companions)."""
+    a small constant — never parts²); the (a,b) rollup is a TRIANGLE
+    aggregation (round 12, the knn_graph pattern: co-occurrence is
+    symmetric, so the join emits and the map-side-combined groupBy
+    shuffles only a < b — HALF the pair rows — and the small
+    post-min-support relation is persisted and mirrored back by a
+    projection-only union before the marginals join; measured
+    min-of-2, rows identical: 2.06→1.66s at sf0.1, 8.76→2.61s at 10×,
+    25.06→3.28s at 30× — the 10×/30× regime is the documented
+    replication artifact where min-support stops pruning, exactly
+    where halving the agg input matters most); marginals join through
+    the size gate (part-cardinality = SF-growing); min-support co ≥ 2
+    prunes the noise tail before the per-part top-k window (partition
+    bounded by a part's distinct companions)."""
     from pyspark.sql.window import Window
 
     op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
@@ -7341,12 +7349,19 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     marg = op.groupBy("l_partkey").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
     b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b"))
-    pairs = (
+    half = (
         a.join(b, "ok")
-        .filter(F.col("part_a") != F.col("part_b"))
+        .filter(F.col("part_a") < F.col("part_b"))
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
         .filter(F.col("n_co") >= 2)
+        .persist()
+    )
+    pairs = half.union(
+        half.select(
+            F.col("part_b").alias("part_a"), F.col("part_a").alias("part_b"),
+            "n_co",
+        )
     )
     ma = marg.select(F.col("l_partkey").alias("part_a"), F.col("n").alias("n_a"))
     mb = marg.select(F.col("l_partkey").alias("part_b"), F.col("n").alias("n_b"))
