@@ -4719,11 +4719,24 @@ def _gate_eval_ids(sf_dir: str, k: int) -> tuple[int, int]:
     to carry dense ids through k+10 (every gated corpus does — the
     testdata SFs, the scale replicas, and the test slices all have
     dense base ids ≥ 18); a corpus too small for 10 non-seed ids
-    falls back toward the tail of its id range. The REGISTERED
+    falls back toward the tail of its id range — NOTE that this
+    fallback range overlaps [0, k), so sub-(k+10) corpora are gated
+    partly (at n ≤ 10, entirely) on SEED queries and their measured
+    ppm sits at the seeds' optimistic end; the tiny-corpus test in
+    tests/test_index_store.py exercises exactly this regime. A corpus
+    with fewer than 2 rows has no (query, neighbor) pair at all —
+    the truth set is empty and recall is undefined — so the gate
+    REFUSES to grade it rather than divide by zero. The REGISTERED
     serving-recall queries keep their vec_id < 10 batch — that is the
     oracle contract; this range only feeds the engine-side
     accept/refuse measurement."""
     n = table_rows(sf_dir, "embeddings")
+    if n < 2:
+        raise IndexRecallGateError(
+            f"IVF-PQ publish gate ungradable: corpus {sf_dir!r} has "
+            f"{n} embedding row(s); recall needs at least one "
+            f"(query, neighbor) pair — refusing to publish ungated"
+        )
     lo = k if n >= k + 10 else max(0, n - 10)
     return lo, lo + 10
 

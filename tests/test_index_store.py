@@ -127,6 +127,20 @@ def test_gate_eval_ids_are_non_seed(tmp_path):
     lo2, hi2 = L._gate_eval_ids(tiny, k2)
     assert hi2 - lo2 == 10 and lo2 == 2  # tail fallback: ids [2, 12)
     assert hi2 <= 12  # every eval id exists in the corpus
+    # r13 (r12 advice): the tail fallback overlaps [0, k2) — sub-(k+10)
+    # corpora are knowingly gated partly on seeds (documented in the
+    # docstring), but a corpus with < 2 rows has NO (query, neighbor)
+    # pair — recall is undefined and the gate must refuse, not
+    # divide by zero inside _publish_recall_gate.
+    assert lo2 < k2  # the documented seed-overlap regime is real here
+    import pytest as _pytest
+
+    one = _write_corpus(tmp_path / "one", max_vec_id=1)
+    with _pytest.raises(L.IndexRecallGateError, match="ungradable"):
+        L._gate_eval_ids(one, 8)
+    empty = _write_corpus(tmp_path / "empty", max_vec_id=0)
+    with _pytest.raises(L.IndexRecallGateError, match="ungradable"):
+        L._gate_eval_ids(empty, 8)
 
 
 def test_corpus_rewrite_vacuums_superseded_artifacts(spark, tmp_path, monkeypatch):
