@@ -322,3 +322,60 @@ def test_table_rows_matches_spark_count_and_caches(spark):
 
     with pytest.raises(KeyError):
         table_rows("/root/testdata/sf0.001", "not_a_table")
+
+
+def test_scale_replicator_keeps_pair_growth_linear(spark, tmp_path, monkeypatch):
+    """Round 13 (r12 verdict #1): the scale replicator must produce
+    part-pair growth EXACTLY linear in the factor — the former
+    verbatim-basket scheme (l_orderkey shifted, part catalog fixed)
+    multiplied every base pair's count by the factor, so min-support
+    prunes stopped pruning and pair-grain SCALING rows measured
+    duplicate explosion (335x post-prune pairs at 10x). The adopted
+    model replicates the part dim with the same span as lineitem's
+    l_partkey shift: copies are disjoint in part space, so post-prune
+    (co >= 2) pairs are exactly factor x base, and the FK span of
+    every lineitem matches its copy's part slice."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    import scale_smoke as S
+
+    base = tmp_path / "base"
+    base.mkdir()
+    # baskets: o1 {1,2}, o2 {1,2}, o3 {1,3}, o4 {2,3} -> only (1,2)
+    # reaches co >= 2 -> exactly 1 post-prune pair per copy
+    rows = [(1, 1), (1, 2), (2, 1), (2, 2), (3, 1), (3, 3), (4, 2), (4, 3)]
+    spark.createDataFrame(rows, "l_orderkey BIGINT, l_partkey BIGINT").write.parquet(
+        str(base / "lineitem.parquet")
+    )
+    spark.createDataFrame([(i,) for i in (1, 2, 3)], "p_partkey BIGINT").write.parquet(
+        str(base / "part.parquet")
+    )
+    monkeypatch.setattr(S, "BASE_SF", str(base))
+    out = tmp_path / "x3"
+    S.replicate_lineitem(spark, 3, str(out))
+    S.replicate_part(spark, 3, str(out))
+
+    li = spark.read.parquet(str(out / "lineitem.parquet"))
+    pt = spark.read.parquet(str(out / "part.parquet"))
+    assert pt.count() == 9
+    # disjoint part slices, FK span matches the order span copy-by-copy
+    assert li.filter(
+        (F.col("l_orderkey") / 10_000_000).cast("int")
+        != (F.col("l_partkey") / 10_000_000).cast("int")
+    ).count() == 0
+    assert (
+        li.join(pt, li.l_partkey == pt.p_partkey, "left_anti").count() == 0
+    ), "replicated lineitem must keep FK integrity against the replicated part dim"
+
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    pruned = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 2)
+    )
+    assert pruned.count() == 3  # exactly factor x the base's 1 pair
