@@ -543,7 +543,14 @@ def test_concurrent_reader_of_superseded_tag_survives_vacuum(spark, tmp_path, mo
         "idx_root, key, flags = sys.argv[1], sys.argv[2], sys.argv[3]\n"
         "tag = index_store.read_manifest(idx_root)[key]\n"
         "adopted_dir = os.path.join(idx_root, tag)\n"
-        "open(os.path.join(flags, 'adopted'), 'w').write(tag)\n"
+        # atomic flag write: the parent polls for this file's EXISTENCE,
+        # and a plain open(...).write() creates it before the buffered
+        # content is flushed at close — under suite load the parent can
+        # read an empty string (observed r13). Write-then-rename closes
+        # that window.
+        "with open(os.path.join(flags, 'adopted.tmp'), 'w') as fh:\n"
+        "    fh.write(tag)\n"
+        "os.replace(os.path.join(flags, 'adopted.tmp'), os.path.join(flags, 'adopted'))\n"
         "for _ in range(600):\n"
         "    if os.path.exists(os.path.join(flags, 'vacuumed')):\n"
         "        break\n"
