@@ -22,6 +22,24 @@ BASE_SF = "/root/testdata/sf0.1"
 WORK = "/tmp/nws_scale_smoke_v3"
 
 
+def _drop_session_cache(spark) -> None:
+    """Release every cached relation + nudge the JVM to collect the
+    broadcasts they pinned. The sweep runs ~250 queries × 4 factors in
+    ONE session and ~50 plans persist query-local relations that are
+    never released (the r12-verdict cache-lifecycle class): the first
+    r13 sweep died at the 30× tail leg with a broadcast-build OOM on
+    the 8g driver — every live InMemoryRelation keeps its broadcast
+    dependencies reachable, so the heap filled with measurement
+    residue. Called at factor boundaries (within-factor warm min-of-2
+    semantics untouched; cross-factor cache keys never collide — they
+    embed the sf_dir)."""
+    spark.catalog.clearCache()
+    try:
+        spark.sparkContext._jvm.System.gc()
+    except Exception:
+        pass
+
+
 def replicate(spark, table: str, factor: int, key_cols: dict[str, int], out_dir: str) -> None:
     """Union `factor` shifted copies (keys offset so joins stay 1:1)."""
     from pyspark.sql import functions as F
@@ -680,7 +698,8 @@ def main() -> None:
             fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 2)
         results[factor] = timings
-        print(factor, timings)
+        print(factor, timings, flush=True)
+        _drop_session_cache(spark)
 
     # anomaly pass (round-6): a NON-MONOTONE row (3× slower than 10×) is
     # single-run noise until proven otherwise — re-measure all three
@@ -699,7 +718,7 @@ def main() -> None:
         for n in queries
         if n not in flagged and results[10][n] / max(results[1][n], 0.01) > 2.5
     ]
-    print("re-measuring non-monotone/high-ratio rows:", flagged)
+    print("re-measuring non-monotone/high-ratio rows:", flagged, flush=True)
     for factor in (1, 3, 10):
         for name in flagged:
             t0 = time.perf_counter()
@@ -707,6 +726,7 @@ def main() -> None:
             results[factor][name] = min(
                 results[factor][name], round(time.perf_counter() - t0, 2)
             )
+        _drop_session_cache(spark)
 
     # 30× deep pass (round-6 verdict #7): ONLY the former weak tail —
     # the rows whose round-7/8 fixes (two-level coarse quantizer,
@@ -765,6 +785,14 @@ def main() -> None:
     # normalization the exactly-linear-pair-growth annotation rests on.
     pfj_pairs: dict[int, int] = {}
     for factor in (1, 3, 10, 30):
+        # factor boundary = cache boundary (r13): the tail pass
+        # re-accumulates every query-local persist at each factor, and
+        # by the 30× leg the DRIVER heap was full of live cache (each
+        # InMemoryRelation pins its broadcast deps) — a broadcast build
+        # OOM'd the first r13 sweep. Within-factor min-of-2 warm
+        # semantics are unchanged; cross-factor reuse never existed
+        # (cache keys embed the sf_dir).
+        _drop_session_cache(spark)
         for name in TAIL_30X:
             best = results.get(factor, {}).get(name)
             for _ in range(2 if best is None else 1):
@@ -800,17 +828,20 @@ def main() -> None:
                         f"STILL-INVERTED after re-measure: {name} "
                         f"{lo}x={results[lo][name]}s > {hi}x={results[hi][name]}s"
                     )
-    print(30, results[30], "pfj_pairs", pfj_pairs)
+    print(30, results[30], "pfj_pairs", pfj_pairs, flush=True)
 
+    _drop_session_cache(spark)
     pair_counts = measure_pair_counts(spark, dirs, (1, 3, 10, 30))
+    _drop_session_cache(spark)
 
     # r12 verdict #7: the cold-vs-warm gap's SHAPE across k — 1× serves
     # the flat probe branch (k = 16 ≤ 64), 10×/30× the hier branch
     # (k = 157 / 469) — so the curve separates cache-rebuild cost
     # (grows with k) from catalog-table adoption (flat-ish).
     cold = {f: measure_cold_serving(spark, dirs[f]) for f in (1, 10, 30)}
-    print("cold first-query serving per factor:", cold)
+    print("cold first-query serving per factor:", cold, flush=True)
 
+    _drop_session_cache(spark)
     maintained = measure_maintained_serving(spark, dirs)
 
     lines = [
@@ -855,6 +886,12 @@ def main() -> None:
         "persisted half-pair / order-brand relations ride the plan",
         "cache the same way). The",
         "cold single-pass cost is the main-sweep (non-tail) reading.",
+        "The executor cache is cleared at FACTOR boundaries (r13): the",
+        "sweep's ~250 queries re-persist ~50 query-local relations per",
+        "factor and each live cache entry pins its broadcast deps — the",
+        "accumulated residue OOM'd the first r13 sweep's 8g driver at",
+        "the 30× tail leg. Within-factor warm semantics are unchanged;",
+        "cross-factor cache keys never collide (they embed the sf_dir).",
         "PROVENANCE (r11 verdict #4): numbers quoted in operator",
         "docstrings and SURVEY are the ADOPTION SESSION'S A/B min-of-2;",
         "this file's cells are THIS regeneration's sweep — two",
