@@ -7334,9 +7334,12 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-min-support relation is persisted and mirrored back by a
     projection-only union before the marginals join; measured
     min-of-2, rows identical: 2.06→1.66s at sf0.1, 8.76→2.61s at 10×,
-    25.06→3.28s at 30× — the 10×/30× regime is the documented
+    25.06→3.28s at 30× — the 10×/30× regime was the pre-r13
     replication artifact where min-support stops pruning, exactly
-    where halving the agg input matters most); marginals join through
+    where halving the agg input matters most; under the r13
+    disjoint-catalog replicator, post-prune pairs grow exactly
+    ×factor — 3,573/10,719/35,730/107,190 at 1×/3×/10×/30× — and the
+    SCALING row now grades real corpus growth); marginals join through
     the size gate (part-cardinality = SF-growing); min-support co ≥ 2
     prunes the noise tail before the per-part top-k window (partition
     bounded by a part's distinct companions)."""

@@ -867,6 +867,15 @@ def main() -> None:
     _drop_session_cache(spark)
     maintained = measure_maintained_serving(spark, dirs)
 
+    # per-pair cost ratio 30× vs 1× for the pfj annotation: > 1 means a
+    # pair costs MORE at 30× (adjudicated below, not hard-coded — the
+    # pre-r13 warm-riding protocol measured it falling; the honest
+    # post-clear protocol measures ~flat)
+    _pfj_pp = round(
+        (results[30]["dedup_prefix_filter_join"] / max(pfj_pairs[30], 1))
+        / max(results[1]["dedup_prefix_filter_join"] / max(pfj_pairs[1], 1), 1e-9),
+        2,
+    )
     lines = [
         "# SCALING — measured wall-clock vs data volume",
         "",
@@ -919,7 +928,7 @@ def main() -> None:
         "tables: the old 1×-10× tail re-runs rode SESSION-LIFETIME",
         "caches left by the main sweep (warmer than own-warm —",
         "dedup_prefix_filter_join's old 30× cell read 10.5s where a",
-        "fresh session measures 34s warm and this protocol ~27s),",
+        "fresh cold session measures 34s warm-run),",
         "so pre-r13 tail cells",
         "UNDERSTATE steady-state cost — direction/ratio claims within",
         "one table remain comparable, cross-round tail absolutes are",
@@ -979,14 +988,17 @@ def main() -> None:
         + " at 1×/3×/10×/30× —",
         "  exactly linear — against walls "
         + "/".join(str(results[f]["dedup_prefix_filter_join"]) for f in (1, 3, 10, 30))
-        + "s, so per-pair cost",
-        "  keeps FALLING past 10× ("
-        + str(round(
-            (results[1]["dedup_prefix_filter_join"] / max(pfj_pairs[1], 1))
-            / max(results[30]["dedup_prefix_filter_join"] / max(pfj_pairs[30], 1), 1e-9),
-            1,
-        ))
-        + "× cheaper per pair at 30× than at 1×). The",
+        + "s — per-pair cost at 30×",
+        "  is " + str(_pfj_pp) + "× the 1× per-pair cost ("
+        + (
+            "still falling past 10×"
+            if _pfj_pp < 0.95
+            else "~flat — the wall prices output volume, nothing worse"
+            if _pfj_pp <= 1.15
+            else "RISING — the residual term is scan/shuffle volume at the"
+            " fixed 32-partition layout, not pair blow-up"
+        )
+        + "). The",
         "  exactness guarantee makes output-bound growth inherent; no plan",
         "  change needed.",
         "- **knn_graph_cell_local / ivf_cell_occupancy** — round-7 fix of",
