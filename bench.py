@@ -115,6 +115,35 @@ def main() -> None:
         assert x == 49999995000000
         return round(time.perf_counter() - t0, 3)
 
+    # PARALLEL canary (round 13): the single-thread spin missed a real
+    # regime — an r13 session measured spin 0.44s (matching r12's
+    # 0.49/0.43) while every UNTOUCHED query ran ~20-30% slow: host
+    # neighbors were contending the 32 cores, which neither loadavg
+    # (other-VM tasks are invisible) nor a 1-thread spin (one free
+    # core always exists) can see. ncpu concurrent spins measure
+    # all-core throughput: wall ≈ single-thread spin when the cores
+    # are really ours, and stretches with host contention. The GIL
+    # forces the spin into subprocesses (threads would serialize).
+    def spin_canary_mt() -> float:
+        import multiprocessing as mp
+
+        def _spin():
+            x = 0
+            for i in range(10_000_000):
+                x += i
+            assert x == 49999995000000
+
+        n = os.cpu_count() or 8
+        ctx = mp.get_context("fork")  # fork: no pickling of the closure
+        t0 = time.perf_counter()
+        procs = [ctx.Process(target=_spin) for _ in range(n)]
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        assert all(p.exitcode == 0 for p in procs)
+        return round(time.perf_counter() - t0, 3)
+
     # QUIET GUARD (round-9 verdict #8): the recorded BENCH_r{N} must be
     # the protocol number, not a shared-box artifact (shared-sandbox
     # load inflates every query ~20%). The documented bound is
@@ -157,6 +186,7 @@ def main() -> None:
             file=sys.stderr,
         )
     spin_before = spin_canary()
+    spin_mt_before = spin_canary_mt()
     for name in names:  # warmup pass: codegen + footers + broadcasts
         force(qs[name](spark, sf_dir))
     per_query_runs: dict[str, list[float]] = {n: [] for n in names}
@@ -199,6 +229,13 @@ def main() -> None:
         # host-contention reference loadavg cannot see
         "spin_before_s": spin_before,
         "spin_after_s": spin_canary(),
+        # all-core spin walls (r13): ncpu forked spins — stretches
+        # under host multi-core contention the 1-thread spin misses
+        # (r13 measured 1-thread 0.44s ≈ r12 while every untouched
+        # query ran ~20-30% slow; the ratio mt/ncpu-normalized vs
+        # single is the contention signal)
+        "spin_mt_before_s": spin_mt_before,
+        "spin_mt_after_s": spin_canary_mt(),
         "ncpu": os.cpu_count(),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
