@@ -60,3 +60,39 @@ def maybe_broadcast(df: DataFrame, max_bytes: int | None = None) -> DataFrame:
     if size is not None and size <= max_bytes:
         return F.broadcast(df)
     return df
+
+
+# Conservative bytes-per-row for a dimension row (a bigint key, an
+# md5-hex SK, a handful of short strings) when gating on a KNOWN row
+# count instead of the optimizer's estimate. Deliberately fat: 256 B
+# x the 64 MB ceiling still admits ~260k dim rows and declines any
+# SF-grown dimension long before executor pressure.
+DIM_ROW_BYTES = 256
+
+
+def maybe_broadcast_rows(df: DataFrame, n_rows: int,
+                         row_bytes: int = DIM_ROW_BYTES,
+                         max_bytes: int | None = None) -> DataFrame:
+    """Broadcast-hint ``df`` gated on a CALLER-KNOWN row count — parquet
+    footer metadata (catalog.table_rows) or a policy parameter — times a
+    conservative per-row byte estimate.
+
+    Use for ROW-PRESERVING dim builds (base table left-joined to
+    bounded lookups, unioned with fixed dummy members): Spark's
+    non-CBO stats visitor estimates a join's size as the PRODUCT of its
+    children's sizes, so a 1,000-row supplier dim that touches
+    nation+region estimates at ~38 GB and ``maybe_broadcast`` silently
+    declines — measured r13: every fact-to-dim join in the repo was
+    degrading to SortMergeJoin with a full fact-side shuffle+sort. The
+    caller's row count is the true cardinality (footer counts are exact
+    and cached), so the gate scales honestly: at warehouse SF the same
+    call sees tens of millions of rows and withholds the hint.
+
+    Same discipline as CLAUDE.md's parameter-derived codebook gate: when
+    the build side's size is KNOWN from outside the optimizer, gate on
+    that knowledge — the optimizer cannot estimate it."""
+    if max_bytes is None:
+        max_bytes = MAX_BROADCAST_BYTES
+    if n_rows * row_bytes <= max_bytes:
+        return F.broadcast(df)
+    return df

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from northwind_warehouse_spark.catalog import load, table_rows
-from northwind_warehouse_spark.operators.joins import maybe_broadcast
+from northwind_warehouse_spark.operators.joins import maybe_broadcast, maybe_broadcast_rows
 from northwind_warehouse_spark.functions.money import (
     charge,
     davg2,
@@ -1026,7 +1026,12 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
-    offers_eu = offers.join(maybe_broadcast(s_eu), offers.l_suppkey == s_eu.s_suppkey)
+    # rows-gated (r13): s_eu is at most the supplier table (footer-
+    # exact) — its estimate rides the nation/region join product
+    # (~3.5e10 at sf0.1) and silently declined into an SMJ.
+    offers_eu = offers.join(
+        maybe_broadcast_rows(s_eu, table_rows(sf_dir, "supplier")),
+        offers.l_suppkey == s_eu.s_suppkey)
     best = offers_eu.groupBy(F.col("l_partkey").alias("b_partkey")).agg(
         F.min("unit_microcents").alias("best_unit")
     )
@@ -7520,7 +7525,10 @@ def acctbal_spend_quadrants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("spend_cents").cast("bigint").alias("tot_spend"),
     )
     q = (
-        pc.join(maybe_broadcast(nat), "n_name")
+        # rows-gated (r13): nat is one row per nation — bounded by the
+        # fixed 25-row nation table; the groupBy-over-join estimate
+        # (~1.5e9) silently declined this into an SMJ.
+        pc.join(maybe_broadcast_rows(nat, table_rows(sf_dir, "nation")), "n_name")
         .withColumn(
             "quadrant",
             F.expr(

@@ -21,7 +21,7 @@ from northwind_warehouse_spark.functions.text import (
     ratio_4dp,
     stopword_count,
 )
-from northwind_warehouse_spark.operators.joins import maybe_broadcast
+from northwind_warehouse_spark.operators.joins import maybe_broadcast, maybe_broadcast_rows
 from northwind_warehouse_spark.operators import similarity as sim
 from northwind_warehouse_spark.operators.multimodal import (
     documents_as_binary,
@@ -597,8 +597,12 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_id").alias("qbucket"),
         F.col("n2").alias("qn2"),
     )
+    # rows-gated hint (r13): q is 10 rows BY PARAMETER (vec_id < 10)
+    # but its estimate rides the bucket join's product inflation, so
+    # the estimate gate declined it into an SMJ. Embedding rows are
+    # fat (64 doubles + quantized copies) — gate at 8 KB/row.
     cand = base.join(
-        maybe_broadcast(q),
+        maybe_broadcast_rows(q, 10, row_bytes=8192),
         (F.col("bucket_id") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
     )
     scored = cand.select(
@@ -4507,9 +4511,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "qcell", "lut")
     )
+    # rows-gated BY PARAMETER (r13): 10 single-probe LUT rows — the
+    # estimate gate read the probe join's product inflation (~2.6e8)
+    # and declined; see _ivfpq_adc_topk.
     scored = (
         enc.join(
-            maybe_broadcast(luts),
+            maybe_broadcast_rows(luts, 10, row_bytes=4096),
             (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -5048,18 +5055,28 @@ def ann_ivfpq_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB oracle does. Multi-probe serving from the same stored
     index: :func:`ann_ivfpq_multiprobe_from_index`."""
     return _ivfpq_adc_topk(_ivfpq_index(spark, sf_dir),
-                           _ivfpq_query_luts(spark, sf_dir).drop("probe_rank"))
+                           _ivfpq_query_luts(spark, sf_dir).drop("probe_rank"),
+                           lut_rows=10)
 
 
-def _ivfpq_adc_topk(idx: DataFrame, luts: DataFrame) -> DataFrame:
+def _ivfpq_adc_topk(idx: DataFrame, luts: DataFrame,
+                    lut_rows: int = 10) -> DataFrame:
     """Shared ADC serving body: broadcast the per-query (cell, LUT)
     rows against an index relation (gen-0 or maintained — the caller
-    picks), ADC-score, top-5 per query."""
+    picks), ADC-score, top-5 per query.
+
+    The LUT hint is rows-gated BY PARAMETER (r13): lut_rows =
+    n_queries x n_probe is caller-known, while the optimizer's
+    estimate for the LUT relation rides the probe-route join product
+    (~5e10 at sf0.1) — the estimate gate silently declined it and the
+    serving join planned as SMJ, shuffling the INDEX side the zero-
+    index-Exchange design exists to protect. A LUT row is PQ_M x
+    PQ_NC longs (~256 B) — 4 KB/row is generous headroom."""
     from pyspark.sql.window import Window
 
     scored = (
         idx.join(
-            maybe_broadcast(luts),
+            maybe_broadcast_rows(luts, lut_rows, row_bytes=4096),
             (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -5094,6 +5111,7 @@ def ann_ivfpq_from_index_maintained(spark: SparkSession, sf_dir: str) -> DataFra
     return _ivfpq_adc_topk(
         _ivfpq_index_maintained(spark, sf_dir),
         _ivfpq_query_luts(spark, sf_dir).drop("probe_rank"),
+        lut_rows=10,
     )
 
 
@@ -5220,10 +5238,13 @@ def ann_ivfpq_multiprobe_from_index(spark: SparkSession, sf_dir: str) -> DataFra
 
     idx = _ivfpq_index(spark, sf_dir)
     k, _ = _ivfpq_params(sf_dir)
-    luts = _ivfpq_query_luts(spark, sf_dir, n_probe=_idx_nprobe(k))
+    n_probe = _idx_nprobe(k)
+    luts = _ivfpq_query_luts(spark, sf_dir, n_probe=n_probe)
+    # rows-gated BY PARAMETER (r13): 10 queries x n_probe LUT rows —
+    # see _ivfpq_adc_topk's note on the estimate gate declining here.
     scored = (
         idx.join(
-            maybe_broadcast(luts),
+            maybe_broadcast_rows(luts, 10 * n_probe, row_bytes=4096),
             (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
         )
         .select(
@@ -5324,15 +5345,24 @@ def ann_ivfpq_from_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
     )
 
+    # rows-gated (r13): candidate membership is 10 queries x P probed
+    # cells x ~occupancy rows; the k = n/128 policy pins mean occupancy,
+    # so 10*P*256 (2x the occupancy target) bounds it by PARAMETER —
+    # the optimizer's estimate rides the probe join product and had
+    # silently declined both hints into SMJs over 50-row truth sets.
+    cand_rows = 10 * _idx_nprobe(k) * 256
     hit_s = truth.join(
-        maybe_broadcast(
-            pairs.filter(F.col("probe_rank") == 1).select("query_id", "neighbor_id")
+        maybe_broadcast_rows(
+            pairs.filter(F.col("probe_rank") == 1).select("query_id", "neighbor_id"),
+            cand_rows, row_bytes=32,
         ),
         ["query_id", "neighbor_id"],
         "left_semi",
     ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits_single"))
     hit_m = truth.join(
-        maybe_broadcast(pairs.select("query_id", "neighbor_id").distinct()),
+        maybe_broadcast_rows(
+            pairs.select("query_id", "neighbor_id").distinct(), cand_rows, row_bytes=32
+        ),
         ["query_id", "neighbor_id"],
         "left_semi",
     ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits_multi"))
@@ -5484,12 +5514,15 @@ def ann_ivfpq_hier_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= 5)
         .select("query_id", "neighbor_id")
     )
+    # rows-gated (r13): same occupancy-derived candidate bound as
+    # ann_ivfpq_from_index_recall — the estimate gate declined both.
     hits = truth.join(
-        maybe_broadcast(cand), ["query_id", "neighbor_id"], "left_semi"
+        maybe_broadcast_rows(cand, 10 * _idx_nprobe(k) * 256, row_bytes=32),
+        ["query_id", "neighbor_id"], "left_semi"
     ).groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hits"))
     n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
     return (
-        n_true.join(maybe_broadcast(n_probed), "query_id")
+        n_true.join(maybe_broadcast_rows(n_probed, 10, row_bytes=32), "query_id")
         .join(hits, "query_id", "left")
         .select(
             "query_id",
@@ -7390,7 +7423,18 @@ def knn_graph_cell_local(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("n_reciprocal"),
         )
-        .join(maybe_broadcast(n_vec), "cell_id")
+        .join(
+            # rows-gated BY POLICY (r13): n_vec is one row per cell and
+            # the cell count is max(8, n/128) — footer-derived; the
+            # optimizer estimate rides the capped-cell lineage's join
+            # products (~1e11) and silently declined this into an SMJ.
+            maybe_broadcast_rows(
+                n_vec,
+                max(8, -(-table_rows(sf_dir, "embeddings") // _KNN_TARGET_CELL)),
+                row_bytes=32,
+            ),
+            "cell_id",
+        )
         .select(
             "cell_id", "n_vectors", "n_edges", "n_reciprocal",
             F.expr("1000000 * n_reciprocal div n_edges").alias("reciprocal_ppm"),
@@ -10637,7 +10681,11 @@ def ivf_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = []
     for r in range(_IVF_TRAIN_ROUNDS):
         subd = (
-            el.join(maybe_broadcast(cb_el), "i")
+            # rows-gated BY PARAMETER (r13): cb_el is k·dim rows (the
+            # newc_hinted discipline below) — the posexplode lineage's
+            # estimate (~8e10) silently declined this into an SMJ.
+            el.join(maybe_broadcast_rows(cb_el, IVF_N_CENTROIDS * 64,
+                                         row_bytes=_CB_EL_EST_BYTES), "i")
             .groupBy("vec_id", "j")
             .agg(F.expr("CAST(sum((xq - w) * (xq - w)) AS BIGINT)").alias("d"))
         )
@@ -10672,7 +10720,9 @@ def ivf_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(newc_hinted, ["j", "i"], "left")
             .select("j", "i", F.coalesce("w", "w_old").alias("w"))
         )
-        dist_updated = ael.join(maybe_broadcast(cb_next), ["j", "i"]).agg(
+        dist_updated = ael.join(
+            maybe_broadcast_rows(cb_next, IVF_N_CENTROIDS * 64,
+                                 row_bytes=_CB_EL_EST_BYTES), ["j", "i"]).agg(
             F.expr("CAST(sum((xq - w) * (xq - w)) AS BIGINT)").alias("dist_updated")
         )
         rows.append(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from northwind_warehouse_spark.catalog import load
+from northwind_warehouse_spark.catalog import load, table_rows
 from northwind_warehouse_spark.functions.hashing import (
     num_str,
     oracle_num_str,
@@ -29,7 +29,7 @@ from northwind_warehouse_spark.functions.money import (
     o_disc_price,
     o_dround2,
 )
-from northwind_warehouse_spark.operators.joins import maybe_broadcast
+from northwind_warehouse_spark.operators.joins import maybe_broadcast, maybe_broadcast_rows
 from northwind_warehouse_spark.operators.asof import asof_join_backward
 from northwind_warehouse_spark.operators.dedup import latest_by_key
 from northwind_warehouse_spark.operators.incremental import high_watermark_filter
@@ -191,8 +191,21 @@ def oracle_dim_date() -> str:
 
 
 def _dummy_rows(spark: SparkSession, cols: list[tuple[str, str]], not_found: list, not_applicable: list) -> DataFrame:
-    schema = ", ".join(f"{n} {t}" for n, t in cols)
-    return spark.createDataFrame([tuple(not_found), tuple(not_applicable)], schema)
+    # Literal projection over range(2), NOT createDataFrame: an
+    # RDD-backed DataFrame surfaces as `Scan ExistingRDD` with UNKNOWN
+    # stats (sizeInBytes ~ Long.Max), which poisons the size estimate of
+    # every dim built by union with it — maybe_broadcast's gate then
+    # reads ~8e18 bytes for a 20k-row dim and silently declines, and
+    # every fact join over the dim degrades to a SortMergeJoin with a
+    # full fact-side shuffle+sort (measured r13: fact_lineitem 2 SMJ →
+    # 2 BHJ, zero fact exchanges). range() carries exact row stats, so
+    # the gate sees the dim's true size and decides honestly at every
+    # scale.
+    projs = [
+        F.when(F.col("id") == 0, F.lit(nf)).otherwise(F.lit(na)).cast(t).alias(n)
+        for (n, t), nf, na in zip(cols, not_found, not_applicable)
+    ]
+    return spark.range(2).select(*projs)
 
 
 def dim_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -457,8 +470,13 @@ def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     d = dim_customer(spark, sf_dir).select("customer_id", "customer_sk", "nation_name", "region_name")
     fallback = surrogate_key(F.lit(0))
+    # rows-gated hint (r13): dim_customer's optimizer estimate is
+    # join-product-inflated (~1.6e12 bytes for 15k rows at sf0.1), so
+    # the estimate gate silently declined and this join planned as SMJ
+    # with a full orders shuffle+sort; the footer row count is exact.
     return (
-        o.join(maybe_broadcast(d), o.o_custkey == d.customer_id, "left")
+        o.join(maybe_broadcast_rows(d, table_rows(sf_dir, "customer") + 2),
+               o.o_custkey == d.customer_id, "left")
         .select(
             F.col("o_orderkey").alias("order_id"),
             F.coalesce("customer_sk", fallback).alias("customer_sk"),
@@ -500,9 +518,15 @@ def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = dim_part(spark, sf_dir).select("part_id", "part_sk", "part_name", "brand")
     s = dim_supplier(spark, sf_dir).select("supplier_id", "supplier_sk", "supplier_name", "nation_name")
     fallback = surrogate_key(F.lit(0))
+    # rows-gated hints (r13): dim_supplier's estimate is join-product-
+    # inflated (~3.8e10 bytes for ~1k rows at sf0.1) so both probes
+    # planned as SMJ with TWO full lineitem shuffle+sorts; footer row
+    # counts gate honestly at every SF.
     return (
-        l.join(maybe_broadcast(p), l.l_partkey == p.part_id, "left")
-        .join(maybe_broadcast(s), l.l_suppkey == s.supplier_id, "left")
+        l.join(maybe_broadcast_rows(p, table_rows(sf_dir, "part") + 2),
+               l.l_partkey == p.part_id, "left")
+        .join(maybe_broadcast_rows(s, table_rows(sf_dir, "supplier") + 2),
+              l.l_suppkey == s.supplier_id, "left")
         .select(
             F.col("l_orderkey").alias("order_id"),
             F.col("l_linenumber").alias("line_number"),
@@ -738,8 +762,12 @@ def fact_resolve_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     full_dim = dim_customer(spark, sf_dir).select("customer_id", "customer_sk")
     stale_dim = full_dim.filter(F.col("customer_id") % 3 != 0)
     fallback = surrogate_key(F.lit(0))
+    # rows-gated hints (r13): dim_customer's join-product-inflated
+    # estimate declined both lookups into SMJs; footer count is exact.
+    dim_rows = table_rows(sf_dir, "customer") + 2
     stale = (
-        o.join(maybe_broadcast(stale_dim), o.o_custkey == stale_dim.customer_id, "left")
+        o.join(maybe_broadcast_rows(stale_dim, dim_rows),
+               o.o_custkey == stale_dim.customer_id, "left")
         .select(
             F.col("o_orderkey").alias("order_id"),
             F.col("o_custkey").alias("customer_id"),
@@ -755,7 +783,7 @@ def fact_resolve_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     failed = stale.filter(F.col("customer_sk") == fallback).drop("customer_sk")
     rejoined = (
-        failed.join(maybe_broadcast(full_dim), "customer_id", "left")
+        failed.join(maybe_broadcast_rows(full_dim, dim_rows), "customer_id", "left")
         .select(
             "order_id",
             "customer_id",
