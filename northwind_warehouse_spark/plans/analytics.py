@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from northwind_warehouse_spark.catalog import load, table_rows
 from northwind_warehouse_spark.operators.joins import maybe_broadcast, maybe_broadcast_rows
+from northwind_warehouse_spark.operators.spread import spread_scan
 from northwind_warehouse_spark.functions.money import (
     charge,
     davg2,
@@ -37,6 +38,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan, one shuffle; partial aggregation happens map-side because
     the plan is a plain groupBy over built-in aggregates.
     """
+    # spread DECLINED with numbers (r13): codegen'd decimal partial
+    # aggregation is cheap per row — shuffling 600k full-width rows off
+    # the single scan task costs more than the parallelism repays
+    # (A/B med 2.68 vs 2.57s, ratio 1.04; the clear-loss siblings q5
+    # 1.36 / q10 1.41 share the shape). Spread pays only where map
+    # work is EXPENSIVE per row (md5 SKs, text splits, quantization).
     l = load(spark, sf_dir, "lineitem")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
@@ -77,6 +84,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 unshipped BUILDING-segment orders by revenue (TPC-H Q3-ish)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    # spread DECLINED with numbers (r13): A/B ratio 1.17 — see q1's note
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
@@ -114,6 +122,7 @@ def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
     ).select("o_orderkey", "o_custkey")
+    # spread DECLINED with numbers (r13): A/B ratio 1.36 — see q1's note
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
@@ -181,6 +190,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-07-01"))
     ).select("o_orderkey", "o_custkey")
+    # spread DECLINED with numbers (r13): A/B ratio 1.41 — see q1's note
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -483,6 +493,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     different roles (alias discipline)."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # spread DECLINED with numbers (r13): A/B ratio 1.17 — see q1's note
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
     ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", F.year("l_shipdate").alias("ship_year"))
@@ -937,6 +948,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from northwind_warehouse_spark.operators.sessionize import sessionize
 
+    # spread DECLINED with numbers (r13): A/B ratio 1.02 — the
+    # pre-exchange projection is slim (no per-row hashing, unlike
+    # scd2_users where the same move won at 0.81)
     e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     s = sessionize(e, "user_id", "ts", gap_seconds=1800, tiebreak_cols=("event_id",))
     return (
@@ -7350,6 +7364,8 @@ def part_cooccurrence_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded by a part's distinct companions)."""
     from pyspark.sql.window import Window
 
+    # spread DECLINED with numbers (r13): A/B ratio 1.03 — the distinct
+    # already exchanges the slim pair and the pair join dominates
     op = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     # read three times (both self-join sides + marginals): persist the slim
     # distinct relation so the scan+distinct runs once

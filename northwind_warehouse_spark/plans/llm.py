@@ -22,6 +22,7 @@ from northwind_warehouse_spark.functions.text import (
     stopword_count,
 )
 from northwind_warehouse_spark.operators.joins import maybe_broadcast, maybe_broadcast_rows
+from northwind_warehouse_spark.operators.spread import spread_scan
 from northwind_warehouse_spark.operators import similarity as sim
 from northwind_warehouse_spark.operators.multimodal import (
     documents_as_binary,
@@ -100,7 +101,11 @@ _SIG_CTE = _SHINGLE_CTE + """,
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8 seeds) → 4 bands → bucket-join candidate pairs."""
-    d = load(spark, sf_dir, "documents")
+    # spread (r13, guide §2.5): the per-doc shingle split + 8-seed
+    # minhash is heavy map work on few rows — hash-spread by doc_id
+    # (min_rows low: per-row cost, not row count, is the load here)
+    d = spread_scan(load(spark, sf_dir, "documents"), spark, sf_dir,
+                    "documents", "doc_id", min_rows=1000)
     sig = sim.minhash_signatures(sim.shingle_arrays(d))
     return sim.lsh_candidate_pairs(sig).orderBy("doc_a", "doc_b")
 
@@ -414,6 +419,8 @@ def chunk_documents(d: DataFrame) -> DataFrame:
 def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window document chunking (20-token windows, stride 10) —
     the context-window prep stage of a training pipeline."""
+    # spread DECLINED with numbers (r13): A/B ratio 1.01 — the explode
+    # output feeds a sort for the final ordering; no win to move it
     return chunk_documents(load(spark, sf_dir, "documents")).orderBy("doc_id", "chunk_idx")
 
 
@@ -492,7 +499,10 @@ def oracle_train_val_split() -> str:
 
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for the first 10 vectors (exact baseline)."""
-    e = load(spark, sf_dir, "embeddings")
+    # spread (r13, guide §2.5): quantization + 10 broadcast-pair dots
+    # per corpus row on an under-split scan — hash-spread by vec_id
+    e = spread_scan(load(spark, sf_dir, "embeddings"), spark, sf_dir,
+                    "embeddings", "vec_id", min_rows=1000)
     return sim.ann_bruteforce_topk(e, n_queries=10, k=5)
 
 
@@ -671,6 +681,10 @@ def dedup_embedding_cosine(
     once per side, never bucket-size times."""
     from northwind_warehouse_spark.functions.vectors import cosine_from_parts, dot_q, norm2_q
 
+    # spread DECLINED with numbers (r13): A/B ratio 1.50 — the CLEAR
+    # loss of the sweep; the persisted bucket relation and the two
+    # id-join re-attachments already bound the heavy work, and the
+    # extra exchange of fat embedding arrays only adds a barrier
     e = load(spark, sf_dir, "embeddings")
     # persist the slim (vec_id, bucket_id) relation: the 8 hyperplane
     # projections are the expensive part, and it feeds the cap's count
@@ -3706,6 +3720,10 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds; document text never enters a shuffle (the shingle path
     explodes trigram strings, the fingerprint join carries ids and
     counters only); no window anywhere."""
+    # spread DECLINED with numbers (r13): A/B ratio 1.11 — the df-count
+    # and tag-back shuffles over the persisted trigram relation
+    # dominate; spreading the text scan only adds an exchange of fat
+    # text rows ahead of the persist
     d = load(spark, sf_dir, "documents")
     base = d.select(
         "doc_id", "source",
@@ -6378,6 +6396,8 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead (SURVEY §4b)."""
     from pyspark.sql.window import Window
 
+    # spread DECLINED with numbers (r13): A/B ratio 1.03 — the prefix
+    # window + candidate join dominate, not the persisted shingle pass
     d = load(spark, sf_dir, "documents")
     sh_arr = sim.shingle_arrays(d).persist()
     # n map-side from the array — no second window over the token relation

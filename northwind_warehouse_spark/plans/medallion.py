@@ -33,6 +33,7 @@ from northwind_warehouse_spark.operators.joins import maybe_broadcast, maybe_bro
 from northwind_warehouse_spark.operators.asof import asof_join_backward
 from northwind_warehouse_spark.operators.dedup import latest_by_key
 from northwind_warehouse_spark.operators.incremental import high_watermark_filter
+from northwind_warehouse_spark.operators.spread import spread_scan
 from northwind_warehouse_spark.operators.scd2 import scd2_from_change_stream
 
 _R2 = lambda c: F.round(c, 2)  # noqa: E731
@@ -385,7 +386,14 @@ def scd2_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference: models/dwh/dim_customer.sql (lag(row_hash) change detect,
     version_no, is_active, 1900/2200 sentinels) — one windowed pass.
     """
-    e = load(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type", "value")
+    # spread (r13, guide §2.5): hash by the window's own partition key —
+    # the explicit exchange REPLACES the window's (HashPartitioning on
+    # user_id satisfies every downstream user_id clustering), so the
+    # per-row surrogate-key md5 moves off the single scan task at no
+    # added shuffle. Identity on split-capable inputs.
+    e = spread_scan(load(spark, sf_dir, "events"), spark, sf_dir,
+                    "events", "user_id").select(
+        "event_id", "user_id", "ts", "event_type", "value")
     return scd2_from_change_stream(
         e,
         key_cols=["user_id"],
@@ -467,7 +475,10 @@ def fact_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     The dim side is broadcast; at 100 TB the customer dim outgrows the
     threshold and AQE falls back to sort-merge automatically.
     """
-    o = load(spark, sf_dir, "orders")
+    # spread (r13, guide §2.5): broadcast pipeline, no exchange — see
+    # fact_lineitem's note
+    o = spread_scan(load(spark, sf_dir, "orders"), spark, sf_dir,
+                    "orders", "o_orderkey")
     d = dim_customer(spark, sf_dir).select("customer_id", "customer_sk", "nation_name", "region_name")
     fallback = surrogate_key(F.lit(0))
     # rows-gated hint (r13): dim_customer's optimizer estimate is
@@ -514,7 +525,14 @@ def oracle_fact_orders() -> str:
 
 def fact_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem enriched with part/supplier dims (fact_order_details pattern)."""
-    l = load(spark, sf_dir, "lineitem")
+    # spread (r13, guide §2.5): after the rows-gated hints below this is
+    # a pure broadcast-join pipeline with NO exchange — on an
+    # under-split input (single-row-group testdata file) it would run
+    # single-threaded end to end; hash-spread by the unique line key
+    # parallelizes every per-row SK hash/projection. Identity on any
+    # layout that already splits (real warehouse row groups).
+    l = spread_scan(load(spark, sf_dir, "lineitem"), spark, sf_dir,
+                    "lineitem", "l_orderkey", "l_linenumber")
     p = dim_part(spark, sf_dir).select("part_id", "part_sk", "part_name", "brand")
     s = dim_supplier(spark, sf_dir).select("supplier_id", "supplier_sk", "supplier_name", "nation_name")
     fallback = surrogate_key(F.lit(0))
@@ -758,7 +776,10 @@ def fact_resolve_failed(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output carries ``was_failed``/``resolved`` audit flags in place of
     the macro's ``updated_at`` (deterministic, so oracle-able).
     """
-    o = load(spark, sf_dir, "orders")
+    # spread (r13, guide §2.5): broadcast pipeline, no exchange — see
+    # fact_lineitem's note
+    o = spread_scan(load(spark, sf_dir, "orders"), spark, sf_dir,
+                    "orders", "o_orderkey")
     full_dim = dim_customer(spark, sf_dir).select("customer_id", "customer_sk")
     stale_dim = full_dim.filter(F.col("customer_id") % 3 != 0)
     fallback = surrogate_key(F.lit(0))
