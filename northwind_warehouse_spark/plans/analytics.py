@@ -38,13 +38,12 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan, one shuffle; partial aggregation happens map-side because
     the plan is a plain groupBy over built-in aggregates.
     """
-    # spread DECLINED with numbers (r13): codegen'd decimal partial
-    # aggregation is cheap per row — shuffling 600k full-width rows off
-    # the single scan task costs more than the parallelism repays
-    # (A/B med 2.68 vs 2.57s, ratio 1.04; the clear-loss siblings q5
-    # 1.36 / q10 1.41 share the shape). Spread pays only where map
-    # work is EXPENSIVE per row (md5 SKs, text splits, quantization).
-    l = load(spark, sf_dir, "lineitem")
+    # spread (r13, guide §2.5): the decimal partial aggregation sat on
+    # the single scan task of an under-split input (first A/B window
+    # was host-contended and read 1.04; clean quiet-box A/B med
+    # 0.83 vs 1.20s = 0.69)
+    l = spread_scan(load(spark, sf_dir, "lineitem"), spark, sf_dir,
+                    "lineitem", "l_orderkey", "l_linenumber")
     return (
         l.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -84,8 +83,12 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-10 unshipped BUILDING-segment orders by revenue (TPC-H Q3-ish)."""
     c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
-    # spread DECLINED with numbers (r13): A/B ratio 1.17 — see q1's note
-    l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > F.lit("1998-01-01"))
+    # spread (r13, guide §2.5): hash by l_orderkey — a subset of the
+    # groupBy keys, so the explicit exchange also satisfies the
+    # aggregation's clustering (re-A/B'd on a quiet box, see q1)
+    l = spread_scan(load(spark, sf_dir, "lineitem"), spark, sf_dir,
+                    "lineitem", "l_orderkey").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(maybe_broadcast(c.select("c_custkey")), o.o_custkey == F.col("c_custkey"))
@@ -122,7 +125,9 @@ def q5_local_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01")) & (F.col("o_orderdate") < F.lit("1998-01-01"))
     ).select("o_orderkey", "o_custkey")
-    # spread DECLINED with numbers (r13): A/B ratio 1.36 — see q1's note
+    # spread DECLINED with numbers (r13, quiet-box A/B ratio 1.24):
+    # the join probes and few-group partial agg are cheap per row —
+    # the single-task shuffle write costs more than it repays
     l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
@@ -190,7 +195,9 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1997-01-01")) & (F.col("o_orderdate") < F.lit("1997-07-01"))
     ).select("o_orderkey", "o_custkey")
-    # spread DECLINED with numbers (r13): A/B ratio 1.41 — see q1's note
+    # spread DECLINED with numbers (r13, quiet-box A/B ratio 1.34):
+    # the returnflag filter keeps 1/4 of the scan — little map work
+    # remains to parallelize
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
@@ -493,7 +500,7 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     different roles (alias discipline)."""
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    # spread DECLINED with numbers (r13): A/B ratio 1.17 — see q1's note
+    # spread DECLINED with numbers (r13, quiet-box A/B ratio 1.03)
     l = load(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1998-01-01"))
     ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", F.year("l_shipdate").alias("ship_year"))

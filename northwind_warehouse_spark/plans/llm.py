@@ -4510,7 +4510,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells, index persisted bucketed-by-cell, queried from storage)."""
     from pyspark.sql.window import Window
 
-    e = load(spark, sf_dir, "embeddings")
+    # spread (r13, guide §2.5): cell assignment + PQ encoding + ADC
+    # scoring are map-only broadcast work riding the single-task scan
+    # of an under-split input — hash-spread by vec_id (the
+    # ann_cosine_topk pattern, A/B 0.76-0.90)
+    e = spread_scan(load(spark, sf_dir, "embeddings"), spark, sf_dir,
+                    "embeddings", "vec_id", min_rows=1000)
     assigned = sim.ivf_assign(e, n_centroids=IVF_N_CENTROIDS)
     cb = sim.pq_codebook(e)
     enc = sim.pq_encode(assigned, cb, extra_cols=("cell_id",))
