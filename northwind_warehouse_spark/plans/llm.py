@@ -23,6 +23,7 @@ from northwind_warehouse_spark.functions.text import (
 )
 from northwind_warehouse_spark.operators.joins import maybe_broadcast, maybe_broadcast_rows
 from northwind_warehouse_spark.operators.spread import spread_scan
+from northwind_warehouse_spark.operators.xplode import select_explode
 from northwind_warehouse_spark.operators import similarity as sim
 from northwind_warehouse_spark.operators.multimodal import (
     documents_as_binary,
@@ -703,6 +704,14 @@ def dedup_embedding_cosine(
     base = e.select(
         "vec_id", F.expr(sim.QUANT.format(v="embedding")).alias("_vq")
     ).withColumn("n2", F.expr(sim.IDOT.format(a="_vq", b="_vq")))
+    # persist(base) A/B'd and DECLINED (r13): the plan shows the
+    # cosine filter's null-intolerance decomposing into inferred
+    # isnotnull(n2) filters that inline the quantize+dot below the
+    # staging projection (~3× transform per row), but a session-pair
+    # A/B (persist toggles cannot be A/B'd in-session — the cache
+    # manager substitutes the cached relation into both arms) measured
+    # a wash: off 0.703/0.857s vs on 0.771/0.786s warm med-of-5 — at
+    # this corpus the pair join dominates and the barrier buys nothing.
     scored = (
         pairs.join(
             base.select(
@@ -922,8 +931,25 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingles."""
     from northwind_warehouse_spark.operators import similarity as s
 
-    d = load(spark, sf_dir, "documents")
-    sh_arr = s.shingle_arrays(d).withColumn("bucket", _split_bucket())
+    # spread (r13, guide §2.5): the shingle transform + md5 explode is
+    # the dominant map work and runs on the single-task scan of an
+    # under-split input; hash-spread by doc_id parallelizes it.
+    d = spread_scan(load(spark, sf_dir, "documents"), spark, sf_dir,
+                    "documents", "doc_id", min_rows=1000)
+    # persist (r13, guide §5 + the CLAUDE.md self-join persist rule):
+    # sh_arr feeds THREE consumers (the train shingle set, the val
+    # explode, and the per-doc n_shingles projection) and its lineage
+    # (split + per-doc shingle transform) is expensive and uncached —
+    # without the barrier each consumer re-executes the whole chain
+    # (the before plan scans documents three times). Measured (sf0.1,
+    # same-session alternating min-of-5, checksums identical): base
+    # 8.29s → spread-only 4.70s; with the persist the warm steady state
+    # is 0.89s (separate session — a persisted relation is substituted
+    # into BOTH arms of an in-session A/B by the cache manager, so the
+    # persist's own A/B needs session isolation; first post-persist run
+    # 1.24s includes cache population, the same persist-riding
+    # semantics SCALING.md documents for knn/winnow).
+    sh_arr = s.shingle_arrays(d).withColumn("bucket", _split_bucket()).persist()
     val = sh_arr.filter(F.col("bucket") >= 90)
     train_sh = (
         sh_arr.filter(F.col("bucket") < 90)
@@ -3485,7 +3511,14 @@ def winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection of higher-order functions (no explode, no shuffle);
     output is the per-doc fingerprint-set cardinality + an
     order-independent XOR digest, both engine-exact integers."""
-    return winnow_digests(load(spark, sf_dir, "documents")).orderBy("doc_id")
+    # spread (r13, guide §2.5): the per-char 5-gram md5 selection is the
+    # heaviest map-only projection in the repo and has no exchange
+    # before the final sort — single-threaded end to end on an
+    # under-split input without the hash spread.
+    return winnow_digests(
+        spread_scan(load(spark, sf_dir, "documents"), spark, sf_dir,
+                    "documents", "doc_id", min_rows=1000)
+    ).orderBy("doc_id")
 
 
 def oracle_winnow_fingerprint() -> str:
@@ -6101,15 +6134,27 @@ def embedding_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         1 if int(_hl.md5(f"pw|{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1
         for i in range(64)
     ]
-    xq = e.select(
-        F.posexplode(
-            F.expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
-        ).alias("i", "xi"),
+    # stage the quantized array ONCE (r13): the old projection computed
+    # the 64-FLOOR transform twice (generator argument + xs), the
+    # inferred explode filter inlined it twice more, and the projection
+    # under the SECOND posexplode re-evaluated it once per first-level
+    # exploded row — 64× per vector. Staging xs as an attribute and
+    # exploding via posexplode_outer (not matched by
+    # InferFiltersFromGenerate; the position-null filter restores inner
+    # semantics exactly) leaves ONE transform per row (plan: 3 → 1
+    # transform(embedding) occurrences; the dim² cell shuffle now
+    # dominates). Measured: 0.945s sweep-protocol → 0.746s warm
+    # med-of-5 same box.
+    base = e.select(
         F.expr("transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000.0) AS BIGINT))")
-        .alias("xs"),
+        .alias("xs")
     )
+    xq = base.select(
+        "xs", F.posexplode_outer("xs").alias("i", "xi")
+    ).filter(F.col("i").isNotNull())
     cells = (
-        xq.select("i", F.posexplode("xs").alias("j", "xj"), "xi")
+        xq.select("i", "xi", F.posexplode_outer("xs").alias("j", "xj"))
+        .filter(F.col("j").isNotNull())
         .groupBy("i", "j")
         .agg(F.sum(F.expr("xi * xj")).alias("m"))
     )
@@ -7807,7 +7852,15 @@ def shingle_df_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     d = load(spark, sf_dir, "documents")
-    tok = sim.shingle_arrays(d).select(F.explode("sh").alias("s"))
+    # explode via operators.xplode (r13): a plain F.explode of the
+    # computed shingle array gets an inferred size()>0 filter pushed
+    # below the Generate with the WHOLE array expression inlined twice
+    # and split(text) re-evaluated per array element inside the lambda
+    # — measured 10× on this explode (3.5 → 0.33s noop at sf0.1; the
+    # full query 4.05 → 0.88s sweep-protocol). A scan spread was then
+    # re-A/B'd and DECLINED (ratio 1.11): with the per-element blowup
+    # gone the remaining map work is too light to pay for the exchange.
+    tok = select_explode(sim.shingle_arrays(d), "sh", "s")
     dft = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     bands = (
         dft.withColumn("df_band", F.expr("CAST(length(bin(df)) - 1 AS INT)"))

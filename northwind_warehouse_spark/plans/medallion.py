@@ -102,7 +102,12 @@ def oracle_stg_orders() -> str:
 
 
 def stg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    l = load(spark, sf_dir, "lineitem")
+    # spread (r13, guide §2.5): the 11-field md5 row_hash over 600k rows
+    # is map-only with zero exchanges — single-threaded end to end on an
+    # under-split input; hash-spread by the unique line key (same repair
+    # fact_lineitem adopted).
+    l = spread_scan(load(spark, sf_dir, "lineitem"), spark, sf_dir,
+                    "lineitem", "l_orderkey", "l_linenumber")
     return l.select(
         F.col("l_orderkey").alias("order_id"),
         F.col("l_partkey").alias("part_id"),
