@@ -3287,7 +3287,13 @@ def equi_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines draw the same deterministic sample. At every test SF
     (n ≤ 150k) the formula saturates at _QSAMPLE_PPM — boundaries are
     unchanged from the fixed-ppm round-6 behavior there."""
-    o = load(spark, sf_dir, "orders")
+    # spread (r13, guide §2.5): both branches' map work (the per-row
+    # md5 lottery on the sample side, the decimal cents + bucket HOF on
+    # the main side) sits upstream of the first exchange — single-task
+    # on an under-split input. A/B alternating med-of-5: 1.72 → 1.42s
+    # (ratio 0.82), checksums identical.
+    o = spread_scan(load(spark, sf_dir, "orders"), spark, sf_dir,
+                    "orders", "o_orderkey")
     n = table_rows(sf_dir, "orders")
     ppm = max(1, min(_QSAMPLE_PPM, (_EQUI_DEPTH_TARGET * 1_000_000) // n))
     cents = (dec2("o_totalprice") * 100).cast("bigint")
@@ -8165,7 +8171,12 @@ def discount_cap_whatif(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the caps array explodes ×3 on two numeric columns
     (never the full row), one ≤|caps| map-side-combined rollup."""
-    l = load(spark, sf_dir, "lineitem").select(
+    # spread (r13, guide §2.5): the ×3 cap explode + decimal CASE
+    # aggregation is map-only up to a ≤3-row exchange — single-task on
+    # an under-split input. A/B alternating med-of-5: 1.45 → 0.70s
+    # (ratio 0.48), checksums identical.
+    l = spread_scan(load(spark, sf_dir, "lineitem"), spark, sf_dir,
+                    "lineitem", "l_orderkey", "l_linenumber").select(
         dec2("l_extendedprice").alias("ext"), dec2("l_discount").alias("disc")
     )
     caps = F.array(*[F.lit(c) for c in _DISC_CAPS])

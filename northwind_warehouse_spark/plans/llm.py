@@ -3932,6 +3932,12 @@ def pq_refine_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         el.withColumn("s", F.expr(f"CAST((i - 1) div {sim.PQ_SUB} AS INT)"))
         .join(asn, ["vec_id", "s"])
     )
+    # persist (r13, guide §5): ael feeds THREE consumers (old_d, newc,
+    # new_d) and its lineage includes the pq_encode assignment join —
+    # unpersisted, that assignment re-executed once per consumer.
+    # Session-pair A/B: 2.13/2.32s → 0.87/1.22s warm med-of-5,
+    # checksums identical.
+    ael = ael.persist()
     cw_el = (
         cb.select(F.expr("posexplode(cws)").alias("j", "cw"))
         .select("j", F.expr("posexplode(cw)").alias("i0", "w"))
@@ -4076,6 +4082,15 @@ def pq_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct("d", "j")).alias("b"))
             .select("vec_id", "s", F.col("b.d").alias("d"), F.col("b.j").alias("j"))
         )
+        # per-round persists (r13, guide §5): best feeds dist_assign +
+        # ael (and through ael both newc and dist_updated), cb_next
+        # feeds dist_updated + BOTH next-round consumers — unpersisted,
+        # each consumer re-executed the round's whole assignment join,
+        # compounding across rounds (~12 executions of the el⋈cb join
+        # for 2 rounds). Session-pair A/B (persists can't be A/B'd
+        # in-session): 3.63/3.35s → 1.05/1.21s warm med-of-5, checksums
+        # identical.
+        best = best.persist()
         dist_assign = best.agg(F.expr("CAST(sum(d) AS BIGINT)").alias("dist_assign"))
         ael = el.join(best.select("vec_id", "s", "j"), ["vec_id", "s"])
         newc = ael.groupBy("j", "i").agg(
@@ -4088,6 +4103,7 @@ def pq_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(newc, ["j", "i"], "left")
             .select("j", "i", F.coalesce("w", "w_old").alias("w"))
         )
+        cb_next = cb_next.persist()
         dist_updated = ael.join(F.broadcast(cb_next), ["j", "i"]).agg(
             F.expr("CAST(sum((xq - w) * (xq - w)) AS BIGINT)").alias("dist_updated")
         )
@@ -10772,6 +10788,10 @@ def ivf_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct("d", "j")).alias("b"))
             .select("vec_id", F.col("b.d").alias("d"), F.col("b.j").alias("j"))
         )
+        # per-round persists (r13): same consumer fan-out as
+        # pq_train_rounds (see the note there). Session-pair A/B:
+        # 2.63/2.71s → 0.97/1.80s warm med-of-5, checksums identical.
+        best = best.persist()
         dist_assign = best.agg(F.expr("CAST(sum(d) AS BIGINT)").alias("dist_assign"))
         ael = el.join(best.select("vec_id", "j"), "vec_id")
         newc = ael.groupBy("j", "i").agg(
@@ -10798,6 +10818,7 @@ def ivf_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(newc_hinted, ["j", "i"], "left")
             .select("j", "i", F.coalesce("w", "w_old").alias("w"))
         )
+        cb_next = cb_next.persist()
         dist_updated = ael.join(
             maybe_broadcast_rows(cb_next, IVF_N_CENTROIDS * 64,
                                  row_bytes=_CB_EL_EST_BYTES), ["j", "i"]).agg(
