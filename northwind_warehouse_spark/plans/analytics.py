@@ -649,7 +649,13 @@ def oracle_q19() -> str:
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8-style: EUROPE-supplier share of total revenue per order
     year. The share ratio is exact (cent-integers + integer division)."""
-    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    # spread (r13, guide §2.5): all four probes broadcast, so the
+    # decimal disc_price work runs map-only to the year groupBy —
+    # single-task on an under-split input. A/B alternating med-of-5:
+    # 1.72 → 1.13s (ratio 0.65), checksums identical.
+    l = spread_scan(load(spark, sf_dir, "lineitem"), spark, sf_dir,
+                    "lineitem", "l_orderkey", "l_linenumber"
+                    ).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     o = load(spark, sf_dir, "orders").select("o_orderkey", F.year("o_orderdate").alias("order_year"))
     s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     n = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
@@ -1107,7 +1113,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     join. Supply cost proxy = 60% of part retail price (no partsupp in the
     testdata); all money stays exact DECIMAL end-to-end.
     """
-    l = load(spark, sf_dir, "lineitem").select(
+    # spread (r13): same shape as q8 — broadcast probes + decimal
+    # profit math, map-only to the groupBy. A/B alternating med-of-5:
+    # 1.46 → 1.25s (ratio 0.86), checksums identical (smaller win than
+    # q8 — the l⋈o join exchanges earlier here).
+    l = spread_scan(load(spark, sf_dir, "lineitem"), spark, sf_dir,
+                    "lineitem", "l_orderkey", "l_linenumber").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice", "l_discount"
     )
     o = load(spark, sf_dir, "orders").select(
@@ -3625,7 +3636,12 @@ def mad_outlier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     2*|2*cents - med_x2| > 3*mad_x4 is pure BIGINT. Two priority-grain
     aggregates broadcast back — the fact shuffles once per pass, the
     sorted objects are 5-row tables."""
-    o = load(spark, sf_dir, "orders").select(
+    # spread (r13): the decimal-cents projection feeds three passes
+    # (median, deviation, final rollup) off the single-task scan. A/B
+    # twice, alternating med-of-5/4: ratio 0.89 both runs
+    # (1.17 → 1.05s; 1.18 → 1.05s), checksums identical.
+    o = spread_scan(load(spark, sf_dir, "orders"), spark, sf_dir,
+                    "orders", "o_orderkey").select(
         "o_orderpriority", (dec2("o_totalprice") * 100).cast("bigint").alias("cents")
     )
     med = o.groupBy("o_orderpriority").agg(
