@@ -73,7 +73,20 @@ EXTENDED = [
     "ann_ivfpq_topk",
     "ann_ivfpq_multiprobe_from_index",
 ]
-HEADLINE = LEGACY_12 + EXTENDED
+# round-13 additions (optimization round 1): the registry-sweep heavy
+# hitters the old headline set never watched — the four queries the
+# r13 sweep ranked above everything bench-visible (REGISTRY_SWEEP.json:
+# 7.58/4.05/3.88/3.19s before; attacked via the inferred-filter explode
+# fix, spread, and per-round trainer persists). ADDED, nothing removed
+# or renamed; legacy12_total / extended16_total keep their historical
+# scopes, so cross-round comparisons are unaffected.
+R13_SWEEP = [
+    "contamination_check",
+    "shingle_df_profile",
+    "winnow_fingerprint",
+    "pq_train_rounds",
+]
+HEADLINE = LEGACY_12 + EXTENDED + R13_SWEEP
 
 
 def main() -> None:
