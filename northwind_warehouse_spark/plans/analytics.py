@@ -2793,6 +2793,10 @@ def basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Analogous to fact_order_details co-occurrence mining over
     the reference's order-grain model (models/dwh/fact_order_details.sql).
     """
+    # spread DECLINED with numbers (r13): A/B ratio 0.94 — like
+    # part_cooccurrence_topk (1.03), the early distinct exchange and
+    # the persisted-ob self-join dominate; the probe-side map work is
+    # too light to clear the adopt bar.
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load(spark, sf_dir, "part").select("p_partkey", "p_brand")
     ob = (
