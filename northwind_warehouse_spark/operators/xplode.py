@@ -12,7 +12,7 @@ ELEMENT per conjunct. This is the exact per-element blowup the repo's
 lambda lint bans in source, but introduced by the OPTIMIZER: measured 10×
 on the shingle explode (3.5s → 0.33s at sf0.1 — see shingle_df_profile).
 
-``explode_nonnull`` sidesteps the rule: ``explode_outer`` is not matched
+``select_explode`` sidesteps the rule: ``explode_outer`` is not matched
 by ``InferFiltersFromGenerate`` (skipping rows is impossible when empty
 arrays must emit a null row), and a post-Generate ``isNotNull`` filter on
 the OUTPUT attribute restores inner-explode row semantics.
@@ -27,14 +27,7 @@ of which emit null elements.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
 from pyspark.sql import functions as F
-
-
-def explode_nonnull(col: Column | str, alias: str) -> list[Column]:
-    """``[explode_outer(col).alias(alias)]`` plus the follow-up filter is
-    the caller's job — use :func:`select_explode` for the common case."""
-    return [F.explode_outer(col).alias(alias)]
 
 
 def select_explode(df, col, alias: str, *keep: str):

@@ -135,7 +135,16 @@ def dedup_minhash_lsh_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from northwind_warehouse_spark.sources import lake
 
-    d = load(spark, sf_dir, "documents")
+    # spread (r14, guide §2.5 + §6 "small files hurt twice"): the
+    # signature pass (shingle split + 8 minhash folds) is the heaviest
+    # map work in the dedup family and sat on the single-task scan of
+    # the under-split input — AND the checkpoint it feeds was written as
+    # ONE part file / ONE row group, so the band self-join's two
+    # read-backs were single-task too. Spreading BEFORE the write
+    # parallelizes the signature pass and makes the checkpoint
+    # split-capable on read (multiple part files), compounding.
+    d = spread_scan(load(spark, sf_dir, "documents"), spark, sf_dir,
+                    "documents", "doc_id", min_rows=1000)
     sig = sim.minhash_signatures(sim.shingle_arrays(d))
     # keyed by (applicationId, sf_dir): per-session isolation — a
     # concurrent session on the same sf_dir can neither overwrite this
@@ -2943,6 +2952,18 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCALING.md)."""
     from pyspark.sql.window import Window
 
+    # spread DECLINED with numbers (r14, verdict item 4): a doc_id hash
+    # spread of the scan (which would also satisfy every window's
+    # clustering — the scd2_users trick) A/B'd 0.978 in-session
+    # alternating (ON 2.408 / OFF 2.461 warm med-of-5) — a wash. The
+    # plan shows why: rounds >= 1 already ride ONE doc_id partitioning
+    # (each round's toks is window output, persisted, partitioning
+    # preserved through the cache — no Exchange between a cached round
+    # and the next round's windows); only round 0's windows exchange
+    # the cached explode once, and that single exchange is all the
+    # spread could remove. The per-round cost is the corpus-grain
+    # (a,b) pair-count aggregate + its exchange, which is the
+    # algorithm.
     d = load(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("i", "tok")
@@ -5401,6 +5422,16 @@ def ann_ivfpq_from_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         maybe_broadcast(qp),
         (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "probe_rank")
+    # persist (r14, verdict item 2 + guide §5): pairs feeds BOTH recall
+    # arms (single-probe filter + multi-probe distinct) and its lineage
+    # re-runs the whole probe-route window chain per consumer; truth
+    # below feeds THREE consumers (hit_s, hit_m, n_true) and its lineage
+    # is the brute-force corpus×queries scoring pass. Both are tiny
+    # outputs (≤ 10·P·occupancy / 50 rows) on expensive uncached lineage
+    # — the CLAUDE.md persist shape. Session-pair ABAB A/B (in-session
+    # persist A/Bs are invalid): on 0.979/1.034 vs off 1.077/1.153 warm
+    # med-of-5, checksums identical.
+    pairs = pairs.persist()
 
     base = e.select("vec_id", "embedding", norm2_q("embedding").alias("n2"))
     tq = base.filter(F.col("vec_id") < 10).select(
@@ -5421,6 +5452,7 @@ def ann_ivfpq_from_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= 5)
         .select("query_id", "neighbor_id")
     )
+    truth = truth.persist()
 
     # rows-gated (r13): candidate membership is 10 queries x P probed
     # cells x ~occupancy rows; the k = n/128 policy pins mean occupancy,
@@ -5562,6 +5594,12 @@ def ann_ivfpq_hier_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"),
         F.col("cell_id").alias("qcell"),
     )
+    # persist (r14, verdict item 2 + guide §5): qp feeds n_probed AND
+    # cand — without the cache the hier probe-route window chain
+    # re-executes per consumer; truth below feeds hits + n_true over the
+    # brute-force scoring lineage. Session-pair ABAB A/B: on 1.066/1.060
+    # vs off 1.725/1.632 warm med-of-5, checksums identical.
+    qp = qp.persist()
     n_probed = qp.groupBy("query_id").agg(
         F.count(F.lit(1)).alias("n_probed_cells")
     )
@@ -5591,6 +5629,7 @@ def ann_ivfpq_hier_probe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= 5)
         .select("query_id", "neighbor_id")
     )
+    truth = truth.persist()
     # rows-gated (r13): same occupancy-derived candidate bound as
     # ann_ivfpq_from_index_recall — the estimate gate declined both.
     hits = truth.join(
