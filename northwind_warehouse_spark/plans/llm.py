@@ -6516,8 +6516,17 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     df_t = tok.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "s")
+    # explicit cluster-width repartition REPLACING the window's own
+    # exchange (r14): same key, same shuffle — zero added exchanges —
+    # but a USER repartition pins the persisted prefix's width, which
+    # AQE's cached-plan re-planning (canChangeCachedPlanOutputPartitioning,
+    # adopted session-wide this round) would otherwise coalesce to the
+    # advisory size, serializing the candidate join + verify stages that
+    # read the cache (session-pair A/B: ccp alone regressed this query
+    # 0.71 -> 0.87 med; with the pin the regression is gone).
     prefix = (
         tok.join(df_t, "s")
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
         .withColumn("pos", F.row_number().over(w))
         .filter(F.expr("pos <= n - ((7 * n + 9) div 10) + 1"))
         .select("doc_id", "s", "n", "pos")
