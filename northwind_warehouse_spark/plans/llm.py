@@ -273,6 +273,16 @@ def quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus gating: documents passing composite quality thresholds —
     the filtering stage of a training-data pipeline. All predicates are
     exact-integer so the surviving set is engine-identical."""
+    # milder inferred-filter class, DECLINED (r14, verdict item 7): the
+    # pushed-down gate evaluates split(text) 3x per row (n_tokens once,
+    # the ratio conjunct twice) because predicate pushdown substitutes
+    # the staged aliases into the scan filter — any re-staging is
+    # substituted the same way, and the only real barrier (a persist) is
+    # a materialization the 0.28s single-consumer query cannot amortize.
+    # The pushdown itself is a WIN here (the gate prunes at the scan
+    # before the surviving rows pay the projection), so the 2 extra
+    # array builds are the price of early pruning; both conjunct shapes
+    # ARE the query's semantics.
     d = load(spark, sf_dir, "documents")
     base = d.select(
         "doc_id", "lang", "source",
@@ -8103,6 +8113,12 @@ def dedup_incremental_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped machinery over ONE corpus pass; the verdicts are two
     broadcast-friendly semi-join flags plus one pair-derived flag —
     new-batch-sized, never corpus-pair-sized."""
+    # milder inferred-filter class, DECLINED (r14, verdict item 7): the
+    # new/corpus split filters re-evaluate the md5 lottery once per row
+    # at the scan (that IS the filter), plus one inferred
+    # isnotnull(md5(text)) from the fp join key — one extra md5 per row
+    # on a sub-second query; a staging barrier costs more than it saves
+    # (same pushdown-substitution reasoning as quality_filter).
     d = load(spark, sf_dir, "documents")
     is_new = F.expr(f"{_INC_LOTTERY} >= 800000")
     fp = d.select("doc_id", F.md5("text").alias("fp"), is_new.alias("is_new"))
@@ -8651,7 +8667,12 @@ def collocation_lift_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     collocation table (vocabulary-bounded, never corpus-bounded)."""
     d = load(spark, sf_dir, "documents")
     toks = d.select(F.split("text", " ").alias("w"))
-    uni = toks.select(F.explode("w").alias("t")).groupBy("t").agg(
+    # select_explode (r14, the milder inferred-filter class — r13 §12):
+    # explode("w") let InferFiltersFromGenerate push `size(w)>0 AND
+    # isnotnull(w)` through the staging projection, re-evaluating
+    # split(text) twice per ROW in the scan filter (split never emits
+    # null elements, so the outer+notNull rewrite is exact).
+    uni = select_explode(toks, "w", "t").groupBy("t").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     ).persist()
     n_tot = uni.agg(F.sum("c").cast("bigint").alias("n"))
@@ -10317,7 +10338,22 @@ def sft_pair_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"array_join(slice(split(text, ' '), {_SFT_PROMPT_TOKENS + 1},"
             f" greatest(size(split(text, ' ')) - {_SFT_PROMPT_TOKENS}, 0)), ' ')"
         ).alias("completion"),
-    ).filter(F.expr("size(split(completion, ' '))") >= _SFT_MIN_COMPLETION_TOKENS)
+    ).filter(
+        # equivalent to size(split(completion,' ')) >= MIN (r14, the
+        # milder inferred-filter class): completion is join(slice(w,
+        # PROMPT+1, ...), ' ') of w = split(text), and space-split
+        # tokens cannot contain spaces, so the join/split round trip is
+        # token-count-lossless: size(split(completion)) = size(w) -
+        # PROMPT when size(w) > PROMPT, else completion = '' whose
+        # split has size 1 < MIN (MIN >= 2) — both sides of the
+        # equivalence reject. Stated on split(text) directly, the
+        # pushed-down filter evaluates ONE split per row instead of
+        # three (plan before: size(split(array_join(slice(split(text)
+        # ...)))) with split(text) twice). Oracle unchanged — results
+        # proven identical by the t2 value compare.
+        F.expr("size(split(text, ' '))")
+        >= _SFT_PROMPT_TOKENS + _SFT_MIN_COMPLETION_TOKENS
+    )
     return (
         pairs.select(
             "doc_id",
