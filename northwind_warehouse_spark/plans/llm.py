@@ -1715,6 +1715,11 @@ def ann_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(qp.select("query_id", "probe_rank", "qcell")),
         (F.col("cell_id") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
     ).select("query_id", F.col("vec_id").alias("neighbor_id"), "probe_rank")
+    # persist (r14, the recall-twin shape extended — verdict item 2):
+    # pairs feeds hit_s + hit_m, truth feeds hit_s/hit_m/n_true, both on
+    # expensive uncached lineage. Session-pair ABAB: on 0.903/0.948 vs
+    # off 2.164/1.892 warm med-of-5, checksums identical.
+    pairs = pairs.persist()
 
     e = load(spark, sf_dir, "embeddings")
     from northwind_warehouse_spark.functions.vectors import norm2_q
@@ -1740,6 +1745,7 @@ def ann_ivf_multiprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nn_rank") <= 3)
         .select("query_id", "neighbor_id")
     )
+    truth = truth.persist()
 
     hit_s = truth.join(
         F.broadcast(pairs.filter(F.col("probe_rank") == 1).select("query_id", "neighbor_id")),
@@ -2895,6 +2901,12 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     (query_id, neighbor_id) semi-join over two ~|queries|·k row sets, so
     the evaluation costs what the searches cost, nothing more."""
     truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    # persist (r14): truth feeds hits + n_true over the full
+    # ann_cosine_topk lineage. Session-pair ABAB: on 1.088/1.042 vs off
+    # 1.160/1.193 warm med-of-5, checksums identical. (The same persist
+    # in ann_pq_recall measured a wash — declined there; ann_pq_topk's
+    # own cost dominates that query.)
+    truth = truth.persist()
     approx = ann_lsh_topk(spark, sf_dir).select("query_id", "neighbor_id")
     hits = truth.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi")
     n_true = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_true"))
@@ -3726,6 +3738,10 @@ def ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook (k-means refinement of pq_codebook's sample) raises this
     number without changing any plan shape; the gate is what tells you
     when the compression is safe to trust at corpus scale."""
+    # persist(truth) DECLINED with numbers (r14): session-pair ABAB
+    # measured a wash (on 1.129/1.044 vs off 1.130/1.148 med-of-5, mins
+    # split) — unlike ann_recall_eval, this query's wall is dominated by
+    # ann_pq_topk's ADC scoring, not the truth recompute.
     truth = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
     approx = ann_pq_topk(spark, sf_dir).select("query_id", "neighbor_id")
     hits = truth.join(F.broadcast(approx), ["query_id", "neighbor_id"], "left_semi")
